@@ -18,8 +18,8 @@ object SparkEntry {
       spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    analytics.CoreQueries.queries
+    analytics.CoreQueries.queries ++ analytics.OperatorQueries.queries
 
   def oracleSql: Map[String, String] =
-    analytics.CoreQueries.oracleSql
+    analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql
 }

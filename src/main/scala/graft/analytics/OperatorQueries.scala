@@ -1,0 +1,441 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** One named entry per remaining SURVEY.md §2 operator row, exercised over
+  * the testdata tables with a DuckDB oracle twin where SQL-expressible.
+  * Follows CoreQueries' determinism rules (decimal-routed sums, total
+  * ORDER BY, no ROUND).
+  */
+object OperatorQueries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4)))
+  private def dsumSql(x: String) = s"SUM(CAST($x AS DECIMAL(18,4)))"
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  // ---------------------------------------------------------------- sources
+
+  // S1 — CSV bulk load: declared schema, header skipped. Round-trips nation
+  // through a CSV file then aggregates (ref: proc_load_bronze.sql:36-42).
+  private val s1CsvLoad: QFn = (s, dir) => {
+    val src = t(s, dir, "nation")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    src.write.mode("overwrite").option("header", "true").csv(tmp)
+    s.read.schema(src.schema).option("header", "true").csv(tmp)
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("n_nationkey")).cast("long").as("key_sum"))
+  }
+  private val s1Sql =
+    "SELECT COUNT(*) AS n_rows, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum FROM nation"
+
+  // S2/S3 — truncate-and-load (overwrite) then append to a parquet sink;
+  // read back and aggregate (ref: proc_load_bronze.sql:34-42, silver :229).
+  private val s2Sink: QFn = (s, dir) => {
+    val src = t(s, dir, "region")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    src.write.mode("overwrite").parquet(tmp)   // full refresh
+    src.write.mode("append").parquet(tmp)      // incremental append
+    s.read.parquet(tmp)
+      .groupBy("r_name").agg(count(lit(1)).as("n_copies"))
+      .orderBy("r_name")
+  }
+  private val s2Sql =
+    "SELECT r_name, CAST(2 AS BIGINT) AS n_copies FROM region ORDER BY r_name"
+
+  // S8 — catalog scan (INFORMATION_SCHEMA analog): tables + column counts
+  // via spark.catalog. No DuckDB oracle (catalog shapes differ) → rows-only.
+  private val s8Catalog: QFn = (s, dir) => {
+    Tables.registerAll(s, dir)
+    val cols = Tables.all.map { tn =>
+      (tn, s.catalog.listColumns(tn).count())
+    }
+    s.createDataFrame(cols).toDF("table_name", "n_columns").orderBy("table_name")
+  }
+
+  // ----------------------------------------------------------------- joins
+
+  // J1/J2/P6 + S4 unknown-member semantics: left join against a restricted
+  // dim, misses land on 'Unknown' (ref: proc_load_gold.sql:61-69,153-154).
+  private val j1LeftUnknown: QFn = (s, dir) => {
+    val bigParts = t(s, dir, "part").filter(col("p_size") > 25)
+    t(s, dir, "lineitem")
+      .join(bigParts, col("l_partkey") === col("p_partkey"), "left")
+      .groupBy(coalesce(col("p_brand"), lit("Unknown")).as("brand"))
+      .agg(count(lit(1)).as("n_items"),
+           dsum(col("l_quantity")).cast("double").as("total_qty"))
+      .orderBy("brand")
+  }
+  private val j1Sql =
+    s"""SELECT COALESCE(p_brand, 'Unknown') AS brand, COUNT(*) AS n_items,
+       |CAST(${dsumSql("l_quantity")} AS DOUBLE) AS total_qty
+       |FROM lineitem LEFT JOIN (SELECT * FROM part WHERE p_size > 25) p
+       |  ON l_partkey = p_partkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // J3 — join on a computed-key expression
+  // (ref: proc_load_gold.sql:163-165 SUBSTRING/CAST join).
+  private val j3ExprJoin: QFn = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    o.join(c, col("o_custkey") ===
+        expr("CAST(substring(CAST(c_custkey AS STRING), 1, 10) AS BIGINT)"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment")
+  }
+  private val j3Sql =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders
+      |FROM orders LEFT JOIN customer
+      |  ON o_custkey = CAST(substring(CAST(c_custkey AS VARCHAR), 1, 10) AS BIGINT)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // J5 — anti-join / NOT EXISTS: customers with no orders in 2001
+  // (ref: proc_load_silver.sql:195-198).
+  private val j5Anti: QFn = (s, dir) => {
+    val recent = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("2001-01-01 00:00:00")))
+    t(s, dir, "customer")
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_inactive"))
+      .orderBy("c_mktsegment")
+  }
+  private val j5Sql =
+    """SELECT c_mktsegment, COUNT(*) AS n_inactive FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // J6 — semi-join / EXISTS: customers with at least one 2001 order.
+  private val j6Semi: QFn = (s, dir) => {
+    val recent = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("2001-01-01 00:00:00")))
+    t(s, dir, "customer")
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("c_mktsegment")
+  }
+  private val j6Sql =
+    """SELECT c_mktsegment, COUNT(*) AS n_active FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // J7/I9 — referential-integrity audit: orphan counts fact→dims
+  // (ref: tests/quality_checks_gold.sql:45-51, proc_load_gold.sql:170-174).
+  private val j7RefIntegrity: QFn = (s, dir) => {
+    val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+    def orphans(name: String, fact: DataFrame, dim: DataFrame,
+                fk: String, pk: String): DataFrame =
+      fact.join(dim, col(fk) === col(pk), "left")
+        .filter(col(pk).isNull)
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(name).as("check_name"), col("n_orphans"))
+    orphans("lineitem_orphan_order", li, o.select("o_orderkey"), "l_orderkey", "o_orderkey")
+      .unionByName(orphans("lineitem_orphan_part", li,
+        t(s, dir, "part").select("p_partkey"), "l_partkey", "p_partkey"))
+      .unionByName(orphans("orders_orphan_customer", o,
+        t(s, dir, "customer").select("c_custkey"), "o_custkey", "c_custkey"))
+      .orderBy("check_name")
+  }
+  private val j7Sql =
+    """SELECT 'lineitem_orphan_order' AS check_name, COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS n_orphans
+      |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+      |UNION ALL
+      |SELECT 'lineitem_orphan_part', COUNT(*) FILTER (WHERE p_partkey IS NULL)
+      |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+      |UNION ALL
+      |SELECT 'orders_orphan_customer', COUNT(*) FILTER (WHERE c_custkey IS NULL)
+      |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      |ORDER BY check_name""".stripMargin
+
+  // ----------------------------------------------------------- aggregations
+
+  // A5 — HAVING-style duplicate/threshold detection
+  // (ref: tests/quality_checks_silver.sql:25-30).
+  private val a5Having: QFn = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 20)
+      .orderBy("o_custkey")
+  private val a5Sql =
+    """SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+      |GROUP BY o_custkey HAVING COUNT(*) >= 20 ORDER BY o_custkey""".stripMargin
+
+  // A6 — conditional aggregate (CASE inside SUM)
+  // (ref: proc_load_silver.sql:258-260 revenue reconciliation).
+  private val a6CondAgg: QFn = (s, dir) => {
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast(DecimalType(18, 4))
+    val zero = lit(0).cast(DecimalType(18, 4))
+    t(s, dir, "lineitem")
+      .groupBy("l_linestatus")
+      .agg(sum(when(col("l_returnflag") === "R", rev).otherwise(zero))
+             .cast("double").as("returned_revenue"),
+           sum(when(col("l_returnflag") =!= "R", rev).otherwise(zero))
+             .cast("double").as("kept_revenue"))
+      .orderBy("l_linestatus")
+  }
+  private val a6Sql =
+    """SELECT l_linestatus,
+      |CAST(SUM(CASE WHEN l_returnflag = 'R'
+      |  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+      |  ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS returned_revenue,
+      |CAST(SUM(CASE WHEN l_returnflag <> 'R'
+      |  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+      |  ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS kept_revenue
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  // A7/P7 — aggregate of a NULLIF-guarded expression
+  // (ref: 13_report_products.sql:69 AVG(CAST(...)/NULLIF(qty,0))).
+  private val a7GuardedAvg: QFn = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg((dsum(col("l_extendedprice")).cast("double")
+             / nullif(dsum(col("l_quantity")).cast("double"), lit(0.0)))
+           .as("avg_unit_price"))
+      .orderBy("l_returnflag")
+  private val a7Sql =
+    """SELECT l_returnflag,
+      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+      |  / NULLIF(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS avg_unit_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // --------------------------------------------------------------- windows
+
+  // W1 — dedup keep-latest via ROW_NUMBER (ref: proc_load_silver.sql:90-97).
+  private val w1KeepLatest: QFn = (s, dir) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("latest_orderkey"),
+              col("o_orderdate").as("latest_orderdate"))
+      .orderBy("o_custkey")
+  }
+  private val w1Sql =
+    """SELECT o_custkey, o_orderkey AS latest_orderkey, o_orderdate AS latest_orderdate
+      |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+      |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) x
+      |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+
+  // W2 — global ROW_NUMBER surrogate-key assignment over a deterministic
+  // order (ref: proc_load_gold.sql:54,109). Fine on a dim; at 100 TB the
+  // fact-side variant uses the two-phase assigner in gold/SurrogateKeys.
+  private val w2Surrogate: QFn = (s, dir) =>
+    t(s, dir, "nation")
+      .withColumn("nation_sk",
+        row_number().over(Window.orderBy("n_nationkey")).cast("long"))
+      .select("nation_sk", "n_nationkey", "n_name")
+      .orderBy("nation_sk")
+  private val w2Sql =
+    """SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_nationkey) AS BIGINT) AS nation_sk,
+      |n_nationkey, n_name FROM nation ORDER BY nation_sk""".stripMargin
+
+  // -------------------------------------------------------- scalar packs
+
+  // §2.8 string functions: TRIM/UPPER/SUBSTRING/REPLACE/LEN/CONCAT
+  // (ref: proc_load_silver.sql:64-87,174-175).
+  private val fStringPack: QFn = (s, dir) =>
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        trim(concat(lit("  "), col("p_name"), lit("  "))).as("name_trimmed"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+        length(col("p_name")).as("name_len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+      .orderBy("p_partkey")
+  private val fStringSql =
+    """SELECT p_partkey, upper(p_name) AS name_upper,
+      |trim(concat('  ', p_name, '  ')) AS name_trimmed,
+      |substring(p_name, 1, 8) AS name_prefix,
+      |replace(p_name, ' ', '_') AS name_snake,
+      |CAST(length(p_name) AS INT) AS name_len,
+      |concat_ws('|', p_brand, p_type) AS brand_type
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // §2.8 date functions: YEAR/MONTH/DAY, DATETRUNC, FORMAT, DATEDIFF(day),
+  // DATEADD, last_day (ref: §2.8 date/time row).
+  private val fDatePack: QFn = (s, dir) =>
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym_label"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since_epoch"),
+        date_add(col("o_orderdate"), 30).as("due_date"),
+        last_day(col("o_orderdate")).as("month_end"))
+      .orderBy("o_orderkey")
+  private val fDateSql =
+    """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS y,
+      |CAST(month(o_orderdate) AS INT) AS m, CAST(day(o_orderdate) AS INT) AS d,
+      |date_trunc('month', o_orderdate) AS month_start,
+      |strftime(o_orderdate, '%Y-%m') AS ym_label,
+      |CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch,
+      |CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+      |last_day(CAST(o_orderdate AS DATE)) AS month_end
+      |FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin
+
+  // §2.8 hash functions — SHA2-256 change-detection fingerprint
+  // (ref: proc_load_silver.sql:63-71 HASHBYTES('SHA2_256', CONCAT(...))).
+  private val fHashPack: QFn = (s, dir) =>
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        sha2(concat_ws("|", col("c_custkey").cast("string"), col("c_name"),
+                       col("c_mktsegment")), 256).as("row_hash"),
+        md5(col("c_name")).as("name_md5"))
+      .orderBy("c_custkey")
+  private val fHashSql =
+    """SELECT c_custkey,
+      |sha256(concat_ws('|', CAST(c_custkey AS VARCHAR), c_name, c_mktsegment)) AS row_hash,
+      |md5(c_name) AS name_md5
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------- incremental / security
+
+  // I1-I3/P3 — watermark delta read + advance with the 1-day late-data
+  // buffer (ref: proc_load_silver.sql:95,119-122,242,248-251).
+  private val iWatermark: QFn = (s, dir) =>
+    t(s, dir, "orders")
+      .filter(col("o_orderdate") > lit(java.sql.Timestamp.valueOf("2000-06-01 00:00:00")))
+      .agg(count(lit(1)).as("delta_rows"),
+           dsum(col("o_totalprice")).cast("double").as("delta_value"),
+           max(col("o_orderdate")).as("max_od"))
+      .select(col("delta_rows"), col("delta_value"),
+              expr("max_od - INTERVAL 1 DAY").as("new_watermark"))
+  private val iWatermarkSql =
+    """SELECT COUNT(*) AS delta_rows,
+      |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS delta_value,
+      |max(o_orderdate) - INTERVAL 1 DAY AS new_watermark
+      |FROM orders WHERE o_orderdate > TIMESTAMP '2000-06-01'""".stripMargin
+
+  // I5 — SCD2 interval semantics derived from history: effective/expiry via
+  // LEAD, exactly one current row per key (ref: proc_load_silver.sql:141-201).
+  private val scd2Intervals: QFn = (s, dir) => {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+              col("o_orderdate").as("effective_date"),
+              lead(col("o_orderdate"), 1).over(w).as("expiry_date"))
+      .withColumn("is_current", col("expiry_date").isNull)
+      .orderBy("o_custkey", "o_orderkey")
+  }
+  private val scd2Sql =
+    """SELECT o_custkey, o_orderkey, o_orderdate AS effective_date,
+      |LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+      |  ORDER BY o_orderdate, o_orderkey) AS expiry_date,
+      |LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+      |  ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // X1 — row-level security: broadcast semi-join against a per-user country
+  // allowlist (ref: ddl_security.sql:69-97). Allowlist inlined for the
+  // oracle; security.Secure parameterizes it per user.
+  private val x1Rls: QFn = (s, dir) => {
+    val ss = s; import ss.implicits._
+    val allowed = Seq("NATION_1", "NATION_7", "NATION_13").toDF("allowed_nation")
+    t(s, dir, "customer")
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(allowed), col("n_name") === col("allowed_nation"), "left_semi")
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_customers"),
+           dsum(col("c_acctbal")).cast("double").as("total_acctbal"))
+      .orderBy("n_name")
+  }
+  private val x1Sql =
+    s"""SELECT n_name, COUNT(*) AS n_customers,
+       |CAST(${dsumSql("c_acctbal")} AS DOUBLE) AS total_acctbal
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |WHERE n_name IN ('NATION_1', 'NATION_7', 'NATION_13')
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // X2 — dynamic data masking: conditional column rewrite
+  // (ref: ddl_security.sql:104-111). Role fixed to 'analyst' here; the
+  // parameterized view lives in security.Secure.
+  private val x2Masking: QFn = (s, dir) =>
+    graft.security.Secure.maskedOrders(t(s, dir, "orders"), role = "analyst")
+      .filter(col("o_orderkey") <= 1000)
+      .orderBy("o_orderkey")
+  private val x2Sql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |CASE WHEN TRUE THEN 0.0 ELSE o_totalprice END AS o_totalprice_masked
+      |FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin
+
+  // A4 on the events stream table — hourly tumbling aggregation, the batch
+  // twin of streaming/EventStream's windowed query (§2.9 analog).
+  private val evHourlyAgg: QFn = (s, dir) =>
+    t(s, dir, "events")
+      .select(Tables.eventTs("ts").as("event_time"), col("event_type"), col("value"))
+      .groupBy(date_trunc("hour", col("event_time")).as("hour_window"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           dsum(col("value")).cast("double").as("total_value"))
+      .orderBy("hour_window", "event_type")
+  private val evHourlySql =
+    s"""SELECT date_trunc('hour', ts) AS hour_window, event_type,
+       |COUNT(*) AS n_events, CAST(${dsumSql("value")} AS DOUBLE) AS total_value
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, QFn] = Map(
+    "s1_csv_bulk_load" -> s1CsvLoad,
+    "s2_overwrite_append_sink" -> s2Sink,
+    "s8_catalog_scan" -> s8Catalog,
+    "j1_left_join_unknown_member" -> j1LeftUnknown,
+    "j3_expression_join" -> j3ExprJoin,
+    "j5_anti_join" -> j5Anti,
+    "j6_semi_join" -> j6Semi,
+    "j7_referential_integrity" -> j7RefIntegrity,
+    "a5_having_threshold" -> a5Having,
+    "a6_conditional_aggregate" -> a6CondAgg,
+    "a7_guarded_avg" -> a7GuardedAvg,
+    "w1_dedup_keep_latest" -> w1KeepLatest,
+    "w2_surrogate_keys" -> w2Surrogate,
+    "f_string_pack" -> fStringPack,
+    "f_date_pack" -> fDatePack,
+    "f_hash_sha2" -> fHashPack,
+    "i_watermark_delta" -> iWatermark,
+    "i_scd2_intervals" -> scd2Intervals,
+    "x1_row_level_security" -> x1Rls,
+    "x2_column_masking" -> x2Masking,
+    "ev_hourly_agg" -> evHourlyAgg)
+
+  val oracleSql: Map[String, String] = Map(
+    "s1_csv_bulk_load" -> s1Sql,
+    "s2_overwrite_append_sink" -> s2Sql,
+    "j1_left_join_unknown_member" -> j1Sql,
+    "j3_expression_join" -> j3Sql,
+    "j5_anti_join" -> j5Sql,
+    "j6_semi_join" -> j6Sql,
+    "j7_referential_integrity" -> j7Sql,
+    "a5_having_threshold" -> a5Sql,
+    "a6_conditional_aggregate" -> a6Sql,
+    "a7_guarded_avg" -> a7Sql,
+    "w1_dedup_keep_latest" -> w1Sql,
+    "w2_surrogate_keys" -> w2Sql,
+    "f_string_pack" -> fStringSql,
+    "f_date_pack" -> fDateSql,
+    "f_hash_sha2" -> fHashSql,
+    "i_watermark_delta" -> iWatermarkSql,
+    "i_scd2_intervals" -> scd2Sql,
+    "x1_row_level_security" -> x1Sql,
+    "x2_column_masking" -> x2Sql,
+    "ev_hourly_agg" -> evHourlySql)
+}

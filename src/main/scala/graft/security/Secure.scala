@@ -1,0 +1,43 @@
+package graft.security
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Engine-level security views over gold tables (SURVEY.md §2.10).
+  *
+  * The reference implements row-level security as an inline TVF joined by a
+  * security policy (`ddl_security.sql:69-97`) and masking as a column rule
+  * (`:104-111`). Both are parameterized view builders here — pure plan
+  * transforms, so Catalyst still pushes filters/pruning through them.
+  */
+object Secure {
+
+  /** user → allowed dimension values (the reference's
+    * `Security.UserCountryMapping`, ddl_security.sql:36-58). */
+  type AccessMap = Map[String, Seq[String]]
+
+  /** X1 — RLS: restrict `fact` to rows whose `dimValueCol` is in the user's
+    * allowlist. A literal IN-list compiles to a broadcast-free predicate the
+    * scanner can push down; an empty allowlist yields no rows (deny by
+    * default, matching the reference's INNER JOIN policy). */
+  def rowFilter(fact: DataFrame, dimValueCol: String, user: String,
+                access: AccessMap): DataFrame = {
+    val allowed = access.getOrElse(user, Seq.empty)
+    if (allowed.isEmpty) fact.filter(lit(false))
+    else fact.filter(col(dimValueCol).isin(allowed: _*))
+  }
+
+  /** X2 — dynamic data masking on orders' total price: analysts see the
+    * default mask (0.0), managers see through (`UNMASK`). */
+  def maskedOrders(orders: DataFrame, role: String): DataFrame =
+    orders.select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      maskUnless(col("o_totalprice"), role, unmaskedRoles = Seq("manager"))
+        .as("o_totalprice_masked"))
+
+  /** Column-level mask: zero unless the role is allowed to unmask. The role
+    * is known at plan time, so the branch resolves before execution —
+    * managers get the raw column, others a constant literal. */
+  def maskUnless(c: Column, role: String, unmaskedRoles: Seq[String]): Column =
+    if (unmaskedRoles.contains(role)) c.cast("double") else lit(0.0)
+}
