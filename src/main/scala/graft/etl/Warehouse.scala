@@ -1,0 +1,60 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Warehouse path layout + atomic table writes over plain Parquet.
+  *
+  * Layers are directories (`<root>/bronze|silver|gold|audit/<table>`),
+  * the Spark analog of the reference's schemas (`init_database.sql:37-51`).
+  *
+  * Parquet has no transactional MERGE/DELETE (no Delta/Iceberg jars in this
+  * build), so every mutation is a functional rebuild + [[overwrite]]:
+  * write to `<table>._tmp`, then swap directories. Readers-of-own-input
+  * rebuilds (SCD merges read the table they replace) MUST go through
+  * [[rebuild]], which materializes the new content before the swap —
+  * otherwise the lazy plan would scan a half-deleted input at action time.
+  * At cluster scale the same contract holds with an object-store rename.
+  */
+final case class Warehouse(root: String) {
+
+  def path(layer: String, table: String): String = s"$root/$layer/$table"
+
+  def read(spark: SparkSession, layer: String, table: String): DataFrame =
+    spark.read.parquet(path(layer, table))
+
+  def exists(layer: String, table: String): Boolean =
+    Files.exists(Paths.get(path(layer, table)))
+
+  /** Truncate-and-load (S2): plain overwrite, no self-read involved. */
+  def overwrite(df: DataFrame, layer: String, table: String): Unit =
+    df.write.mode("overwrite").parquet(path(layer, table))
+
+  /** Partitioned overwrite for the year-partitioned fact
+    * (ddl_gold.sql:78-103 → `partitionBy`, giving Catalyst partition
+    * pruning on year predicates). */
+  def overwritePartitioned(df: DataFrame, layer: String, table: String,
+                           partCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partCols: _*)
+      .parquet(path(layer, table))
+
+  def append(df: DataFrame, layer: String, table: String): Unit =
+    df.write.mode("append").parquet(path(layer, table))
+
+  /** Atomic rebuild of a table whose new content is derived from its own
+    * current content: materialize to a tmp dir, swap, drop the old copy. */
+  def rebuild(df: DataFrame, layer: String, table: String): Unit = {
+    val target = Paths.get(path(layer, table))
+    val tmp = Paths.get(path(layer, table + "._tmp"))
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (Files.exists(target)) deleteRecursively(target)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}
