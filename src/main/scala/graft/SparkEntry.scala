@@ -18,8 +18,10 @@ object SparkEntry {
       spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    analytics.CoreQueries.queries ++ analytics.OperatorQueries.queries
+    analytics.CoreQueries.queries ++ analytics.OperatorQueries.queries ++
+      analytics.TextQueries.queries
 
   def oracleSql: Map[String, String] =
-    analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql
+    analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql ++
+      analytics.TextQueries.oracleSql
 }

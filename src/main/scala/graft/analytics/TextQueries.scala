@@ -1,0 +1,175 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.textops.{Dedup, Multimodal, Similarity, TextFunctions => TF}
+
+/** Training-data pipeline operators over `documents` / `embeddings`
+  * (builder-prompt §"large-scale training-data pipeline"): dedup family,
+  * similarity search, text analysis, multimodal plumbing. DuckDB oracles
+  * where the sketch is SQL-expressible; sketch-based ops (minhash/simhash/
+  * LSH) get deterministic rows-only entries plus ScalaTest ground-truth
+  * checks (TextOpsSpec).
+  */
+object TextQueries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  // t1 — token counting: whitespace + BPE-ish estimate (§2.8 analog for text)
+  private val tTokens: QFn = (s, dir) =>
+    docs(s, dir).select(
+      col("doc_id"),
+      TF.wsTokenCount(col("text")).as("ws_tokens"),
+      TF.bpeTokenEstimate(col("text")).as("bpe_tokens"),
+      length(col("text")).as("n_chars_m"))
+      .orderBy("doc_id")
+  private val tTokensSql =
+    s"""SELECT doc_id, ${TF.wsTokenCountSql("text")} AS ws_tokens,
+       |${TF.bpeTokenEstimateSql("text")} AS bpe_tokens,
+       |CAST(length(text) AS INT) AS n_chars_m
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // t2 — language ID heuristic vs the labeled lang column
+  private val tLangId: QFn = (s, dir) =>
+    docs(s, dir).select(
+      col("doc_id"), col("lang"),
+      TF.langId(col("text")).as("lang_guess"))
+      .orderBy("doc_id")
+  private val tLangIdSql =
+    s"""SELECT doc_id, lang, ${TF.langIdSql("text")} AS lang_guess
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // t3 — quality scoring
+  private val tQuality: QFn = (s, dir) =>
+    docs(s, dir).select(
+      col("doc_id"),
+      TF.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+  private val tQualitySql =
+    s"""SELECT doc_id, ${TF.qualityScoreSql("text")} AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // t4 — document fingerprinting
+  private val tFingerprint: QFn = (s, dir) =>
+    docs(s, dir).select(
+      col("doc_id"),
+      TF.fingerprint(col("text")).as("doc_fp"))
+      .orderBy("doc_id")
+  private val tFingerprintSql =
+    s"""SELECT doc_id, ${TF.fingerprintSql("text")} AS doc_fp
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // d1 — exact dedup (hash-groupBy)
+  private val dExact: QFn = (s, dir) =>
+    Dedup.exactDedup(docs(s, dir), "doc_id", "text").orderBy("content_hash")
+  private val dExactSql =
+    s"""SELECT ${TF.fingerprintSql("text")} AS content_hash,
+       |min(doc_id) AS keep_id, COUNT(*) AS n_copies
+       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // d2 — minhash LSH near-dup pairs (sketch — rows-only oracle; ground
+  // truth asserted against exact Jaccard in TextOpsSpec)
+  private val dMinhash: QFn = (s, dir) =>
+    Dedup.minhashLsh(docs(s, dir), "doc_id", "text",
+      shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  // d3 — simhash near-dup pairs (sketch — rows-only)
+  private val dSimhash: QFn = (s, dir) =>
+    Dedup.simhashNearPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  // d4 — exact n-gram Jaccard pairs at low threshold so the synthetic
+  // corpus yields hits; joins/window only — still oracle-expressible in
+  // principle but the shingle explode isn't portable to DuckDB 1.0
+  // (no lateral column args) → rows-only.
+  private val dJaccard: QFn = (s, dir) =>
+    Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+      shingleK = 2, threshold = 0.3).orderBy("id_a", "id_b")
+
+  // d5 — embedding cosine near-dup pairs via hyperplane LSH (rows-only)
+  private val dEmbDup: QFn = (s, dir) =>
+    Dedup.embeddingDupPairs(embs(s, dir), "vec_id", "embedding",
+      dim = 64, numPlanes = 10, threshold = 0.2)
+      .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
+
+  // a1 — brute-force cosine top-k: query = embedding of vec_id 0. The
+  // oracle recomputes cosine in SQL over UNNEST — both sides double math.
+  private def queryVec(s: SparkSession, dir: String): Seq[Double] =
+    embs(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+
+  private val aBrute: QFn = (s, dir) =>
+    Similarity.bruteForceTopK(
+        embs(s, dir).filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        queryVec(s, dir), k = 10)
+      .select(col("vec_id"), round(col("score"), 6).as("score_r"))
+      .orderBy(col("score_r").desc, col("vec_id"))
+  private val aBruteSql =
+    """WITH q AS (SELECT unnest(embedding) AS qv, generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings WHERE vec_id = 0),
+      |v AS (SELECT vec_id, unnest(embedding) AS xv, generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings WHERE vec_id <> 0),
+      |s AS (SELECT vec_id,
+      |  SUM(CAST(xv AS DOUBLE) * CAST(qv AS DOUBLE)) AS dot,
+      |  sqrt(SUM(CAST(xv AS DOUBLE) * CAST(xv AS DOUBLE))) AS nx,
+      |  sqrt(SUM(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE))) AS nq
+      |  FROM v JOIN q USING (i) GROUP BY vec_id)
+      |SELECT vec_id, round(dot / NULLIF(nx * nq, 0.0), 6) AS score_r
+      |FROM s ORDER BY score_r DESC, vec_id LIMIT 10""".stripMargin
+
+  // a2 — LSH-bucketed ANN (scale path; rows-only, recall vs brute force
+  // asserted in TextOpsSpec)
+  private val aLsh: QFn = (s, dir) =>
+    Similarity.lshTopK(embs(s, dir).filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", queryVec(s, dir), k = 10, dim = 64,
+        bands = 6, planesPerBand = 4)
+      .select(col("vec_id")).orderBy("vec_id")
+
+  // m1 — multimodal blob plumbing: binary column + metadata + sha-256
+  private val mBlob: QFn = (s, dir) =>
+    Multimodal.blobStats(
+      Multimodal.asMediaTable(docs(s, dir), "doc_id", "text", "source"))
+      .orderBy("media_id")
+  private val mBlobSql =
+    """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |sha256(text) AS content_sha, source
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  // m2 — stubbed decode + feature extraction over partition batches
+  // (mapPartitions; deterministic fake decode — rows-only)
+  private val mFeatures: QFn = (s, dir) =>
+    Multimodal.extractFeatures(
+      Multimodal.asMediaTable(docs(s, dir), "doc_id", "text", "source"))
+      .orderBy("media_id")
+
+  val queries: Map[String, QFn] = Map(
+    "t_token_count" -> tTokens,
+    "t_lang_id" -> tLangId,
+    "t_quality_score" -> tQuality,
+    "t_fingerprint" -> tFingerprint,
+    "d_exact_dedup" -> dExact,
+    "d_minhash_lsh" -> dMinhash,
+    "d_simhash_pairs" -> dSimhash,
+    "d_ngram_jaccard" -> dJaccard,
+    "d_embedding_dup" -> dEmbDup,
+    "ann_brute_force_topk" -> aBrute,
+    "ann_lsh_topk" -> aLsh,
+    "mm_blob_stats" -> mBlob,
+    "mm_decode_features" -> mFeatures)
+
+  val oracleSql: Map[String, String] = Map(
+    "t_token_count" -> tTokensSql,
+    "t_lang_id" -> tLangIdSql,
+    "t_quality_score" -> tQualitySql,
+    "t_fingerprint" -> tFingerprintSql,
+    "d_exact_dedup" -> dExactSql,
+    "ann_brute_force_topk" -> aBruteSql,
+    "mm_blob_stats" -> mBlobSql)
+}

@@ -1,0 +1,85 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: media as opaque `binary` columns with typed
+  * metadata, batch-shaped decode/feature-extract over partitions.
+  *
+  * The Spark-side contract is real — schema, partitioning, batch iteration
+  * — while the actual media decode is STUBBED (no image/audio libraries in
+  * this container): [[decodeStub]] produces deterministic fake features
+  * from the bytes. Swapping in a real decoder means replacing only that
+  * function; everything around it (mapPartitions batching, feature schema,
+  * writer) is production-shaped. This mirrors a `mapInPandas` pipeline:
+  * one iterator of batches per partition, vectorized work inside.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("blob", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType),
+      StructField("n_bytes", LongType),
+      StructField("source", StringType))))))
+
+  /** Wrap a text corpus as a media table: UTF-8 bytes as the opaque blob
+    * (stand-in for image/audio payloads) plus typed metadata. */
+  def asMediaTable(docs: DataFrame, idCol: String, textCol: String,
+                   sourceCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast(LongType).as("media_id"),
+      encode(col(textCol), "UTF-8").as("blob"),
+      struct(
+        lit("application/octet-stream").as("mime"),
+        octet_length(encode(col(textCol), "UTF-8")).cast(LongType).as("n_bytes"),
+        col(sourceCol).as("source")).as("meta"))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("n_bytes", LongType),
+    StructField("fake_width", IntegerType),
+    StructField("fake_height", IntegerType),
+    StructField("byte_mean", DoubleType),
+    StructField("content_sha", StringType)))
+
+  /** STUB decoder — deterministic fake in place of a real image/audio
+    * decode (`???` boundary). A real implementation would parse the codec
+    * here; dimensions/statistics below are derived only from the raw
+    * bytes so tests are reproducible. */
+  def decodeStub(bytes: Array[Byte]): (Int, Int, Double) = {
+    val n = bytes.length
+    val mean = if (n == 0) 0.0 else bytes.map(b => (b & 0xFF).toDouble).sum / n
+    val h = java.util.Arrays.hashCode(bytes)
+    (math.abs(h % 1920) + 1, math.abs((h / 1920) % 1080) + 1, mean)
+  }
+
+  /** Feature extraction over media batches: per-partition iteration (the
+    * `mapInPandas` shape — decode amortized across a batch, constant
+    * memory per task). Runs on executors; no driver collection. */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.select("media_id", "blob").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val (w, h, mean) = decodeStub(bytes)
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(bytes).map("%02x".format(_)).mkString
+        Row(id, bytes.length.toLong, w, h, mean, sha)
+      }
+    }
+    spark.createDataFrame(rows, featureSchema)
+  }
+
+  /** Pure-expression subset of the features (no decode needed) — stays in
+    * codegen and is what the DuckDB oracle checks. */
+  def blobStats(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"),
+      col("meta.n_bytes").as("n_bytes"),
+      sha2(col("blob"), 256).as("content_sha"),
+      col("meta.source").as("source"))
+}

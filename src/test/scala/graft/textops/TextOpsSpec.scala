@@ -1,0 +1,132 @@
+package graft.textops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.etl.TestSessions
+
+/** Ground truth for the sketch-based operators the DuckDB oracle can't
+  * express: minhash recall vs exact Jaccard, simhash on perturbed
+  * near-dups, hyperplane-LSH ANN recall vs brute force, multimodal
+  * feature determinism.
+  */
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSessions.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+
+  /** corpus: 0/1 identical, 2 near-dup (one word changed), 3-9 distinct. */
+  private lazy val corpus = {
+    val rnd = new scala.util.Random(11)
+    val distinct = (3 to 9).map { i =>
+      i.toLong -> Seq.fill(60)(s"w${rnd.nextInt(500)}_$i").mkString(" ")
+    }
+    (Seq(
+      0L -> base,
+      1L -> base,
+      2L -> base.replaceFirst("lazy", "sleepy")) ++ distinct
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup collapses identical normalized docs") {
+    val d = Dedup.exactDedup(corpus, "doc_id", "text")
+    assert(d.filter(col("n_copies") === 2).select("keep_id").head().getLong(0) === 0L)
+    assert(d.count() === 9) // 10 docs, one pair collapsed
+  }
+
+  test("minhash LSH finds the exact-Jaccard near-dups and nothing else") {
+    val got = Dedup.minhashLsh(corpus, "doc_id", "text",
+      shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val truth = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      shingleK = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // identical pair + near-dup pairs must be found
+    assert(truth.contains((0L, 1L)))
+    assert(got.contains((0L, 1L)))
+    // LSH at these settings must recover all true pairs (high-sim corpus)
+    assert(truth.subsetOf(got))
+    // and no pair among the unrelated docs
+    assert(!got.exists { case (a, b) => a >= 3 && b >= 3 })
+  }
+
+  test("exact n-gram Jaccard: identical docs score 1.0") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      shingleK = 3, threshold = 0.5)
+    val j01 = pairs.filter(col("id_a") === 0 && col("id_b") === 1)
+      .select("jaccard").head().getDouble(0)
+    assert(j01 === 1.0)
+  }
+
+  test("simhash: identical docs collide, near-dups rank closer than unrelated") {
+    val pairs = Dedup.simhashNearPairs(corpus, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // identical → distance 0
+    assert(!pairs.exists { case (a, b) => a >= 3 && b >= 3 })
+    // distance ordering: near-dup (doc 2) is closer to doc 0 than unrelated doc 3
+    val sims = corpus.select(col("doc_id"),
+        Dedup.simhash64(TextFunctions.wordShingles(col("text"), 3)).as("sim"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sims(a) ^ sims(b))
+    assert(ham(0L, 1L) === 0)
+    assert(ham(0L, 2L) < ham(0L, 3L))
+  }
+
+  test("embedding LSH dedup finds a planted duplicate vector") {
+    val rnd = new scala.util.Random(3)
+    val v0 = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val near = v0.map(x => x + 0.01f)
+    val others = (2 to 40).map(i => i.toLong -> Array.fill(16)(rnd.nextGaussian().toFloat))
+    val df = (Seq(0L -> v0, 1L -> near) ++ others).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingDupPairs(df, "vec_id", "embedding",
+      dim = 16, numPlanes = 8, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("LSH ANN recall: top-1 matches brute force, candidates ⊂ corpus") {
+    val rnd = new scala.util.Random(5)
+    val vecs = (0 to 200).map(i => i.toLong -> Array.fill(32)(rnd.nextGaussian().toFloat))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = vecs(7)._2.map(_.toDouble + 0.001).toSeq
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding", q, 5)
+      .select("vec_id").as[Long].collect()
+    assert(brute.head === 7L) // nearest is the seed vector itself
+    val lsh = Similarity.lshTopK(df, "vec_id", "embedding", q, 5, dim = 32,
+      bands = 8, planesPerBand = 4)
+      .select("vec_id").as[Long].collect()
+    assert(lsh.contains(7L)) // the true nearest neighbor survives bucketing
+  }
+
+  test("multimodal: blob stats + stubbed decode are deterministic and distributed") {
+    val docs = corpus.withColumn("source", lit("srcX"))
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text", "source")
+    // same shape modulo nullability flags
+    assert(media.schema.map(f => (f.name, f.dataType.simpleString))
+      === Multimodal.mediaSchema.map(f => (f.name, f.dataType.simpleString)))
+    val f1 = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    val f2 = Multimodal.extractFeatures(media.repartition(7)).orderBy("media_id").collect()
+    assert(f1.toSeq === f2.toSeq) // partitioning must not change features
+    assert(f1.forall(_.getAs[Long]("n_bytes") > 0))
+    assert(f1.forall(_.getAs[String]("content_sha").length === 64))
+    // identical docs 0/1 share content_sha; doc 2 differs
+    val byId = f1.map(r => r.getLong(0) -> r.getAs[String]("content_sha")).toMap
+    assert(byId(0L) === byId(1L))
+    assert(byId(0L) !== byId(2L))
+  }
+
+  test("language ID picks the stopword-dominant language") {
+    val df = Seq(
+      (1L, "the cat and the dog walked to the park and it is sunny"),
+      (2L, "der hund und die katze und das haus ist hier und der baum"),
+      (3L, "el perro los gatos las casas es una cosa el dia los ninos"),
+      (4L, "le chien et les chats est dans le jardin des fleurs dans paris"),
+      (5L, "xyzzy plugh qwerty asdf")
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextFunctions.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "en"); assert(got(2L) === "de")
+    assert(got(3L) === "es"); assert(got(4L) === "fr")
+    assert(got(5L) === "und")
+  }
+}
