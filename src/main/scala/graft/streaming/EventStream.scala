@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+final case class Event(event_id: Long, event_time: java.sql.Timestamp,
+                       user_id: Long, event_type: String, value: Double)
+
+final case class UserActivity(user_id: Long, n_events: Long,
+                              total_value: Double, last_event: java.sql.Timestamp)
+
+/** Structured Streaming over the `events` table (the reference has no true
+  * streaming — its watermark framework is the batch analog, SURVEY.md
+  * §2.9; this module is the engine's native streaming surface).
+  *
+  *  - [[windowedCounts]]: tumbling-window aggregation with an event-time
+  *    watermark (late rows beyond the lateness bound are dropped — the
+  *    streaming twin of the ETL spine's 1-day watermark buffer);
+  *  - [[userActivity]]: arbitrary stateful aggregation via
+  *    mapGroupsWithState (running per-user totals);
+  *  - [[runToMemory]]: synchronous drain into a memory sink for tests and
+  *    local verification.
+  *
+  * At scale the same topology runs continuously: parquet/kafka source →
+  * state store on shuffle partitions → sink; watermarks bound state size.
+  */
+object EventStream {
+
+  /** The on-disk schema (ts is TIMESTAMP(NANOS) → read as Long ns). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-based stream of the events directory with typed event time. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(dir)
+      .select(
+        col("event_id"),
+        timestamp_micros(expr("ts div 1000")).as("event_time"),
+        col("user_id"), col("event_type"), col("value"))
+  }
+
+  /** Tumbling-window counts/sums per event type with a 10-minute
+    * watermark. Append mode: a window emits once its watermark passes. */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+                     lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("event_time", lateness)
+      .groupBy(window(col("event_time"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("n_events"), col("total_value"))
+
+  /** Running per-user activity via mapGroupsWithState — the custom-state
+    * escape hatch (KeyValueGroupedDataset) for logic windows can't say. */
+  def userActivity(spark: SparkSession, events: DataFrame): Dataset[UserActivity] = {
+    import spark.implicits._
+    events.as[Event]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserActivity]) =>
+          val prev = state.getOption.getOrElse(
+            UserActivity(userId, 0L, 0.0, new java.sql.Timestamp(0L)))
+          val next = batch.foldLeft(prev) { (acc, e) =>
+            UserActivity(userId, acc.n_events + 1, acc.total_value + e.value,
+              if (e.event_time.after(acc.last_event)) e.event_time else acc.last_event)
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Drain a streaming DataFrame synchronously into an in-memory table;
+    * returns the query (stopped) — read results via spark.table(name). */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    q
+  }
+}

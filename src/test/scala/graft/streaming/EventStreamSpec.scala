@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.etl.TestSessions
+
+/** Streaming results must agree with their batch twins over the same
+  * files — the file source replays sf0.001 events as a bounded stream.
+  */
+class EventStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSessions.spark
+
+  /** The streaming file source wants a directory; testdata ships a single
+    * parquet file — stage it into one. */
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("windowed streaming aggregation matches the batch equivalent") {
+    val stream = EventStream.readEvents(spark, dir)
+    EventStream.runToMemory(
+      EventStream.windowedCounts(stream), "win_out", OutputMode.Append())
+    val got = spark.table("win_out")
+      .select("window_start", "event_type", "n_events")
+    val batch = spark.read.parquet(dir)
+      .select(timestamp_micros(expr("ts div 1000")).as("event_time"),
+              col("event_type"))
+      .groupBy(date_trunc("hour", col("event_time")).as("window_start"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    // Append mode holds back windows the final watermark hasn't passed —
+    // every emitted window must match batch exactly, and most must emit.
+    val joined = got.alias("g").join(batch.alias("b"),
+      Seq("window_start", "event_type"))
+    assert(got.count() > 0)
+    assert(joined.filter(col("g.n_events") =!= col("b.n_events")).count() === 0)
+    assert(joined.count() === got.count()) // no streaming-only windows
+  }
+
+  test("stateful per-user activity accumulates across the stream") {
+    val stream = EventStream.readEvents(spark, dir)
+    EventStream.runToMemory(
+      EventStream.userActivity(spark, stream).toDF(), "user_out", OutputMode.Update())
+    val got = spark.table("user_out")
+      .groupBy("user_id").agg(max("n_events").as("n_events"))
+    val batch = spark.read.parquet(dir).groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+    val joined = got.alias("g").join(batch.alias("b"), Seq("user_id"))
+    assert(joined.filter(col("g.n_events") =!= col("b.n_events")).count() === 0)
+    assert(joined.count() === batch.count())
+  }
+}
