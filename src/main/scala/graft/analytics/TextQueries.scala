@@ -85,13 +85,14 @@ object TextQueries {
     Dedup.simhashNearPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
       .orderBy("id_a", "id_b")
 
-  // d4 — exact n-gram Jaccard pairs at low threshold so the synthetic
-  // corpus yields hits; joins/window only — still oracle-expressible in
-  // principle but the shingle explode isn't portable to DuckDB 1.0
-  // (no lateral column args) → rows-only.
+  // d4 — exact n-gram Jaccard pairs; joins/window only — still
+  // oracle-expressible in principle but the shingle explode isn't portable
+  // to DuckDB 1.0 (no lateral column args) → rows-only. 3-shingles: the
+  // synthetic corpus has a tiny vocabulary, so 2-shingle inverted-index
+  // buckets collide quadratically.
   private val dJaccard: QFn = (s, dir) =>
     Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
-      shingleK = 2, threshold = 0.3).orderBy("id_a", "id_b")
+      shingleK = 3, threshold = 0.5).orderBy("id_a", "id_b")
 
   // d5 — embedding cosine near-dup pairs via hyperplane LSH (rows-only)
   private val dEmbDup: QFn = (s, dir) =>

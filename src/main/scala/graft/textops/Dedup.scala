@@ -30,16 +30,42 @@ object Dedup {
     df.groupBy(fingerprint(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Salted 64-bit shingle hash: k independent functions from one builtin. */
-  private def saltedHash(shingle: Column, salt: Int): Column =
-    xxhash64(shingle, lit(salt))
+  /** Exploded distinct (doc_id, shingle) pairs — the shared first stage of
+    * the sketch family. posexplode over the word array + element_at lookups
+    * stays fully codegen'd; generating shingles through a higher-order
+    * `transform`/`slice` lambda is ~9× slower per row (interpreted
+    * generator input). Docs shorter than k words yield no shingles. */
+  private def shingled(df: DataFrame, idCol: String, textCol: String,
+                       shingleK: Int): DataFrame = {
+    val words = split(normText(col(textCol)), " ")
+    df.select(col(idCol).cast(LongType).as("doc_id"), words.as("__w"))
+      .select(col("doc_id"), col("__w"),
+        posexplode(col("__w")).as(Seq("__p", "__x")))
+      .filter(col("__p") <= size(col("__w")) - shingleK)
+      .select(col("doc_id"),
+        concat_ws(" ", (col("__x") +: (2 to shingleK).map(j =>
+          element_at(col("__w"), col("__p") + j))): _*).as("shingle"))
+      .filter(length(col("shingle")) > 0)
+      .distinct()
+  }
 
-  /** MinHash signature: element i = min over shingles of xxhash64(s, i). */
-  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      aggregate(shinglesCol, lit(Long.MaxValue),
-        (acc, s) => least(acc, saltedHash(s, i)))
-    }: _*)
+  /** MinHash signatures via explode → groupBy-min: one shuffle on doc_id,
+    * each hash function a codegen'd `min(xxhash64(shingle, seed))`.
+    *
+    * (A per-row `aggregate()` lambda over the shingle array evaluates the
+    * whole shingling tree once per hash function per row and falls out of
+    * codegen — quadratically slower; the relational form is the 100 TB
+    * shape.) Docs with no shingles drop out (no signature ⇒ no pairs). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int, numHashes: Int): DataFrame = {
+    val mins = shingled(df, idCol, textCol, shingleK)
+      .groupBy("doc_id")
+      .agg(min(xxhash64(col("shingle"), lit(0))).as("h0"),
+           (1 until numHashes).map(i =>
+             min(xxhash64(col("shingle"), lit(i))).as(s"h$i")): _*)
+    mins.select(col("doc_id"),
+      array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
 
   /** MinHash+LSH near-duplicate pairs.
     *
@@ -51,10 +77,7 @@ object Dedup {
                  shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
                  threshold: Double = 0.7): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = df.select(
-        col(idCol).cast(LongType).as("doc_id"),
-        minhashSignature(wordShingles(col(textCol), shingleK), numHashes).as("sig"))
-      .filter(size(filter(col("sig"), h => h =!= Long.MaxValue)) > 0)
+    val sigs = minhashSignatures(df, idCol, textCol, shingleK, numHashes)
     val banded = sigs.select(
       col("doc_id"), col("sig"),
       posexplode(array((0 until bands).map { b =>
@@ -85,14 +108,21 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 3, threshold: Double = 0.5,
                         maxShingleFreq: Int = 1000): DataFrame = {
-    val exploded = df.select(col(idCol).cast(LongType).as("doc_id"),
-        explode(wordShingles(col(textCol), shingleK)).as("shingle"))
+    // Shuffle 8-byte hashed shingles, not strings (xxhash64 collisions at
+    // corpus scale: ~n²/2⁶⁴, immaterial next to the threshold). The index
+    // feeds four plan branches (sizes, hot list, both self-join sides) —
+    // persist it once instead of re-deriving it per branch; at cluster
+    // scale this is the materialized inverted index.
+    val exploded = shingled(df, idCol, textCol, shingleK)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = exploded.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val capped = exploded
-      .withColumn("freq", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
-      .filter(col("freq") <= maxShingleFreq).drop("freq")
-    val inter = capped.as("x").join(capped.as("y"), Seq("shingle"))
+    // Hot-shingle cap via broadcast anti-join: the hot list is tiny by
+    // construction, so no sort-heavy window over the full index.
+    val hot = exploded.groupBy("sh").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") > maxShingleFreq).select("sh")
+    val capped = exploded.join(broadcast(hot), Seq("sh"), "left_anti")
+    val inter = capped.as("x").join(capped.as("y"), Seq("sh"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .agg(count(lit(1)).as("n_common"))
@@ -117,13 +147,28 @@ object Dedup {
     bits.reduce(_.bitwiseOR(_))
   }
 
+  /** SimHash fingerprints via the same explode → groupBy shape: 64
+    * codegen'd bit-vote sums per doc, assembled into one long. */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int): DataFrame = {
+    val votes = shingled(df, idCol, textCol, shingleK)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .groupBy("doc_id")
+      .agg(sum(shiftright(col("h"), 0).bitwiseAND(1L) * 2L - 1L).as("b0"),
+           (1 until 64).map(i =>
+             sum(shiftright(col("h"), i).bitwiseAND(1L) * 2L - 1L).as(s"b$i")): _*)
+    votes.select(col("doc_id"),
+      (0 until 64).map(i =>
+        when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+        .reduce(_.bitwiseOR(_)).as("sim"))
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (< 16):
     * pigeonhole on the four 16-bit chunks — any pair within distance 3
     * agrees on at least one chunk — then verify with bit_count(xor). */
   def simhashNearPairs(df: DataFrame, idCol: String, textCol: String,
                        shingleK: Int = 3, maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).cast(LongType).as("doc_id"),
-      simhash64(wordShingles(col(textCol), shingleK)).as("sim"))
+    val sigs = simhashSignatures(df, idCol, textCol, shingleK)
     val chunked = sigs.select(col("doc_id"), col("sim"),
       posexplode(array((0 until 4).map { c =>
         shiftrightunsigned(col("sim"), c * 16).bitwiseAND(0xFFFFL)

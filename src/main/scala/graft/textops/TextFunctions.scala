@@ -129,14 +129,18 @@ object TextFunctions {
   def fingerprint(c: Column): Column = md5(normText(c))
   val fingerprintSql: String => String = c => s"md5(${normTextSql(c)})"
 
-  /** Word k-shingles of the normalized text (distinct), as an array column.
-    * The minhash/jaccard dedup family consumes these. */
+  /** Word k-shingles of the normalized text (distinct, full-k only), as an
+    * array column. Column-level convenience for small inputs and property
+    * tests; the dedup pipeline uses Dedup's relational posexplode stage,
+    * which is the codegen-friendly form of the same thing. */
   def wordShingles(c: Column, k: Int): Column = {
     val words = split(normText(c), " ")
-    array_distinct(
-      filter(
-        transform(sequence(lit(0), greatest(size(words) - k, lit(0))),
-          i => concat_ws(" ", slice(words, i + lit(1), lit(k)))),
-        s => length(s) > 0))
+    when(size(words) >= k,
+      array_distinct(
+        filter(
+          transform(sequence(lit(0), size(words) - k),
+            i => concat_ws(" ", slice(words, i + lit(1), lit(k)))),
+          s => length(s) > 0)))
+      .otherwise(array().cast("array<string>"))
   }
 }
