@@ -199,7 +199,7 @@ object Dedup {
     val b = bucketed.select(col("bucket"), col("doc_id").as("id_b"), col("vec").as("vec_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", Similarity.cosine(col("vec_a"), col("vec_b")))
+      .withColumn("cosine", Similarity.cosineNative(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

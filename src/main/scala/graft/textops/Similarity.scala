@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity between two float-array columns, computed in
-    * double. Zero vectors yield NULL (guarded denominators). */
+  /** Cosine similarity between two numeric-array columns, computed in
+    * double via composable built-ins. Zero vectors yield NULL (guarded
+    * denominators). For `array<float>` inputs prefer [[cosineNative]] —
+    * same accumulation order, bit-identical results, fused codegen loop. */
   def cosine(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -31,6 +33,10 @@ object Similarity {
       lit(0.0), (acc, v) => acc + v))
     dot / nullif(na * nb, lit(0.0))
   }
+
+  /** Native codegen cosine for float vectors (graft.functions.FloatVecCosine). */
+  def cosineNative(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.vec_cosine(a, b)
 
   /** Deterministic pseudo-random hyperplanes (fixed seed) as literal
     * arrays — identical on every executor and every run. */
@@ -51,11 +57,14 @@ object Similarity {
       when(dotPlane(vec, p) >= 0, shiftleft(lit(1L), i)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
 
-  /** Exact cosine top-k against a literal query vector. */
+  /** Exact cosine top-k against a literal query vector. The scan side is
+    * `array<float>`; the query literal is cast to float (lossless when it
+    * originated from a float embedding), so the whole scoring scan runs
+    * through the fused native loop. */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
                      query: Seq[Double], k: Int): DataFrame = {
-    val q = array(query.map(lit): _*)
-    df.select(col(idCol), cosine(col(vecCol), q).as("score"))
+    val q = array(query.map(lit): _*).cast("array<float>")
+    df.select(col(idCol), cosineNative(col(vecCol), q).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
@@ -79,7 +88,9 @@ object Similarity {
       bucketSignature(col(vecCol), planes) === lit(sig)
     }.reduce(_ || _)
     df.filter(candidateCond)
-      .select(col(idCol), cosine(col(vecCol), array(query.map(lit): _*)).as("score"))
+      .select(col(idCol),
+        cosineNative(col(vecCol),
+          array(query.map(lit): _*).cast("array<float>")).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }

@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.etl.TestSessions
+import graft.textops.Similarity
+
+/** The native FloatVecCosine must agree bit-for-bit with the composable
+  * HOF formula (same index-order double accumulation), survive codegen,
+  * and handle nulls/zero vectors/SQL registration.
+  */
+class VectorExpressionsSpec extends AnyFunSuite {
+  lazy val spark = TestSessions.spark
+  import spark.implicits._
+
+  private lazy val vecs = {
+    val rnd = new scala.util.Random(13)
+    (0 until 200).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat),
+        Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("id", "a", "b")
+  }
+
+  test("native cosine is bit-identical to the HOF formula") {
+    val cmp = vecs.select(
+      Similarity.cosineNative(col("a"), col("b")).as("native"),
+      Similarity.cosine(col("a"), col("b")).as("hof"))
+    assert(cmp.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
+  test("nulls and zero vectors yield null") {
+    val zero = Seq((1L, Array.fill(4)(0.0f), Array.fill(4)(1.0f)))
+      .toDF("id", "a", "b")
+    assert(zero.select(Similarity.cosineNative(col("a"), col("b")))
+      .head().isNullAt(0))
+    val withNull = Seq((1L, Array.fill(4)(1.0f))).toDF("id", "a")
+      .select(Similarity.cosineNative(col("a"), lit(null).cast("array<float>")))
+    assert(withNull.head().isNullAt(0))
+  }
+
+  test("registered SQL function works and identical vectors score 1.0") {
+    VectorExpressions.register(spark)
+    vecs.createOrReplaceTempView("vec_t")
+    val r = spark.sql("SELECT vec_cosine(a, a) AS s FROM vec_t").collect()
+    assert(r.forall(row => math.abs(row.getDouble(0) - 1.0) < 1e-12))
+  }
+
+  test("whole-stage codegen compiles the fused loop (no fallback)") {
+    // a LocalTableScan folds the projection away — force a real exchange,
+    // and execute first so AQE settles on the final plan
+    val scan = vecs.repartition(4)
+      .select(Similarity.cosineNative(col("a"), col("b")).as("s"))
+    val rows = scan.collect() // finalize THIS query's adaptive plan
+    assert(rows.length === 200 && rows.forall(!_.isNullAt(0)))
+    // '*(n)' prefixes mark whole-stage-codegen'd operators in plan strings
+    assert(scan.queryExecution.executedPlan.toString
+      .matches("(?s).*\\*\\(\\d+\\) Project \\[floatveccosine.*"))
+  }
+}
