@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.FloatVecCosine
+
+/** Session extension registering the engine's native functions, so any
+  * session — including spark-sql / JDBC entry points — gets them via
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * (Programmatic sessions can instead call
+  * `functions.VectorExpressions.register(spark)`.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(classOf[FloatVecCosine].getName, "vec_cosine"),
+      exprs => FloatVecCosine(exprs(0), exprs(1))))
+  }
+}
