@@ -150,7 +150,37 @@ object TextQueries {
       Multimodal.asMediaTable(docs(s, dir), "doc_id", "text", "source"))
       .orderBy("media_id")
 
+  // pipe — end-to-end corpus curation: language filter → quality gate →
+  // exact dedup (keep lowest doc_id) → per-source token budget. The whole
+  // pipeline is one declarative plan (filters pushed to the scan, one
+  // groupBy for dedup, one for the rollup) — the shape of a real
+  // training-data curation job.
+  private val pipeCuration: QFn = (s, dir) => {
+    val d = docs(s, dir)
+    val gated = d.filter(col("lang") === "en")
+      .filter(TF.qualityScore(col("text")) >= 0.5)
+    val keep = gated.groupBy(TF.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    gated.join(keep, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(TF.wsTokenCount(col("text")).cast("long")).as("token_budget"))
+      .orderBy("source")
+  }
+  private val pipeCurationSql =
+    s"""WITH gated AS (
+       |  SELECT * FROM documents
+       |  WHERE lang = 'en' AND ${TF.qualityScoreSql("text")} >= 0.5),
+       |keep AS (
+       |  SELECT min(doc_id) AS doc_id FROM gated
+       |  GROUP BY ${TF.fingerprintSql("text")})
+       |SELECT source, COUNT(*) AS n_docs,
+       |CAST(SUM(CAST(${TF.wsTokenCountSql("text")} AS BIGINT)) AS BIGINT) AS token_budget
+       |FROM gated JOIN keep USING (doc_id)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "pipe_corpus_curation" -> pipeCuration,
     "t_token_count" -> tTokens,
     "t_lang_id" -> tLangId,
     "t_quality_score" -> tQuality,
@@ -166,6 +196,7 @@ object TextQueries {
     "mm_decode_features" -> mFeatures)
 
   val oracleSql: Map[String, String] = Map(
+    "pipe_corpus_curation" -> pipeCurationSql,
     "t_token_count" -> tTokensSql,
     "t_lang_id" -> tLangIdSql,
     "t_quality_score" -> tQualitySql,

@@ -69,6 +69,86 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) index: a coarse k-means quantizer over the
+    * corpus. Centroid init is deterministic (the `nlist` lowest-id
+    * vectors); each Lloyd iteration is one broadcast-assign + groupBy-mean
+    * pass — no driver-side math over the corpus, so the build scales with
+    * executors. Returns (centroid_id → centroid vector) collected to the
+    * driver (nlist is small by design, like any IVF coarse codebook).
+    */
+  def ivfTrain(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+               nlist: Int, iterations: Int = 3): Map[Int, Array[Double]] = {
+    val spark = df.sparkSession
+    var centroids: Map[Int, Array[Double]] =
+      df.orderBy(col(idCol)).limit(nlist)
+        .select(col(vecCol).cast("array<double>")).collect()
+        .zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](0).toArray }.toMap
+    (0 until iterations).foreach { _ =>
+      val assigned = assignToCentroid(df, vecCol, centroids)
+      // decimal-routed sum: centroid means are identical under any
+      // partitioning (a raw double sum is accumulation-order dependent)
+      val sums = assigned
+        .select(col("__cid"), posexplode(col(vecCol).cast("array<double>")).as(Seq("__i", "__x")))
+        .groupBy("__cid", "__i")
+        .agg(sum(col("__x").cast(org.apache.spark.sql.types.DecimalType(38, 15)))
+          .cast("double").as("s"), count(lit(1)).as("n"))
+        .collect()
+      centroids = sums.groupBy(_.getInt(0)).map { case (cid, rows) =>
+        val arr = new Array[Double](dim)
+        rows.foreach { r =>
+          val n = r.getLong(3)
+          arr(r.getInt(1)) = if (n == 0) 0.0 else r.getDouble(2) / n
+        }
+        cid -> arr
+      }
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment as a plan-time CASE chain over native
+    * cosines — the codebook is a literal, so assignment is one codegen'd
+    * projection (no shuffle, no UDF). */
+  private def assignToCentroid(df: DataFrame, vecCol: String,
+                               centroids: Map[Int, Array[Double]]): DataFrame = {
+    val scores = centroids.toSeq.sortBy(_._1).map { case (cid, c) =>
+      cid -> cosineNative(col(vecCol),
+        array(c.map(v => lit(v.toFloat)): _*)).as(s"__s$cid")
+    }
+    val withScores = df.select(col("*") +: scores.map(_._2): _*)
+    val best = scores.map(_._1).foldLeft(lit(-1) -> lit(Double.MinValue)) {
+      case ((bi, bs), cid) =>
+        val s = coalesce(col(s"__s$cid"), lit(Double.MinValue))
+        (when(s > bs, lit(cid)).otherwise(bi), greatest(s, bs))
+    }._1
+    withScores.withColumn("__cid", best)
+      .drop(scores.map(_._1).map(c => s"__s$c"): _*)
+  }
+
+  /** IVF top-k: score only the vectors whose coarse cell is among the
+    * `nprobe` cells nearest the query — the classic recall/cost dial.
+    * At 100 TB the assignment column is precomputed and the table is
+    * partitioned by cell, turning a probe into a partition-pruned scan. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Double], k: Int,
+              centroids: Map[Int, Array[Double]], nprobe: Int = 2): DataFrame = {
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na * nb == 0) Double.MinValue else dot / (na * nb)
+    }
+    val probeCells = centroids.toSeq
+      .map { case (cid, c) => cid -> cos(query, c.toSeq) }
+      .sortBy(-_._2).take(nprobe).map(_._1)
+    assignToCentroid(df, vecCol, centroids)
+      .filter(col("__cid").isin(probeCells: _*))
+      .select(col(idCol),
+        cosineNative(col(vecCol),
+          array(query.map(lit): _*).cast("array<float>")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** LSH-bucketed top-k: candidates = rows sharing at least one band of
     * `planesPerBand` sign bits with the query; exact cosine ranks them.
     * With `bands` bands the probability a true neighbor shares none decays

@@ -1,0 +1,47 @@
+package graft.textops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.etl.TestSessions
+
+/** IVF index: trains a deterministic coarse codebook and recovers the true
+  * nearest neighbor when probing its cell (and typically with nprobe=2 of
+  * a handful of cells on clustered data).
+  */
+class IvfSpec extends AnyFunSuite {
+  lazy val spark = TestSessions.spark
+  import spark.implicits._
+
+  // 4 well-separated clusters of 50 vectors each
+  private lazy val vecs = {
+    val rnd = new scala.util.Random(17)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian() * 5))
+    (0 until 200).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.2).toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("ivf recovers the brute-force top-1 with small nprobe") {
+    val centroids = Similarity.ivfTrain(vecs, "vec_id", "embedding",
+      dim = 16, nlist = 4, iterations = 3)
+    assert(centroids.size === 4)
+    val q = vecs.filter(col("vec_id") === 42).select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).map(_ + 0.001)
+    val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, 5)
+      .select("vec_id").as[Long].collect()
+    assert(brute.head === 42L)
+    val ivf = Similarity.ivfTopK(vecs, "vec_id", "embedding", q, 5, centroids, nprobe = 2)
+      .select("vec_id").as[Long].collect()
+    assert(ivf.head === 42L)
+    // probing restricts the scan: results come from ≤ 2 cells
+    assert(ivf.length === 5)
+  }
+
+  test("training is deterministic across runs") {
+    val c1 = Similarity.ivfTrain(vecs, "vec_id", "embedding", 16, 4, 2)
+    val c2 = Similarity.ivfTrain(vecs.repartition(5), "vec_id", "embedding", 16, 4, 2)
+    assert(c1.keySet === c2.keySet)
+    c1.foreach { case (k, v) => assert(v.toSeq === c2(k).toSeq) }
+  }
+}
