@@ -40,4 +40,41 @@ object Secure {
     * managers get the raw column, others a constant literal. */
   def maskUnless(c: Column, role: String, unmaskedRoles: Seq[String]): Column =
     if (unmaskedRoles.contains(role)) c.cast("double") else lit(0.0)
+
+  // ------------------------------------------------------------------ X4
+
+  /** Sensitivity classification metadata (ddl_security.sql:118-128):
+    * table.column → label. Drives both documentation and the masking
+    * decision below. */
+  val classification: Map[String, String] = Map(
+    "dim_customers.first_name" -> "PII",
+    "dim_customers.last_name" -> "PII",
+    "dim_customers.birth_date" -> "PII",
+    "dim_customers.country" -> "Confidential",
+    "fact_sales.sales_amount" -> "Confidential",
+    "fact_sales.price" -> "Confidential")
+
+  /** Classification-driven projection: every column labeled PII is masked
+    * unless the role may unmask — the metadata map is the single source
+    * of truth, so adding a label protects every derived view. */
+  def classifiedView(df: DataFrame, tableName: String, role: String,
+                     unmaskedRoles: Seq[String] = Seq("manager")): DataFrame =
+    df.select(df.columns.map { c =>
+      classification.get(s"$tableName.$c") match {
+        case Some("PII") if !unmaskedRoles.contains(role) =>
+          lit("***MASKED***").as(c)
+        case _ => col(c)
+      }
+    }: _*)
+
+  /** Access-audit row (the reference's audit spec,
+    * ddl_security.sql:169-180): who read which table when. Appended to
+    * `audit/access_log` by the caller's Warehouse. */
+  def accessLogEntry(spark: org.apache.spark.sql.SparkSession, user: String,
+                     table: String, action: String): DataFrame = {
+    import spark.implicits._
+    Seq((user, table, action,
+      new java.sql.Timestamp(System.currentTimeMillis())))
+      .toDF("user_name", "table_name", "action", "access_time")
+  }
 }
