@@ -58,6 +58,34 @@ object OperatorQueries {
     s.createDataFrame(cols).toDF("table_name", "n_columns").orderBy("table_name")
   }
 
+  // S7 — metadata-driven copy over the intersected column list
+  // (proc_load_metadata_driven.sql:26-85): target pre-exists with a subset
+  // schema; the copy selects exactly the intersection.
+  private val s7MetaCopy: QFn = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_meta").toString
+    val wh = graft.etl.Warehouse(tmp)
+    // declared target: two of nation's three columns
+    wh.overwrite(t(s, dir, "nation").select("n_nationkey", "n_name")
+      .limit(0), "silver", "nation_copy")
+    wh.overwrite(t(s, dir, "nation"), "bronze", "nation_src")
+    graft.etl.MetadataDriven.copy(s, wh, "bronze", "nation_src", "silver", "nation_copy")
+    wh.read(s, "silver", "nation_copy")
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("n_nationkey")).cast("long").as("key_sum"),
+           countDistinct(col("n_name")).as("n_names"))
+  }
+  private val s7Sql =
+    """SELECT COUNT(*) AS n_rows, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+      |COUNT(DISTINCT n_name) AS n_names FROM nation""".stripMargin
+
+  // A2 scale path — approx_count_distinct (HLL) next to the exact count;
+  // approx result is seed-stable in Spark but engine-specific → rows-only.
+  private val a2Approx: QFn = (s, dir) =>
+    t(s, dir, "lineitem")
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+           approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+           approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+
   // ----------------------------------------------------------------- joins
 
   // J1/J2/P6 + S4 unknown-member semantics: left join against a restricted
@@ -397,7 +425,9 @@ object OperatorQueries {
   val queries: Map[String, QFn] = Map(
     "s1_csv_bulk_load" -> s1CsvLoad,
     "s2_overwrite_append_sink" -> s2Sink,
+    "s7_metadata_driven_copy" -> s7MetaCopy,
     "s8_catalog_scan" -> s8Catalog,
+    "a2_approx_distinct" -> a2Approx,
     "j1_left_join_unknown_member" -> j1LeftUnknown,
     "j3_expression_join" -> j3ExprJoin,
     "j5_anti_join" -> j5Anti,
@@ -418,6 +448,7 @@ object OperatorQueries {
     "ev_hourly_agg" -> evHourlyAgg)
 
   val oracleSql: Map[String, String] = Map(
+    "s7_metadata_driven_copy" -> s7Sql,
     "s1_csv_bulk_load" -> s1Sql,
     "s2_overwrite_append_sink" -> s2Sql,
     "j1_left_join_unknown_member" -> j1Sql,
