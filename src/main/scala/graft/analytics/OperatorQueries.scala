@@ -406,6 +406,28 @@ object OperatorQueries {
       |CASE WHEN TRUE THEN 0.0 ELSE o_totalprice END AS o_totalprice_masked
       |FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin
 
+  // Semi-structured extraction: schema-declared from_json over the events
+  // props column, aggregated per type. (Beyond the reference's surface —
+  // no JSON appears there — but table stakes for an events warehouse.)
+  private val evJsonExtract: QFn = (s, dir) => {
+    val k = from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))).getField("k")
+    t(s, dir, "events")
+      .select(col("event_type"), k.as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("k")).cast("long").as("k_sum"),
+           min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+      .orderBy("event_type")
+  }
+  private val evJsonSql =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+      |CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+      |CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // A4 on the events stream table — hourly tumbling aggregation, the batch
   // twin of streaming/EventStream's windowed query (§2.9 analog).
   private val evHourlyAgg: QFn = (s, dir) =>
@@ -445,9 +467,11 @@ object OperatorQueries {
     "i_scd2_intervals" -> scd2Intervals,
     "x1_row_level_security" -> x1Rls,
     "x2_column_masking" -> x2Masking,
-    "ev_hourly_agg" -> evHourlyAgg)
+    "ev_hourly_agg" -> evHourlyAgg,
+    "ev_json_extract" -> evJsonExtract)
 
   val oracleSql: Map[String, String] = Map(
+    "ev_json_extract" -> evJsonSql,
     "s7_metadata_driven_copy" -> s7Sql,
     "s1_csv_bulk_load" -> s1Sql,
     "s2_overwrite_append_sink" -> s2Sql,

@@ -90,4 +90,25 @@ object EventStream {
     q.stop()
     q
   }
+
+  /** Bridge into the batch warehouse: append each micro-batch to a
+    * layer/table via foreachBatch, with a checkpoint for exactly-once
+    * resume across restarts. This is how streaming events land in the
+    * same medallion tables the batch spine owns — one storage layout,
+    * two ingestion speeds. Runs to completion of available data. */
+  def sinkToWarehouse(df: DataFrame, wh: graft.etl.Warehouse, layer: String,
+                      table: String, checkpointDir: String): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (wh.exists(layer, table)) wh.append(batch, layer, table)
+        else wh.overwrite(batch, layer, table)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    q
+  }
 }

@@ -42,6 +42,21 @@ class EventStreamSpec extends AnyFunSuite {
     assert(joined.count() === got.count()) // no streaming-only windows
   }
 
+  test("foreachBatch bridge lands stream events in the batch warehouse") {
+    val whRoot = java.nio.file.Files.createTempDirectory("graft_stream_wh").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val wh = graft.etl.Warehouse(whRoot)
+    EventStream.sinkToWarehouse(
+      EventStream.readEvents(spark, dir), wh, "bronze", "events_stream", ckpt)
+    val landed = wh.read(spark, "bronze", "events_stream")
+    val batch = spark.read.parquet(dir)
+    assert(landed.count() === batch.count())
+    // same per-type totals through either path
+    val a = landed.groupBy("event_type").count().orderBy("event_type").collect()
+    val b = batch.groupBy("event_type").count().orderBy("event_type").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("stateful per-user activity accumulates across the stream") {
     val stream = EventStream.readEvents(spark, dir)
     EventStream.runToMemory(
