@@ -41,6 +41,14 @@ final case class Warehouse(root: String) {
   def append(df: DataFrame, layer: String, table: String): Unit =
     df.write.mode("append").parquet(path(layer, table))
 
+  /** Compaction — the columnstore REORGANIZE analog
+    * (proc_load_silver.sql:277-283): rewrite a table into `targetFiles`
+    * files so accumulating small appends don't degrade scan parallelism
+    * (at cluster scale: size files to ~HDFS-block units). */
+  def compact(spark: SparkSession, layer: String, table: String,
+              targetFiles: Int): Unit =
+    rebuild(read(spark, layer, table).coalesce(targetFiles), layer, table)
+
   /** Atomic rebuild of a table whose new content is derived from its own
     * current content: materialize to a tmp dir, swap, drop the old copy. */
   def rebuild(df: DataFrame, layer: String, table: String): Unit = {

@@ -159,6 +159,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(rc.filter(col("avg_order_value").isNull).count() === 0)
   }
 
+  test("full ported quality-check suite reports zero violations") {
+    val results = QualityChecks.runAll(spark, wh)
+    val bad = results.filter(_._2 > 0)
+    assert(bad.isEmpty, s"violations: $bad")
+  }
+
+  test("compaction rewrites to the target file count without changing data") {
+    val before = wh.read(spark, "silver", "crm_sales_details").collect().toSet
+    wh.compact(spark, "silver", "crm_sales_details", targetFiles = 1)
+    val files = new java.io.File(wh.path("silver", "crm_sales_details"))
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files === 1)
+    assert(wh.read(spark, "silver", "crm_sales_details").collect().toSet === before)
+  }
+
   test("metadata-driven loader: hard stop on empty config") {
     intercept[IllegalArgumentException] {
       MetadataDriven.runAll(spark, wh, Seq(EtlConfig("a.b", "c.d", is_active = false)))
