@@ -442,6 +442,37 @@ object OperatorQueries {
        |COUNT(*) AS n_events, CAST(${dsumSql("value")} AS DOUBLE) AS total_value
        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // Sessionization over the event stream (batch form): gap > 30 min opens
+  // a new session; per-session rollup. Second-granularity epochs on both
+  // engines sidestep the ns-vs-µs timestamp precision mismatch.
+  private val evSessionize: QFn = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val sec = expr("ts div 1000000000")
+    val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    val e = t(s, dir, "events").select(col("user_id"), col("event_id"), sec.as("sec"))
+    val g = e.withColumn("new_session",
+      when(lag(col("sec"), 1).over(w).isNull ||
+           col("sec") - lag(col("sec"), 1).over(w) > 1800, 1).otherwise(0))
+    g.withColumn("session_id", sum(col("new_session")).over(w).cast("long"))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+           (max(col("sec")) - min(col("sec"))).cast("long").as("duration_s"))
+      .orderBy("user_id", "session_id")
+  }
+  private val evSessionizeSql =
+    """WITH e AS (SELECT user_id, event_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+      |g AS (SELECT user_id, event_id, sec,
+      |  CASE WHEN LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) IS NULL
+      |         OR sec - LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) > 1800
+      |       THEN 1 ELSE 0 END AS new_session FROM e),
+      |s AS (SELECT user_id, sec,
+      |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS session_id
+      |  FROM g)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |COUNT(*) AS n_events, CAST(MAX(sec) - MIN(sec) AS BIGINT) AS duration_s
+      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, QFn] = Map(
@@ -468,10 +499,12 @@ object OperatorQueries {
     "x1_row_level_security" -> x1Rls,
     "x2_column_masking" -> x2Masking,
     "ev_hourly_agg" -> evHourlyAgg,
-    "ev_json_extract" -> evJsonExtract)
+    "ev_json_extract" -> evJsonExtract,
+    "ev_sessionization" -> evSessionize)
 
   val oracleSql: Map[String, String] = Map(
     "ev_json_extract" -> evJsonSql,
+    "ev_sessionization" -> evSessionizeSql,
     "s7_metadata_driven_copy" -> s7Sql,
     "s1_csv_bulk_load" -> s1Sql,
     "s2_overwrite_append_sink" -> s2Sql,

@@ -58,6 +58,19 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
               col("n_events"), col("total_value"))
 
+  /** Session windows (30-min gap) per user — Spark's native
+    * `session_window` handles the merge logic and, under a watermark,
+    * bounds session state on an unbounded stream. Works identically on
+    * batch DataFrames (EventStreamSpec proves stream ≡ batch). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("event_time", lateness)
+      .groupBy(session_window(col("event_time"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+              col("user_id"), col("n_events"))
+
   /** Running per-user activity via mapGroupsWithState — the custom-state
     * escape hatch (KeyValueGroupedDataset) for logic windows can't say. */
   def userActivity(spark: SparkSession, events: DataFrame): Dataset[UserActivity] = {

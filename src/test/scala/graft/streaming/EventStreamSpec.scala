@@ -42,6 +42,23 @@ class EventStreamSpec extends AnyFunSuite {
     assert(joined.count() === got.count()) // no streaming-only windows
   }
 
+  test("streaming session windows match the batch session_window result") {
+    EventStream.runToMemory(
+      EventStream.sessionCounts(EventStream.readEvents(spark, dir)),
+      "sess_out", OutputMode.Append())
+    val got = spark.table("sess_out")
+    val batch = spark.read.parquet(dir)
+      .select(timestamp_micros(expr("ts div 1000")).as("event_time"), col("user_id"))
+      .groupBy(session_window(col("event_time"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+              col("user_id"), col("n_events"))
+    assert(got.count() > 0)
+    val joined = got.alias("g").join(batch.alias("b"), Seq("session_start", "user_id"))
+    assert(joined.filter(col("g.n_events") =!= col("b.n_events")).count() === 0)
+    assert(joined.count() === got.count())
+  }
+
   test("foreachBatch bridge lands stream events in the batch warehouse") {
     val whRoot = java.nio.file.Files.createTempDirectory("graft_stream_wh").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
