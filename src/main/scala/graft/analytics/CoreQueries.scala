@@ -382,7 +382,39 @@ object CoreQueries {
        |FROM part LEFT JOIN ps ON p_partkey = l_partkey
        |ORDER BY p_partkey""".stripMargin
 
+  // q15 — calendar-spine gap fill: generate every month between min and
+  // max order date, left-join monthly revenue, fill gaps with zero — so
+  // time series report no-activity periods instead of omitting them.
+  private val q15: QFn = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val bounds = o.agg(
+      date_trunc("month", min(col("o_orderdate"))).as("lo"),
+      date_trunc("month", max(col("o_orderdate"))).as("hi"))
+    val spine = bounds.select(explode(sequence(col("lo"), col("hi"),
+      expr("INTERVAL 1 MONTH"))).as("order_month"))
+    val monthly = o.groupBy(date_trunc("month", col("o_orderdate")).as("order_month"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("rev"))
+    spine.join(monthly, Seq("order_month"), "left")
+      .select(col("order_month"),
+        coalesce(col("n"), lit(0L)).as("n_orders"),
+        coalesce(col("rev").cast("double"), lit(0.0)).as("revenue"))
+      .orderBy("order_month")
+  }
+  private val q15Sql =
+    s"""WITH bounds AS (SELECT date_trunc('month', min(o_orderdate)) AS lo,
+       |  date_trunc('month', max(o_orderdate)) AS hi FROM orders),
+       |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS order_month
+       |  FROM bounds),
+       |monthly AS (SELECT date_trunc('month', o_orderdate) AS order_month,
+       |  COUNT(*) AS n, ${dsumSql("o_totalprice")} AS rev
+       |  FROM orders GROUP BY 1)
+       |SELECT order_month, COALESCE(n, 0) AS n_orders,
+       |COALESCE(CAST(rev AS DOUBLE), 0.0) AS revenue
+       |FROM spine LEFT JOIN monthly USING (order_month)
+       |ORDER BY order_month""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q15_monthly_gapfill" -> q15,
     "q01_dimensions_exploration" -> q01,
     "q02_date_range" -> q02,
     "q03_measures_kpi" -> q03,
@@ -399,6 +431,7 @@ object CoreQueries {
     "q14_report_products" -> q14)
 
   val oracleSql: Map[String, String] = Map(
+    "q15_monthly_gapfill" -> q15Sql,
     "q01_dimensions_exploration" -> q01Sql,
     "q02_date_range" -> q02Sql,
     "q03_measures_kpi" -> q03Sql,
