@@ -133,6 +133,19 @@ object TextQueries {
         bands = 6, planesPerBand = 4)
       .select(col("vec_id")).orderBy("vec_id")
 
+  // a3 — IVF ANN: coarse k-means codebook (deterministic train) + nprobe
+  // cell-pruned search (rows-only; recall vs brute force in IvfSpec).
+  private val aIvf: QFn = (s, dir) => {
+    val corpus = embs(s, dir).filter(col("vec_id") =!= 0)
+    // one Lloyd pass: the build amortizes over many probes in practice,
+    // and at this corpus size codebook quality converges immediately
+    val centroids = Similarity.ivfTrain(corpus, "vec_id", "embedding",
+      dim = 64, nlist = 8, iterations = 1)
+    Similarity.ivfTopK(corpus, "vec_id", "embedding",
+        queryVec(s, dir), k = 10, centroids, nprobe = 3)
+      .select(col("vec_id")).orderBy("vec_id")
+  }
+
   // m1 — multimodal blob plumbing: binary column + metadata + sha-256
   private val mBlob: QFn = (s, dir) =>
     Multimodal.blobStats(
@@ -192,6 +205,7 @@ object TextQueries {
     "d_embedding_dup" -> dEmbDup,
     "ann_brute_force_topk" -> aBrute,
     "ann_lsh_topk" -> aLsh,
+    "ann_ivf_topk" -> aIvf,
     "mm_blob_stats" -> mBlob,
     "mm_decode_features" -> mFeatures)
 

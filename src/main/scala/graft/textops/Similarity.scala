@@ -115,12 +115,15 @@ object Similarity {
         array(c.map(v => lit(v.toFloat)): _*)).as(s"__s$cid")
     }
     val withScores = df.select(col("*") +: scores.map(_._2): _*)
-    val best = scores.map(_._1).foldLeft(lit(-1) -> lit(Double.MinValue)) {
-      case ((bi, bs), cid) =>
-        val s = coalesce(col(s"__s$cid"), lit(Double.MinValue))
-        (when(s > bs, lit(cid)).otherwise(bi), greatest(s, bs))
-    }._1
-    withScores.withColumn("__cid", best)
+    // Flat argmax: one greatest() + a linear when-chain. (A running
+    // (bestId, bestScore) fold would nest the partial best into both
+    // branches — a 2^nlist expression-tree blowup that dominates planning.)
+    def s(cid: Int) = coalesce(col(s"__s$cid"), lit(Double.MinValue))
+    val best = greatest(scores.map(c => s(c._1)): _*)
+    val cid = scores.map(_._1).foldRight(lit(-1)) { (c, rest) =>
+      when(s(c) === best, lit(c)).otherwise(rest)
+    }
+    withScores.withColumn("__cid", cid)
       .drop(scores.map(_._1).map(c => s"__s$c"): _*)
   }
 
