@@ -123,13 +123,28 @@ final case class SilverLoader(wh: Warehouse, audit: Audit) {
         fixedSales(col("sls_sales"), col("sls_quantity"), col("sls_price")).as("sls_sales"),
         col("sls_quantity"),
         fixedPrice(col("sls_sales"), col("sls_quantity"), col("sls_price")).as("sls_price"))
+      // I9: rows whose order date cleaned to NULL can never pass a
+      // watermark filter — count them out loud instead of dropping
+      // silently (the reference's int-compare filter drops them too).
+      audit.check(spark, batchId, "crm_sales_details", "unparseable_order_date",
+        cleaned.filter(col("sls_order_dt").isNull),
+        "sls_order_dt null/garbage — row excluded from delta loads")
       val delta = cleaned.filter(col("sls_order_dt") > lit(new java.sql.Date(wm.getTime)))
       val deltaCached = delta.cache()
       val n = deltaCached.count()
       if (n > 0) {
         if (!wh.exists("silver", "crm_sales_details"))
           wh.overwrite(deltaCached, "silver", "crm_sales_details")
-        else wh.append(deltaCached, "silver", "crm_sales_details")
+        else {
+          // The 1-day late-data buffer re-reads the tail window on every
+          // run; make the append idempotent by anti-joining rows already
+          // landed (natural line grain: order number + product key).
+          val existing = wh.read(spark, "silver", "crm_sales_details")
+            .select("sls_ord_num", "sls_prd_key")
+          wh.append(deltaCached.join(existing,
+            Seq("sls_ord_num", "sls_prd_key"), "left_anti"),
+            "silver", "crm_sales_details")
+        }
         wmCtl.nextWatermark(deltaCached, "sls_order_dt")
           .foreach(wmCtl.advance(spark, "crm_sales_details", _))
         // I9: revenue reconciliation — sales must equal qty × |price|

@@ -57,6 +57,7 @@ case class FloatVecCosine(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       val nx = ctx.freshName("nx")
       val ny = ctx.freshName("ny")
@@ -66,11 +67,11 @@ case class FloatVecCosine(left: Expression, right: Expression)
       s"""
          |int ${i} = 0;
          |double ${dot} = 0.0; double ${nx} = 0.0; double ${ny} = 0.0;
-         |int n = $a.numElements();
-         |if ($b.numElements() != n) {
+         |int ${n} = $a.numElements();
+         |if ($b.numElements() != ${n}) {
          |  throw new IllegalArgumentException("FloatVecCosine: dimension mismatch");
          |}
-         |while (${i} < n) {
+         |while (${i} < ${n}) {
          |  double ${xi} = (double) $a.getFloat(${i});
          |  double ${yi} = (double) $b.getFloat(${i});
          |  ${dot} += ${xi} * ${yi}; ${nx} += ${xi} * ${xi}; ${ny} += ${yi} * ${yi};

@@ -62,7 +62,13 @@ object Secure {
     df.select(df.columns.map { c =>
       classification.get(s"$tableName.$c") match {
         case Some("PII") if !unmaskedRoles.contains(role) =>
-          lit("***MASKED***").as(c)
+          // type-preserving masks: the view's schema must stay identical
+          // to the table contract it protects (strings get a sentinel,
+          // other types null out)
+          df.schema(c).dataType match {
+            case org.apache.spark.sql.types.StringType => lit("***MASKED***").as(c)
+            case dt => lit(null).cast(dt).as(c)
+          }
         case _ => col(c)
       }
     }: _*)

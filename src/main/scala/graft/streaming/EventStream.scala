@@ -105,9 +105,12 @@ object EventStream {
   }
 
   /** Bridge into the batch warehouse: append each micro-batch to a
-    * layer/table via foreachBatch, with a checkpoint for exactly-once
-    * resume across restarts. This is how streaming events land in the
-    * same medallion tables the batch spine owns — one storage layout,
+    * layer/table via foreachBatch with checkpointed resume. Delivery is
+    * AT-LEAST-ONCE: a crash between the append and the checkpoint commit
+    * replays that batch (exactly-once over plain parquet would need an
+    * idempotent per-batch write, e.g. overwriting a batch_id=N partition
+    * keyed on the foreachBatch id). This is how streaming events land in
+    * the same medallion tables the batch spine owns — one storage layout,
     * two ingestion speeds. Runs to completion of available data. */
   def sinkToWarehouse(df: DataFrame, wh: graft.etl.Warehouse, layer: String,
                       table: String, checkpointDir: String): StreamingQuery = {

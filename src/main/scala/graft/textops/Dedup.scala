@@ -76,6 +76,8 @@ object Dedup {
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
                  threshold: Double = 0.7): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must be positive and divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / bands
     val sigs = minhashSignatures(df, idCol, textCol, shingleK, numHashes)
     val banded = sigs.select(
@@ -113,15 +115,20 @@ object Dedup {
     // feeds four plan branches (sizes, hot list, both self-join sides) —
     // persist it once instead of re-deriving it per branch; at cluster
     // scale this is the materialized inverted index.
+    // (The cache lives for the session and is LRU-evictable, not pinned;
+    // callers running many corpora can spark.catalog.clearCache().)
     val exploded = shingled(df, idCol, textCol, shingleK)
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = exploded.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     // Hot-shingle cap via broadcast anti-join: the hot list is tiny by
     // construction, so no sort-heavy window over the full index.
     val hot = exploded.groupBy("sh").agg(count(lit(1)).as("freq"))
       .filter(col("freq") > maxShingleFreq).select("sh")
     val capped = exploded.join(broadcast(hot), Seq("sh"), "left_anti")
+    // Sizes must come from the SAME capped index as the intersection,
+    // or docs containing a hot shingle get systematically under-scored
+    // (an exact duplicate would fall below 1.0).
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val inter = capped.as("x").join(capped.as("y"), Seq("sh"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
@@ -163,11 +170,15 @@ object Dedup {
         .reduce(_.bitwiseOR(_)).as("sim"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (< 16):
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (≤ 3):
     * pigeonhole on the four 16-bit chunks — any pair within distance 3
-    * agrees on at least one chunk — then verify with bit_count(xor). */
+    * agrees on at least one chunk — then verify with bit_count(xor).
+    * Larger radii would need more/overlapping chunks, so they are
+    * rejected rather than silently under-recalled. */
   def simhashNearPairs(df: DataFrame, idCol: String, textCol: String,
                        shingleK: Int = 3, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-chunk pigeonhole only guarantees recall for distance <= 3, got $maxHamming")
     val sigs = simhashSignatures(df, idCol, textCol, shingleK)
     val chunked = sigs.select(col("doc_id"), col("sim"),
       posexplode(array((0 until 4).map { c =>

@@ -136,6 +136,10 @@ class PipelineSpec extends AnyFunSuite {
     val sd = wh.read(spark, "silver", "crm_sales_details")
     assert(sd.filter(col("sls_ord_num") === "SO43697").count() === 1)
     assert(sd.filter(col("sls_ord_num").isin("SO43720", "SO43721")).count() === 2)
+    // the 1-day buffer re-reads the tail window — the idempotent append
+    // must not duplicate rows that already landed in batch 1
+    assert(sd.groupBy("sls_ord_num", "sls_prd_key").count()
+      .filter(col("count") > 1).count() === 0)
 
     // gold rebuilt: new customer key resolves, current cost visible
     val dp = wh.read(spark, "gold", "dim_products")

@@ -9,9 +9,9 @@ class SecureSpec extends AnyFunSuite {
   import spark.implicits._
 
   private lazy val dim = Seq(
-    (1L, "Ana", "Lopez", "United States"),
-    (2L, "Ben", "Kim", "Germany")
-  ).toDF("customer_key", "first_name", "last_name", "country")
+    (1L, "Ana", "Lopez", "United States", java.sql.Date.valueOf("1980-01-05")),
+    (2L, "Ben", "Kim", "Germany", java.sql.Date.valueOf("1975-06-10"))
+  ).toDF("customer_key", "first_name", "last_name", "country", "birth_date")
 
   test("rowFilter: allowlist filters, missing user denies everything") {
     val access = Map("alice" -> Seq("Germany"))
@@ -23,11 +23,16 @@ class SecureSpec extends AnyFunSuite {
   test("classifiedView: PII masked for analysts, visible to managers") {
     val analyst = Secure.classifiedView(dim, "dim_customers", role = "analyst")
     assert(analyst.select("first_name").distinct().head().getString(0) === "***MASKED***")
+    // non-string PII nulls out but KEEPS its type (schema contract)
+    assert(analyst.schema("birth_date").dataType
+      === org.apache.spark.sql.types.DateType)
+    assert(analyst.filter(col("birth_date").isNotNull).count() === 0)
     // non-PII Confidential column untouched by the PII rule
     assert(analyst.select("country").as[String].collect().toSet
       === Set("United States", "Germany"))
     val mgr = Secure.classifiedView(dim, "dim_customers", role = "manager")
     assert(mgr.select("first_name").as[String].collect().toSet === Set("Ana", "Ben"))
+    assert(mgr.filter(col("birth_date").isNull).count() === 0)
   }
 
   test("maskUnless resolves at plan time") {
