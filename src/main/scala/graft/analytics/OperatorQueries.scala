@@ -78,6 +78,23 @@ object OperatorQueries {
     """SELECT COUNT(*) AS n_rows, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
       |COUNT(DISTINCT n_name) AS n_names FROM nation""".stripMargin
 
+  // Exact interpolated percentiles (median/p90 of order value per
+  // status) — Spark `percentile` and DuckDB `quantile_cont` share the
+  // linear-interpolation definition; plus the approx scale path.
+  private val aPercentiles: QFn = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("median_price"),
+           expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+           count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+  private val aPercentilesSql =
+    """SELECT o_orderstatus,
+      |quantile_cont(o_totalprice, 0.5) AS median_price,
+      |quantile_cont(o_totalprice, 0.9) AS p90_price,
+      |COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // A2 scale path — approx_count_distinct (HLL) next to the exact count;
   // approx result is seed-stable in Spark but engine-specific → rows-only.
   private val a2Approx: QFn = (s, dir) =>
@@ -481,6 +498,7 @@ object OperatorQueries {
     "s7_metadata_driven_copy" -> s7MetaCopy,
     "s8_catalog_scan" -> s8Catalog,
     "a2_approx_distinct" -> a2Approx,
+    "a_percentiles" -> aPercentiles,
     "j1_left_join_unknown_member" -> j1LeftUnknown,
     "j3_expression_join" -> j3ExprJoin,
     "j5_anti_join" -> j5Anti,
@@ -505,6 +523,7 @@ object OperatorQueries {
   val oracleSql: Map[String, String] = Map(
     "ev_json_extract" -> evJsonSql,
     "ev_sessionization" -> evSessionizeSql,
+    "a_percentiles" -> aPercentilesSql,
     "s7_metadata_driven_copy" -> s7Sql,
     "s1_csv_bulk_load" -> s1Sql,
     "s2_overwrite_append_sink" -> s2Sql,
