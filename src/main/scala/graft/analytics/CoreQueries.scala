@@ -413,8 +413,39 @@ object CoreQueries {
        |FROM spine LEFT JOIN monthly USING (order_month)
        |ORDER BY order_month""".stripMargin
 
+  // q16 — hierarchical subtotals via ROLLUP (region → nation → grand
+  // total). Beyond the reference's surface (it stacks scalar aggs with
+  // UNION ALL instead) but the idiomatic engine form of the same report.
+  // NULLS FIRST pinned on both sides: Spark defaults nulls-first ASC,
+  // DuckDB nulls-last.
+  private val q16: QFn = (s, dir) => {
+    // SQL entry path: sorting a rollup's grouping columns through the
+    // Dataset API trips the ambiguous-self-join detector on rollup's
+    // Expand node; the SQL analyzer resolves the same plan fine (and this
+    // exercises the engine's spark.sql surface).
+    graft.Tables.registerAll(s, dir)
+    s.sql(
+      s"""SELECT r_name, n_name, COUNT(*) AS n_customers,
+         |CAST(${dsumSql("c_acctbal")} AS DOUBLE) AS total_acctbal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP(r_name, n_name)
+         |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+  }
+
+  private val q16Sql =
+    s"""SELECT r_name, n_name, COUNT(*) AS n_customers,
+       |CAST(${dsumSql("c_acctbal")} AS DOUBLE) AS total_acctbal
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY ROLLUP(r_name, n_name)
+       |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q15_monthly_gapfill" -> q15,
+    "q16_rollup_subtotals" -> q16,
     "q01_dimensions_exploration" -> q01,
     "q02_date_range" -> q02,
     "q03_measures_kpi" -> q03,
@@ -432,6 +463,7 @@ object CoreQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q15_monthly_gapfill" -> q15Sql,
+    "q16_rollup_subtotals" -> q16Sql,
     "q01_dimensions_exploration" -> q01Sql,
     "q02_date_range" -> q02Sql,
     "q03_measures_kpi" -> q03Sql,
