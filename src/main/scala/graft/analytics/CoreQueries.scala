@@ -443,9 +443,56 @@ object CoreQueries {
        |GROUP BY ROLLUP(r_name, n_name)
        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
 
+  // q17 — pivot: nation × market-segment revenue matrix (explicit value
+  // list so the schema is static and oracle-matchable; the reference
+  // would hand-write one CASE-sum per segment).
+  private val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+  private val q17: QFn = (s, dir) =>
+    t(s, dir, "customer")
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .pivot("c_mktsegment", segs)
+      .agg(dsum(col("c_acctbal")).cast("double"))
+      .na.fill(0.0, segs)
+      .orderBy("n_name")
+  private val q17Sql = {
+    val cols = segs.map(g =>
+      s"""COALESCE(CAST(SUM(CASE WHEN c_mktsegment = '$g'
+         |  THEN CAST(c_acctbal AS DECIMAL(18,4)) END) AS DOUBLE), 0.0) AS "$g"""".stripMargin)
+    s"""SELECT n_name, ${cols.mkString(",\n")}
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+  }
+
+  // q18 — explicit ROWS frame: 3-month moving totals/averages (the
+  // reference uses only default RANGE frames; W4/W5 extension).
+  private val q18: QFn = (s, dir) => {
+    val m = t(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("order_month"))
+      .agg(dsum(col("o_totalprice")).as("rev"), count(lit(1)).as("n"))
+    val w3 = Window.orderBy("order_month").rowsBetween(-2, 0)
+    m.select(
+        col("order_month"),
+        col("rev").cast("double").as("monthly_revenue"),
+        sum(col("rev")).over(w3).cast("double").as("mov3_revenue"),
+        (sum(col("rev")).over(w3).cast("double")
+          / sum(col("n")).over(w3)).as("mov3_avg_order_value"))
+      .orderBy("order_month")
+  }
+  private val q18Sql =
+    s"""WITH m AS (SELECT date_trunc('month', o_orderdate) AS order_month,
+       |  ${dsumSql("o_totalprice")} AS rev, COUNT(*) AS n FROM orders GROUP BY 1)
+       |SELECT order_month, CAST(rev AS DOUBLE) AS monthly_revenue,
+       |CAST(SUM(rev) OVER (ORDER BY order_month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov3_revenue,
+       |CAST(SUM(rev) OVER (ORDER BY order_month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |  / SUM(n) OVER (ORDER BY order_month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov3_avg_order_value
+       |FROM m ORDER BY order_month""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q15_monthly_gapfill" -> q15,
     "q16_rollup_subtotals" -> q16,
+    "q17_pivot_segments" -> q17,
+    "q18_moving_frame" -> q18,
     "q01_dimensions_exploration" -> q01,
     "q02_date_range" -> q02,
     "q03_measures_kpi" -> q03,
@@ -464,6 +511,8 @@ object CoreQueries {
   val oracleSql: Map[String, String] = Map(
     "q15_monthly_gapfill" -> q15Sql,
     "q16_rollup_subtotals" -> q16Sql,
+    "q17_pivot_segments" -> q17Sql,
+    "q18_moving_frame" -> q18Sql,
     "q01_dimensions_exploration" -> q01Sql,
     "q02_date_range" -> q02Sql,
     "q03_measures_kpi" -> q03Sql,
