@@ -150,6 +150,15 @@ class PipelineSpec extends AnyFunSuite {
     val log = wh.read(spark, "audit", "etl_log")
     assert(log.filter(col("status") === "Failed").count() === 0)
     assert(log.select("batch_id").distinct().count() >= 2)
+
+    // full re-run on UNCHANGED sources is a no-op for every table (the
+    // 1-day watermark buffer re-reads the tail window; the idempotent
+    // append must not duplicate it)
+    val before = (c.count(), p.count(), sd.count())
+    Pipeline.runAll(spark, PipelineConf(src2.toString, wh.root))
+    assert(wh.read(spark, "silver", "crm_cust_info").count() === before._1)
+    assert(wh.read(spark, "silver", "crm_prd_info").count() === before._2)
+    assert(wh.read(spark, "silver", "crm_sales_details").count() === before._3)
   }
 
   test("reports build over gold") {
