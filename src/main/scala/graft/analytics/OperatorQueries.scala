@@ -201,6 +201,32 @@ object OperatorQueries {
       |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
       |ORDER BY check_name""".stripMargin
 
+  // U2 — INTERSECT / EXCEPT (absent from the reference; completes the
+  // engine's set-operation surface): customers active in both 2000 and
+  // 2001, and those who lapsed after 2000.
+  private def activeIn(s: SparkSession, dir: String, year: Int): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf(s"$year-01-01 00:00:00")) &&
+              col("o_orderdate") < lit(java.sql.Timestamp.valueOf(s"${year + 1}-01-01 00:00:00")))
+      .select(col("o_custkey")).distinct()
+  private val u2SetOps: QFn = (s, dir) => {
+    val a2000 = activeIn(s, dir, 2000); val a2001 = activeIn(s, dir, 2001)
+    a2000.intersect(a2001)
+      .select(col("o_custkey"), lit("retained").as("cohort"))
+      .unionByName(a2000.except(a2001)
+        .select(col("o_custkey"), lit("lapsed").as("cohort")))
+      .orderBy("cohort", "o_custkey")
+  }
+  private val u2Sql =
+    """WITH a2000 AS (SELECT DISTINCT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '2000-01-01' AND o_orderdate < TIMESTAMP '2001-01-01'),
+      |a2001 AS (SELECT DISTINCT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '2001-01-01' AND o_orderdate < TIMESTAMP '2002-01-01')
+      |SELECT o_custkey, 'retained' AS cohort FROM (SELECT o_custkey FROM a2000 INTERSECT SELECT o_custkey FROM a2001) x
+      |UNION ALL
+      |SELECT o_custkey, 'lapsed' AS cohort FROM (SELECT o_custkey FROM a2000 EXCEPT SELECT o_custkey FROM a2001) y
+      |ORDER BY cohort, o_custkey""".stripMargin
+
   // ----------------------------------------------------------- aggregations
 
   // A5 — HAVING-style duplicate/threshold detection
@@ -499,6 +525,7 @@ object OperatorQueries {
     "s8_catalog_scan" -> s8Catalog,
     "a2_approx_distinct" -> a2Approx,
     "a_percentiles" -> aPercentiles,
+    "u2_intersect_except" -> u2SetOps,
     "j1_left_join_unknown_member" -> j1LeftUnknown,
     "j3_expression_join" -> j3ExprJoin,
     "j5_anti_join" -> j5Anti,
@@ -524,6 +551,7 @@ object OperatorQueries {
     "ev_json_extract" -> evJsonSql,
     "ev_sessionization" -> evSessionizeSql,
     "a_percentiles" -> aPercentilesSql,
+    "u2_intersect_except" -> u2Sql,
     "s7_metadata_driven_copy" -> s7Sql,
     "s1_csv_bulk_load" -> s1Sql,
     "s2_overwrite_append_sink" -> s2Sql,
