@@ -73,32 +73,86 @@ object TextQueries {
        |min(doc_id) AS keep_id, COUNT(*) AS n_copies
        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
-  // d2 — minhash LSH near-dup pairs (sketch — rows-only oracle; ground
-  // truth asserted against exact Jaccard in TextOpsSpec)
-  private val dMinhash: QFn = (s, dir) =>
-    Dedup.minhashLsh(docs(s, dir), "doc_id", "text",
-      shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5)
-      .orderBy("id_a", "id_b")
+  /** DuckDB twin of Dedup's shingle→Jaccard pipeline: shingling via
+    * list_transform over word positions, optional hot-shingle cap, exact
+    * pair scores from the inverted index. Shared by the exact-join query
+    * and the verified-minhash query (banding recall is ~1−1e-7 at the
+    * corpus's duplicate similarities, so the verified output equals the
+    * exact join). */
+  private def jaccardPairsSql(k: Int, threshold: Double, cap: Option[Int]): String = {
+    val norm = TF.normTextSql("text")
+    val capQ = cap.map(c =>
+      s"QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= $c").getOrElse("")
+    s"""WITH w AS (SELECT doc_id, string_split($norm, ' ') AS ws FROM documents),
+       |sh0 AS (SELECT DISTINCT doc_id,
+       |  unnest(list_transform(range(1, greatest(len(ws) - ${k - 2}, 1)),
+       |    i -> array_to_string(ws[i:i+${k - 1}], ' '))) AS shingle
+       |  FROM w),
+       |sh AS (SELECT doc_id, shingle FROM sh0 $capQ),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS c
+       |          FROM sh x JOIN sh y USING (shingle)
+       |          WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
+       |SELECT id_a, id_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+       |FROM inter JOIN sizes sa ON sa.doc_id = id_a
+       |           JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
-  // d3 — simhash near-dup pairs (sketch — rows-only)
+  // d2 — minhash LSH near-dup pairs with exact verification: banding
+  // proposes candidates, a join back to the shingle sets scores them
+  // exactly — so the DuckDB oracle is the full exact-Jaccard join.
+  private val dMinhash: QFn = (s, dir) =>
+    Dedup.minhashLshVerified(docs(s, dir), "doc_id", "text",
+      shingleK = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+  private val dMinhashSql = jaccardPairsSql(k = 3, threshold = 0.5, cap = None)
+
+  // d3 — simhash near-dup pairs (sketch — rows-only: the 64-bit xxhash64
+  // fingerprint isn't expressible in DuckDB; distance properties are
+  // asserted in TextOpsSpec instead)
   private val dSimhash: QFn = (s, dir) =>
     Dedup.simhashNearPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
       .orderBy("id_a", "id_b")
 
-  // d4 — exact n-gram Jaccard pairs; joins/window only — still
-  // oracle-expressible in principle but the shingle explode isn't portable
-  // to DuckDB 1.0 (no lateral column args) → rows-only. 3-shingles: the
-  // synthetic corpus has a tiny vocabulary, so 2-shingle inverted-index
-  // buckets collide quadratically.
+  // d4 — exact n-gram Jaccard pairs (prefix-filtered AllPairs join). The
+  // 3-shingle choice matters: the synthetic corpus has a tiny vocabulary,
+  // so 2-shingle inverted-index buckets collide quadratically.
   private val dJaccard: QFn = (s, dir) =>
     Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
-      shingleK = 3, threshold = 0.5).orderBy("id_a", "id_b")
+      shingleK = 3, threshold = 0.5, maxShingleFreq = 1000)
+      .orderBy("id_a", "id_b")
+  private val dJaccardSql = jaccardPairsSql(k = 3, threshold = 0.5, cap = Some(1000))
 
-  // d5 — embedding cosine near-dup pairs via hyperplane LSH (rows-only)
+  private def sqlArr(p: Array[Double]): String =
+    p.mkString("[", ", ", "]") + "::DOUBLE[]"
+
+  /** DuckDB cosine over DOUBLE[] — list_dot_product accumulates in index
+    * order, matching FloatVecCosine / Similarity.cosine bit-for-bit. */
+  private def cosSql(a: String, b: String): String =
+    s"(list_dot_product($a, $b) / NULLIF(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)), 0.0))"
+
+  // d5 — embedding cosine near-dup pairs via hyperplane LSH. The planes
+  // are deterministic literals (seed 42), so the oracle rebuilds the SAME
+  // bucket signatures in SQL and applies the same exact-cosine filter —
+  // a full-strength hash-match on an LSH operator.
   private val dEmbDup: QFn = (s, dir) =>
     Dedup.embeddingDupPairs(embs(s, dir), "vec_id", "embedding",
       dim = 64, numPlanes = 10, threshold = 0.2)
       .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
+  private val dEmbDupSql: String = {
+    val planes = Similarity.hyperplanes(dim = 64, numPlanes = 10, seed = 42L)
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(x, ${sqlArr(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+       |b AS (SELECT vec_id, x, $bucket AS bucket FROM v)
+       |SELECT p.vec_id AS id_a, q.vec_id AS id_b
+       |FROM b p JOIN b q USING (bucket)
+       |WHERE p.vec_id < q.vec_id AND ${cosSql("p.x", "q.x")} >= 0.2
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   // a1 — brute-force cosine top-k: query = embedding of vec_id 0. The
   // oracle recomputes cosine in SQL over UNNEST — both sides double math.
@@ -125,13 +179,36 @@ object TextQueries {
       |SELECT vec_id, round(dot / NULLIF(nx * nq, 0.0), 6) AS score_r
       |FROM s ORDER BY score_r DESC, vec_id LIMIT 10""".stripMargin
 
-  // a2 — LSH-bucketed ANN (scale path; rows-only, recall vs brute force
-  // asserted in TextOpsSpec)
+  // a2 — LSH-bucketed ANN (scale path). Band planes are deterministic
+  // literals (seed 42+band), so the oracle recomputes both the corpus-side
+  // and query-side band signatures in SQL: candidates = rows sharing ≥1
+  // band with the query, ranked by exact cosine — a full hash-match.
   private val aLsh: QFn = (s, dir) =>
     Similarity.lshTopK(embs(s, dir).filter(col("vec_id") =!= 0),
         "vec_id", "embedding", queryVec(s, dir), k = 10, dim = 64,
         bands = 6, planesPerBand = 4)
       .select(col("vec_id")).orderBy("vec_id")
+  private val aLshSql: String = {
+    val planeRows = (0 until 6).flatMap { b =>
+      Similarity.hyperplanes(dim = 64, numPlanes = 4, seed = 42L + b)
+        .zipWithIndex.map { case (p, i) => s"($b, ${1L << i}, ${sqlArr(p)})" }
+    }.mkString(",\n    ")
+    s"""WITH planes(band, mult, w) AS (VALUES
+       |    $planeRows),
+       |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qx FROM embeddings WHERE vec_id = 0),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings WHERE vec_id <> 0),
+       |vsig AS (SELECT vec_id, band,
+       |  SUM(CASE WHEN list_dot_product(x, w) >= 0 THEN mult ELSE 0 END) AS sig
+       |  FROM v CROSS JOIN planes GROUP BY 1, 2),
+       |qsig AS (SELECT band,
+       |  SUM(CASE WHEN list_dot_product(qx, w) >= 0 THEN mult ELSE 0 END) AS sig
+       |  FROM q CROSS JOIN planes GROUP BY 1),
+       |cand AS (SELECT DISTINCT vec_id FROM vsig JOIN qsig USING (band, sig)),
+       |top AS (SELECT v.vec_id
+       |  FROM v JOIN cand USING (vec_id) CROSS JOIN q
+       |  ORDER BY ${cosSql("v.x", "q.qx")} DESC, v.vec_id LIMIT 10)
+       |SELECT vec_id FROM top ORDER BY vec_id""".stripMargin
+  }
 
   // a3 — IVF ANN: coarse k-means codebook (deterministic train) + nprobe
   // cell-pruned search (rows-only; recall vs brute force in IvfSpec).
@@ -216,6 +293,10 @@ object TextQueries {
     "t_quality_score" -> tQualitySql,
     "t_fingerprint" -> tFingerprintSql,
     "d_exact_dedup" -> dExactSql,
+    "d_minhash_lsh" -> dMinhashSql,
+    "d_ngram_jaccard" -> dJaccardSql,
+    "d_embedding_dup" -> dEmbDupSql,
     "ann_brute_force_topk" -> aBruteSql,
+    "ann_lsh_topk" -> aLshSql,
     "mm_blob_stats" -> mBlobSql)
 }

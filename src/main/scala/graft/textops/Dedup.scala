@@ -1,6 +1,7 @@
 package graft.textops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -8,11 +9,14 @@ import org.apache.spark.sql.types.LongType
   * first:
   *
   *  - [[exactDedup]] — one hash-groupBy (a single shuffle on a 32-char key);
-  *  - [[minhashLsh]] — the 100 TB near-dup path: per-doc signatures (one
-  *    narrow scan), band buckets (shuffle on short band keys), candidate
-  *    verification confined to same-bucket pairs;
-  *  - [[ngramJaccardPairs]] — exact Jaccard via shingle inverted index;
-  *    quadratic in bucket size, so hot shingles are frequency-capped;
+  *  - [[minhashLsh]] / [[minhashLshVerified]] — the 100 TB near-dup path:
+  *    per-doc signatures (one narrow scan), band buckets (shuffle on short
+  *    band keys), then either estimated-Jaccard filtering or exact
+  *    verification of the candidate pairs;
+  *  - [[ngramJaccardPairs]] — exact Jaccard with AllPairs-style prefix
+  *    filtering (Bayardo et al., WWW'07): only each document's rarest
+  *    shingles are indexed, so the quadratic bucket self-join runs over a
+  *    small fraction of the postings with zero recall loss;
   *  - [[simhash64]] / [[simhashNearPairs]] — 64-bit sketch, pigeonhole
   *    banding on 16-bit chunks, Hamming verification via bit_count;
   *  - [[embeddingDupPairs]] — cosine near-dup over embeddings through
@@ -20,6 +24,9 @@ import org.apache.spark.sql.types.LongType
   *
   * All sketches use built-in hash expressions (xxhash64 with literal
   * salts) — deterministic across runs and cluster layouts, no UDFs.
+  * Shingles are hashed to 8-byte keys *before* the distinct shuffle
+  * (collision odds ~n²/2⁶⁴ — immaterial next to sketch thresholds), so
+  * every downstream exchange moves longs, not strings.
   */
 object Dedup {
   import TextFunctions._
@@ -30,56 +37,54 @@ object Dedup {
     df.groupBy(fingerprint(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Exploded distinct (doc_id, shingle) pairs — the shared first stage of
-    * the sketch family. posexplode over the word array + element_at lookups
-    * stays fully codegen'd; generating shingles through a higher-order
-    * `transform`/`slice` lambda is ~9× slower per row (interpreted
-    * generator input). Docs shorter than k words yield no shingles. */
-  private def shingled(df: DataFrame, idCol: String, textCol: String,
-                       shingleK: Int): DataFrame = {
+  /** Distinct (doc_id, shingle-hash) pairs — the shared first stage of the
+    * sketch family. posexplode over the word array + element_at lookups
+    * stays fully codegen'd (a higher-order `transform`/`slice` lambda is
+    * ~9× slower per row), and the k words are hashed directly to one long
+    * (no intermediate concat string), so the distinct shuffle carries
+    * (long, long) rows. Docs shorter than k words yield no shingles. */
+  private[graft] def shingledHashed(df: DataFrame, idCol: String,
+                                      textCol: String, shingleK: Int): DataFrame = {
+    require(shingleK >= 2, s"shingleK must be >= 2, got $shingleK")
     val words = split(normText(col(textCol)), " ")
     df.select(col(idCol).cast(LongType).as("doc_id"), words.as("__w"))
       .select(col("doc_id"), col("__w"),
         posexplode(col("__w")).as(Seq("__p", "__x")))
       .filter(col("__p") <= size(col("__w")) - shingleK)
       .select(col("doc_id"),
-        concat_ws(" ", (col("__x") +: (2 to shingleK).map(j =>
-          element_at(col("__w"), col("__p") + j))): _*).as("shingle"))
-      .filter(length(col("shingle")) > 0)
+        xxhash64((col("__x") +: (2 to shingleK).map(j =>
+          element_at(col("__w"), col("__p") + j))): _*).as("sh"))
       .distinct()
   }
 
   /** MinHash signatures via explode → groupBy-min: one shuffle on doc_id,
-    * each hash function a codegen'd `min(xxhash64(shingle, seed))`.
+    * each hash function a codegen'd `min(xxhash64(sh, seed))` over the
+    * 8-byte shingle keys (re-hashing a long per seed, not a string).
     *
     * (A per-row `aggregate()` lambda over the shingle array evaluates the
     * whole shingling tree once per hash function per row and falls out of
     * codegen — quadratically slower; the relational form is the 100 TB
     * shape.) Docs with no shingles drop out (no signature ⇒ no pairs). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        shingleK: Int, numHashes: Int): DataFrame = {
-    val mins = shingled(df, idCol, textCol, shingleK)
-      .groupBy("doc_id")
-      .agg(min(xxhash64(col("shingle"), lit(0))).as("h0"),
+                        shingleK: Int, numHashes: Int): DataFrame =
+    minhashFromShingles(shingledHashed(df, idCol, textCol, shingleK), numHashes)
+
+  private def minhashFromShingles(sh: DataFrame, numHashes: Int): DataFrame = {
+    val mins = sh.groupBy("doc_id")
+      .agg(min(xxhash64(col("sh"), lit(0))).as("h0"),
            (1 until numHashes).map(i =>
-             min(xxhash64(col("shingle"), lit(i))).as(s"h$i")): _*)
+             min(xxhash64(col("sh"), lit(i))).as(s"h$i")): _*)
     mins.select(col("doc_id"),
       array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
-  /** MinHash+LSH near-duplicate pairs.
-    *
-    * shingle → minhash(numHashes) → band into `bands` rows-per-band groups
-    * → bucket-join on (band, bandHash) → verify estimated Jaccard from full
-    * signatures. Returns (id_a, id_b, est_jaccard) with id_a < id_b.
-    */
-  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
-                 shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
-                 threshold: Double = 0.7): DataFrame = {
+  /** Banded candidate pairs from minhash signatures: (id_a, id_b, sig_a,
+    * sig_b) with id_a < id_b, one row per pair that shares ≥1 band. */
+  private def bandedCandidates(sigs: DataFrame, numHashes: Int,
+                               bands: Int): DataFrame = {
     require(bands > 0 && numHashes % bands == 0,
       s"bands ($bands) must be positive and divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / bands
-    val sigs = minhashSignatures(df, idCol, textCol, shingleK, numHashes)
     val banded = sigs.select(
       col("doc_id"), col("sig"),
       posexplode(array((0 until bands).map { b =>
@@ -90,10 +95,24 @@ object Dedup {
       col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("band_hash"),
       col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    val candidates = a.join(b, Seq("band", "band_hash"))
+    a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sig_a", "sig_b").distinct()
-    candidates
+  }
+
+  /** MinHash+LSH near-duplicate pairs, estimator-filtered.
+    *
+    * shingle → minhash(numHashes) → band into `bands` rows-per-band groups
+    * → bucket-join on (band, bandHash) → filter on estimated Jaccard from
+    * the full signatures. Returns (id_a, id_b, est_jaccard) with
+    * id_a < id_b. The all-sketch path: cheapest when an estimate is
+    * acceptable (no second pass over the shingle sets).
+    */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+                 shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                 threshold: Double = 0.7): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, shingleK, numHashes)
+    bandedCandidates(sigs, numHashes, bands)
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
           (x === y).cast("int")), v => v === 1)).cast("double") / numHashes.toDouble)
@@ -101,49 +120,88 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
-  /** Exact n-gram Jaccard pairs via a shingle inverted index.
-    *
-    * `maxShingleFreq` drops shingles present in more than that many docs —
-    * the standard guard against quadratic blowup on boilerplate shingles
-    * (at 100 TB a stopword shingle would otherwise pair everything).
-    */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        shingleK: Int = 3, threshold: Double = 0.5,
-                        maxShingleFreq: Int = 1000): DataFrame = {
-    // Shuffle 8-byte hashed shingles, not strings (xxhash64 collisions at
-    // corpus scale: ~n²/2⁶⁴, immaterial next to the threshold). The index
-    // feeds four plan branches (sizes, hot list, both self-join sides) —
-    // persist it once instead of re-deriving it per branch; at cluster
-    // scale this is the materialized inverted index.
-    // (The cache lives for the session and is LRU-evictable, not pinned;
-    // callers running many corpora can spark.catalog.clearCache().)
-    val exploded = shingled(df, idCol, textCol, shingleK)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+  /** MinHash+LSH with exact verification — the production dedup shape:
+    * banding proposes candidates, then a join back to the (hashed) shingle
+    * sets computes TRUE Jaccard and keeps pairs ≥ `threshold`. Output is
+    * exact (id_a, id_b, jaccard) restricted to banding candidates; with
+    * narrow bands (default 2 rows × 16 bands) the probability a pair at
+    * similarity s escapes banding is (1−s²)¹⁶ — ~1e-7 at s=0.8 — so in
+    * practice the result equals the full-quadratic exact join at a tiny
+    * fraction of its cost. */
+  def minhashLshVerified(df: DataFrame, idCol: String, textCol: String,
+                         shingleK: Int = 3, numHashes: Int = 32,
+                         bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val sh = shingledHashed(df, idCol, textCol, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Hot-shingle cap via broadcast anti-join: the hot list is tiny by
-    // construction, so no sort-heavy window over the full index.
-    val hot = exploded.groupBy("sh").agg(count(lit(1)).as("freq"))
-      .filter(col("freq") > maxShingleFreq).select("sh")
-    val capped = exploded.join(broadcast(hot), Seq("sh"), "left_anti")
-    // Sizes must come from the SAME capped index as the intersection,
-    // or docs containing a hot shingle get systematically under-scored
-    // (an exact duplicate would fall below 1.0).
-    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val inter = capped.as("x").join(capped.as("y"), Seq("sh"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.select(col("doc_id").as("id_a"), col("n_shingles").as("size_a")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("n_shingles").as("size_b")), "id_b")
-      .withColumn("jaccard", col("n_common").cast("double")
-        / (col("size_a") + col("size_b") - col("n_common")).cast("double"))
+    val cands = bandedCandidates(minhashFromShingles(sh, numHashes), numHashes, bands)
+      .select("id_a", "id_b")
+    verifyJaccard(cands, sh, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against
+    * the shingle index: one groupBy to materialize per-doc shingle-hash
+    * arrays, two joins to attach them, a codegen'd array_intersect per
+    * pair. Cost is candidates × doc length — independent of corpus size. */
+  private def verifyJaccard(cands: DataFrame, sh: DataFrame,
+                            threshold: Double): DataFrame = {
+    val sets = sh.groupBy("doc_id")
+      .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n"))
+    cands
+      .join(sets.select(col("doc_id").as("id_a"), col("set").as("set_a"),
+        col("n").as("n_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("set").as("set_b"),
+        col("n").as("n_b")), "id_b")
+      .withColumn("__i", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("jaccard", col("__i").cast("double")
+        / (col("n_a") + col("n_b") - col("__i")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Exact n-gram Jaccard pairs via an AllPairs-style prefix-filtered
+    * inverted index (Bayardo, Ma & Srikant, "Scaling Up All Pairs
+    * Similarity Search", WWW'07).
+    *
+    * Under a global shingle order (ascending document frequency, then
+    * hash), any pair with Jaccard ≥ t must share a shingle inside both
+    * docs' first |d| − ⌈t·|d|⌉ + 1 shingles — so only those prefixes are
+    * indexed for the self-join, and the quadratic bucket cost runs over
+    * the rarest fraction of postings with zero recall loss. Candidates
+    * are then verified exactly against the full sets ([[verifyJaccard]]).
+    *
+    * `maxShingleFreq` additionally drops shingles present in more than
+    * that many docs — the guard against boilerplate shingles (at 100 TB a
+    * stopword shingle would otherwise pair everything); sizes are computed
+    * from the same capped index so exact duplicates still score 1.0.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = 3, threshold: Double = 0.5,
+                        maxShingleFreq: Int = 1000): DataFrame = {
+    val sh = shingledHashed(df, idCol, textCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = sh.groupBy("sh").agg(count(lit(1)).as("freq"))
+    // inner join keeps only sub-cap shingles AND attaches the global
+    // frequency for prefix ordering — one shuffle join, no separate
+    // anti-join pass; both sides arrive hash-partitioned on sh.
+    val capped = sh.join(freq.filter(col("freq") <= maxShingleFreq), Seq("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val byDoc = Window.partitionBy("doc_id")
+    val rareFirst = byDoc.orderBy("freq", "sh")
+    val indexed = capped
+      .withColumn("__pos", row_number().over(rareFirst))
+      .withColumn("__n", count(lit(1)).over(byDoc))
+    val prefix = indexed.filter(
+      col("__pos") <= col("__n") - ceil(col("__n") * lit(threshold)) + 1)
+    val cands = prefix.as("x").join(prefix.as("y"), Seq("sh"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    verifyJaccard(cands, capped.select("doc_id", "sh"), threshold)
+  }
+
   /** 64-bit SimHash over word shingles: bit i is the sign of the weighted
-    * sum of shingle-hash bits. */
+    * sum of shingle-hash bits. Column-level convenience for tests; the
+    * pipeline path is [[simhashSignatures]]. */
   def simhash64(shinglesCol: Column): Column = {
     val hashes = transform(shinglesCol, s => xxhash64(s))
     val bits = (0 until 64).map { i =>
@@ -154,20 +212,30 @@ object Dedup {
     bits.reduce(_.bitwiseOR(_))
   }
 
-  /** SimHash fingerprints via the same explode → groupBy shape: 64
-    * codegen'd bit-vote sums per doc, assembled into one long. */
+  /** SimHash fingerprints via the explode → groupBy shape, with the 64
+    * bit-votes packed 4-per-long into 16-bit lanes: aggregation is 16
+    * lane-packed sums + one count instead of 64 scalar sums (4× less
+    * aggregate codegen, same shuffle). Lane j of sum k holds the
+    * ones-count of bit (k + 16·j); the sign test `2·ones > n` is exactly
+    * the ±1 vote sign. Lanes are 16-bit, so per-doc distinct shingle
+    * counts must stay below 65 536 — far beyond any real document (a
+    * 65k-word doc); larger inputs should pre-truncate or chunk. */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleK: Int): DataFrame = {
-    val votes = shingled(df, idCol, textCol, shingleK)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-      .groupBy("doc_id")
-      .agg(sum(shiftright(col("h"), 0).bitwiseAND(1L) * 2L - 1L).as("b0"),
-           (1 until 64).map(i =>
-             sum(shiftright(col("h"), i).bitwiseAND(1L) * 2L - 1L).as(s"b$i")): _*)
+    val sh = shingledHashed(df, idCol, textCol, shingleK)
+    val packedSums = (0 until 16).map { k =>
+      sum((0 until 4).map { j =>
+        shiftleft(shiftrightunsigned(col("sh"), k + 16 * j).bitwiseAND(1L), 16 * j)
+      }.reduce(_ + _)).as(s"p$k")
+    }
+    val votes = sh.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), packedSums: _*)
     votes.select(col("doc_id"),
-      (0 until 64).map(i =>
-        when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
-        .reduce(_.bitwiseOR(_)).as("sim"))
+      (0 until 64).map { i =>
+        val k = i % 16; val j = i / 16
+        val ones = shiftrightunsigned(col(s"p$k"), 16 * j).bitwiseAND(0xFFFFL)
+        when(ones * 2 > col("n"), shiftleft(lit(1L), i)).otherwise(0L)
+      }.reduce(_.bitwiseOR(_)).as("sim"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (≤ 3):

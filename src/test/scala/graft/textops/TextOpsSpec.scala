@@ -50,6 +50,37 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!got.exists { case (a, b) => a >= 3 && b >= 3 })
   }
 
+  test("verified minhash equals the exact prefix-filtered Jaccard join") {
+    val got = Dedup.minhashLshVerified(corpus, "doc_id", "text",
+      shingleK = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val truth = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      shingleK = 3, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === truth) // scores exact, not estimates, and full recall
+  }
+
+  test("prefix filtering loses no pairs vs an unfiltered quadratic join") {
+    // brute force: full self-join on every shingle (no prefix restriction)
+    import org.apache.spark.sql.functions.{count => cnt}
+    val sh = Dedup.shingledHashed(corpus, "doc_id", "text", 3)
+    val sizes = sh.groupBy("doc_id").agg(cnt(lit(1)).as("n"))
+    val brute = sh.as("x").join(sh.as("y"), "sh")
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(cnt(lit(1)).as("c"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .filter(col("c").cast("double") / (col("na") + col("nb") - col("c")) >= 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val filtered = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      shingleK = 3, threshold = 0.5, maxShingleFreq = 1000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(filtered === brute)
+  }
+
   test("exact n-gram Jaccard: identical docs score 1.0") {
     val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
       shingleK = 3, threshold = 0.5)
