@@ -49,14 +49,20 @@ object OperatorQueries {
     "SELECT r_name, CAST(2 AS BIGINT) AS n_copies FROM region ORDER BY r_name"
 
   // S8 — catalog scan (INFORMATION_SCHEMA analog): tables + column counts
-  // via spark.catalog. No DuckDB oracle (catalog shapes differ) → rows-only.
+  // via spark.catalog, oracled against DuckDB's information_schema over
+  // the same registered views (01_database_exploration.sql:16-30).
   private val s8Catalog: QFn = (s, dir) => {
     Tables.registerAll(s, dir)
     val cols = Tables.all.map { tn =>
-      (tn, s.catalog.listColumns(tn).count())
+      (tn, s.catalog.listColumns(tn).count().toInt)
     }
     s.createDataFrame(cols).toDF("table_name", "n_columns").orderBy("table_name")
   }
+  private val s8Sql =
+    s"""SELECT table_name, CAST(COUNT(*) AS INT) AS n_columns
+       |FROM information_schema.columns
+       |WHERE table_name IN (${graft.Tables.all.map(t => s"'$t'").mkString(", ")})
+       |GROUP BY table_name ORDER BY table_name""".stripMargin
 
   // S7 — metadata-driven copy over the intersected column list
   // (proc_load_metadata_driven.sql:26-85): target pre-exists with a subset
@@ -95,13 +101,28 @@ object OperatorQueries {
       |COUNT(*) AS n_orders
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
-  // A2 scale path — approx_count_distinct (HLL) next to the exact count;
-  // approx result is seed-stable in Spark but engine-specific → rows-only.
-  private val a2Approx: QFn = (s, dir) =>
+  // A2 scale path — approx_count_distinct (HLL++) next to the exact count.
+  // The raw HLL estimate is engine-specific, so the oracled contract is
+  // "exact count matches AND the estimate lands within the configured
+  // error bound" (rsd 0.02 → checked at a lenient 3×): the oracle asserts
+  // the booleans, the exact count pins the data.
+  private val a2Approx: QFn = (s, dir) => {
+    def withinBound(approx: Column, exact: Column): Column =
+      (abs(approx - exact).cast("double") / exact.cast("double")) <= 0.06
     t(s, dir, "lineitem")
       .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
-           approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-           approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+           countDistinct(col("l_partkey")).as("exact_parts"),
+           approx_count_distinct(col("l_orderkey"), 0.02).as("a_o"),
+           approx_count_distinct(col("l_partkey"), 0.02).as("a_p"))
+      .select(col("exact_orders"), col("exact_parts"),
+        withinBound(col("a_o"), col("exact_orders")).as("approx_orders_ok"),
+        withinBound(col("a_p"), col("exact_parts")).as("approx_parts_ok"))
+  }
+  private val a2Sql =
+    """SELECT COUNT(DISTINCT l_orderkey) AS exact_orders,
+      |COUNT(DISTINCT l_partkey) AS exact_parts,
+      |TRUE AS approx_orders_ok, TRUE AS approx_parts_ok
+      |FROM lineitem""".stripMargin
 
   // ----------------------------------------------------------------- joins
 
@@ -516,9 +537,102 @@ object OperatorQueries {
       |COUNT(*) AS n_events, CAST(MAX(sec) - MIN(sec) AS BIGINT) AS duration_s
       |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // J8b — as-of join (graft.operators.AsOfJoin): each click event picks
+  // up the most recent prior-or-simultaneous error event of the same
+  // user. Oracled against DuckDB's native ASOF LEFT JOIN. The ns-long
+  // ts column is compared, never emitted (µs-vs-ns engine mismatch).
+  private val j8AsOf: QFn = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts"))
+    graft.operators.AsOfJoin.asOf(clicks, errors, key = "user_id", time = "ts")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        coalesce(col("error_id"), lit(-1L)).as("last_error_id"))
+      .orderBy("click_id")
+  }
+  private val j8Sql =
+    """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+      |SELECT c.event_id AS click_id, c.user_id,
+      |COALESCE(e.event_id, CAST(-1 AS BIGINT)) AS last_error_id
+      |FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.ts >= e.ts
+      |ORDER BY click_id""".stripMargin
+
+  // J9 — range (band) join: orders classified into literal price bands
+  // via a BETWEEN-style inequality join. The band table is tiny by
+  // construction → broadcast nested-loop, the correct physical shape
+  // (each fact row tests 3 predicates; no shuffle of the fact side).
+  private val bandRows = Seq(
+    ("low", 0.0, 100000.0), ("mid", 100000.0, 250000.0),
+    ("high", 250000.0, Double.MaxValue))
+  private val j9RangeBand: QFn = (s, dir) => {
+    import s.implicits._
+    val bands = bandRows.toDF("band", "lo", "hi")
+    t(s, dir, "orders")
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_orders"),
+           dsum(col("o_totalprice")).cast("double").as("total_price"))
+      .orderBy("band")
+  }
+  private val j9Sql =
+    s"""SELECT band, COUNT(*) AS n_orders,
+       |CAST(${dsumSql("o_totalprice")} AS DOUBLE) AS total_price
+       |FROM orders
+       |JOIN (VALUES ('low', 0.0, 100000.0), ('mid', 100000.0, 250000.0),
+       |             ('high', 250000.0, 1e308)) AS b(band, lo, hi)
+       |  ON o_totalprice >= lo AND o_totalprice < hi
+       |GROUP BY band ORDER BY band""".stripMargin
+
+  // A9 — GROUPING SETS: the explicit multi-level rollup (nation × order
+  // year, nation-only, year-only, grand total) with GROUPING() flags
+  // disambiguating subtotal rows from genuine NULL groups.
+  private val a9SetsSelect =
+    s"""SELECT COALESCE(n_name, 'ALL') AS nation,
+       |COALESCE(yr, -1) AS order_year,
+       |CAST(GROUPING(n_name) AS INT) AS g_nation,
+       |CAST(GROUPING(yr) AS INT) AS g_year,
+       |COUNT(*) AS n_orders,
+       |CAST(${dsumSql("o_totalprice")} AS DOUBLE) AS total_price
+       |FROM (SELECT n_name, CAST(year(o_orderdate) AS INT) AS yr, o_totalprice
+       |      FROM orders
+       |      JOIN customer ON o_custkey = c_custkey
+       |      JOIN nation ON c_nationkey = n_nationkey) t
+       |GROUP BY GROUPING SETS ((n_name, yr), (n_name), (yr), ())
+       |ORDER BY nation, order_year""".stripMargin
+  private val a9GroupingSets: QFn = (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql(a9SetsSelect)
+  }
+
+  // A10 — CUBE over (status, priority): all 4 grouping combinations in
+  // one pass (Expand node in Spark; the reference would UNION ALL four
+  // hand-written aggregations).
+  private val a10CubeSelect =
+    s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       |COALESCE(o_orderpriority, 'ALL') AS priority,
+       |CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       |CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       |COUNT(*) AS n_orders,
+       |CAST(${dsumSql("o_totalprice")} AS DOUBLE) AS total_price
+       |FROM orders
+       |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+       |ORDER BY status, priority, g_status, g_priority""".stripMargin
+  private val a10Cube: QFn = (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql(a10CubeSelect)
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, QFn] = Map(
+    "j8_asof_join" -> j8AsOf,
+    "j9_range_band_join" -> j9RangeBand,
+    "a9_grouping_sets" -> a9GroupingSets,
+    "a10_cube" -> a10Cube,
     "s1_csv_bulk_load" -> s1CsvLoad,
     "s2_overwrite_append_sink" -> s2Sink,
     "s7_metadata_driven_copy" -> s7MetaCopy,
@@ -548,6 +662,12 @@ object OperatorQueries {
     "ev_sessionization" -> evSessionize)
 
   val oracleSql: Map[String, String] = Map(
+    "j8_asof_join" -> j8Sql,
+    "j9_range_band_join" -> j9Sql,
+    "a9_grouping_sets" -> a9SetsSelect,
+    "a10_cube" -> a10CubeSelect,
+    "s8_catalog_scan" -> s8Sql,
+    "a2_approx_distinct" -> a2Sql,
     "ev_json_extract" -> evJsonSql,
     "ev_sessionization" -> evSessionizeSql,
     "a_percentiles" -> aPercentilesSql,
