@@ -626,10 +626,41 @@ object OperatorQueries {
     s.sql(a10CubeSelect)
   }
 
+  // U3 — unpivot/melt: a wide per-status aggregate reshaped to long
+  // (metric, value) rows via Dataset.unpivot (one pass, no join); the
+  // oracle is the portable UNION ALL form.
+  private val u3Unpivot: QFn = (s, dir) => {
+    val wide = t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).cast("double").as("n_orders"),
+           dsum(col("o_totalprice")).cast("double").as("total_price"),
+           max(col("o_totalprice")).as("max_price"))
+    wide.unpivot(
+        ids = Array(col("o_orderstatus")),
+        values = Array(col("n_orders"), col("total_price"), col("max_price")),
+        variableColumnName = "metric",
+        valueColumnName = "v")
+      .orderBy("o_orderstatus", "metric")
+  }
+  private val u3Sql =
+    s"""WITH wide AS (SELECT o_orderstatus,
+       |  CAST(COUNT(*) AS DOUBLE) AS n_orders,
+       |  CAST(${dsumSql("o_totalprice")} AS DOUBLE) AS total_price,
+       |  MAX(o_totalprice) AS max_price
+       |  FROM orders GROUP BY o_orderstatus)
+       |SELECT o_orderstatus, metric, v FROM (
+       |  SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS v FROM wide
+       |  UNION ALL
+       |  SELECT o_orderstatus, 'total_price', total_price FROM wide
+       |  UNION ALL
+       |  SELECT o_orderstatus, 'max_price', max_price FROM wide)
+       |ORDER BY o_orderstatus, metric""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, QFn] = Map(
     "j8_asof_join" -> j8AsOf,
+    "u3_unpivot" -> u3Unpivot,
     "j9_range_band_join" -> j9RangeBand,
     "a9_grouping_sets" -> a9GroupingSets,
     "a10_cube" -> a10Cube,
@@ -663,6 +694,7 @@ object OperatorQueries {
 
   val oracleSql: Map[String, String] = Map(
     "j8_asof_join" -> j8Sql,
+    "u3_unpivot" -> u3Sql,
     "j9_range_band_join" -> j9Sql,
     "a9_grouping_sets" -> a9SetsSelect,
     "a10_cube" -> a10CubeSelect,

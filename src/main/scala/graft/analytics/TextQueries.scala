@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.textops.{Dedup, Multimodal, Similarity, TextFunctions => TF}
@@ -269,8 +269,100 @@ object TextQueries {
        |FROM gated JOIN keep USING (doc_id)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- deterministic sampling / splitting / sharding (training-data ops)
+
+  /** Stable hash bucket in [0, buckets): first 8 hex chars of md5 of the
+    * (salted) key — identical arithmetic on both engines, independent of
+    * partitioning and row order. The production split/sample primitive:
+    * membership is a pure function of the key, so re-runs, backfills and
+    * multi-cluster runs agree without coordination. */
+  private def hashBucket(c: Column, buckets: Int): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % buckets
+  private def hashBucketSql(c: String, buckets: Int): String =
+    s"CAST(('0x' || substring(md5(CAST($c AS VARCHAR)), 1, 8)) AS BIGINT) % $buckets"
+
+  // p2 — train/val/test split: 80/10/10 by doc_id hash. The per-split
+  // min/max/sum signature pins the exact assignment, not just the sizes.
+  private val pSplit: QFn = (s, dir) => {
+    val b = hashBucket(col("doc_id"), 100)
+    docs(s, dir).select(
+        when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"),
+        col("doc_id"),
+        TF.wsTokenCount(col("text")).as("tok"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("tok").cast("long")).as("n_tokens"),
+           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy("split")
+  }
+  private val pSplitSql = {
+    val b = hashBucketSql("doc_id", 100)
+    s"""SELECT CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val'
+       |            ELSE 'test' END AS split,
+       |COUNT(*) AS n_docs,
+       |CAST(SUM(CAST(${TF.wsTokenCountSql("text")} AS BIGINT)) AS BIGINT) AS n_tokens,
+       |min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // p3 — stratified sampling: per-language keep rates applied via a
+  // lang-salted hash (salting decorrelates the sample from the split
+  // above). Keeps are a pure key function — the 100 TB shape.
+  private val strataRates = Seq("en" -> 20, "de" -> 50, "es" -> 80, "fr" -> 100)
+  private val pStratified: QFn = (s, dir) => {
+    val rate = strataRates.foldRight(lit(100)) { case ((l, r), rest) =>
+      when(col("lang") === l, lit(r)).otherwise(rest)
+    }
+    val kept = hashBucket(concat(col("lang"), lit(":"), col("doc_id")), 100) < rate
+    docs(s, dir).select(col("lang"), kept.cast("int").as("kept"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"), sum(col("kept")).cast("long").as("n_kept"))
+      .orderBy("lang")
+  }
+  private val pStratifiedSql = {
+    val rate = strataRates.foldRight("100") { case ((l, r), rest) =>
+      s"CASE WHEN lang = '$l' THEN $r ELSE $rest END"
+    }
+    val b = hashBucketSql("concat(lang, ':', doc_id)", 100)
+    s"""SELECT lang, COUNT(*) AS n_total,
+       |CAST(SUM(CASE WHEN $b < $rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  // p4 — token-budget sharding: within each source, docs pack greedily
+  // (in doc_id order) into shards of ~2000 tokens — the corpus-to-
+  // training-shard step. Per-source windows keep the sort distributed;
+  // a global order would serialize on one partition.
+  private val pShards: QFn = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, dir)
+      .select(col("source"), col("doc_id"),
+        TF.wsTokenCount(col("text")).cast("long").as("tok"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("shard",
+        floor((col("cum") - col("tok")).cast("double") / 2000.0).cast("int"))
+      .groupBy("source", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("shard_tokens"))
+      .orderBy("source", "shard")
+  }
+  private val pShardsSql =
+    s"""WITH d AS (SELECT source, doc_id,
+       |  CAST(${TF.wsTokenCountSql("text")} AS BIGINT) AS tok FROM documents),
+       |c AS (SELECT source, doc_id, tok,
+       |  SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+       |                 ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+       |SELECT source,
+       |CAST(floor(CAST(cum - tok AS DOUBLE) / 2000.0) AS INT) AS shard,
+       |COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS shard_tokens
+       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "pipe_corpus_curation" -> pipeCuration,
+    "p_hash_split" -> pSplit,
+    "p_stratified_sample" -> pStratified,
+    "p_token_shards" -> pShards,
     "t_token_count" -> tTokens,
     "t_lang_id" -> tLangId,
     "t_quality_score" -> tQuality,
@@ -288,6 +380,9 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "pipe_corpus_curation" -> pipeCurationSql,
+    "p_hash_split" -> pSplitSql,
+    "p_stratified_sample" -> pStratifiedSql,
+    "p_token_shards" -> pShardsSql,
     "t_token_count" -> tTokensSql,
     "t_lang_id" -> tLangIdSql,
     "t_quality_score" -> tQualitySql,

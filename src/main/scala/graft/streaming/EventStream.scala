@@ -107,11 +107,11 @@ object EventStream {
   /** Bridge into the batch warehouse: append each micro-batch to a
     * layer/table via foreachBatch with checkpointed resume. Delivery is
     * AT-LEAST-ONCE: a crash between the append and the checkpoint commit
-    * replays that batch (exactly-once over plain parquet would need an
-    * idempotent per-batch write, e.g. overwriting a batch_id=N partition
-    * keyed on the foreachBatch id). This is how streaming events land in
-    * the same medallion tables the batch spine owns — one storage layout,
-    * two ingestion speeds. Runs to completion of available data. */
+    * replays that batch (for effective exactly-once see
+    * [[exactlyOnceBatchWriter]] / [[sinkExactlyOnce]]). This is how
+    * streaming events land in the same medallion tables the batch spine
+    * owns — one storage layout, two ingestion speeds. Runs to completion
+    * of available data. */
   def sinkToWarehouse(df: DataFrame, wh: graft.etl.Warehouse, layer: String,
                       table: String, checkpointDir: String): StreamingQuery = {
     val q = df.writeStream
@@ -121,6 +121,39 @@ object EventStream {
         if (wh.exists(layer, table)) wh.append(batch, layer, table)
         else wh.overwrite(batch, layer, table)
       }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    q
+  }
+
+  /** Idempotent per-batch writer — the exactly-once building block over
+    * plain parquet. Every micro-batch lands in its own `batch_id=N`
+    * partition via DYNAMIC partition overwrite: a replayed batch (crash
+    * between sink write and checkpoint commit, the at-least-once gap)
+    * overwrites its own partition byte-for-byte instead of appending a
+    * duplicate, so sink contents equal exactly-once delivery. Readers see
+    * the table minus the `batch_id` bookkeeping column. The same trick is
+    * the plain-parquet stand-in for a transactional table format's
+    * (txnAppId, version) dedup at 100 TB. */
+  def exactlyOnceBatchWriter(path: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      batch.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+
+  /** Checkpointed stream → [[exactlyOnceBatchWriter]] sink; effective
+    * exactly-once end to end (source offsets in the checkpoint, batch
+    * replays collapse into their own partition). */
+  def sinkExactlyOnce(df: DataFrame, path: String,
+                      checkpointDir: String): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(exactlyOnceBatchWriter(path))
       .trigger(Trigger.AvailableNow())
       .start()
     q.processAllAvailable()
