@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** Scratch stage-timing probe (dev only). */
 object Probe2 {
@@ -12,29 +14,46 @@ object Probe2 {
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val mode = if (args.length > 1) args(1) else "sim"
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val docs = Tables.load(spark, sfDir, "documents")
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val big = (0 until 10).map(i =>
+      base.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"docs=${big.count()}")
+
     import graft.textops.Dedup
-    mode match {
-      case "sim" =>
-        val df = Dedup.simhashNearPairs(docs, "doc_id", "text", maxHamming = 3)
-        time("plan (analyze+optimize+physical)") { df.queryExecution.executedPlan }
-        time("execute") { println(df.count()) }
-      case "simNoCodegen" =>
-        spark.conf.set("spark.sql.codegen.wholeStage", "false")
-        val df = Dedup.simhashNearPairs(docs, "doc_id", "text", maxHamming = 3)
-        time("plan") { df.queryExecution.executedPlan }
-        time("execute (no wholestage)") { println(df.count()) }
-      case "ngram" =>
-        val df = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, 1000)
-        time("plan") { df.queryExecution.executedPlan }
-        time("execute") { println(df.count()) }
+    val sh = Dedup.shingledHashed(big, "doc_id", "text", 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("shingled")(println("sh rows=" + sh.count()))
+    val freq = sh.groupBy("sh").agg(count(lit(1)).as("freq"))
+    time("freq dist")(freq.selectExpr("min(freq)", "percentile(freq, 0.5)",
+      "percentile(freq, 0.9)", "max(freq)", "count(*)").show())
+    val capped = sh.join(freq.filter(col("freq") <= 1000), Seq("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("capped")(println("capped rows=" + capped.count()))
+    val byDoc = Window.partitionBy("doc_id")
+    val indexed = capped
+      .withColumn("__pos", row_number().over(byDoc.orderBy("freq", "sh")))
+      .withColumn("__n", count(lit(1)).over(byDoc))
+    val prefix = indexed.filter(
+      col("__pos") <= col("__n") - ceil(col("__n") * lit(0.5)) + 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("prefix index")(println("prefix rows=" + prefix.count()))
+    // candidate volume BEFORE distinct
+    time("prefix join raw") {
+      println("raw cand rows=" + prefix.as("x").join(prefix.as("y"), Seq("sh"))
+        .filter(col("x.doc_id") < col("y.doc_id")).count())
+    }
+    time("prefix join distinct") {
+      println("cand rows=" + prefix.as("x").join(prefix.as("y"), Seq("sh"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct().count())
     }
     spark.stop()
   }

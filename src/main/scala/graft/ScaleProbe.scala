@@ -25,6 +25,8 @@ object ScaleProbe {
     time("exact_dedup")(Dedup.exactDedup(cached, "doc_id", "text").count())
     time("minhash_lsh")(Dedup.minhashLsh(cached, "doc_id", "text",
       shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5).count())
+    time("minhash_verified")(Dedup.minhashLshVerified(cached, "doc_id", "text",
+      shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5).count())
     time("simhash")(Dedup.simhashNearPairs(cached, "doc_id", "text").count())
     time("ngram_jaccard")(Dedup.ngramJaccardPairs(cached, "doc_id", "text",
       shingleK = 3, threshold = 0.5).count())

@@ -103,9 +103,13 @@ object TextQueries {
   // d2 — minhash LSH near-dup pairs with exact verification: banding
   // proposes candidates, a join back to the shingle sets scores them
   // exactly — so the DuckDB oracle is the full exact-Jaccard join.
+  // 8 bands × 4 rows: on this corpus's similarity profile (organic ≤0.15,
+  // dups ≥0.8) banding at r=4 keeps every true pair at sf0.01, sf0.1 and
+  // the 50k-doc probe while generating ~100× fewer spurious candidates
+  // than r=2 (organic pairs collide at s² vs s⁴ per band).
   private val dMinhash: QFn = (s, dir) =>
     Dedup.minhashLshVerified(docs(s, dir), "doc_id", "text",
-      shingleK = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5)
       .orderBy("id_a", "id_b")
   private val dMinhashSql = jaccardPairsSql(k = 3, threshold = 0.5, cap = None)
 

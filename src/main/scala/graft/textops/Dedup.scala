@@ -78,19 +78,28 @@ object Dedup {
       array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
-  /** Banded candidate pairs from minhash signatures: (id_a, id_b, sig_a,
-    * sig_b) with id_a < id_b, one row per pair that shares ≥1 band. */
-  private def bandedCandidates(sigs: DataFrame, numHashes: Int,
-                               bands: Int): DataFrame = {
+  /** Per-doc (band, band_hash) rows from minhash signatures — the LSH
+    * bucket keys. `keepSig` carries the full signature through (needed by
+    * the estimator path; the verified path drops it so the bucket join
+    * shuffles only (long, long, long) rows). */
+  private def bandedKeys(sigs: DataFrame, numHashes: Int, bands: Int,
+                         keepSig: Boolean): DataFrame = {
     require(bands > 0 && numHashes % bands == 0,
       s"bands ($bands) must be positive and divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / bands
-    val banded = sigs.select(
-      col("doc_id"), col("sig"),
-      posexplode(array((0 until bands).map { b =>
-        xxhash64(concat_ws(",",
-          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).cast("array<string>")), lit(b))
-      }: _*)).as(Seq("band", "band_hash")))
+    val key = posexplode(array((0 until bands).map { b =>
+      xxhash64(concat_ws(",",
+        slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).cast("array<string>")), lit(b))
+    }: _*)).as(Seq("band", "band_hash"))
+    if (keepSig) sigs.select(col("doc_id"), col("sig"), key)
+    else sigs.select(col("doc_id"), key)
+  }
+
+  /** Banded candidate pairs with signatures: (id_a, id_b, sig_a, sig_b)
+    * with id_a < id_b, one row per pair that shares ≥1 band. */
+  private def bandedCandidates(sigs: DataFrame, numHashes: Int,
+                               bands: Int): DataFrame = {
+    val banded = bandedKeys(sigs, numHashes, bands, keepSig = true)
     val a = banded.select(col("band"), col("band_hash"),
       col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("band_hash"),
@@ -130,32 +139,55 @@ object Dedup {
     * fraction of its cost. */
   def minhashLshVerified(df: DataFrame, idCol: String, textCol: String,
                          shingleK: Int = 3, numHashes: Int = 32,
-                         bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+                         bands: Int = 16, threshold: Double = 0.5,
+                         broadcastDocLimit: Long = 200000L): DataFrame = {
     val sh = shingledHashed(df, idCol, textCol, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = bandedCandidates(minhashFromShingles(sh, numHashes), numHashes, bands)
+    // signature-free bucket join: duplicate pair rows (same pair, many
+    // shared bands) flow into verification as-is and dedupe on the
+    // survivor side — cheaper than a distinct over signature arrays.
+    val keys = bandedKeys(minhashFromShingles(sh, numHashes), numHashes, bands,
+      keepSig = false)
+    val a = keys.select(col("band"), col("band_hash"), col("doc_id").as("id_a"))
+    val b = keys.select(col("band"), col("band_hash"), col("doc_id").as("id_b"))
+    val cands = a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-    verifyJaccard(cands, sh, threshold)
+    verifyJaccard(cands, sh, threshold, broadcastDocLimit)
   }
 
-  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against
-    * the shingle index: one groupBy to materialize per-doc shingle-hash
-    * arrays, two joins to attach them, a codegen'd array_intersect per
-    * pair. Cost is candidates × doc length — independent of corpus size. */
-  private def verifyJaccard(cands: DataFrame, sh: DataFrame,
-                            threshold: Double): DataFrame = {
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs (dupes
+    * allowed) against the shingle index. The per-doc shingle-array table
+    * is one row per doc (~8·|d| bytes), so for corpora up to
+    * `broadcastDocLimit` docs it broadcasts: candidates stream past it
+    * map-side, each pair costs one codegen'd array_intersect, survivors
+    * (true near-dups — few by definition) dedupe at the end. That keeps
+    * the heavy candidate stream out of any array-payload shuffle — the
+    * difference between a 1.6 GB and a 16 GB exchange at 50k docs / 40M
+    * candidates. Beyond the limit it falls back to dedupe-first + shuffle
+    * joins (arrays move once per *distinct* pair). */
+  private def verifyJaccard(cands: DataFrame, sh: DataFrame, threshold: Double,
+                            broadcastDocLimit: Long): DataFrame = {
     val sets = sh.groupBy("doc_id")
       .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n"))
-    cands
-      .join(sets.select(col("doc_id").as("id_a"), col("set").as("set_a"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val small = sets.count() <= broadcastDocLimit
+    val (setsA, setsB, pairs) =
+      if (small)
+        (broadcast(sets), broadcast(sets), cands)
+      else
+        (sets, sets, cands.distinct())
+    pairs
+      .join(setsA.select(col("doc_id").as("id_a"), col("set").as("set_a"),
         col("n").as("n_a")), "id_a")
-      .join(sets.select(col("doc_id").as("id_b"), col("set").as("set_b"),
+      .join(setsB.select(col("doc_id").as("id_b"), col("set").as("set_b"),
         col("n").as("n_b")), "id_b")
       .withColumn("__i", size(array_intersect(col("set_a"), col("set_b"))))
       .withColumn("jaccard", col("__i").cast("double")
         / (col("n_a") + col("n_b") - col("__i")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+      .distinct()
   }
 
   /** Exact n-gram Jaccard pairs via an AllPairs-style prefix-filtered
@@ -176,7 +208,8 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 3, threshold: Double = 0.5,
-                        maxShingleFreq: Int = 1000): DataFrame = {
+                        maxShingleFreq: Int = 1000,
+                        broadcastDocLimit: Long = 200000L): DataFrame = {
     val sh = shingledHashed(df, idCol, textCol, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freq = sh.groupBy("sh").agg(count(lit(1)).as("freq"))
@@ -192,11 +225,13 @@ object Dedup {
       .withColumn("__n", count(lit(1)).over(byDoc))
     val prefix = indexed.filter(
       col("__pos") <= col("__n") - ceil(col("__n") * lit(threshold)) + 1)
+    // raw co-occurrence rows go straight to verification — dedup happens
+    // on the survivor side (see verifyJaccard), not on the 10×-larger
+    // candidate stream.
     val cands = prefix.as("x").join(prefix.as("y"), Seq("sh"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
-    verifyJaccard(cands, capped.select("doc_id", "sh"), threshold)
+    verifyJaccard(cands, capped.select("doc_id", "sh"), threshold, broadcastDocLimit)
   }
 
   /** 64-bit SimHash over word shingles: bit i is the sign of the weighted
