@@ -215,7 +215,10 @@ object TextQueries {
   }
 
   // a3 — IVF ANN: coarse k-means codebook (deterministic train) + nprobe
-  // cell-pruned search (rows-only; recall vs brute force in IvfSpec).
+  // cell-pruned search. The oracle replays the ENTIRE build in SQL —
+  // init centroids (8 lowest ids), one Lloyd pass with the same
+  // decimal-routed means, float-rounded assignment codebook vs
+  // double-precision probe ranking — and matches hash-exactly.
   private val aIvf: QFn = (s, dir) => {
     val corpus = embs(s, dir).filter(col("vec_id") =!= 0)
     // one Lloyd pass: the build amortizes over many probes in practice,
@@ -225,6 +228,35 @@ object TextQueries {
     Similarity.ivfTopK(corpus, "vec_id", "embedding",
         queryVec(s, dir), k = 10, centroids, nprobe = 3)
       .select(col("vec_id")).orderBy("vec_id")
+  }
+  private val aIvfSql: String = {
+    // mirrors Similarity.ivfTrain/ivfTopK step for step: COALESCE(-1e308)
+    // is assignToCentroid's null-score guard; cent_f is the
+    // float-rounded codebook used for assignment while cent_d (full
+    // double) ranks the probe cells, exactly as the Scala does.
+    s"""WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+       |  FROM embeddings WHERE vec_id <> 0),
+       |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qx FROM embeddings WHERE vec_id = 0),
+       |init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, x AS c
+       |         FROM (SELECT * FROM corpus ORDER BY vec_id LIMIT 8)),
+       |a1 AS (SELECT v.vec_id, v.x,
+       |         (SELECT i.cid FROM init i
+       |          ORDER BY COALESCE(${cosSql("v.x", "i.c")}, -1e308) DESC, i.cid ASC LIMIT 1) AS cid
+       |       FROM corpus v),
+       |sums AS (SELECT cid, i, CAST(SUM(CAST(xe AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*) AS m
+       |         FROM (SELECT cid, unnest(x) AS xe, generate_subscripts(x,1) AS i FROM a1)
+       |         GROUP BY cid, i),
+       |cent_d AS (SELECT cid, list(m ORDER BY i) AS c FROM sums GROUP BY cid),
+       |cent_f AS (SELECT cid, list(CAST(CAST(m AS FLOAT) AS DOUBLE) ORDER BY i) AS c FROM sums GROUP BY cid),
+       |probe AS (SELECT cid FROM cent_d CROSS JOIN q
+       |          ORDER BY COALESCE(${cosSql("c", "qx")}, -1e308) DESC, cid ASC LIMIT 3),
+       |a2 AS (SELECT v.vec_id, v.x,
+       |         (SELECT f.cid FROM cent_f f
+       |          ORDER BY COALESCE(${cosSql("v.x", "f.c")}, -1e308) DESC, f.cid ASC LIMIT 1) AS cid
+       |       FROM corpus v),
+       |top AS (SELECT a2.vec_id FROM a2 JOIN probe USING (cid) CROSS JOIN q
+       |        ORDER BY ${cosSql("a2.x", "q.qx")} DESC, a2.vec_id LIMIT 10)
+       |SELECT vec_id FROM top ORDER BY vec_id""".stripMargin
   }
 
   // m1 — multimodal blob plumbing: binary column + metadata + sha-256
@@ -397,5 +429,6 @@ object TextQueries {
     "d_embedding_dup" -> dEmbDupSql,
     "ann_brute_force_topk" -> aBruteSql,
     "ann_lsh_topk" -> aLshSql,
+    "ann_ivf_topk" -> aIvfSql,
     "mm_blob_stats" -> mBlobSql)
 }
