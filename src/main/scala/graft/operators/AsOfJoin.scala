@@ -27,15 +27,21 @@ object AsOfJoin {
 
   /** `right`'s non-(key,time) columns become the attached payload; they
     * must not collide with `left`'s column names. Unmatched left rows
-    * keep null payloads (left as-of join). */
+    * keep null payloads (left as-of join). NULL-timestamp right rows
+    * never match (SQL comparison semantics: `l.t >= NULL` is unknown),
+    * and NULL-timestamp left rows match nothing — same as DuckDB ASOF. */
   def asOf(left: DataFrame, right: DataFrame, key: String, time: String): DataFrame = {
     val payloadCols = right.columns.filterNot(c => c == key || c == time).toSeq
     require(payloadCols.nonEmpty, "right side must carry payload columns")
     require(payloadCols.intersect(left.columns.toSeq).isEmpty,
       s"payload columns ${payloadCols.mkString(",")} collide with left columns")
+    val reserved = Seq("__p", "__side", "__m")
+    require(reserved.intersect(left.columns.toSeq ++ right.columns.toSeq).isEmpty,
+      s"column names ${reserved.mkString(",")} are reserved by asOf")
 
-    val r2 = right.select(col(key), col(time),
-      struct(payloadCols.map(col): _*).as("__p"))
+    val r2 = right.filter(col(time).isNotNull)
+      .select(col(key), col(time),
+        struct(payloadCols.map(col): _*).as("__p"))
       .withColumn("__side", lit(0))
     val payloadType = r2.schema("__p").dataType
     val l2 = left

@@ -165,7 +165,13 @@ object Dedup {
     * the heavy candidate stream out of any array-payload shuffle — the
     * difference between a 1.6 GB and a 16 GB exchange at 50k docs / 40M
     * candidates. Beyond the limit it falls back to dedupe-first + shuffle
-    * joins (arrays move once per *distinct* pair). */
+    * joins (arrays move once per *distinct* pair).
+    *
+    * NOTE: choosing the strategy takes a `sets.count()` — so the verified
+    * dedup operators MATERIALIZE the shingle pipeline when the plan is
+    * built (an AQE-style runtime statistic), and they pin their index
+    * DataFrames MEMORY_AND_DISK for the session (LRU-evictable; batch
+    * callers scoring many corpora should spark.catalog.clearCache()). */
   private def verifyJaccard(cands: DataFrame, sh: DataFrame, threshold: Double,
                             broadcastDocLimit: Long): DataFrame = {
     val sets = sh.groupBy("doc_id")
@@ -223,8 +229,12 @@ object Dedup {
     val indexed = capped
       .withColumn("__pos", row_number().over(rareFirst))
       .withColumn("__n", count(lit(1)).over(byDoc))
+    // ceil over a FP product can round UP past the exact ⌈t·n⌉ (e.g.
+    // 500·0.87 = 435.00000000000006) which would SHORTEN the prefix and
+    // lose recall; the 1e-9 slack errs toward a one-longer prefix (extra
+    // candidates, never missed pairs).
     val prefix = indexed.filter(
-      col("__pos") <= col("__n") - ceil(col("__n") * lit(threshold)) + 1)
+      col("__pos") <= col("__n") - ceil(col("__n") * lit(threshold) - lit(1e-9)) + 1)
     // raw co-occurrence rows go straight to verification — dedup happens
     // on the survivor side (see verifyJaccard), not on the 10×-larger
     // candidate stream.
@@ -254,7 +264,10 @@ object Dedup {
     * ones-count of bit (k + 16·j); the sign test `2·ones > n` is exactly
     * the ±1 vote sign. Lanes are 16-bit, so per-doc distinct shingle
     * counts must stay below 65 536 — far beyond any real document (a
-    * 65k-word doc); larger inputs should pre-truncate or chunk. */
+    * 65k-word doc); the bound is ENFORCED (assert_true inside the sign
+    * expression, so pruning can't drop it — a lane carry would silently
+    * corrupt neighboring bits). Larger inputs should pre-truncate or
+    * chunk upstream. */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleK: Int): DataFrame = {
     val sh = shingledHashed(df, idCol, textCol, shingleK)
@@ -265,12 +278,17 @@ object Dedup {
     }
     val votes = sh.groupBy("doc_id")
       .agg(count(lit(1)).as("n"), packedSums: _*)
-    votes.select(col("doc_id"),
-      (0 until 64).map { i =>
-        val k = i % 16; val j = i / 16
-        val ones = shiftrightunsigned(col(s"p$k"), 16 * j).bitwiseAND(0xFFFFL)
-        when(ones * 2 > col("n"), shiftleft(lit(1L), i)).otherwise(0L)
-      }.reduce(_.bitwiseOR(_)).as("sim"))
+    // assert_true yields null on success, so the `when` wrapper both
+    // forces its evaluation (no pruning) and passes the sim through
+    val guard = assert_true(col("n") < 65536L,
+      concat(lit("simhashSignatures: doc "), col("doc_id"),
+        lit(" has >= 65536 distinct shingles; chunk or truncate upstream")))
+    val sim = (0 until 64).map { i =>
+      val k = i % 16; val j = i / 16
+      val ones = shiftrightunsigned(col(s"p$k"), 16 * j).bitwiseAND(0xFFFFL)
+      when(ones * 2 > col("n"), shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    votes.select(col("doc_id"), when(guard.isNull, sim).as("sim"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (≤ 3):

@@ -58,4 +58,21 @@ class AsOfJoinSpec extends AnyFunSuite {
       AsOfJoin.asOf(left, right.withColumnRenamed("rv", "lv"), "k", "t")
     }
   }
+
+  test("reserved internal column names are rejected") {
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left.withColumn("__side", lit(1)), right, "k", "t")
+    }
+  }
+
+  test("null timestamps never match (SQL comparison semantics)") {
+    val lNull = left.union(Seq((1L, Option.empty[Long], "l_null"))
+      .toDF("k", "t", "lv"))
+    val rNull = right.union(Seq((1L, Option.empty[Long], "r_null"))
+      .toDF("k", "t", "rv"))
+    val got = run(lNull, rNull)
+    assert(got("l_null") === "none")  // null left time matches nothing
+    assert(got("l_b") === "r_15")     // null right row invisible to everyone
+    assert(!got.values.toSet.contains("r_null"))
+  }
 }

