@@ -656,10 +656,60 @@ object OperatorQueries {
        |  SELECT o_orderstatus, 'max_price', max_price FROM wide)
        |ORDER BY o_orderstatus, metric""".stripMargin
 
+  // J10 — fuzzy self-match: near-identical part names (edit distance ≤ 2)
+  // within a brand block. Blocking key (brand) + cheap length-band
+  // prefilter (a valid levenshtein lower bound) bound the quadratic
+  // comparison to within-block pairs — the classic fuzzy-dedup shape;
+  // at 100 TB the block key sizes the shuffle groups.
+  private val j10Fuzzy: QFn = (s, dir) => {
+    val p = t(s, dir, "part").select("p_partkey", "p_name", "p_brand")
+    val a = p.select(col("p_brand"), col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_brand"), col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+    a.join(b, Seq("p_brand"))
+      .filter(col("key_a") < col("key_b"))
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 2)
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 2)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_close_pairs"))
+      .orderBy("p_brand")
+  }
+  private val j10Sql =
+    """SELECT a.p_brand, COUNT(*) AS n_close_pairs
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      | AND abs(length(a.p_name) - length(b.p_name)) <= 2
+      | AND levenshtein(a.p_name, b.p_name) <= 2
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // W9 — LOCF (last observation carried forward): every event carries the
+  // user's most recent purchase value at that point — null-skipping
+  // last() over a per-user ordered frame, the standard gap-fill for
+  // sparse state in event streams. ts (ns long) orders but is not output.
+  private val w9Locf: QFn = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "purchase", col("value")).as("pv"))
+      .withColumn("last_purchase_value",
+        coalesce(last(col("pv"), ignoreNulls = true).over(w), lit(-1.0)))
+      .select("event_id", "user_id", "last_purchase_value")
+      .orderBy("event_id")
+  }
+  private val w9Sql =
+    """SELECT event_id, user_id,
+      |COALESCE(LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+      |  OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING),
+      |  -1.0) AS last_purchase_value
+      |FROM events ORDER BY event_id""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, QFn] = Map(
     "j8_asof_join" -> j8AsOf,
+    "j10_fuzzy_match" -> j10Fuzzy,
+    "w9_locf_fill" -> w9Locf,
     "u3_unpivot" -> u3Unpivot,
     "j9_range_band_join" -> j9RangeBand,
     "a9_grouping_sets" -> a9GroupingSets,
@@ -694,6 +744,8 @@ object OperatorQueries {
 
   val oracleSql: Map[String, String] = Map(
     "j8_asof_join" -> j8Sql,
+    "j10_fuzzy_match" -> j10Sql,
+    "w9_locf_fill" -> w9Sql,
     "u3_unpivot" -> u3Sql,
     "j9_range_band_join" -> j9Sql,
     "a9_grouping_sets" -> a9SetsSelect,
