@@ -663,9 +663,15 @@ object OperatorQueries {
   // at 100 TB the block key sizes the shuffle groups.
   private val j10Fuzzy: QFn = (s, dir) => {
     val p = t(s, dir, "part").select("p_partkey", "p_name", "p_brand")
+    // the dim fits one parquet split, so without an explicit spread the
+    // broadcast join (and every levenshtein eval behind it) would run on
+    // a single task; the explicit partition count matters — a bare keyed
+    // repartition gets AQE-coalesced back to one partition (tiny map
+    // output) before the multiplying join
     val a = p.select(col("p_brand"), col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+      .repartition(32, col("p_brand"), col("key_a"))
     val b = p.select(col("p_brand"), col("p_partkey").as("key_b"), col("p_name").as("name_b"))
-    a.join(b, Seq("p_brand"))
+    a.join(broadcast(b), Seq("p_brand"))
       .filter(col("key_a") < col("key_b"))
       .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 2)
       .filter(levenshtein(col("name_a"), col("name_b")) <= 2)
