@@ -19,5 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[FloatVecCosine].getName, "vec_cosine"),
       exprs => FloatVecCosine(exprs(0), exprs(1))))
+    // algebraic prefilter for fuzzy-match predicates; runs inside the
+    // operator-optimization fixpoint so the injected guard participates
+    // in normal predicate pushdown
+    e.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
   }
 }

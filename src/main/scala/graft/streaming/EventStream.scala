@@ -71,6 +71,16 @@ object EventStream {
       .select(col("session_window.start").as("session_start"),
               col("user_id"), col("n_events"))
 
+  /** Streaming exact dedup with bounded state: duplicate event_ids
+    * arriving within the watermark horizon are dropped, and per-key state
+    * is evicted once the watermark passes — so an unbounded duplicate-y
+    * stream (at-least-once upstream, replayed files) dedups in constant
+    * state. The streaming twin of the batch pipeline's exact dedup. */
+  def dedupedEvents(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("event_time", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Running per-user activity via mapGroupsWithState — the custom-state
     * escape hatch (KeyValueGroupedDataset) for logic windows can't say. */
   def userActivity(spark: SparkSession, events: DataFrame): Dataset[UserActivity] = {

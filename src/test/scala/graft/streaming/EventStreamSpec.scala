@@ -74,6 +74,23 @@ class EventStreamSpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("streaming dedup drops duplicate event ids from a replayed source") {
+    // stage the same file twice — an at-least-once upstream
+    val d2 = java.nio.file.Files.createTempDirectory("graft_events_dup")
+    Seq("a", "b").foreach { tag =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+        d2.resolve(s"events_$tag.parquet"))
+    }
+    EventStream.runToMemory(
+      EventStream.dedupedEvents(EventStream.readEvents(spark, d2.toString)),
+      "dedup_out", OutputMode.Append())
+    val got = spark.table("dedup_out")
+    val base = spark.read.parquet(dir)
+    assert(got.count() === base.count())          // every duplicate dropped
+    assert(got.select("event_id").distinct().count() === base.count())
+  }
+
   test("exactly-once sink: replayed batches do not duplicate rows") {
     val out = java.nio.file.Files.createTempDirectory("graft_eo_sink").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_eo_ckpt").toString
