@@ -101,6 +101,76 @@ object OperatorQueries {
       |COUNT(*) AS n_orders
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // A-approx-percentiles — the sketch quantile scale path
+  // (approx_percentile / KLL-style rank sketch) next to exact anchors.
+  // The oracled contract mirrors a2: exact percentiles pin the data, and
+  // booleans assert the approximation lands inside the exact-value
+  // corridor at p ± rank-error (accuracy 1000 → ε = 1/1000; corridor
+  // evaluated at a lenient ±0.05 rank).
+  private val aApproxPct: QFn = (s, dir) => {
+    val o = t(s, dir, "orders")
+    o.agg(
+        expr("percentile(o_totalprice, 0.5)").as("exact_p50"),
+        expr("percentile(o_totalprice, 0.9)").as("exact_p90"),
+        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("a50"),
+        expr("approx_percentile(o_totalprice, 0.9, 1000)").as("a90"),
+        expr("percentile(o_totalprice, 0.45)").as("lo50"),
+        expr("percentile(o_totalprice, 0.55)").as("hi50"),
+        expr("percentile(o_totalprice, 0.85)").as("lo90"),
+        expr("percentile(o_totalprice, 0.95)").as("hi90"))
+      .select(col("exact_p50"), col("exact_p90"),
+        (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("approx_p50_ok"),
+        (col("a90") >= col("lo90") && col("a90") <= col("hi90")).as("approx_p90_ok"))
+  }
+  private val aApproxPctSql =
+    """SELECT quantile_cont(o_totalprice, 0.5) AS exact_p50,
+      |quantile_cont(o_totalprice, 0.9) AS exact_p90,
+      |TRUE AS approx_p50_ok, TRUE AS approx_p90_ok
+      |FROM orders""".stripMargin
+
+  // W10 — cumulative distinct count over a window (no native COUNT
+  // (DISTINCT) OVER in Spark or DuckDB): first-occurrence flag via
+  // row_number per (nation, customer), then a running sum — the
+  // standard rewrite, one extra window instead of per-frame set state.
+  private val w10CumDistinct: QFn = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("o_custkey"),
+        date_trunc("month", col("o_orderdate")).as("month"))
+    val firstSeen = Window.partitionBy("n_name", "o_custkey")
+      .orderBy("month")
+    val monthly = o
+      .withColumn("is_first",
+        when(row_number().over(firstSeen) === 1, 1L).otherwise(0L))
+      .groupBy("n_name", "month")
+      .agg(count(lit(1)).as("n_orders"), sum(col("is_first")).as("new_customers"))
+    val running = Window.partitionBy("n_name").orderBy("month")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthly
+      .withColumn("distinct_customers_to_date",
+        sum(col("new_customers")).over(running).cast("long"))
+      .select("n_name", "month", "n_orders", "distinct_customers_to_date")
+      .orderBy("n_name", "month")
+  }
+  private val w10Sql =
+    """WITH o AS (SELECT n_name, o_custkey, date_trunc('month', o_orderdate) AS month
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey),
+      |f AS (SELECT n_name, month,
+      |  CASE WHEN row_number() OVER (PARTITION BY n_name, o_custkey ORDER BY month) = 1
+      |       THEN 1 ELSE 0 END AS is_first
+      |  FROM o),
+      |m AS (SELECT n_name, month, COUNT(*) AS n_orders,
+      |  CAST(SUM(is_first) AS BIGINT) AS new_customers
+      |  FROM f GROUP BY 1, 2)
+      |SELECT n_name, month, n_orders,
+      |CAST(SUM(new_customers) OVER (PARTITION BY n_name ORDER BY month
+      |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_customers_to_date
+      |FROM m ORDER BY n_name, month""".stripMargin
+
   // A2 scale path — approx_count_distinct (HLL++) next to the exact count.
   // The raw HLL estimate is engine-specific, so the oracled contract is
   // "exact count matches AND the estimate lands within the configured
@@ -716,6 +786,8 @@ object OperatorQueries {
     "j8_asof_join" -> j8AsOf,
     "j10_fuzzy_match" -> j10Fuzzy,
     "w9_locf_fill" -> w9Locf,
+    "w10_cumulative_distinct" -> w10CumDistinct,
+    "a_approx_percentiles" -> aApproxPct,
     "u3_unpivot" -> u3Unpivot,
     "j9_range_band_join" -> j9RangeBand,
     "a9_grouping_sets" -> a9GroupingSets,
@@ -752,6 +824,8 @@ object OperatorQueries {
     "j8_asof_join" -> j8Sql,
     "j10_fuzzy_match" -> j10Sql,
     "w9_locf_fill" -> w9Sql,
+    "w10_cumulative_distinct" -> w10Sql,
+    "a_approx_percentiles" -> aApproxPctSql,
     "u3_unpivot" -> u3Sql,
     "j9_range_band_join" -> j9Sql,
     "a9_grouping_sets" -> a9SetsSelect,
