@@ -129,6 +129,32 @@ object TextQueries {
       .orderBy("id_a", "id_b")
   private val dJaccardSql = jaccardPairsSql(k = 3, threshold = 0.5, cap = Some(1000))
 
+  // d6 — duplicate clusters: verified near-dup pairs → connected
+  // components (min-label propagation); each doc maps to the smallest
+  // doc_id in its duplicate cluster — the "keep one representative"
+  // step of a dedup pipeline. Oracle: transitive closure via a
+  // recursive CTE over the exact-Jaccard pair set.
+  private val dClusters: QFn = (s, dir) => {
+    val pairs = Dedup.minhashLshVerified(docs(s, dir), "doc_id", "text",
+      shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5)
+    graft.operators.ConnectedComponents.components(pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+      .orderBy("doc_id")
+  }
+  private val dClustersSql = {
+    val pairs = jaccardPairsSql(k = 3, threshold = 0.5, cap = None)
+      .replace("ORDER BY id_a, id_b", "")
+    s"""WITH RECURSIVE p AS ($pairs),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM p
+       |          UNION SELECT id_b, id_a FROM p),
+       |reach(src, dst) AS (
+       |  SELECT a, a FROM (SELECT a FROM edges UNION SELECT b FROM edges)
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+       |SELECT src AS doc_id, MIN(dst) AS component
+       |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   private def sqlArr(p: Array[Double]): String =
     p.mkString("[", ", ", "]") + "::DOUBLE[]"
 
@@ -404,6 +430,7 @@ object TextQueries {
     "t_quality_score" -> tQuality,
     "t_fingerprint" -> tFingerprint,
     "d_exact_dedup" -> dExact,
+    "d_dup_clusters" -> dClusters,
     "d_minhash_lsh" -> dMinhash,
     "d_simhash_pairs" -> dSimhash,
     "d_ngram_jaccard" -> dJaccard,
@@ -424,6 +451,7 @@ object TextQueries {
     "t_quality_score" -> tQualitySql,
     "t_fingerprint" -> tFingerprintSql,
     "d_exact_dedup" -> dExactSql,
+    "d_dup_clusters" -> dClustersSql,
     "d_minhash_lsh" -> dMinhashSql,
     "d_ngram_jaccard" -> dJaccardSql,
     "d_embedding_dup" -> dEmbDupSql,

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.TestSessions
+
+/** Min-label propagation: chains, separate components, convergence
+  * bounds, partitioning invariance. */
+class ConnectedComponentsSpec extends AnyFunSuite {
+  lazy val spark = TestSessions.spark
+  import spark.implicits._
+
+  private def comps(edges: Seq[(Long, Long)],
+                    maxIter: Int = 20): Map[Long, Long] =
+    ConnectedComponents.components(
+      edges.toDF("a", "b"), "a", "b", maxIter)
+      .as[(Long, Long)].collect().toMap
+
+  test("chain and disjoint pair resolve to min-id components") {
+    val got = comps(Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+                       7L -> 7L, 8L -> 7L))
+  }
+
+  test("long path needs diameter rounds; star converges fast") {
+    // path 0-1-2-...-9: diameter 9, min floods one hop per round
+    val path = (0L until 9L).map(i => (i, i + 1))
+    assert(comps(path).values.toSet === Set(0L))
+    // insufficient rounds must fail loudly, not return wrong labels
+    intercept[IllegalArgumentException] { comps(path, maxIter = 3) }
+  }
+
+  test("result is invariant under input partitioning and edge direction") {
+    val edges = Seq((5L, 2L), (2L, 9L), (9L, 5L), (11L, 10L))
+    val a = comps(edges)
+    val b = ConnectedComponents.components(
+      edges.toDF("a", "b").repartition(7), "b", "a") // reversed cols
+      .as[(Long, Long)].collect().toMap
+    assert(a === b)
+    assert(a(9L) === 2L && a(11L) === 10L)
+  }
+}
