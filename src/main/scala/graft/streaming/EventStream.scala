@@ -81,6 +81,29 @@ object EventStream {
       .withWatermark("event_time", lateness)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each click joins error events of the
+    * same user from the preceding hour. Both sides carry watermarks and
+    * the join condition bounds event-time distance, so Spark can evict
+    * buffered state once the watermark passes — the join runs forever in
+    * bounded memory (an unbounded-condition stream join would buffer both
+    * streams whole). Inner join → append mode; results match the batch
+    * join over the same files (spec-proven). */
+  def clickErrorJoin(events: DataFrame, lateness: String = "10 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("event_time").as("click_time"))
+      .withWatermark("click_time", lateness)
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id").as("err_user"),
+        col("event_time").as("error_time"))
+      .withWatermark("error_time", lateness)
+    clicks.join(errors,
+      col("user_id") === col("err_user") &&
+        col("error_time") <= col("click_time") &&
+        col("error_time") >= col("click_time") - expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("user_id"), col("error_id"))
+  }
+
   /** Running per-user activity via mapGroupsWithState — the custom-state
     * escape hatch (KeyValueGroupedDataset) for logic windows can't say. */
   def userActivity(spark: SparkSession, events: DataFrame): Dataset[UserActivity] = {

@@ -74,6 +74,27 @@ class EventStreamSpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("stream-stream interval join matches the batch join") {
+    EventStream.runToMemory(
+      EventStream.clickErrorJoin(EventStream.readEvents(spark, dir)),
+      "ssj_out", OutputMode.Append())
+    val got = spark.table("ssj_out")
+    val base = spark.read.parquet(dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(expr("ts div 1000")).as("t"))
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("t").as("ct"))
+    val errors = base.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id").as("eu"), col("t").as("et"))
+    val batch = clicks.join(errors,
+      col("user_id") === col("eu") && col("et") <= col("ct") &&
+        col("et") >= col("ct") - expr("INTERVAL 1 HOUR"))
+      .select("click_id", "user_id", "error_id")
+    assert(got.count() > 0)
+    assert(got.count() === batch.count())
+    assert(got.exceptAll(batch).count() === 0)
+  }
+
   test("streaming dedup drops duplicate event ids from a replayed source") {
     // stage the same file twice — an at-least-once upstream
     val d2 = java.nio.file.Files.createTempDirectory("graft_events_dup")
