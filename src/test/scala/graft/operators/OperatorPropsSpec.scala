@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.etl.TestSessions
+
+/** Property-style checks pitting the distributed operators against
+  * in-memory brute-force references on randomized inputs. Raw ScalaCheck
+  * generators with fixed seeds (no scalatestplus bridge offline). */
+class OperatorPropsSpec extends AnyFunSuite {
+  lazy val spark = TestSessions.spark
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): List[A] =
+    LazyList.from(0)
+      .flatMap(i => g.apply(Gen.Parameters.default, Seed(7L + i)))
+      .take(n).toList
+
+  // ---- AsOfJoin vs brute force -------------------------------------
+
+  private val rowGen = for {
+    k <- Gen.choose(0L, 4L)     // few keys → dense per-key series
+    t <- Gen.choose(0L, 30L)    // small time range → frequent ties
+  } yield (k, t)
+
+  test("asOf equals the brute-force latest-at-or-before on random data") {
+    val leftRows = samples(rowGen, 120).zipWithIndex
+      .map { case ((k, t), i) => (k, t, i.toLong) }
+    val rightRows = samples(rowGen, 120).zipWithIndex
+      .map { case ((k, t), i) => (k, t, 1000L + i) }
+    val left = leftRows.toDF("k", "t", "lid")
+    val right = rightRows.toDF("k", "t", "rid")
+
+    val got = AsOfJoin.asOf(left, right, "k", "t")
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+
+    // brute force: max (t, rid) among right rows with same k, t <= left.t;
+    // the operator's tie rule is max payload struct == max rid here
+    val brute = leftRows.map { case (k, t, lid) =>
+      val cands = rightRows.filter(r => r._1 == k && r._2 <= t)
+      lid -> (if (cands.isEmpty) None
+              else Some(cands.maxBy(r => (r._2, r._3))._3))
+    }.toMap
+    assert(got === brute)
+  }
+
+  // ---- ConnectedComponents vs union-find ---------------------------
+
+  private val edgeGen = for {
+    a <- Gen.choose(0L, 30L)
+    b <- Gen.choose(0L, 30L) if a != b
+  } yield (a, b)
+
+  test("components equal a union-find reference on random graphs") {
+    val edges = samples(edgeGen, 60).distinct
+    val got = ConnectedComponents.components(
+      edges.toDF("a", "b"), "a", "b", maxIterations = 40)
+      .as[(Long, Long)].collect().toMap
+
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(x: Long, y: Long): Unit = parent(find(x)) = find(y)
+    edges.foreach { case (a, b) => union(a, b) }
+    val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val expected = nodes
+      .groupBy(find)
+      .flatMap { case (_, members) => members.map(_ -> members.min) }
+    assert(got === expected)
+  }
+
+  // ---- hash split: pure function of the key ------------------------
+
+  test("hash-split assignment is independent of row order and partitioning") {
+    val ids = (0L until 500L).toDF("doc_id")
+    def splitOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      val b = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+      df.select(col("doc_id"), b.as("bucket"))
+        .as[(Long, Long)].collect().toMap
+    }
+    assert(splitOf(ids) === splitOf(ids.repartition(17).orderBy(rand(5))))
+  }
+}
