@@ -49,6 +49,22 @@ final case class Warehouse(root: String) {
               targetFiles: Int): Unit =
     rebuild(read(spark, layer, table).coalesce(targetFiles), layer, table)
 
+  /** Clustered compaction — the CLUSTERED COLUMNSTORE analog
+    * (ddl_silver.sql:83-86): repartition on the cluster keys, sort rows
+    * within each file by them, and rewrite. Parquet stores per-row-group
+    * min/max stats, so point/range predicates on the cluster keys skip
+    * whole row groups at scan time — data skipping without any table
+    * format, and the co-partitioned layout doubles as a shuffle-free
+    * input for downstream joins on the same keys. */
+  def compactClustered(spark: SparkSession, layer: String, table: String,
+                       targetFiles: Int, clusterCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val cols = clusterCols.map(col)
+    rebuild(read(spark, layer, table)
+      .repartition(targetFiles, cols: _*)
+      .sortWithinPartitions(cols: _*), layer, table)
+  }
+
   /** Atomic rebuild of a table whose new content is derived from its own
     * current content: materialize to a tmp dir, swap, drop the old copy. */
   def rebuild(df: DataFrame, layer: String, table: String): Unit = {

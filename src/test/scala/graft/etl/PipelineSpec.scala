@@ -187,6 +187,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(wh.read(spark, "silver", "crm_sales_details").collect().toSet === before)
   }
 
+  test("clustered compaction preserves data and sorts within files") {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val before = wh.read(spark, "silver", "crm_cust_info").collect().toSet
+    wh.compactClustered(spark, "silver", "crm_cust_info",
+      targetFiles = 3, clusterCols = Seq("cst_id"))
+    val after = wh.read(spark, "silver", "crm_cust_info")
+    assert(after.collect().toSet === before)
+    // rows must be non-decreasing in cluster key within each file —
+    // the property that gives parquet row-group min/max skipping teeth
+    val perFile = after.select(input_file_name().as("f"), col("cst_id"))
+      .collect().groupBy(_.getString(0))
+      .map { case (_, rows) => rows.map(_.getAs[Number]("cst_id").longValue).toSeq }
+    assert(perFile.nonEmpty)
+    perFile.foreach(ks => assert(ks === ks.sorted, "file not sorted by cluster key"))
+  }
+
   test("metadata-driven loader: hard stop on empty config") {
     intercept[IllegalArgumentException] {
       MetadataDriven.runAll(spark, wh, Seq(EtlConfig("a.b", "c.d", is_active = false)))
