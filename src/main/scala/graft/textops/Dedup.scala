@@ -237,9 +237,19 @@ object Dedup {
       col("__pos") <= col("__n") - ceil(col("__n") * lit(threshold) - lit(1e-9)) + 1)
     // raw co-occurrence rows go straight to verification — dedup happens
     // on the survivor side (see verifyJaccard), not on the 10×-larger
-    // candidate stream.
+    // candidate stream. The PPJoin positional filter (Xiao et al.,
+    // WWW'08) drops occurrences that cannot certify a qualifying pair:
+    // all common shingles lie in the suffixes from this occurrence on,
+    // so min(suffix_x, suffix_y)+1 must reach the Jaccard overlap bound
+    // α = ⌈t/(1+t)·(n_x+n_y)⌉. A true pair's FIRST common shingle always
+    // passes (its suffixes contain the whole overlap), so recall is
+    // untouched while typical low-similarity co-occurrences die here,
+    // before the verify join. (Same 1e-9 slack: err toward keeping.)
+    val alpha = ceil(
+      (col("x.__n") + col("y.__n")) * lit(threshold / (1 + threshold)) - lit(1e-9))
     val cands = prefix.as("x").join(prefix.as("y"), Seq("sh"))
       .filter(col("x.doc_id") < col("y.doc_id"))
+      .filter(least(col("x.__n") - col("x.__pos"), col("y.__n") - col("y.__pos")) + 1 >= alpha)
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
     verifyJaccard(cands, capped.select("doc_id", "sh"), threshold, broadcastDocLimit)
   }
