@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev check: a FRESH session configured only via
+  * `spark.sql.extensions=graft.GraftExtensions` must expose vec_cosine
+  * in SQL and rewrite levenshtein filters — proving the spark-sql / JDBC
+  * entry path works without any programmatic registration. */
+object ExtCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val cos = spark.sql(
+      """SELECT vec_cosine(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>),
+        |                  CAST(array(1.0, 0.0) AS ARRAY<FLOAT>)) AS c""".stripMargin)
+      .head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12, s"vec_cosine broken: $cos")
+    println(s"EXTCHECK vec_cosine OK ($cos)")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ext").toString
+    import spark.implicits._
+    Seq(("ab", "abc"), ("kitten", "sitting")).toDF("a", "b")
+      .write.mode("overwrite").parquet(dir)
+    val plan = spark.read.parquet(dir)
+      .filter("levenshtein(a, b) <= 2")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.toLowerCase.contains("abs("),
+      s"LevenshteinPrefilter not active via extensions:\n$plan")
+    println("EXTCHECK LevenshteinPrefilter OK")
+    spark.stop()
+  }
+}
