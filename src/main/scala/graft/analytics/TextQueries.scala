@@ -302,6 +302,26 @@ object TextQueries {
       Multimodal.asMediaTable(docs(s, dir), "doc_id", "text", "source"))
       .orderBy("media_id")
 
+  // m3 — frame sampling (1→N expansion per media blob): the frame
+  // GEOMETRY (count, stride, sizes) is fully determined by byte length,
+  // so it oracles exactly; the per-frame stats stay behind the stub
+  // boundary (projected out here).
+  private val mFrames: QFn = (s, dir) =>
+    Multimodal.sampleFrames(
+      Multimodal.asMediaTable(docs(s, dir), "doc_id", "text", "source"),
+      frameSize = 256, stride = 4)
+      .select("media_id", "frame_idx", "frame_bytes")
+      .orderBy("media_id", "frame_idx")
+  private val mFramesSql =
+    """WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n
+      |  FROM documents),
+      |f AS (SELECT media_id, n,
+      |  unnest(list_transform(range(0, CAST(ceil(n / 256.0) AS INT), 4), i -> i)) AS fi
+      |  FROM m)
+      |SELECT media_id, CAST(fi AS INT) AS frame_idx,
+      |CAST(least(256, n - fi * 256) AS INT) AS frame_bytes
+      |FROM f ORDER BY media_id, frame_idx""".stripMargin
+
   // pipe — end-to-end corpus curation: language filter → quality gate →
   // exact dedup (keep lowest doc_id) → per-source token budget. The whole
   // pipeline is one declarative plan (filters pushed to the scan, one
@@ -439,6 +459,7 @@ object TextQueries {
     "ann_lsh_topk" -> aLsh,
     "ann_ivf_topk" -> aIvf,
     "mm_blob_stats" -> mBlob,
+    "mm_frame_sample" -> mFrames,
     "mm_decode_features" -> mFeatures)
 
   val oracleSql: Map[String, String] = Map(
@@ -458,5 +479,6 @@ object TextQueries {
     "ann_brute_force_topk" -> aBruteSql,
     "ann_lsh_topk" -> aLshSql,
     "ann_ivf_topk" -> aIvfSql,
-    "mm_blob_stats" -> mBlobSql)
+    "mm_blob_stats" -> mBlobSql,
+    "mm_frame_sample" -> mFramesSql)
 }

@@ -82,4 +82,54 @@ object Multimodal {
       col("meta.n_bytes").as("n_bytes"),
       sha2(col("blob"), 256).as("content_sha"),
       col("meta.source").as("source"))
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("frame_bytes", IntegerType),
+    StructField("frame_mean", DoubleType)))
+
+  /** Frame sampling over "video" blobs: the blob is treated as a
+    * sequence of fixed-size frames and every `stride`-th frame is
+    * emitted — a 1→N expansion done per-partition with constant memory
+    * (one frame in flight), the exact batch shape a real codec's
+    * keyframe sampler would use behind `mapInPandas`. Frame decode is
+    * the STUB boundary: stats are computed from the raw bytes. */
+  def sampleFrames(media: DataFrame, frameSize: Int = 256,
+                   stride: Int = 4): DataFrame = {
+    require(frameSize > 0 && stride > 0, "frameSize and stride must be positive")
+    val spark = media.sparkSession
+    val rows = media.select("media_id", "blob").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val nFrames = (bytes.length + frameSize - 1) / frameSize
+        (0 until nFrames by stride).iterator.map { f =>
+          val from = f * frameSize
+          val until = math.min(from + frameSize, bytes.length)
+          var sum = 0.0
+          var i = from
+          while (i < until) { sum += (bytes(i) & 0xFF); i += 1 }
+          Row(id, f, until - from, sum / (until - from))
+        }
+      }
+    }
+    spark.createDataFrame(rows, frameSchema)
+  }
+
+  /** Resize-stub: maps each media's fake decoded dimensions to a target
+    * box preserving aspect ratio (integer floor), the metadata half of a
+    * real resize; the pixel work is the stubbed `???` boundary. Pure
+    * per-row arithmetic — stays a single mapPartitions batch pass. */
+  def resizeMeta(features: DataFrame, maxW: Int = 224, maxH: Int = 224): DataFrame = {
+    val scale = least(
+      lit(maxW.toDouble) / col("fake_width"),
+      lit(maxH.toDouble) / col("fake_height"),
+      lit(1.0))
+    features.select(
+      col("media_id"),
+      col("fake_width"), col("fake_height"),
+      floor(col("fake_width") * scale).cast(IntegerType).as("out_width"),
+      floor(col("fake_height") * scale).cast(IntegerType).as("out_height"))
+  }
 }

@@ -162,6 +162,34 @@ class TextOpsSpec extends AnyFunSuite {
     assert(byId(0L) !== byId(2L))
   }
 
+  test("frame sampling: geometry from byte length, deterministic stats") {
+    val docs = corpus.withColumn("source", lit("s"))
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text", "source")
+    val frames = Multimodal.sampleFrames(media, frameSize = 100, stride = 2)
+      .orderBy("media_id", "frame_idx").collect()
+    // doc 0: base*5 — check expected frame indices 0,2,4,... and sizes
+    val n0 = media.filter(col("media_id") === 0)
+      .select(col("meta.n_bytes")).head().getLong(0)
+    val expectedIdx = (0 until ((n0.toInt + 99) / 100) by 2)
+    val f0 = frames.filter(_.getLong(0) == 0L)
+    assert(f0.map(_.getInt(1)).toSeq === expectedIdx)
+    assert(f0.init.forall(_.getInt(2) == 100))
+    // identical docs 0/1 produce identical frame stats
+    val f1 = frames.filter(_.getLong(0) == 1L)
+    assert(f0.map(r => (r.getInt(1), r.getInt(2), r.getDouble(3))).toSeq ===
+           f1.map(r => (r.getInt(1), r.getInt(2), r.getDouble(3))).toSeq)
+    // partitioning invariance
+    val re = Multimodal.sampleFrames(media.repartition(5), 100, 2)
+      .orderBy("media_id", "frame_idx").collect()
+    assert(re.map(_.toSeq).toSeq === frames.map(_.toSeq).toSeq)
+    // resize metadata preserves aspect and respects the box
+    val rs = Multimodal.resizeMeta(Multimodal.extractFeatures(media)).collect()
+    rs.foreach { r =>
+      assert(r.getAs[Int]("out_width") <= 224 && r.getAs[Int]("out_height") <= 224)
+      assert(r.getAs[Int]("out_width") <= r.getAs[Int]("fake_width"))
+    }
+  }
+
   test("language ID picks the stopword-dominant language") {
     val df = Seq(
       (1L, "the cat and the dog walked to the park and it is sunny"),
