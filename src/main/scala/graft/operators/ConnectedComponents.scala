@@ -17,13 +17,17 @@ import org.apache.spark.storage.StorageLevel
   * "Connected Components in MapReduce and Beyond", SoCC'14), which
   * converges in O(log n) rounds regardless of diameter.
   *
-  * The convergence check is a driver-side emptiness probe per round,
-  * and each round's labels are localCheckpoint'ed: `labels` feeds the
-  * next round TWICE (neighbor lookup + left join), so without cutting
-  * lineage the logical plan doubles per round — exponential plan-string
-  * growth that OOMs the driver before the data is ever large. On a
-  * cluster with unreliable executors swap in reliable `checkpoint` (an
-  * HDFS write) — same contract.
+  * Convergence detection exploits monotonicity: labels only ever
+  * decrease, so the exact (decimal) sum of labels strictly decreases on
+  * any changing round — an unchanged sum IS the fixpoint. That makes
+  * the per-round probe one tiny aggregate over the just-materialized
+  * labels instead of a join against the previous round. Each round's
+  * labels are localCheckpoint'ed: `labels` feeds the next round TWICE
+  * (neighbor lookup + left join), so without cutting lineage the
+  * logical plan doubles per round — exponential plan-string growth that
+  * OOMs the driver before the data is ever large. On a cluster with
+  * unreliable executors swap in reliable `checkpoint` (an HDFS write) —
+  * same contract.
   */
 object ConnectedComponents {
 
@@ -39,22 +43,24 @@ object ConnectedComponents {
     var labels = und.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
+    // exact sum (no long overflow for any ids) — the monotone potential
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
       val nbrMin = und.join(labels.select(col("id").as("b"), col("comp").as("nbr_comp")), "b")
         .groupBy(col("a").as("id"))
         .agg(min(col("nbr_comp")).as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      labels = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
         .localCheckpoint(true)
-      val changed = next
-        .join(labels.select(col("id"), col("comp").as("prev")), "id")
-        .filter(col("comp") =!= col("prev"))
-        .limit(1).count()
-      labels = next
-      converged = changed == 0L
+      val curSum = labelSum(labels)
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       i += 1
     }
     require(converged,
