@@ -26,7 +26,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: scan/agg/join path, text/sketch/window paths, vector path
-    Seq("q02_date_range", "d_minhash_lsh", "d_simhash_pairs",
+    Seq("q02_date_range", "d_dup_clusters", "d_simhash_pairs",
         "d_ngram_jaccard", "ev_sessionization", "ann_ivf_topk").foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => () }
