@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.FloatVecCosine
+import graft.functions.{FloatVecCosine, FloatVecL2}
 
 /** Session extension registering the engine's native functions, so any
   * session — including spark-sql / JDBC entry points — gets them via
@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[FloatVecCosine].getName, "vec_cosine"),
       exprs => FloatVecCosine(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("vec_l2"),
+      new ExpressionInfo(classOf[FloatVecL2].getName, "vec_l2"),
+      exprs => FloatVecL2(exprs(0), exprs(1))))
     // algebraic prefilter for fuzzy-match predicates; runs inside the
     // operator-optimization fixpoint so the injected guard participates
     // in normal predicate pushdown

@@ -209,6 +209,26 @@ object TextQueries {
       |SELECT vec_id, round(dot / NULLIF(nx * nq, 0.0), 6) AS score_r
       |FROM s ORDER BY score_r DESC, vec_id LIMIT 10""".stripMargin
 
+  // a1b — brute-force L2 top-k (the Euclidean metric twin of a1, over
+  // the native FloatVecL2 codegen loop); oracle recomputes the distance
+  // in SQL over UNNEST, rounded to 6 like a1.
+  private val aBruteL2: QFn = (s, dir) =>
+    Similarity.bruteForceTopKL2(
+        embs(s, dir).filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        queryVec(s, dir), k = 10)
+      .select(col("vec_id"), round(col("dist"), 6).as("dist_r"))
+      .orderBy(col("dist_r"), col("vec_id"))
+  private val aBruteL2Sql =
+    """WITH q AS (SELECT unnest(embedding) AS qv, generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings WHERE vec_id = 0),
+      |v AS (SELECT vec_id, unnest(embedding) AS xv, generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings WHERE vec_id <> 0),
+      |s AS (SELECT vec_id,
+      |  sqrt(SUM((CAST(xv AS DOUBLE) - CAST(qv AS DOUBLE)) * (CAST(xv AS DOUBLE) - CAST(qv AS DOUBLE)))) AS dist
+      |  FROM v JOIN q USING (i) GROUP BY vec_id)
+      |SELECT vec_id, round(dist, 6) AS dist_r
+      |FROM s ORDER BY dist_r, vec_id LIMIT 10""".stripMargin
+
   // a2 — LSH-bucketed ANN (scale path). Band planes are deterministic
   // literals (seed 42+band), so the oracle recomputes both the corpus-side
   // and query-side band signatures in SQL: candidates = rows sharing ≥1
@@ -456,6 +476,7 @@ object TextQueries {
     "d_ngram_jaccard" -> dJaccard,
     "d_embedding_dup" -> dEmbDup,
     "ann_brute_force_topk" -> aBrute,
+    "ann_l2_topk" -> aBruteL2,
     "ann_lsh_topk" -> aLsh,
     "ann_ivf_topk" -> aIvf,
     "mm_blob_stats" -> mBlob,
@@ -477,6 +498,7 @@ object TextQueries {
     "d_ngram_jaccard" -> dJaccardSql,
     "d_embedding_dup" -> dEmbDupSql,
     "ann_brute_force_topk" -> aBruteSql,
+    "ann_l2_topk" -> aBruteL2Sql,
     "ann_lsh_topk" -> aLshSql,
     "ann_ivf_topk" -> aIvfSql,
     "mm_blob_stats" -> mBlobSql,

@@ -87,6 +87,69 @@ case class FloatVecCosine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Euclidean (L2) distance over two `array<float>` columns — the
+  * metric sibling of [[FloatVecCosine]]: one fused primitive loop, double
+  * accumulation in index order, whole-stage codegen via doGenCode.
+  * Null inputs → null; mismatched lengths → error at eval. */
+case class FloatVecL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_l2 expects (array<float>, array<float>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    require(y.numElements() == n,
+      s"FloatVecL2: dimension mismatch ${n} vs ${y.numElements()}")
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(math.sqrt(acc))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int ${i} = 0;
+         |double ${acc} = 0.0;
+         |int ${n} = $a.numElements();
+         |if ($b.numElements() != ${n}) {
+         |  throw new IllegalArgumentException("FloatVecL2: dimension mismatch");
+         |}
+         |while (${i} < ${n}) {
+         |  double ${d} = (double) $a.getFloat(${i}) - (double) $b.getFloat(${i});
+         |  ${acc} += ${d} * ${d};
+         |  ${i}++;
+         |}
+         |${ev.value} = java.lang.Math.sqrt(${acc});
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -95,8 +158,16 @@ object VectorExpressions {
     ColumnBridge.column(
       FloatVecCosine(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
-  /** Register `vec_cosine` for SQL entry points on a session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Column API: native L2 distance over float vectors. */
+  def vec_l2(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      FloatVecL2(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Register the vector functions for SQL entry points on a session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_cosine", exprs => FloatVecCosine(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_l2", exprs => FloatVecL2(exprs(0), exprs(1)), "scala_udf")
+  }
 }

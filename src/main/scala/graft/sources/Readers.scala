@@ -31,6 +31,18 @@ object Readers {
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Opaque media ingestion: every file under `path` (optionally
+    * glob-filtered) becomes one row of (path, modificationTime, length,
+    * content BINARY) — the raw-bytes source for the multimodal pipeline
+    * (`graft.textops.Multimodal`); pair with
+    * `spark.sql.files.maxPartitionBytes` so many small media files pack
+    * into few tasks. */
+  def binaryFiles(spark: SparkSession, path: String,
+                  glob: Option[String] = None): DataFrame = {
+    val r = spark.read.format("binaryFile")
+    glob.fold(r)(g => r.option("pathGlobFilter", g)).load(path)
+  }
+
   /** Read parquet and verify it matches the declared contract (names +
     * types, nullability ignored) — the catalog-drift guard. */
   def parquetChecked(spark: SparkSession, path: String,

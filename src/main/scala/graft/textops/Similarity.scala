@@ -38,6 +38,21 @@ object Similarity {
   def cosineNative(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.vec_cosine(a, b)
 
+  /** Native codegen Euclidean distance for float vectors
+    * (graft.functions.FloatVecL2). */
+  def l2Native(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.vec_l2(a, b)
+
+  /** Exact L2-nearest top-k against a literal query vector — the metric
+    * twin of [[bruteForceTopK]] (smaller distance = nearer). */
+  def bruteForceTopKL2(df: DataFrame, idCol: String, vecCol: String,
+                       query: Seq[Double], k: Int): DataFrame = {
+    val q = array(query.map(lit): _*).cast("array<float>")
+    df.select(col(idCol), l2Native(col(vecCol), q).as("dist"))
+      .orderBy(col("dist").asc, col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic pseudo-random hyperplanes (fixed seed) as literal
     * arrays — identical on every executor and every run. */
   def hyperplanes(dim: Int, numPlanes: Int, seed: Long): Seq[Array[Double]] = {

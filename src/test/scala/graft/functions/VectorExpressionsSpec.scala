@@ -45,6 +45,22 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(r.forall(row => math.abs(row.getDouble(0) - 1.0) < 1e-12))
   }
 
+  test("native L2 matches a reference computation and is codegen-safe") {
+    val cmp = vecs.select(col("a"), col("b"),
+      Similarity.l2Native(col("a"), col("b")).as("native")).collect()
+    cmp.foreach { r =>
+      val a = r.getSeq[Float](0); val b = r.getSeq[Float](1)
+      val ref = math.sqrt(a.zip(b).map { case (x, y) =>
+        val d = x.toDouble - y.toDouble; d * d }.sum)
+      assert(r.getDouble(2) === ref) // same index-order accumulation
+    }
+    // identical vectors → exactly 0; SQL registration path
+    VectorExpressions.register(spark)
+    vecs.createOrReplaceTempView("vec_t2")
+    val zeros = spark.sql("SELECT vec_l2(a, a) AS d FROM vec_t2").collect()
+    assert(zeros.forall(_.getDouble(0) === 0.0))
+  }
+
   test("whole-stage codegen compiles the fused loop (no fallback)") {
     // a LocalTableScan folds the projection away — force a real exchange,
     // and execute first so AQE settles on the final plan
