@@ -39,6 +39,27 @@ class ReadersSpec extends AnyFunSuite {
     assert(df.filter(col("id").isNull).count() === 1)
   }
 
+  test("binaryFiles ingests raw bytes with path/length metadata and glob filter") {
+    val d = java.nio.file.Files.createTempDirectory("graft_src_bin")
+    java.nio.file.Files.write(d.resolve("a.jpg"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(d.resolve("b.jpg"), Array[Byte](4, 5, 6, 7))
+    java.nio.file.Files.write(d.resolve("skip.txt"), "no".getBytes)
+    val df = Readers.binaryFiles(spark, d.toString, glob = Some("*.jpg"))
+    assert(df.count() === 2)
+    val byName = df.collect().map(r =>
+      r.getString(0).split('/').last ->
+        (r.getLong(2), r.getAs[Array[Byte]](3).toSeq)).toMap
+    assert(byName("a.jpg") === ((3L, Seq[Byte](1, 2, 3))))
+    assert(byName("b.jpg") === ((4L, Seq[Byte](4, 5, 6, 7))))
+    // feeds straight into the multimodal feature extractor
+    val media = df.select(
+      monotonically_increasing_id().as("media_id"), col("content").as("blob"))
+    val feats = graft.textops.Multimodal.extractFeatures(
+      media.withColumn("meta", struct(lit("image/jpeg").as("mime"),
+        length(col("blob")).cast("long").as("n_bytes"), lit("fs").as("source"))))
+    assert(feats.count() === 2)
+  }
+
   test("parquetChecked rejects schema drift") {
     val d = java.nio.file.Files.createTempDirectory("graft_src_drift").toString
     src.write.parquet(s"$d/p")
