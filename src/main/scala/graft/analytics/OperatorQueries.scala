@@ -171,6 +171,37 @@ object OperatorQueries {
       |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_customers_to_date
       |FROM m ORDER BY n_name, month""".stripMargin
 
+  // W11 — the full ranking-function pack over one window (per-nation
+  // customers by balance): row_number/rank/dense_rank/ntile/
+  // percent_rank/cume_dist share one sort, and the fractional ranks are
+  // integer-derived ratios so they hash-match exactly.
+  private val w11RankPack: QFn = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(s, dir, "customer")
+      .filter(col("c_acctbal") > 9000.0)
+      .select(col("c_nationkey"), col("c_custkey"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("c_nationkey", "c_custkey")
+  }
+  private val w11Sql =
+    """SELECT c_nationkey, c_custkey,
+      |CAST(row_number() OVER w AS INT) AS rn,
+      |CAST(rank() OVER w AS INT) AS rnk,
+      |CAST(dense_rank() OVER w AS INT) AS drnk,
+      |CAST(ntile(4) OVER w AS INT) AS quartile,
+      |percent_rank() OVER w AS pct_rank,
+      |cume_dist() OVER w AS cume
+      |FROM customer WHERE c_acctbal > 9000.0
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+      |ORDER BY c_nationkey, c_custkey""".stripMargin
+
   // A2 scale path — approx_count_distinct (HLL++) next to the exact count.
   // The raw HLL estimate is engine-specific, so the oracled contract is
   // "exact count matches AND the estimate lands within the configured
@@ -787,6 +818,7 @@ object OperatorQueries {
     "j10_fuzzy_match" -> j10Fuzzy,
     "w9_locf_fill" -> w9Locf,
     "w10_cumulative_distinct" -> w10CumDistinct,
+    "w11_rank_pack" -> w11RankPack,
     "a_approx_percentiles" -> aApproxPct,
     "u3_unpivot" -> u3Unpivot,
     "j9_range_band_join" -> j9RangeBand,
@@ -825,6 +857,7 @@ object OperatorQueries {
     "j10_fuzzy_match" -> j10Sql,
     "w9_locf_fill" -> w9Sql,
     "w10_cumulative_distinct" -> w10Sql,
+    "w11_rank_pack" -> w11Sql,
     "a_approx_percentiles" -> aApproxPctSql,
     "u3_unpivot" -> u3Sql,
     "j9_range_band_join" -> j9Sql,
