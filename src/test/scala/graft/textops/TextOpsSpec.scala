@@ -89,6 +89,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(j01 === 1.0)
   }
 
+  test("jaccard pairs are monotone in threshold (prefix length adapts)") {
+    // pairs at a higher threshold must be a subset of pairs at a lower
+    // one — catches prefix-length rounding bugs at uneven thresholds
+    val t07 = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      shingleK = 3, threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val t03 = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      shingleK = 3, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(t07.subsetOf(t03))
+    assert(t03.contains((0L, 1L)))
+    // and an "awkward" threshold (non-representable product) stays exact
+    val t087 = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      shingleK = 3, threshold = 0.87)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(t087.forall(_._3 >= 0.87))
+    assert(t087.map(r => (r._1, r._2)).contains((0L, 1L))) // jaccard 1.0
+  }
+
   test("simhash: identical docs collide, near-dups rank closer than unrelated") {
     val pairs = Dedup.simhashNearPairs(corpus, "doc_id", "text", maxHamming = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
