@@ -202,6 +202,60 @@ object OperatorQueries {
       |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
       |ORDER BY c_nationkey, c_custkey""".stripMargin
 
+  // W12 — linear interpolation between surrounding known points: every
+  // event gets the time-weighted blend of the user's neighboring
+  // purchase values (LOCF's two-sided sibling). Two mirrored
+  // null-skipping windows (last-before, first-after) + one arithmetic
+  // blend; edges fall back to the one known side. Time math runs on
+  // µs-truncated longs: DuckDB reads the TIMESTAMP(NANOS) column at µs
+  // precision, so the ns tail must not enter the blend ratio.
+  private val w12Interp: QFn = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val up = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val down = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val e = t(s, dir, "events").select(
+      col("event_id"), col("user_id"), expr("ts div 1000").as("tus"),
+      when(col("event_type") === "purchase", col("value")).as("pv"),
+      when(col("event_type") === "purchase", expr("ts div 1000")).as("pt"))
+    e.withColumn("prev_v", last(col("pv"), ignoreNulls = true).over(up))
+      .withColumn("prev_t", last(col("pt"), ignoreNulls = true).over(up))
+      .withColumn("next_v", first(col("pv"), ignoreNulls = true).over(down))
+      .withColumn("next_t", first(col("pt"), ignoreNulls = true).over(down))
+      .withColumn("interp",
+        when(col("prev_v").isNull || col("next_v").isNull,
+          coalesce(col("prev_v"), col("next_v"), lit(-1.0)))
+        .when(col("next_t") === col("prev_t"), col("prev_v"))
+        .otherwise(col("prev_v") + (col("next_v") - col("prev_v")) *
+          ((col("tus") - col("prev_t")).cast("double")
+            / (col("next_t") - col("prev_t")).cast("double"))))
+      .select("event_id", "user_id", "interp")
+      .orderBy("event_id")
+  }
+  private val w12Sql =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tns,
+      |  CASE WHEN event_type = 'purchase' THEN value END AS pv,
+      |  CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END AS pt
+      |  FROM events),
+      |f AS (SELECT event_id, user_id, tns,
+      |  LAST_VALUE(pv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tns, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS prev_v,
+      |  LAST_VALUE(pt IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tns, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS prev_t,
+      |  FIRST_VALUE(pv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tns, event_id
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+      |  FIRST_VALUE(pt IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tns, event_id
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+      |  FROM e)
+      |SELECT event_id, user_id,
+      |  CASE WHEN prev_v IS NULL OR next_v IS NULL THEN COALESCE(prev_v, next_v, -1.0)
+      |       WHEN next_t = prev_t THEN prev_v
+      |       ELSE prev_v + (next_v - prev_v) *
+      |         (CAST(tns - prev_t AS DOUBLE) / CAST(next_t - prev_t AS DOUBLE))
+      |  END AS interp
+      |FROM f ORDER BY event_id""".stripMargin
+
   // A2 scale path — approx_count_distinct (HLL++) next to the exact count.
   // The raw HLL estimate is engine-specific, so the oracled contract is
   // "exact count matches AND the estimate lands within the configured
@@ -819,6 +873,7 @@ object OperatorQueries {
     "w9_locf_fill" -> w9Locf,
     "w10_cumulative_distinct" -> w10CumDistinct,
     "w11_rank_pack" -> w11RankPack,
+    "w12_linear_interp" -> w12Interp,
     "a_approx_percentiles" -> aApproxPct,
     "u3_unpivot" -> u3Unpivot,
     "j9_range_band_join" -> j9RangeBand,
@@ -858,6 +913,7 @@ object OperatorQueries {
     "w9_locf_fill" -> w9Sql,
     "w10_cumulative_distinct" -> w10Sql,
     "w11_rank_pack" -> w11Sql,
+    "w12_linear_interp" -> w12Sql,
     "a_approx_percentiles" -> aApproxPctSql,
     "u3_unpivot" -> u3Sql,
     "j9_range_band_join" -> j9Sql,
