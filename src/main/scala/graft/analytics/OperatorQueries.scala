@@ -403,6 +403,53 @@ object OperatorQueries {
       |SELECT o_custkey, 'lapsed' AS cohort FROM (SELECT o_custkey FROM a2000 EXCEPT SELECT o_custkey FROM a2001) y
       |ORDER BY cohort, o_custkey""".stripMargin
 
+  // U4 — bag (multiset) set operations: INTERSECT ALL keeps one row per
+  // matched occurrence, EXCEPT ALL subtracts occurrence counts — the
+  // multiplicity-aware semantics a dedup/reconciliation pipeline needs
+  // (e.g. "how many order-priority slots does each status over-supply").
+  private val u4BagOps: QFn = (s, dir) => {
+    val f = t(s, dir, "orders").filter(col("o_totalprice") > 150000.0)
+      .select("o_orderpriority")
+    val g = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select("o_orderpriority")
+    f.intersectAll(g).groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      .unionByName(
+        f.exceptAll(g).groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all")))
+      .orderBy("op", "o_orderpriority")
+  }
+  private val u4Sql =
+    """WITH f AS (SELECT o_orderpriority FROM orders WHERE o_totalprice > 150000.0),
+      |g AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F')
+      |SELECT o_orderpriority, n, op FROM (
+      |  SELECT o_orderpriority, COUNT(*) AS n, 'intersect_all' AS op
+      |  FROM (SELECT * FROM f INTERSECT ALL SELECT * FROM g) x GROUP BY 1
+      |  UNION ALL
+      |  SELECT o_orderpriority, COUNT(*) AS n, 'except_all' AS op
+      |  FROM (SELECT * FROM f EXCEPT ALL SELECT * FROM g) y GROUP BY 1)
+      |ORDER BY op, o_orderpriority""".stripMargin
+
+  // F-regex — the regex scalar family (extract / match / count / split):
+  // group extraction from order priority codes, anchored matching, and
+  // token counting via regex split. Same regex dialect (RE2-ish basics)
+  // on both engines.
+  private val fRegexPack: QFn = (s, dir) =>
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        regexp_extract(col("o_orderpriority"), "^(\\d+)-(\\w+)$", 1).as("prio_num"),
+        regexp_extract(col("o_orderpriority"), "^(\\d+)-(\\w+)$", 2).as("prio_word"),
+        col("o_orderpriority").rlike("^[1-3]-").cast("int").as("is_urgent_band"),
+        size(split(col("o_orderpriority"), "-")).as("n_tokens"))
+      .orderBy("o_orderkey")
+  private val fRegexSql =
+    """SELECT o_orderkey,
+      |regexp_extract(o_orderpriority, '^(\d+)-(\w+)$', 1) AS prio_num,
+      |regexp_extract(o_orderpriority, '^(\d+)-(\w+)$', 2) AS prio_word,
+      |CAST(CASE WHEN regexp_matches(o_orderpriority, '^[1-3]-') THEN 1 ELSE 0 END AS INT) AS is_urgent_band,
+      |CAST(len(string_split_regex(o_orderpriority, '-')) AS INT) AS n_tokens
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   // ----------------------------------------------------------- aggregations
 
   // A5 — HAVING-style duplicate/threshold detection
@@ -876,6 +923,8 @@ object OperatorQueries {
     "w12_linear_interp" -> w12Interp,
     "a_approx_percentiles" -> aApproxPct,
     "u3_unpivot" -> u3Unpivot,
+    "u4_bag_set_ops" -> u4BagOps,
+    "f_regex_pack" -> fRegexPack,
     "j9_range_band_join" -> j9RangeBand,
     "a9_grouping_sets" -> a9GroupingSets,
     "a10_cube" -> a10Cube,
@@ -916,6 +965,8 @@ object OperatorQueries {
     "w12_linear_interp" -> w12Sql,
     "a_approx_percentiles" -> aApproxPctSql,
     "u3_unpivot" -> u3Sql,
+    "u4_bag_set_ops" -> u4Sql,
+    "f_regex_pack" -> fRegexSql,
     "j9_range_band_join" -> j9Sql,
     "a9_grouping_sets" -> a9SetsSelect,
     "a10_cube" -> a10CubeSelect,
