@@ -7,10 +7,11 @@ import graft.textops.{Dedup, Multimodal, Similarity, TextFunctions => TF}
 
 /** Training-data pipeline operators over `documents` / `embeddings`
   * (builder-prompt §"large-scale training-data pipeline"): dedup family,
-  * similarity search, text analysis, multimodal plumbing. DuckDB oracles
-  * where the sketch is SQL-expressible; sketch-based ops (minhash/simhash/
-  * LSH) get deterministic rows-only entries plus ScalaTest ground-truth
-  * checks (TextOpsSpec).
+  * similarity search, text analysis, multimodal plumbing. Every entry is
+  * DuckDB-oracled — including the sketches: minhash/jaccard oracle
+  * against the exact-Jaccard pipeline their banding provably recalls,
+  * simhash/LSH/IVF against a full SQL replay of the sketch itself —
+  * plus ScalaTest ground-truth checks (TextOpsSpec).
   */
 object TextQueries {
 
@@ -113,12 +114,43 @@ object TextQueries {
       .orderBy("id_a", "id_b")
   private val dMinhashSql = jaccardPairsSql(k = 3, threshold = 0.5, cap = None)
 
-  // d3 — simhash near-dup pairs (sketch — rows-only: the 64-bit xxhash64
-  // fingerprint isn't expressible in DuckDB; distance properties are
-  // asserted in TextOpsSpec instead)
+  // d3 — simhash near-dup pairs. The fingerprint hash is md5-derived
+  // (Dedup.md5Hash64), so the oracle rebuilds the ENTIRE sketch in SQL:
+  // shingle → two 32-bit hash halves → 64 bit-votes → majority
+  // fingerprint → exact Hamming ≤ 3 over all pairs. The Spark side's
+  // 4-chunk pigeonhole banding guarantees full recall at distance ≤ 3,
+  // so its bucketed output equals the oracle's all-pairs join.
   private val dSimhash: QFn = (s, dir) =>
     Dedup.simhashNearPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
       .orderBy("id_a", "id_b")
+  private val dSimhashSql: String = {
+    val k = 3
+    val norm = TF.normTextSql("text")
+    val sums = (0 until 64).map { i =>
+      if (i < 32) s"SUM((lo >> $i) & 1) AS b$i"
+      else s"SUM((hi >> ${i - 32}) & 1) AS b$i"
+    }.mkString(", ")
+    val loFp = (0 until 32).map(i =>
+      s"(CASE WHEN 2 * b$i > n THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    val hiFp = (32 until 64).map(i =>
+      s"(CASE WHEN 2 * b$i > n THEN ${1L << (i - 32)} ELSE 0 END)").mkString(" + ")
+    val ham = "bit_count(xor(x.lofp, y.lofp)) + bit_count(xor(x.hifp, y.hifp))"
+    s"""WITH w AS (SELECT doc_id, string_split($norm, ' ') AS ws FROM documents),
+       |sh0 AS (SELECT DISTINCT doc_id,
+       |  unnest(list_transform(range(1, greatest(len(ws) - ${k - 2}, 1)),
+       |    i -> array_to_string(ws[i:i+${k - 1}], ' '))) AS shingle
+       |  FROM w),
+       |h AS (SELECT doc_id,
+       |  CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) AS hi,
+       |  CAST(('0x' || substring(md5(shingle), 9, 8)) AS BIGINT) AS lo
+       |  FROM sh0),
+       |v AS (SELECT doc_id, COUNT(*) AS n, $sums FROM h GROUP BY doc_id),
+       |f AS (SELECT doc_id, $loFp AS lofp, $hiFp AS hifp FROM v)
+       |SELECT x.doc_id AS id_a, y.doc_id AS id_b, CAST($ham AS INT) AS hamming
+       |FROM f x JOIN f y ON x.doc_id < y.doc_id
+       |WHERE $ham <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   // d4 — exact n-gram Jaccard pairs (prefix-filtered AllPairs join). The
   // 3-shingle choice matters: the synthetic corpus has a tiny vocabulary,
@@ -495,6 +527,7 @@ object TextQueries {
     "d_exact_dedup" -> dExactSql,
     "d_dup_clusters" -> dClustersSql,
     "d_minhash_lsh" -> dMinhashSql,
+    "d_simhash_pairs" -> dSimhashSql,
     "d_ngram_jaccard" -> dJaccardSql,
     "d_embedding_dup" -> dEmbDupSql,
     "ann_brute_force_topk" -> aBruteSql,

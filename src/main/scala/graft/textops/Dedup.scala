@@ -22,8 +22,11 @@ import org.apache.spark.sql.types.LongType
   *  - [[embeddingDupPairs]] — cosine near-dup over embeddings through
   *    seeded random-hyperplane LSH buckets.
   *
-  * All sketches use built-in hash expressions (xxhash64 with literal
-  * salts) — deterministic across runs and cluster layouts, no UDFs.
+  * All sketches use built-in hash expressions — deterministic across
+  * runs and cluster layouts, no UDFs: minhash/jaccard hash with
+  * xxhash64 (fastest; they re-hash per seed), simhash with the
+  * md5-derived [[md5Hash64]] (its fingerprints persist and must be
+  * rebuildable outside Spark — including by the DuckDB oracle).
   * Shingles are hashed to 8-byte keys *before* the distinct shuffle
   * (collision odds ~n²/2⁶⁴ — immaterial next to sketch thresholds), so
   * every downstream exchange moves longs, not strings.
@@ -37,14 +40,29 @@ object Dedup {
     df.groupBy(fingerprint(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Portable 64-bit string hash: the first 16 hex chars of md5,
+    * reinterpreted as a signed long via two 32-bit halves (each half
+    * stays below 2³², so neither engine hits unsigned overflow;
+    * `shiftleft` wraps into the sign bit exactly like Java `<<`).
+    * DuckDB twin: `CAST('0x'||substring(md5(s),1,8) AS BIGINT)` etc. —
+    * which is what makes fingerprints built from it oracle-provable
+    * across engines. Costs one md5 per row vs xxhash64's sip-round;
+    * immaterial next to the shuffle the sketch feeds. */
+  private[graft] def md5Hash64(c: Column): Column = {
+    val m = md5(c)
+    val hi = conv(substring(m, 1, 8), 16, 10).cast(LongType)
+    val lo = conv(substring(m, 9, 8), 16, 10).cast(LongType)
+    shiftleft(hi, 32).bitwiseOR(lo)
+  }
+
   /** Distinct (doc_id, shingle-hash) pairs — the shared first stage of the
     * sketch family. posexplode over the word array + element_at lookups
     * stays fully codegen'd (a higher-order `transform`/`slice` lambda is
-    * ~9× slower per row), and the k words are hashed directly to one long
-    * (no intermediate concat string), so the distinct shuffle carries
-    * (long, long) rows. Docs shorter than k words yield no shingles. */
-  private[graft] def shingledHashed(df: DataFrame, idCol: String,
-                                      textCol: String, shingleK: Int): DataFrame = {
+    * ~9× slower per row); the k words are hashed to one long so the
+    * distinct shuffle carries (long, long) rows. Docs shorter than k
+    * words yield no shingles. */
+  private def shingled(df: DataFrame, idCol: String, textCol: String,
+                       shingleK: Int, hash: Seq[Column] => Column): DataFrame = {
     require(shingleK >= 2, s"shingleK must be >= 2, got $shingleK")
     val words = split(normText(col(textCol)), " ")
     df.select(col(idCol).cast(LongType).as("doc_id"), words.as("__w"))
@@ -52,10 +70,26 @@ object Dedup {
         posexplode(col("__w")).as(Seq("__p", "__x")))
       .filter(col("__p") <= size(col("__w")) - shingleK)
       .select(col("doc_id"),
-        xxhash64((col("__x") +: (2 to shingleK).map(j =>
-          element_at(col("__w"), col("__p") + j))): _*).as("sh"))
+        hash(col("__x") +: (2 to shingleK).map(j =>
+          element_at(col("__w"), col("__p") + j))).as("sh"))
       .distinct()
   }
+
+  /** xxhash64 shingle stage — fastest form (hashes the k word columns
+    * directly, no intermediate concat string); used by the minhash /
+    * jaccard family, which re-hashes the longs per seed downstream. */
+  private[graft] def shingledHashed(df: DataFrame, idCol: String,
+                                      textCol: String, shingleK: Int): DataFrame =
+    shingled(df, idCol, textCol, shingleK, ws => xxhash64(ws: _*))
+
+  /** md5-derived shingle stage — same schema, but fingerprint bits are
+    * reproducible in DuckDB ([[md5Hash64]]); the simhash family uses this
+    * so persisted sketches (and the driver oracle) can be rebuilt
+    * outside Spark bit-for-bit. */
+  private[graft] def shingledHashedPortable(df: DataFrame, idCol: String,
+                                              textCol: String, shingleK: Int): DataFrame =
+    shingled(df, idCol, textCol, shingleK,
+      ws => md5Hash64(concat_ws(" ", ws: _*)))
 
   /** MinHash signatures via explode → groupBy-min: one shuffle on doc_id,
     * each hash function a codegen'd `min(xxhash64(sh, seed))` over the
@@ -258,7 +292,7 @@ object Dedup {
     * sum of shingle-hash bits. Column-level convenience for tests; the
     * pipeline path is [[simhashSignatures]]. */
   def simhash64(shinglesCol: Column): Column = {
-    val hashes = transform(shinglesCol, s => xxhash64(s))
+    val hashes = transform(shinglesCol, s => md5Hash64(s))
     val bits = (0 until 64).map { i =>
       val vote = aggregate(hashes, lit(0L),
         (acc, h) => acc + (shiftright(h, i).bitwiseAND(1L) * 2L - 1L))
@@ -280,7 +314,7 @@ object Dedup {
     * chunk upstream. */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleK: Int): DataFrame = {
-    val sh = shingledHashed(df, idCol, textCol, shingleK)
+    val sh = shingledHashedPortable(df, idCol, textCol, shingleK)
     val packedSums = (0 until 16).map { k =>
       sum((0 until 4).map { j =>
         shiftleft(shiftrightunsigned(col("sh"), k + 16 * j).bitwiseAND(1L), 16 * j)
