@@ -865,15 +865,21 @@ object OperatorQueries {
   // at 100 TB the block key sizes the shuffle groups.
   private val j10Fuzzy: QFn = (s, dir) => {
     val p = t(s, dir, "part").select("p_partkey", "p_name", "p_brand")
-    // the dim fits one parquet split, so without an explicit spread the
-    // broadcast join (and every levenshtein eval behind it) would run on
-    // a single task; the explicit partition count matters — a bare keyed
-    // repartition gets AQE-coalesced back to one partition (tiny map
-    // output) before the multiplying join
+    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // shuffle join on the block key: both sides exchange on p_brand, so
+    // the build side never has to fit in one broadcast (at 100 TB the
+    // compare side is a fact, not a dim) and each block's quadratic
+    // levenshtein work lands on the task owning that key. The explicit
+    // partition count matters twice over: AQE would otherwise broadcast
+    // the (locally tiny) side — no longer the scale plan — or coalesce
+    // the small pre-join exchanges to one partition, serializing every
+    // levenshtein eval behind a single task; a user repartition with a
+    // fixed count is honored, and the co-partitioned join reuses it.
     val a = p.select(col("p_brand"), col("p_partkey").as("key_a"), col("p_name").as("name_a"))
-      .repartition(32, col("p_brand"), col("key_a"))
+      .repartition(n, col("p_brand"))
     val b = p.select(col("p_brand"), col("p_partkey").as("key_b"), col("p_name").as("name_b"))
-    a.join(broadcast(b), Seq("p_brand"))
+      .repartition(n, col("p_brand"))
+    a.hint("shuffle_hash").join(b, Seq("p_brand"))
       .filter(col("key_a") < col("key_b"))
       .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 2)
       .filter(levenshtein(col("name_a"), col("name_b")) <= 2)
