@@ -121,14 +121,16 @@ object CoreQueries {
        |GROUP BY p_type ORDER BY p_type""".stripMargin
 
   // q06 — ranking: top-5 parts by revenue, RANK() so ties are kept
-  // (ref: 06_ranking_analysis.sql; W3, O3 — tie semantics differ from LIMIT)
+  // (ref: 06_ranking_analysis.sql; W3, O3 — tie semantics differ from
+  // LIMIT). Two-phase TopK: the unpartitioned rank window only ever sees
+  // the per-partition survivors, never the full per-part aggregate —
+  // the 100×-cardinality-safe form of the same semantics.
   private val q06: QFn = (s, dir) => {
     val pr = t(s, dir, "lineitem")
       .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
       .groupBy("p_name")
       .agg(dsum(revenue).as("rev"))
-    pr.withColumn("rnk", rank().over(Window.orderBy(col("rev").desc)))
-      .filter(col("rnk") <= 5)
+    graft.operators.TopK.rankTopK(pr, 5, Seq(col("rev").desc))
       .select(col("p_name"), col("rev").cast("double").as("revenue"),
               col("rnk").cast("long").as("rnk"))
       .orderBy("rnk", "p_name")

@@ -85,4 +85,27 @@ class OperatorPropsSpec extends AnyFunSuite {
     }
     assert(splitOf(ids) === splitOf(ids.repartition(17).orderBy(rand(5))))
   }
+
+  // ---- two-phase TopK vs the naive global-rank window --------------
+
+  test("rankTopK equals the unpartitioned rank window, ties kept, any partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    // heavy tie pressure: values drawn from a tiny domain
+    val rows = samples(Gen.zip(Gen.choose(0L, 2000L), Gen.choose(0L, 9L)), 300)
+      .zipWithIndex.map { case ((id, v), i) => (id + i, v) }
+    val df = rows.toDF("id", "v")
+    val naive = df
+      .withColumn("rnk", rank().over(Window.orderBy(col("v").desc, col("id"))))
+      .filter(col("rnk") <= 7)
+      .select("id", "v", "rnk").as[(Long, Long, Int)].collect().toSet
+    for (parts <- Seq(1, 3, 32)) {
+      val got = TopK.rankTopK(df.repartition(parts), 7,
+          Seq(col("v").desc, col("id")))
+        .select("id", "v", "rnk").as[(Long, Long, Int)].collect().toSet
+      assert(got === naive, s"parts=$parts")
+    }
+    // pure-tie ordering (every row rank 1) must keep everything
+    val allTies = TopK.rankTopK(df.repartition(5), 1, Seq(lit(1)))
+    assert(allTies.count() === rows.length.toLong)
+  }
 }
