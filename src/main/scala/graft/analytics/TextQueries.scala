@@ -348,11 +348,27 @@ object TextQueries {
       |FROM documents ORDER BY media_id""".stripMargin
 
   // m2 — stubbed decode + feature extraction over partition batches
-  // (mapPartitions; deterministic fake decode — rows-only)
+  // (mapPartitions). The stub derives its fake dims/mean from byte
+  // aggregates, so the oracle recomputes them from hex(blob) in SQL and
+  // the whole batch pipeline — schema, partition iteration, decode call
+  // — is hash-verified; only the decode INTERNALS stay a stub.
   private val mFeatures: QFn = (s, dir) =>
     Multimodal.extractFeatures(
       Multimodal.asMediaTable(docs(s, dir), "doc_id", "text", "source"))
       .orderBy("media_id")
+  private val mFeaturesSql =
+    """WITH b AS (SELECT doc_id AS media_id, text, encode(text) AS blob FROM documents),
+      |h AS (SELECT media_id, text, octet_length(blob) AS n, hex(blob) AS hx FROM b),
+      |s AS (SELECT media_id, text, n,
+      |  COALESCE(CAST(list_sum(list_transform(range(1, n + 1),
+      |    i -> CAST(('0x' || substr(hx, 2*i-1, 2)) AS INT))) AS BIGINT), 0) AS bsum
+      |  FROM h)
+      |SELECT media_id, CAST(n AS BIGINT) AS n_bytes,
+      |CAST((bsum % 1920) + 1 AS INT) AS fake_width,
+      |CAST(((bsum // 1920) % 1080) + 1 AS INT) AS fake_height,
+      |CASE WHEN n = 0 THEN 0.0 ELSE CAST(bsum AS DOUBLE) / n END AS byte_mean,
+      |sha256(text) AS content_sha
+      |FROM s ORDER BY media_id""".stripMargin
 
   // m3 — frame sampling (1→N expansion per media blob): the frame
   // GEOMETRY (count, stride, sizes) is fully determined by byte length,
@@ -535,5 +551,6 @@ object TextQueries {
     "ann_lsh_topk" -> aLshSql,
     "ann_ivf_topk" -> aIvfSql,
     "mm_blob_stats" -> mBlobSql,
-    "mm_frame_sample" -> mFramesSql)
+    "mm_frame_sample" -> mFramesSql,
+    "mm_decode_features" -> mFeaturesSql)
 }

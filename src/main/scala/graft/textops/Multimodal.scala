@@ -47,13 +47,20 @@ object Multimodal {
 
   /** STUB decoder — deterministic fake in place of a real image/audio
     * decode (`???` boundary). A real implementation would parse the codec
-    * here; dimensions/statistics below are derived only from the raw
-    * bytes so tests are reproducible. */
+    * here; the fake dimensions/statistics are derived only from byte
+    * aggregates (length, unsigned byte sum) so they are reproducible
+    * AND re-computable outside the JVM — the DuckDB oracle rebuilds
+    * them from hex(blob), proving the mapPartitions plumbing end to
+    * end even though the decode itself is environment-blocked. */
   def decodeStub(bytes: Array[Byte]): (Int, Int, Double) = {
     val n = bytes.length
-    val mean = if (n == 0) 0.0 else bytes.map(b => (b & 0xFF).toDouble).sum / n
-    val h = java.util.Arrays.hashCode(bytes)
-    (math.abs(h % 1920) + 1, math.abs((h / 1920) % 1080) + 1, mean)
+    var s = 0L
+    var i = 0
+    while (i < n) { s += (bytes(i) & 0xFF); i += 1 }
+    // byte sums of integers stay exactly representable in a double, so
+    // mean is bit-identical to an integer-sum-then-divide in any engine
+    val mean = if (n == 0) 0.0 else s.toDouble / n
+    (((s % 1920) + 1).toInt, ((s / 1920) % 1080 + 1).toInt, mean)
   }
 
   /** Feature extraction over media batches: per-partition iteration (the
