@@ -620,6 +620,122 @@ object OperatorQueries {
       |max(o_orderdate) - INTERVAL 1 DAY AS new_watermark
       |FROM orders WHERE o_orderdate > TIMESTAMP '2000-06-01'""".stripMargin
 
+  // S5/I4 — SCD Type 1 MERGE as a driver-provable entry
+  // (proc_load_silver.sql:58-113): target = stale snapshot (keys < 20,
+  // names < 10 corrupted, keys 20+ missing), source = current nation.
+  // The merge must update exactly the corrupted rows, insert exactly the
+  // missing keys, and leave the rest untouched — the oracle states that
+  // outcome directly as CASE timestamps over the key ranges, so a
+  // misclassified row (hash compare wrong, join type wrong) hash-fails.
+  private val iScd1Merge: QFn = (s, dir) => {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ts1 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val nation = t(s, dir, "nation")
+    val tracked = Seq("n_name", "n_regionkey")
+    val source = graft.etl.Scd.withHash(nation, tracked)
+    val stale = nation.filter(col("n_nationkey") < 20)
+      .withColumn("n_name",
+        when(col("n_nationkey") < 10, concat(lit("OLD_"), col("n_name")))
+          .otherwise(col("n_name")))
+    val target = graft.etl.Scd.withHash(stale, tracked)
+      .withColumn("dwh_create_date", lit(ts0))
+      .withColumn("dwh_update_date", lit(ts0))
+    graft.etl.Scd.scd1Merge(target, source, Seq("n_nationkey"),
+        "dwh_hash_full", ts1)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+              col("dwh_create_date"), col("dwh_update_date"))
+      .orderBy("n_nationkey")
+  }
+  private val iScd1Sql =
+    """SELECT n_nationkey, n_name, n_regionkey,
+      |CASE WHEN n_nationkey < 20 THEN TIMESTAMP '2024-01-01 00:00:00'
+      |     ELSE TIMESTAMP '2024-02-01 00:00:00' END AS dwh_create_date,
+      |CASE WHEN n_nationkey >= 10 AND n_nationkey < 20
+      |     THEN TIMESTAMP '2024-01-01 00:00:00'
+      |     ELSE TIMESTAMP '2024-02-01 00:00:00' END AS dwh_update_date
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
+  // I6 — watermarked delta fact append, end to end through the real
+  // Warehouse + Watermark machinery (proc_load_silver.sql:217-252): two
+  // batch arrivals (history ≤ cut, then the full source), each run doing
+  // read-watermark → delta filter → idempotent anti-join append →
+  // advance(max − 1 day). The 1-day late-data buffer makes batch 2
+  // re-read batch 1's tail day, so the anti-join is load-bearing: the
+  // oracle's exact COUNT/SUM over distinct orders fails on any dup or
+  // dropped row, and the control-table watermark must equal max − 1d.
+  private val iDeltaAppend: QFn = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_delta").toString
+    val wh = graft.etl.Warehouse(tmp)
+    val wmCtl = graft.etl.Watermark(wh)
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+    def runLoad(src: DataFrame): Unit = {
+      val wm = wmCtl.read(s, "fact_orders")
+      val delta = wmCtl.deltaFilter(src, "o_orderdate", wm)
+      if (!wh.exists("silver", "fact_orders"))
+        wh.overwrite(delta, "silver", "fact_orders")
+      else {
+        val existing = wh.read(s, "silver", "fact_orders").select("o_orderkey")
+        wh.append(delta.join(existing, Seq("o_orderkey"), "left_anti"),
+          "silver", "fact_orders")
+      }
+      wmCtl.nextWatermark(delta, "o_orderdate")
+        .foreach(wmCtl.advance(s, "fact_orders", _))
+    }
+    runLoad(orders.filter(
+      col("o_orderdate") <= lit(java.sql.Timestamp.valueOf("1997-06-30 00:00:00"))))
+    runLoad(orders)
+    wh.read(s, "silver", "fact_orders")
+      .agg(count(lit(1)).as("n_rows"),
+           dsum(col("o_totalprice")).cast("double").as("total_value"))
+      .withColumn("final_watermark", lit(wmCtl.read(s, "fact_orders")))
+  }
+  private val iDeltaAppendSql =
+    s"""SELECT COUNT(*) AS n_rows,
+       |CAST(${dsumSql("o_totalprice")} AS DOUBLE) AS total_value,
+       |max(o_orderdate) - INTERVAL 1 DAY AS final_watermark
+       |FROM orders""".stripMargin
+
+  // I8 — audit logging (proc_load_bronze.sql:47-48,150-160): two timed
+  // loads plus one simulated failure into a temp warehouse; the log must
+  // carry exact row counts, Success/Failed statuses and the captured
+  // error message. Wall-clock columns are projected out (the only
+  // nondeterministic part); everything else is oracled as literals +
+  // table counts.
+  private val iAuditLog: QFn = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_audit").toString
+    val wh = graft.etl.Warehouse(tmp)
+    val audit = graft.etl.Audit(wh)
+    val batch = audit.nextBatchId(s)
+    audit.timed(s, batch, "bronze", "nation_raw") {
+      wh.overwrite(t(s, dir, "nation"), "bronze", "nation_raw")
+      wh.read(s, "bronze", "nation_raw").count()
+    }
+    audit.timed(s, batch, "bronze", "region_raw") {
+      wh.overwrite(t(s, dir, "region"), "bronze", "region_raw")
+      wh.read(s, "bronze", "region_raw").count()
+    }
+    try audit.timed(s, batch, "bronze", "broken_feed") {
+      throw new IllegalStateException("simulated source outage")
+    } catch { case _: IllegalStateException => () }
+    wh.read(s, "audit", "etl_log")
+      .select("batch_id", "layer", "table_name", "rows_loaded", "status",
+              "error_message")
+      .orderBy("table_name")
+  }
+  private val iAuditLogSql =
+    """SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS batch_id, 'bronze' AS layer,
+      |         'broken_feed' AS table_name, CAST(-1 AS BIGINT) AS rows_loaded,
+      |         'Failed' AS status, 'simulated source outage' AS error_message
+      |  UNION ALL
+      |  SELECT 1, 'bronze', 'nation_raw', (SELECT COUNT(*) FROM nation),
+      |         'Success', ''
+      |  UNION ALL
+      |  SELECT 1, 'bronze', 'region_raw', (SELECT COUNT(*) FROM region),
+      |         'Success', '')
+      |ORDER BY table_name""".stripMargin
+
   // I5 — SCD2 interval semantics derived from history: effective/expiry via
   // LEAD, exactly one current row per key (ref: proc_load_silver.sql:141-201).
   private val scd2Intervals: QFn = (s, dir) => {
@@ -955,6 +1071,9 @@ object OperatorQueries {
     "f_date_pack" -> fDatePack,
     "f_hash_sha2" -> fHashPack,
     "i_watermark_delta" -> iWatermark,
+    "i_scd1_merge" -> iScd1Merge,
+    "i_delta_append" -> iDeltaAppend,
+    "i_audit_log" -> iAuditLog,
     "i_scd2_intervals" -> scd2Intervals,
     "x1_row_level_security" -> x1Rls,
     "x2_column_masking" -> x2Masking,
@@ -999,6 +1118,9 @@ object OperatorQueries {
     "f_date_pack" -> fDateSql,
     "f_hash_sha2" -> fHashSql,
     "i_watermark_delta" -> iWatermarkSql,
+    "i_scd1_merge" -> iScd1Sql,
+    "i_delta_append" -> iDeltaAppendSql,
+    "i_audit_log" -> iAuditLogSql,
     "i_scd2_intervals" -> scd2Sql,
     "x1_row_level_security" -> x1Sql,
     "x2_column_masking" -> x2Sql,
