@@ -788,6 +788,43 @@ object OperatorQueries {
       |CASE WHEN TRUE THEN 0.0 ELSE o_totalprice END AS o_totalprice_masked
       |FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin
 
+  // X3/X4 — classification-driven masking resolved per role
+  // (ddl_security.sql:22-26,118-128): a dim_customers-shaped view where
+  // the metadata map (Secure.classification) decides per column what
+  // each role may see — PII strings get the sentinel, PII dates null
+  // out (type-preserving), Confidential stays. Both roles' resolved
+  // views are emitted side by side, so the oracle's CASE masks check
+  // the role→view resolution AND the label-driven projection at once.
+  private val x3Classified: QFn = (s, dir) => {
+    val dim = t(s, dir, "customer")
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("customer_key"),
+        col("c_name").as("first_name"),
+        col("c_mktsegment").as("last_name"),
+        date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+          (col("c_custkey") % 12000).cast("int")).as("birth_date"),
+        col("n_name").as("country"),
+        col("c_acctbal").as("acctbal"))
+    val perRole = Seq("analyst", "manager").map { role =>
+      graft.security.Secure.classifiedView(dim, "dim_customers", role)
+        .withColumn("role", lit(role))
+    }
+    perRole.reduce(_.unionByName(_)).orderBy("role", "customer_key")
+  }
+  private val x3Sql =
+    """WITH dim AS (SELECT c_custkey AS customer_key, c_name AS first_name,
+      |  c_mktsegment AS last_name,
+      |  DATE '1970-01-01' + CAST(c_custkey % 12000 AS INT) AS birth_date,
+      |  n_name AS country, c_acctbal AS acctbal
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+      |SELECT customer_key, '***MASKED***' AS first_name,
+      |  '***MASKED***' AS last_name, CAST(NULL AS DATE) AS birth_date,
+      |  country, acctbal, 'analyst' AS role FROM dim
+      |UNION ALL
+      |SELECT customer_key, first_name, last_name, birth_date,
+      |  country, acctbal, 'manager' FROM dim
+      |ORDER BY role, customer_key""".stripMargin
+
   // Semi-structured extraction: schema-declared from_json over the events
   // props column, aggregated per type. (Beyond the reference's surface —
   // no JSON appears there — but table stakes for an events warehouse.)
@@ -1077,6 +1114,7 @@ object OperatorQueries {
     "i_scd2_intervals" -> scd2Intervals,
     "x1_row_level_security" -> x1Rls,
     "x2_column_masking" -> x2Masking,
+    "x3_classified_masking" -> x3Classified,
     "ev_hourly_agg" -> evHourlyAgg,
     "ev_json_extract" -> evJsonExtract,
     "ev_sessionization" -> evSessionize)
@@ -1124,5 +1162,6 @@ object OperatorQueries {
     "i_scd2_intervals" -> scd2Sql,
     "x1_row_level_security" -> x1Sql,
     "x2_column_masking" -> x2Sql,
+    "x3_classified_masking" -> x3Sql,
     "ev_hourly_agg" -> evHourlySql)
 }
