@@ -572,6 +572,10 @@ object OperatorQueries {
         dayofmonth(col("o_orderdate")).as("d"),
         date_trunc("month", col("o_orderdate")).as("month_start"),
         date_format(col("o_orderdate"), "yyyy-MM").as("ym_label"),
+        // the reference's FORMAT(d,'yyyy-MMM') month label
+        // (07_change_over_time_analysis.sql:42-48); English month
+        // abbreviations on both engines (JVM root locale / DuckDB %b)
+        date_format(col("o_orderdate"), "yyyy-MMM").as("ymon_label"),
         datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since_epoch"),
         date_add(col("o_orderdate"), 30).as("due_date"),
         last_day(col("o_orderdate")).as("month_end"))
@@ -581,6 +585,7 @@ object OperatorQueries {
       |CAST(month(o_orderdate) AS INT) AS m, CAST(day(o_orderdate) AS INT) AS d,
       |date_trunc('month', o_orderdate) AS month_start,
       |strftime(o_orderdate, '%Y-%m') AS ym_label,
+      |strftime(o_orderdate, '%Y-%b') AS ymon_label,
       |CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch,
       |CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
       |last_day(CAST(o_orderdate AS DATE)) AS month_end
