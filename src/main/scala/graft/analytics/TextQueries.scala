@@ -173,6 +173,20 @@ object TextQueries {
       .select(col("id").as("doc_id"), col("comp").as("component"))
       .orderBy("doc_id")
   }
+  // d6b — the same duplicate-cluster contract through star contraction
+  // (large-star/small-star): O(log) rounds regardless of component
+  // diameter — the web-scale path when dup chains get long. Shares the
+  // transitive-closure oracle with d6, so the driver proves both
+  // algorithms produce identical clusters.
+  private val dClustersStar: QFn = (s, dir) => {
+    val pairs = Dedup.minhashLshVerified(docs(s, dir), "doc_id", "text",
+      shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5)
+    graft.operators.ConnectedComponents
+      .componentsStarContraction(pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+      .orderBy("doc_id")
+  }
+
   private val dClustersSql = {
     val pairs = jaccardPairsSql(k = 3, threshold = 0.5, cap = None)
       .replace("ORDER BY id_a, id_b", "")
@@ -519,6 +533,7 @@ object TextQueries {
     "t_fingerprint" -> tFingerprint,
     "d_exact_dedup" -> dExact,
     "d_dup_clusters" -> dClusters,
+    "d_dup_clusters_star" -> dClustersStar,
     "d_minhash_lsh" -> dMinhash,
     "d_simhash_pairs" -> dSimhash,
     "d_ngram_jaccard" -> dJaccard,
@@ -542,6 +557,7 @@ object TextQueries {
     "t_fingerprint" -> tFingerprintSql,
     "d_exact_dedup" -> dExactSql,
     "d_dup_clusters" -> dClustersSql,
+    "d_dup_clusters_star" -> dClustersSql,
     "d_minhash_lsh" -> dMinhashSql,
     "d_simhash_pairs" -> dSimhashSql,
     "d_ngram_jaccard" -> dJaccardSql,

@@ -65,7 +65,66 @@ object ConnectedComponents {
     }
     require(converged,
       s"connected components did not converge within $maxIterations rounds " +
-        "(component diameter too large — use a star-contraction variant)")
+        "(component diameter too large — use componentsStarContraction)")
     labels
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14) — the web-scale variant: converges in
+    * O(log²|V|) rounds regardless of component DIAMETER, where
+    * [[components]] needs a round per hop. Same contract and output.
+    *
+    * Each round: large-star points every node's larger neighbors at the
+    * minimum of its closed neighborhood, small-star then collapses the
+    * smaller neighbors the same way; both preserve connectivity, only
+    * ever re-point edges at smaller ids, and at the joint fixpoint the
+    * graph is a disjoint union of stars rooted at component minima —
+    * so the final labels are one min-aggregate over the star edges.
+    * Edges stay canonical (hi, lo) distinct pairs between rounds, so a
+    * round is groupBy-min + join shuffles over 8-byte pairs; the
+    * fixpoint test is an exact set compare (count + anti-difference),
+    * and every round localCheckpoints to cut iterative lineage. */
+  def componentsStarContraction(edges: DataFrame, aCol: String, bCol: String,
+                                maxIterations: Int = 25): DataFrame = {
+    // canonical undirected edge set: (u, v) with u > v, no self loops
+    def canon(df: DataFrame): DataFrame =
+      df.select(greatest(col("u"), col("v")).as("u"),
+                least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    def sym(df: DataFrame): DataFrame =
+      df.union(df.select(col("v").as("u"), col("u").as("v")))
+    // large-star(u): for m = min(Γ(u) ∪ {u}), emit (v, m) ∀ v ∈ Γ(u), v > u
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = sym(e)
+      val m = und.groupBy("u").agg(min("v").as("__mn"))
+        .select(col("u"), least(col("__mn"), col("u")).as("m"))
+      canon(und.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+    // small-star(u): over the smaller neighbors S = {v ∈ Γ(u) : v < u}
+    // (exactly the canonical edges grouped by u), for m = min(S) emit
+    // (v, m) ∀ v ∈ S plus the (u, m) link itself
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("u").agg(min("v").as("m"))
+      canon(e.join(m, "u").select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v"))))
+    }
+    var cur = canon(edges.select(col(aCol).cast("long").as("u"),
+        col(bCol).cast("long").as("v")))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      converged = next.count() == cur.count() && next.exceptAll(cur).isEmpty
+      cur = next
+      i += 1
+    }
+    require(converged,
+      s"star contraction did not converge within $maxIterations rounds")
+    sym(cur).groupBy(col("u").as("id"))
+      .agg(min("v").as("__mn"))
+      .select(col("id"), least(col("id"), col("__mn")).as("comp"))
   }
 }

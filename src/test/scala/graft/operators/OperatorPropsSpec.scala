@@ -73,6 +73,26 @@ class OperatorPropsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("star contraction equals a union-find reference on random graphs") {
+    val edges = samples(edgeGen, 80).distinct
+    val got = ConnectedComponents.componentsStarContraction(
+      edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(x: Long, y: Long): Unit = parent(find(x)) = find(y)
+    edges.foreach { case (a, b) => union(a, b) }
+    val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val expected = nodes
+      .groupBy(find)
+      .flatMap { case (_, members) => members.map(_ -> members.min) }
+    assert(got === expected)
+  }
+
   // ---- hash split: pure function of the key ------------------------
 
   test("hash-split assignment is independent of row order and partitioning") {
