@@ -3,33 +3,94 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.textops.Dedup
 
-/** Dev harness: stress dedup operators at ~10x sf0.1 (50k docs built by
-  * replicating the corpus with shifted ids — perf probe only, not a
-  * correctness input). */
+/** Dev harness: stress the heavy operator families at ~10x sf0.1, built
+  * by replicating the base tables with shifted ids — perf probe only,
+  * not a correctness input. `runMain graft.ScaleProbe [dedup,events]`
+  * picks families (default: both).
+  *
+  *  - dedup: 50k docs (worst case — every doc exactly replicated 10x);
+  *  - events: 1M events over 15k users (10x users, same per-user series
+  *    length — the realistic growth axis), driving the window/as-of
+  *    family: hourly agg, 30-min-gap sessionization, LOCF fill, as-of
+  *    join of clicks to their latest prior error.
+  */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
+    val families: Set[String] =
+      if (args.nonEmpty) args(0).split(",").toSet else Set("dedup", "events")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    val big = (0 until 10).map(i =>
-      base.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
-      .reduce(_ unionByName _)
-    val cached = big.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    println(s"docs: ${cached.count()}")
     def time(n: String)(b: => Long): Unit = {
       val t0 = System.nanoTime(); val r = b
       println(f"PROBE $n%-22s ${(System.nanoTime()-t0)/1e9}%8.2f s rows=$r")
     }
-    time("exact_dedup")(Dedup.exactDedup(cached, "doc_id", "text").count())
-    time("minhash_lsh")(Dedup.minhashLsh(cached, "doc_id", "text",
-      shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5).count())
-    time("minhash_verified")(Dedup.minhashLshVerified(cached, "doc_id", "text",
-      shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5).count())
-    time("simhash")(Dedup.simhashNearPairs(cached, "doc_id", "text").count())
-    time("ngram_jaccard")(Dedup.ngramJaccardPairs(cached, "doc_id", "text",
-      shingleK = 3, threshold = 0.5).count())
+
+    if (families("dedup")) {
+      val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val big = (0 until 10).map(i =>
+        base.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+        .reduce(_ unionByName _)
+      val cached = big.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"docs: ${cached.count()}")
+      time("exact_dedup")(Dedup.exactDedup(cached, "doc_id", "text").count())
+      time("minhash_lsh")(Dedup.minhashLsh(cached, "doc_id", "text",
+        shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5).count())
+      time("minhash_verified")(Dedup.minhashLshVerified(cached, "doc_id", "text",
+        shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5).count())
+      time("simhash")(Dedup.simhashNearPairs(cached, "doc_id", "text").count())
+      time("ngram_jaccard")(Dedup.ngramJaccardPairs(cached, "doc_id", "text",
+        shingleK = 3, threshold = 0.5).count())
+    }
+
+    if (families("events")) {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.load(spark, "/root/testdata/sf0.1", "events")
+      val big = (0 until 10).map(i =>
+        base.select((col("event_id") + lit(i * 10000000L)).as("event_id"),
+          (col("user_id") + lit(i * 100000L)).as("user_id"),
+          col("ts"), col("event_type"), col("value")))
+        .reduce(_ unionByName _)
+      val ev = big.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"events: ${ev.count()}")
+      time("hourly_agg") {
+        ev.select(Tables.eventTs("ts").as("t"), col("event_type"), col("value"))
+          .groupBy(date_trunc("hour", col("t")), col("event_type"))
+          .agg(count(lit(1)), sum(col("value"))).count()
+      }
+      time("sessionization") {
+        val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+        ev.select(col("user_id"), col("event_id"),
+            expr("ts div 1000000000").as("sec"))
+          .withColumn("new_session",
+            when(lag(col("sec"), 1).over(w).isNull ||
+                 col("sec") - lag(col("sec"), 1).over(w) > 1800, 1).otherwise(0))
+          .withColumn("session_id", sum(col("new_session")).over(w))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)), max(col("sec")) - min(col("sec"))).count()
+      }
+      time("locf_fill") {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // filter on the window output so column pruning can't drop it
+        ev.select(col("event_id"), col("user_id"), col("ts"),
+            when(col("event_type") === "purchase", col("value")).as("pv"))
+          .withColumn("last_pv",
+            coalesce(last(col("pv"), ignoreNulls = true).over(w), lit(-1.0)))
+          .filter(col("last_pv") > -2.0)
+          .count()
+      }
+      time("asof_join") {
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("error_id"), col("user_id"), col("ts"))
+        graft.operators.AsOfJoin.asOf(clicks, errors, key = "user_id", time = "ts")
+          .count()
+      }
+    }
     spark.stop()
   }
 }
