@@ -66,6 +66,126 @@ object TextQueries {
     s"""SELECT doc_id, ${TF.fingerprintSql("text")} AS doc_fp
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // t5 — PII detection + redaction, the scrub step before any corpus
+  // ships to training. The word-soup corpus carries no organic PII, so
+  // the entry PLANTS deterministic emails/phones/IPs/SSNs keyed off
+  // doc_id (both engines build the identical augmented text), then
+  // counts per kind through the cascade and fingerprints the redacted
+  // text — an md5 mismatch catches a single byte of missed or
+  // over-eager redaction.
+  private val tPiiRedact: QFn = (s, dir) => {
+    val planted = concat(col("text"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" call 555-123-4567 from 10.0."),
+          (col("doc_id") % 200).cast("string"), lit(".1"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, lit(" id 123-45-6789")).otherwise(lit("")))
+    val counts = TF.piiCounts(planted).map { case (k, c) => c.as(s"n_$k") }
+    docs(s, dir).select(
+        (col("doc_id") +: counts) :+
+          md5(TF.redactPii(planted)).as("redacted_fp"): _*)
+      .orderBy("doc_id")
+  }
+  private val tPiiRedactSql = {
+    val planted =
+      """concat(text,
+        |  CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END,
+        |  CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567 from 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.1' ELSE '' END,
+        |  CASE WHEN doc_id % 11 = 0 THEN ' id 123-45-6789' ELSE '' END)""".stripMargin
+    val counts = TF.piiCountsSql(planted)
+      .map { case (k, e) => s"$e AS n_$k" }.mkString(",\n")
+    s"""SELECT doc_id, $counts,
+       |md5(${TF.redactPiiSql(planted)}) AS redacted_fp
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // t6 — repetition-based quality signals (the Gopher-style rules that
+  // catch boilerplate and degenerate generations): distinct-word ratio,
+  // most-frequent-word share, duplicate 3-gram fraction. One explode +
+  // two groupBys per signal family; ratios divide exact counts so the
+  // doubles are bit-identical across engines.
+  private val tRepetition: QFn = (s, dir) => {
+    val words = docs(s, dir).select(col("doc_id"),
+        explode(split(TF.normText(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val wordStats = words.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).cast("long").as("n_words"),
+           count(lit(1)).cast("long").as("n_distinct"),
+           max(col("c")).cast("long").as("top_count"))
+    val d = docs(s, dir)
+      .select(col("doc_id"), split(TF.normText(col("text")), " ").as("__w"))
+      .select(col("doc_id"), col("__w"),
+        posexplode(col("__w")).as(Seq("__p", "__x")))
+      .filter(col("__p") <= size(col("__w")) - 3)
+      .select(col("doc_id"), concat_ws(" ", col("__x"),
+        element_at(col("__w"), col("__p") + 2),
+        element_at(col("__w"), col("__p") + 3)).as("g"))
+    val gramStats = d.groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+           countDistinct(col("g")).cast("long").as("n_distinct_grams"))
+    wordStats.join(gramStats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("n_distinct").cast("double") / col("n_words")).as("distinct_word_ratio"),
+        (col("top_count").cast("double") / col("n_words")).as("top_word_share"),
+        coalesce((col("n_grams") - col("n_distinct_grams")).cast("double")
+          / col("n_grams"), lit(0.0)).as("dup_3gram_frac"))
+      .orderBy("doc_id")
+  }
+  private val tRepetitionSql = {
+    val norm = TF.normTextSql("text")
+    s"""WITH w AS (SELECT doc_id, unnest(string_split($norm, ' ')) AS w
+       |  FROM documents),
+       |wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w WHERE length(w) > 0
+       |       GROUP BY 1, 2),
+       |ws AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+       |       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       |       CAST(MAX(c) AS BIGINT) AS top_count FROM wc GROUP BY 1),
+       |arr AS (SELECT doc_id, string_split($norm, ' ') AS ws FROM documents),
+       |g AS (SELECT doc_id,
+       |  unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+       |    i -> array_to_string(ws[i:i+2], ' '))) AS g FROM arr),
+       |gs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |       CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct_grams
+       |       FROM g GROUP BY 1)
+       |SELECT ws.doc_id,
+       |CAST(n_distinct AS DOUBLE) / n_words AS distinct_word_ratio,
+       |CAST(top_count AS DOUBLE) / n_words AS top_word_share,
+       |COALESCE(CAST(n_grams - n_distinct_grams AS DOUBLE) / n_grams, 0.0)
+       |  AS dup_3gram_frac
+       |FROM ws LEFT JOIN gs ON ws.doc_id = gs.doc_id
+       |ORDER BY ws.doc_id""".stripMargin
+  }
+
+  // t7 — benchmark decontamination: flag corpus docs sharing any 5-gram
+  // with the eval set (docs 0-19 stand in for a benchmark suite). The
+  // eval-side shingle set is benchmark-sized — tiny next to the corpus —
+  // so it broadcasts and the 100 TB scan never shuffles; shingles are
+  // the portable md5 hashes, which the oracle mirrors with raw shingle
+  // strings (identical up to 2^-64 collisions).
+  private val tDecontaminate: QFn = (s, dir) => {
+    val sh = Dedup.shingledHashedPortable(docs(s, dir), "doc_id", "text", 5)
+    val evalSet = sh.filter(col("doc_id") < 20).select("sh").distinct()
+    sh.filter(col("doc_id") >= 20)
+      .join(broadcast(evalSet), "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_5grams"))
+      .orderBy("doc_id")
+  }
+  private val tDecontaminateSql = {
+    val norm = TF.normTextSql("text")
+    s"""WITH w AS (SELECT doc_id, string_split($norm, ' ') AS ws FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |  unnest(list_transform(range(1, greatest(len(ws) - 3, 1)),
+       |    i -> array_to_string(ws[i:i+4], ' '))) AS shingle FROM w),
+       |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20)
+       |SELECT doc_id, COUNT(*) AS n_shared_5grams
+       |FROM sh JOIN ev USING (shingle)
+       |WHERE doc_id >= 20 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // d1 — exact dedup (hash-groupBy)
   private val dExact: QFn = (s, dir) =>
     Dedup.exactDedup(docs(s, dir), "doc_id", "text").orderBy("content_hash")
@@ -531,6 +651,9 @@ object TextQueries {
     "t_lang_id" -> tLangId,
     "t_quality_score" -> tQuality,
     "t_fingerprint" -> tFingerprint,
+    "t_pii_redaction" -> tPiiRedact,
+    "t_repetition_score" -> tRepetition,
+    "t_decontaminate" -> tDecontaminate,
     "d_exact_dedup" -> dExact,
     "d_dup_clusters" -> dClusters,
     "d_dup_clusters_star" -> dClustersStar,
@@ -555,6 +678,9 @@ object TextQueries {
     "t_lang_id" -> tLangIdSql,
     "t_quality_score" -> tQualitySql,
     "t_fingerprint" -> tFingerprintSql,
+    "t_pii_redaction" -> tPiiRedactSql,
+    "t_repetition_score" -> tRepetitionSql,
+    "t_decontaminate" -> tDecontaminateSql,
     "d_exact_dedup" -> dExactSql,
     "d_dup_clusters" -> dClustersSql,
     "d_dup_clusters_star" -> dClustersSql,

@@ -129,6 +129,50 @@ object TextFunctions {
   def fingerprint(c: Column): Column = md5(normText(c))
   val fingerprintSql: String => String = c => s"md5(${normTextSql(c)})"
 
+  // ------------------------------------------------------ PII scrubbing
+
+  /** PII patterns a corpus pipeline must find and scrub before training:
+    * pattern + replacement sentinel, applied in a fixed order (emails
+    * before phones so phone-like digit runs inside addresses are gone by
+    * the time the phone rule runs). Java and DuckDB regex dialects agree
+    * on this subset (character classes, bounded repetition, \b). */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "[SSN]"),
+    ("phone", "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b", "[PHONE]"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "[IP]"))
+
+  /** Redacted text: every PII pattern replaced by its sentinel. */
+  def redactPii(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (_, pat, repl)) =>
+      regexp_replace(acc, pat, repl)
+    }
+  def redactPiiSql(c: String): String =
+    // DuckDB string literals keep backslashes as-is, so the Java-side
+    // pattern text passes through unchanged
+    piiPatterns.foldLeft(c) { case (acc, (_, pat, repl)) =>
+      s"regexp_replace($acc, '$pat', '$repl', 'g')"
+    }
+
+  /** Per-kind PII hit counts (same cascade order as [[redactPii]], so a
+    * digit run consumed by an earlier rule is not double-counted). */
+  def piiCounts(c: Column): Seq[(String, Column)] = {
+    val staged = piiPatterns.scanLeft(c) { case (acc, (_, pat, repl)) =>
+      regexp_replace(acc, pat, repl)
+    }
+    piiPatterns.zip(staged).map { case ((kind, pat, _), input) =>
+      kind -> regexp_count(input, lit(pat)).cast("int")
+    }
+  }
+  def piiCountsSql(c: String): Seq[(String, String)] = {
+    val staged = piiPatterns.scanLeft(c) { case (acc, (_, pat, repl)) =>
+      s"regexp_replace($acc, '$pat', '$repl', 'g')"
+    }
+    piiPatterns.zip(staged).map { case ((kind, pat, _), input) =>
+      kind -> s"CAST(len(regexp_extract_all($input, '$pat')) AS INT)"
+    }
+  }
+
   /** Word k-shingles of the normalized text (distinct, full-k only), as an
     * array column. Column-level convenience for small inputs and property
     * tests; the dedup pipeline uses Dedup's relational posexplode stage,

@@ -223,4 +223,50 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(3L) === "es"); assert(got(4L) === "fr")
     assert(got(5L) === "und")
   }
+
+  test("PII redaction scrubs every planted kind and counts them once") {
+    val df = Seq(
+      (1L, "mail a.user+x@sub.example.org then call 555-123-4567 done"),
+      (2L, "server at 192.168.0.17 holds ssn 123-45-6789 twice 123-45-6789"),
+      (3L, "clean text with no identifiers at all")
+    ).toDF("doc_id", "text")
+    val red = df.select(col("doc_id"),
+        TextFunctions.redactPii(col("text")).as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(red(1L) === "mail [EMAIL] then call [PHONE] done")
+    assert(red(2L) === "server at [IP] holds ssn [SSN] twice [SSN]")
+    assert(red(3L) === "clean text with no identifiers at all")
+    val counts = df.select(col("doc_id") +:
+        TextFunctions.piiCounts(col("text")).map { case (k, c) => c.as(k) }: _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(counts(1L) === ((1, 0, 1, 0))) // email, ssn, phone, ipv4
+    assert(counts(2L) === ((0, 2, 0, 1)))
+    assert(counts(3L) === ((0, 0, 0, 0)))
+  }
+
+  test("PII cascade: digit runs inside an email are not re-counted as phone") {
+    val df = Seq((1L, "reach 555-123-4567@example.com please")).toDF("doc_id", "text")
+    val counts = df.select(
+        TextFunctions.piiCounts(col("text")).map { case (k, c) => c.as(k) }: _*)
+      .head()
+    assert(counts.getInt(0) === 1) // the whole thing is one email
+    assert(counts.getInt(2) === 0) // ...not also a phone number
+  }
+
+  test("repetition signals separate degenerate from varied text") {
+    val df = Seq(
+      (1L, Seq.fill(40)("spam").mkString(" ")),            // one word repeated
+      (2L, (1 to 40).map(i => s"w$i").mkString(" "))       // all distinct
+    ).toDF("doc_id", "text")
+    val words = df.select(col("doc_id"),
+        explode(split(TextFunctions.normText(col("text")), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        (countDistinct(col("w")).cast("double") / sum(col("c"))).as("dwr"),
+        (max(col("c")).cast("double") / sum(col("c"))).as("tws"))
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(words(1L)._1 < 0.05 && words(1L)._2 === 1.0)
+    assert(words(2L)._1 === 1.0 && words(2L)._2 < 0.05)
+  }
 }
