@@ -209,6 +209,104 @@ object OperatorQueries {
   // blend; edges fall back to the one known side. Time math runs on
   // µs-truncated longs: DuckDB reads the TIMESTAMP(NANOS) column at µs
   // precision, so the ns tail must not enter the blend ratio.
+  // W13 — time-based RANGE window frame: per-customer trailing-90-day
+  // spend at each order. A RANGE frame over epoch seconds (not ROWS —
+  // the frame is defined by time distance, so irregular order spacing
+  // and ties are handled correctly). Epoch-second longs keep the frame
+  // arithmetic identical across engines.
+  private val w13RangeFrame: QFn = (s, dir) => {
+    val w = Window.partitionBy("o_custkey").orderBy(col("es"))
+      .rangeBetween(-90L * 86400, 0)
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        unix_timestamp(col("o_orderdate")).as("es"))
+      .withColumn("trailing_90d_spend",
+        dsum(col("o_totalprice")).over(w).cast("double"))
+      .select("o_orderkey", "o_custkey", "trailing_90d_spend")
+      .orderBy("o_orderkey")
+  }
+  private val w13Sql =
+    s"""SELECT o_orderkey, o_custkey,
+       |CAST(${dsumSql("o_totalprice")} OVER (
+       |  PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+       |  RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |  AS trailing_90d_spend
+       |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // B1 — histogram binning via width_bucket: order totals into 10 equal
+  // bins over a literal [0, 500000) range plus the overflow bucket —
+  // the standard first step of any distribution profile at scale (one
+  // scan, one tiny groupBy; no sort, no per-row UDF).
+  // (the width_bucket contract is inlined as one explicit floor/CASE —
+  // DuckDB 1.0 lacks the builtin, and inlining makes the boundary
+  // arithmetic the same IEEE expression on both engines)
+  private val b1Histogram: QFn = (s, dir) =>
+    t(s, dir, "orders")
+      .select(when(col("o_totalprice") >= 500000.0, lit(11L))
+        .otherwise(floor(col("o_totalprice") / 50000.0).cast("long") + 1)
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_orders"))
+      .orderBy("bucket")
+  private val b1Sql =
+    """SELECT CASE WHEN o_totalprice >= 500000.0 THEN 11
+      |  ELSE CAST(floor(o_totalprice / 50000.0) AS BIGINT) + 1 END AS bucket,
+      |COUNT(*) AS n_orders
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // A11 — statistical aggregates with distributed determinism: stddev
+  // and correlation derived from decimal-routed raw moments (Σx, Σx²,
+  // Σxy are exact decimals, so the double arithmetic on top is one
+  // fixed expression tree — bit-identical at any partitioning, unlike
+  // the built-in streaming-moment implementations whose accumulation
+  // order varies run to run). Price vs quantity over lineitem.
+  private val a11Stats: QFn = (s, dir) => {
+    // (19,4) inputs: wide enough that BOTH engines route the per-row
+    // products through 128-bit decimals (DuckDB's 18-wide path overflows
+    // its int64 internals); the sums are exact, and everything above
+    // them is one fixed double expression tree over those exact scalars.
+    // (Oracle nuance: DuckDB's direct decimal→double cast scales the raw
+    // int128 by 10^-s — off by an ulp for wide values — so the oracle
+    // routes that cast through VARCHAR, which parses correctly rounded
+    // like Spark's BigDecimal.doubleValue.)
+    val x = col("l_extendedprice").cast(DecimalType(19, 4))
+    val y = col("l_quantity").cast(DecimalType(19, 4))
+    val moments = t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).cast("long").as("n"),
+           sum(x).as("sx"), sum(y).as("sy"),
+           sum(x * x).as("sxx"), sum(y * y).as("syy"),
+           sum(x * y).as("sxy"))
+    val n = col("n")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val sxx = col("sxx").cast("double"); val syy = col("syy").cast("double")
+    val sxy = col("sxy").cast("double")
+    moments.select(col("l_returnflag"), n,
+        ((sxx - sx * sx / n) / (n - 1)).as("var_price"),
+        ((sxy - sx * sy / n)
+          / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)))
+          .as("corr_price_qty"))
+      .orderBy("l_returnflag")
+  }
+  private val a11Sql =
+    """WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
+      |  SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS sx,
+      |  SUM(CAST(l_quantity AS DECIMAL(19,4))) AS sy,
+      |  SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS sxx,
+      |  SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS syy,
+      |  SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS sxy
+      |  FROM lineitem GROUP BY 1),
+      |d AS (SELECT l_returnflag, n,
+      |  CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx,
+      |  CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy,
+      |  CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxx,
+      |  CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syy,
+      |  CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxy FROM m)
+      |SELECT l_returnflag, n,
+      |(sxx - sx * sx / n) / (n - 1) AS var_price,
+      |(sxy - sx * sy / n)
+      |  / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_price_qty
+      |FROM d ORDER BY l_returnflag""".stripMargin
+
   private val w12Interp: QFn = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val up = Window.partitionBy("user_id").orderBy("tus", "event_id")
@@ -1085,6 +1183,9 @@ object OperatorQueries {
     "w10_cumulative_distinct" -> w10CumDistinct,
     "w11_rank_pack" -> w11RankPack,
     "w12_linear_interp" -> w12Interp,
+    "w13_range_frame" -> w13RangeFrame,
+    "b1_histogram" -> b1Histogram,
+    "a11_stats_pack" -> a11Stats,
     "a_approx_percentiles" -> aApproxPct,
     "u3_unpivot" -> u3Unpivot,
     "u4_bag_set_ops" -> u4BagOps,
@@ -1131,6 +1232,9 @@ object OperatorQueries {
     "w10_cumulative_distinct" -> w10Sql,
     "w11_rank_pack" -> w11Sql,
     "w12_linear_interp" -> w12Sql,
+    "w13_range_frame" -> w13Sql,
+    "b1_histogram" -> b1Sql,
+    "a11_stats_pack" -> a11Sql,
     "a_approx_percentiles" -> aApproxPctSql,
     "u3_unpivot" -> u3Sql,
     "u4_bag_set_ops" -> u4Sql,
