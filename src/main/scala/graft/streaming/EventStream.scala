@@ -11,6 +11,13 @@ final case class Event(event_id: Long, event_time: java.sql.Timestamp,
 final case class UserActivity(user_id: Long, n_events: Long,
                               total_value: Double, last_event: java.sql.Timestamp)
 
+/** Open-session state for [[EventStream.closedSessions]] (epoch ms). */
+final case class OpenSession(start_ms: Long, last_ms: Long, n: Long)
+
+/** A closed session emitted by [[EventStream.closedSessions]]. */
+final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                            n_events: Long, duration_s: Long)
+
 /** Structured Streaming over the `events` table (the reference has no true
   * streaming — its watermark framework is the batch analog, SURVEY.md
   * §2.9; this module is the engine's native streaming surface).
@@ -35,11 +42,12 @@ object EventStream {
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** File-based stream of the events directory with typed event time. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  def readEvents(spark: SparkSession, dir: String,
+                 maxFilesPerTrigger: Int = 4): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(rawSchema)
-      .option("maxFilesPerTrigger", "4")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(dir)
       .select(
         col("event_id"),
@@ -102,6 +110,75 @@ object EventStream {
         col("error_time") <= col("click_time") &&
         col("error_time") >= col("click_time") - expr("INTERVAL 1 HOUR"))
       .select(col("click_id"), col("user_id"), col("error_id"))
+  }
+
+  /** Gap sessionization with sessions emitted AS THEY CLOSE — the
+    * flatMapGroupsWithState form of the 30-min-gap batch sessionizer.
+    * Where [[sessionCounts]] lets `session_window` manage the merge,
+    * this is the custom-state shape for session logic the declarative
+    * window can't say (per-session payloads, mid-session triggers):
+    * per-user state holds the one open session; in-batch events fold
+    * into it, a gap breach closes and emits, and an EVENT-TIME TIMEOUT
+    * at `last + gap` closes idle sessions once the watermark passes —
+    * so state stays one row per active user on an unbounded stream,
+    * and emission needs no end-of-stream. */
+  def closedSessions(spark: SparkSession, events: DataFrame,
+                     gapMinutes: Int = 30,
+                     lateness: String = "10 minutes"): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    def close(userId: Long, s: OpenSession): SessionOut =
+      SessionOut(userId, new java.sql.Timestamp(s.start_ms), s.n,
+        (s.last_ms - s.start_ms) / 1000L)
+    events.as[Event]
+      .withWatermark("event_time", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(close(userId, s))
+          } else {
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            batch.map(_.event_time.getTime).toSeq.sorted.foreach { t =>
+              cur = cur match {
+                // |t − last| ≤ gap joins the session: the in-batch sort
+                // makes t ascending, but an event later than the open
+                // session's start yet within the lateness bound may
+                // still arrive from an earlier wall-clock batch — fold
+                // it via min/max instead of corrupting the interval
+                case Some(s) if math.abs(t - s.last_ms) <= gapMs =>
+                  Some(OpenSession(math.min(s.start_ms, t),
+                    math.max(s.last_ms, t), s.n + 1))
+                case Some(s) if t > s.last_ms =>
+                  closed ::= close(userId, s)
+                  Some(OpenSession(t, t, 1))
+                case Some(s) =>
+                  // severely late (beyond gap BEFORE the open session):
+                  // count it as its own already-closed singleton rather
+                  // than resetting newer state
+                  closed ::= SessionOut(userId, new java.sql.Timestamp(t), 1L, 0L)
+                  Some(s)
+                case None => Some(OpenSession(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              if (s.last_ms + gapMs <= state.getCurrentWatermarkMs()) {
+                // already idle past the gap at the current watermark —
+                // a timeout could never be set in the past, close now
+                closed ::= close(userId, s)
+                state.remove()
+              } else {
+                state.update(s)
+                state.setTimeoutTimestamp(s.last_ms + gapMs)
+              }
+            }
+            closed.reverseIterator
+          }
+      }
   }
 
   /** Running per-user activity via mapGroupsWithState — the custom-state

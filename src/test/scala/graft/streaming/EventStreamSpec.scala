@@ -136,6 +136,68 @@ class EventStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === batch.count() + 5)
   }
 
+  test("flatMapGroupsWithState emits exactly the batch's closed sessions") {
+    import org.apache.spark.sql.expressions.Window
+    // stage time-ordered thirds so maxFilesPerTrigger=1 yields three
+    // batches: sessions then close via BOTH paths (in-batch gap breach
+    // and event-time timeout as the watermark advances between batches)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val d3 = java.nio.file.Files.createTempDirectory("graft_events_parts").toString
+    val all = spark.read.parquet(dir).orderBy("ts")
+    val n = all.count()
+    val rows = all.collect()
+    rows.grouped((n / 3 + 1).toInt).zipWithIndex.foreach { case (part, i) =>
+      spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(part: _*)), all.schema)
+        .coalesce(1).write.parquet(s"$d3/part_$i")
+    }
+    val stagedDirs = new java.io.File(d3).listFiles().map(_.toString).sorted
+    val oneDir = java.nio.file.Files.createTempDirectory("graft_events_seq").toString
+    stagedDirs.zipWithIndex.foreach { case (pd, i) =>
+      val f = new java.io.File(pd).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(oneDir, f"events_$i%02d.parquet")
+      java.nio.file.Files.copy(f.toPath, dst)
+      // the file source batches by modification time: pin strictly
+      // ascending mtimes so the thirds stream in chronological order
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    EventStream.runToMemory(
+      EventStream.closedSessions(spark,
+        EventStream.readEvents(spark, oneDir, maxFilesPerTrigger = 1)).toDF(),
+      "fmg_out", OutputMode.Append())
+    val got = spark.table("fmg_out")
+    // batch reference: 30-min-gap sessionization over the same events
+    val w = Window.partitionBy("user_id").orderBy("ms")
+    val sess = spark.read.parquet(dir)
+      .select(col("user_id"),
+        unix_millis(timestamp_micros(expr("ts div 1000"))).as("ms"))
+      .withColumn("new_s", when(lag("ms", 1).over(w).isNull ||
+        col("ms") - lag("ms", 1).over(w) > 1800000L, 1).otherwise(0))
+      .withColumn("sid", sum("new_s").over(w))
+      .groupBy("user_id", "sid")
+      .agg(min("ms").as("start_ms"), max("ms").as("end_ms"),
+           count(lit(1)).as("n_events"))
+      .select(col("user_id"), timestamp_millis(col("start_ms")).as("session_start"),
+        col("n_events"), ((col("end_ms") - col("start_ms")) / 1000L)
+          .cast("long").as("duration_s"))
+    assert(got.count() > 0)
+    // every emitted session is exactly a batch session (all four cols),
+    // emitted at most once; open/held-back sessions are the only gap
+    assert(got.distinct().count() === got.count())
+    val bad = got.join(sess,
+      Seq("user_id", "session_start", "n_events", "duration_s"), "left_anti")
+    if (bad.count() > 0) {
+      println(s"DEBUG emitted=${got.count()} bad=${bad.count()}")
+      bad.orderBy("user_id", "session_start").show(10, false)
+      val u = bad.select("user_id").limit(2).collect().map(_.getLong(0))
+      sess.filter(col("user_id").isin(u: _*)).orderBy("session_start").show(20, false)
+      got.filter(col("user_id").isin(u: _*)).orderBy("session_start").show(20, false)
+    }
+    val matched = got.join(sess,
+      Seq("user_id", "session_start", "n_events", "duration_s"))
+    assert(matched.count() === got.count())
+  }
+
   test("stateful per-user activity accumulates across the stream") {
     val stream = EventStream.readEvents(spark, dir)
     EventStream.runToMemory(
