@@ -186,6 +186,103 @@ object TextQueries {
        |WHERE doc_id >= 20 GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // t8 — overlapping document chunking (RAG/context-window prep): fixed
+  // 100-word chunks every 80 words (20-word overlap), emitted as
+  // (doc_id, chunk_idx, n_words, md5) — the fingerprint pins the exact
+  // chunk text without shipping it. One posexplode over the start
+  // offsets; no UDFs, no driver loops.
+  private val tChunking: QFn = (s, dir) => {
+    val words = split(TF.normText(col("text")), " ")
+    docs(s, dir)
+      .select(col("doc_id"), words.as("__w"))
+      .select(col("doc_id"), col("__w"),
+        posexplode(sequence(lit(0), greatest(size(col("__w")) - 1, lit(0)),
+          lit(80))).as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("__w"), col("start") + 1, lit(100)).as("__c"))
+      .filter(size(col("__c")) > 0)
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("__c")).as("n_words"),
+        md5(concat_ws(" ", col("__c"))).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+  private val tChunkingSql = {
+    val norm = TF.normTextSql("text")
+    s"""WITH w AS (SELECT doc_id, string_split($norm, ' ') AS ws FROM documents),
+       |st AS (SELECT doc_id, ws,
+       |  unnest(range(0, CAST(greatest(len(ws) - 1, 0) AS BIGINT) + 1, 80)) AS start
+       |  FROM w),
+       |c AS (SELECT doc_id, CAST(start / 80 AS INT) AS chunk_idx,
+       |  ws[start + 1:start + 100] AS cw FROM st)
+       |SELECT doc_id, chunk_idx, CAST(len(cw) AS INT) AS n_words,
+       |md5(array_to_string(cw, ' ')) AS chunk_fp
+       |FROM c WHERE len(cw) > 0
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
+  // t9 — BM25 relevance search over the corpus (k1=1.2, b=0.75): the
+  // retrieval scorer a curation pipeline uses to mine topical subsets.
+  // tf/df/doclen are exact integers and avgdl an exact-ratio double, so
+  // each contrib is one fixed expression tree; the per-doc sum routes
+  // through an exact decimal (order-independent combine), and the final
+  // score is rounded to 6 decimals because the two engines' libm ln()
+  // legitimately differ by an ulp — the one non-rational step in the
+  // formula.
+  private val bm25Query = Seq("data", "query", "spark", "vector")
+  private val tBm25: QFn = (s, dir) => {
+    val d = docs(s, dir)
+    val words = d.select(col("doc_id"),
+        explode(split(TF.normText(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val totals = dl.agg(sum(col("dl")).as("total_words"),
+      count(lit(1)).as("n_docs"))
+    val tf = words.filter(col("w").isin(bm25Query: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "w").join(dl, "doc_id").crossJoin(totals)
+      .withColumn("avgdl",
+        col("total_words").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * 2.2)
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+    // the per-doc sum runs over up to |query| doubles whose partition
+    // order is not fixed — route it through an exact decimal so the
+    // combine is order-independent on both engines
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_terms_hit"),
+           round(sum(col("contrib").cast(org.apache.spark.sql.types.DecimalType(28, 18)))
+             .cast("double"), 6).as("score_r"))
+      .filter(col("n_terms_hit") >= 2)
+      .orderBy(col("doc_id"))
+  }
+  private val tBm25Sql = {
+    val norm = TF.normTextSql("text")
+    val terms = bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH w AS (SELECT doc_id, unnest(string_split($norm, ' ')) AS w
+       |  FROM documents),
+       |ww AS (SELECT doc_id, w FROM w WHERE length(w) > 0),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM ww GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS total_words,
+       |        COUNT(*) AS n_docs FROM dl),
+       |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM ww
+       |       WHERE w IN ($terms) GROUP BY 1, 2),
+       |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+       |scored AS (SELECT tf.doc_id,
+       |  ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+       |    * (tf * 2.2)
+       |    / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(total_words AS DOUBLE) / n_docs)))
+       |    AS contrib
+       |  FROM tf JOIN df USING (w) JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN tot)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+       |round(CAST(CAST(SUM(CAST(contrib AS DECIMAL(28,18))) AS VARCHAR) AS DOUBLE), 6) AS score_r
+       |FROM scored GROUP BY 1 HAVING COUNT(*) >= 2
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // d1 — exact dedup (hash-groupBy)
   private val dExact: QFn = (s, dir) =>
     Dedup.exactDedup(docs(s, dir), "doc_id", "text").orderBy("content_hash")
@@ -654,6 +751,8 @@ object TextQueries {
     "t_pii_redaction" -> tPiiRedact,
     "t_repetition_score" -> tRepetition,
     "t_decontaminate" -> tDecontaminate,
+    "t_chunking" -> tChunking,
+    "s_bm25_search" -> tBm25,
     "d_exact_dedup" -> dExact,
     "d_dup_clusters" -> dClusters,
     "d_dup_clusters_star" -> dClustersStar,
@@ -681,6 +780,8 @@ object TextQueries {
     "t_pii_redaction" -> tPiiRedactSql,
     "t_repetition_score" -> tRepetitionSql,
     "t_decontaminate" -> tDecontaminateSql,
+    "t_chunking" -> tChunkingSql,
+    "s_bm25_search" -> tBm25Sql,
     "d_exact_dedup" -> dExactSql,
     "d_dup_clusters" -> dClustersSql,
     "d_dup_clusters_star" -> dClustersSql,
