@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{FloatVecCosine, FloatVecL2}
+import graft.functions.{FloatVecCosine, FloatVecL2, Md5Long}
 
 /** Session extension registering the engine's native functions, so any
   * session — including spark-sql / JDBC entry points — gets them via
@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_l2"),
       new ExpressionInfo(classOf[FloatVecL2].getName, "vec_l2"),
       exprs => FloatVecL2(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("md5_long"),
+      new ExpressionInfo(classOf[Md5Long].getName, "md5_long"),
+      exprs => Md5Long(exprs(0))))
     // algebraic prefilter for fuzzy-match predicates; runs inside the
     // operator-optimization fixpoint so the injected guard participates
     // in normal predicate pushdown

@@ -48,7 +48,13 @@ object Dedup {
     * which is what makes fingerprints built from it oracle-provable
     * across engines. Costs one md5 per row vs xxhash64's sip-round;
     * immaterial next to the shuffle the sketch feeds. */
-  private[graft] def md5Hash64(c: Column): Column = {
+  private[graft] def md5Hash64(c: Column): Column =
+    graft.functions.HashExpressions.md5_long(c)
+
+  /** The built-ins-only twin of [[md5Hash64]] — same bits via md5-hex →
+    * base-16 parse (what the DuckDB oracle mirrors); kept as the
+    * reference implementation the native expression is tested against. */
+  private[graft] def md5Hash64Composable(c: Column): Column = {
     val m = md5(c)
     val hi = conv(substring(m, 1, 8), 16, 10).cast(LongType)
     val lo = conv(substring(m, 9, 8), 16, 10).cast(LongType)

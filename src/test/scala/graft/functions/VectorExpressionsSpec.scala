@@ -72,4 +72,21 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(scan.queryExecution.executedPlan.toString
       .matches("(?s).*\\*\\(\\d+\\) Project \\[floatveccosine.*"))
   }
+
+  test("md5_long equals the composable hex-parse form on arbitrary strings") {
+    val rnd = new scala.util.Random(17)
+    val strs = (0 until 300).map(i =>
+      (i.toLong, rnd.alphanumeric.take(rnd.nextInt(40)).mkString + s" $i"))
+    val df = strs.toDF("id", "s").repartition(5)
+    val both = df.select(col("id"),
+        graft.functions.HashExpressions.md5_long(col("s")).as("native"),
+        graft.textops.Dedup.md5Hash64Composable(col("s")).as("ref"))
+      .collect()
+    assert(both.length === 300)
+    both.foreach(r => assert(r.getLong(1) === r.getLong(2), r.getLong(0)))
+    // null in → null out
+    val n = Seq((1L, null: String)).toDF("id", "s")
+      .select(graft.functions.HashExpressions.md5_long(col("s"))).head()
+    assert(n.isNullAt(0))
+  }
 }
