@@ -21,6 +21,12 @@ object ExtCheck {
     assert(math.abs(cos - 1.0) < 1e-12, s"vec_cosine broken: $cos")
     println(s"EXTCHECK vec_cosine OK ($cos)")
 
+    val h = spark.sql("SELECT md5_long('hello world') AS h").head().getLong(0)
+    // first 16 hex of md5('hello world') = 5eb63bbbe01eeed0, signed
+    assert(h == java.lang.Long.parseUnsignedLong("5eb63bbbe01eeed0", 16),
+      s"md5_long broken: $h")
+    println(s"EXTCHECK md5_long OK ($h)")
+
     val dir = java.nio.file.Files.createTempDirectory("graft_ext").toString
     import spark.implicits._
     Seq(("ab", "abc"), ("kitten", "sitting")).toDF("a", "b")
