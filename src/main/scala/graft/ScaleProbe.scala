@@ -17,7 +17,8 @@ import graft.textops.Dedup
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val families: Set[String] =
-      if (args.nonEmpty) args(0).split(",").toSet else Set("dedup", "events")
+      if (args.nonEmpty) args(0).split(",").toSet
+      else Set("dedup", "events", "ann")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -89,6 +90,39 @@ object ScaleProbe {
           .select(col("event_id").as("error_id"), col("user_id"), col("ts"))
         graft.operators.AsOfJoin.asOf(clicks, errors, key = "user_id", time = "ts")
           .count()
+      }
+    }
+    if (families("ann")) {
+      import graft.textops.{Dedup, Similarity}
+      val base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      // 10x corpus: replicas keep their geometry (same vectors, shifted
+      // ids) — adversarial for LSH/IVF bucket balance, like real
+      // near-duplicate embedding mass
+      val big = (0 until 10).map(i =>
+        base.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+          col("embedding")))
+        .reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"vectors: ${big.count()}")
+      val q = base.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      time("ann_brute_force") {
+        Similarity.bruteForceTopK(big, "vec_id", "embedding", q, k = 10).count()
+      }
+      time("ann_lsh") {
+        Similarity.lshTopK(big, "vec_id", "embedding", q, k = 10, dim = 64,
+          bands = 6, planesPerBand = 4).count()
+      }
+      time("ann_ivf_train_probe") {
+        val cents = Similarity.ivfTrain(big, "vec_id", "embedding",
+          dim = 64, nlist = 16, iterations = 1)
+        Similarity.ivfTopK(big, "vec_id", "embedding", q, k = 10,
+          cents, nprobe = 4).count()
+      }
+      time("embedding_dup") {
+        Dedup.embeddingDupPairs(big, "vec_id", "embedding",
+          dim = 64, numPlanes = 14, threshold = 0.99).count()
       }
     }
     spark.stop()
