@@ -40,8 +40,11 @@ object ConnectedComponents {
     val und = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = und.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // seed with min(id, min neighbor): exactly the result of round one
+    // from identity labels, for the price of the node-list aggregate
+    // the init needed anyway — one fewer join round every call
+    var labels = und.groupBy("a").agg(min(col("b")).as("__mn"))
+      .select(col("a").as("id"), least(col("a"), col("__mn")).as("comp"))
       .localCheckpoint(true)
     // exact sum (no long overflow for any ids) — the monotone potential
     def labelSum(df: DataFrame): java.math.BigDecimal =
