@@ -839,6 +839,60 @@ object OperatorQueries {
       |         'Success', '')
       |ORDER BY table_name""".stripMargin
 
+  // J11 — salted skew join, driver-proven: lineitem keyed on
+  // l_returnflag is adversarially skewed (3 hot keys carry everything);
+  // the salted join replicates the tiny flag dim 8 ways and scatters
+  // probe rows by a deterministic hash of the line's unique key, so no
+  // reducer owns a whole hot key. The oracle is the PLAIN join — the
+  // salt must be invisible in the result.
+  private val j11SkewSalted: QFn = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      .withColumn("__rowkey",
+        concat_ws(":", col("l_orderkey"), col("l_linenumber")))
+    val flagDim = li.select(col("l_returnflag")).distinct()
+      .withColumn("flag_label", concat(lit("FLAG_"), col("l_returnflag")))
+    graft.operators.SkewJoin.saltedJoin(li, flagDim,
+        keys = Seq("l_returnflag"), saltCol = "__rowkey", saltFactor = 8)
+      .groupBy("flag_label")
+      .agg(count(lit(1)).as("n_lines"),
+           dsum(col("l_quantity")).cast("double").as("total_qty"))
+      .orderBy("flag_label")
+  }
+  private val j11Sql =
+    s"""WITH fd AS (SELECT DISTINCT l_returnflag,
+       |  'FLAG_' || l_returnflag AS flag_label FROM lineitem)
+       |SELECT flag_label, COUNT(*) AS n_lines,
+       |CAST(${dsumSql("l_quantity")} AS DOUBLE) AS total_qty
+       |FROM lineitem JOIN fd USING (l_returnflag)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // S9b — bucketed co-located join, driver-proven: both sides persist in
+  // the same bucket layout (the Parquet answer to the reference's
+  // join-key indexes), then join on the bucket key — BucketingSpec
+  // proves the plan has no Exchange; this entry proves the RESULT
+  // against the plain-join oracle.
+  private val s9BucketedJoin: QFn = (s, dir) => {
+    graft.operators.Bucketing.writeBucketed(
+      t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+      "graft_b_orders", "o_custkey", 8)
+    graft.operators.Bucketing.writeBucketed(
+      t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+        .withColumnRenamed("c_custkey", "o_custkey"),
+      "graft_b_customer", "o_custkey", 8)
+    graft.operators.Bucketing.bucketedJoin(s, "graft_b_orders",
+        "graft_b_customer", "o_custkey")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+           dsum(col("o_totalprice")).cast("double").as("segment_value"))
+      .orderBy("c_mktsegment")
+  }
+  private val s9Sql =
+    s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+       |CAST(${dsumSql("o_totalprice")} AS DOUBLE) AS segment_value
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // I5 — SCD2 interval semantics derived from history: effective/expiry via
   // LEAD, exactly one current row per key (ref: proc_load_silver.sql:141-201).
   private val scd2Intervals: QFn = (s, dir) => {
@@ -1215,6 +1269,8 @@ object OperatorQueries {
     "f_hash_sha2" -> fHashPack,
     "i_watermark_delta" -> iWatermark,
     "i_scd1_merge" -> iScd1Merge,
+    "j11_salted_skew_join" -> j11SkewSalted,
+    "s9_bucketed_join" -> s9BucketedJoin,
     "i_delta_append" -> iDeltaAppend,
     "i_audit_log" -> iAuditLog,
     "i_scd2_intervals" -> scd2Intervals,
@@ -1266,6 +1322,8 @@ object OperatorQueries {
     "f_hash_sha2" -> fHashSql,
     "i_watermark_delta" -> iWatermarkSql,
     "i_scd1_merge" -> iScd1Sql,
+    "j11_salted_skew_join" -> j11Sql,
+    "s9_bucketed_join" -> s9Sql,
     "i_delta_append" -> iDeltaAppendSql,
     "i_audit_log" -> iAuditLogSql,
     "i_scd2_intervals" -> scd2Sql,
