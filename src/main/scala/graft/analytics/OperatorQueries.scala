@@ -202,6 +202,64 @@ object OperatorQueries {
       |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
       |ORDER BY c_nationkey, c_custkey""".stripMargin
 
+  // W14 — value-window pack: FIRST_VALUE / LAST_VALUE / NTH_VALUE over
+  // per-nation balance windows. LAST_VALUE is frame-sensitive — the
+  // default frame ends at CURRENT ROW, so the entry pins the full
+  // partition frame explicitly (the classic portability trap both
+  // engines share); unique tiebreaker keeps every value deterministic.
+  private val w14ValuePack: QFn = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "customer")
+      .filter(col("c_acctbal") > 9000.0)
+      .select(col("c_nationkey"), col("c_custkey"),
+        first(col("c_custkey")).over(ord).as("richest_key"),
+        last(col("c_custkey")).over(full).as("poorest_key"),
+        nth_value(col("c_custkey"), 3).over(full).as("third_key"))
+      .orderBy("c_nationkey", "c_custkey")
+  }
+  private val w14Sql =
+    """SELECT c_nationkey, c_custkey,
+      |first_value(c_custkey) OVER w AS richest_key,
+      |last_value(c_custkey) OVER (PARTITION BY c_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS poorest_key,
+      |nth_value(c_custkey, 3) OVER (PARTITION BY c_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_key
+      |FROM customer WHERE c_acctbal > 9000.0
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+      |ORDER BY c_nationkey, c_custkey""".stripMargin
+
+  // O4 — explicit null ordering: a derived nullable measure sorted with
+  // NULLS FIRST and NULLS LAST (engines default differently — ASC is
+  // nulls-first in Spark, nulls-last in DuckDB — so spelling it out is
+  // the only portable form). Output pins both orders via rank columns.
+  private val o4NullOrdering: QFn = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val v = when(col("o_orderkey") % 7 =!= 0, col("o_totalprice"))
+    val wFirst = Window.orderBy(v.asc_nulls_first, col("o_orderkey"))
+    val wLast = Window.orderBy(v.asc_nulls_last, col("o_orderkey"))
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 500)
+      .select(col("o_orderkey"), v.as("maybe_price"),
+        row_number().over(wFirst).as("rn_nulls_first"),
+        row_number().over(wLast).as("rn_nulls_last"))
+      .orderBy("o_orderkey")
+  }
+  private val o4Sql =
+    """WITH o AS (SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 7 <> 0 THEN o_totalprice END AS maybe_price
+      |  FROM orders WHERE o_orderkey <= 500)
+      |SELECT o_orderkey, maybe_price,
+      |CAST(row_number() OVER (ORDER BY maybe_price ASC NULLS FIRST, o_orderkey) AS INT)
+      |  AS rn_nulls_first,
+      |CAST(row_number() OVER (ORDER BY maybe_price ASC NULLS LAST, o_orderkey) AS INT)
+      |  AS rn_nulls_last
+      |FROM o ORDER BY o_orderkey""".stripMargin
+
   // W12 — linear interpolation between surrounding known points: every
   // event gets the time-weighted blend of the user's neighboring
   // purchase values (LOCF's two-sided sibling). Two mirrored
@@ -1236,6 +1294,8 @@ object OperatorQueries {
     "w9_locf_fill" -> w9Locf,
     "w10_cumulative_distinct" -> w10CumDistinct,
     "w11_rank_pack" -> w11RankPack,
+    "w14_value_pack" -> w14ValuePack,
+    "o4_null_ordering" -> o4NullOrdering,
     "w12_linear_interp" -> w12Interp,
     "w13_range_frame" -> w13RangeFrame,
     "b1_histogram" -> b1Histogram,
@@ -1287,6 +1347,8 @@ object OperatorQueries {
     "w9_locf_fill" -> w9Sql,
     "w10_cumulative_distinct" -> w10Sql,
     "w11_rank_pack" -> w11Sql,
+    "w14_value_pack" -> w14Sql,
+    "o4_null_ordering" -> o4Sql,
     "w12_linear_interp" -> w12Sql,
     "w13_range_frame" -> w13Sql,
     "b1_histogram" -> b1Sql,
