@@ -17,14 +17,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bucketing {
 
   /** Persist `df` as a bucketed catalog table (sorted within buckets so
-    * merge-join needs no sort either). Overwrites any existing table. */
+    * merge-join needs no sort either). Overwrites any existing table —
+    * including a previous JVM's orphaned managed-table DIRECTORY: with
+    * an in-memory catalog the metastore forgets the table across
+    * sessions while its location survives, and saveAsTable refuses to
+    * reuse an existing location, so the stale directory is cleared
+    * first (DROP TABLE alone cannot see it). */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    numBuckets: Int): Unit =
+                    numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir"))
+    val loc = new java.io.File(
+      if (wh.getScheme == null) new java.io.File(wh.toString)
+      else new java.io.File(wh),
+      table.toLowerCase)
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
+      f.delete()
+    }
+    if (loc.exists()) del(loc)
     df.write.mode("overwrite")
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two same-bucketed tables on the bucket key. With matching
     * bucket specs Catalyst plans a SortMergeJoin with NO Exchange on
