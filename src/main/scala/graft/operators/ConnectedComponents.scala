@@ -48,8 +48,10 @@ object ConnectedComponents {
       .localCheckpoint(true)
     // exact sum (no long overflow for any ids) — the monotone potential
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-        .head().getDecimal(0)
+      // sum over zero rows is null — an empty graph must converge on
+      // round one (0 == 0), not NPE in the compare
+      Option(df.agg(sum(col("comp").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head().getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var converged = false
     var i = 0
