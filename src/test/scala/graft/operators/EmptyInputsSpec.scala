@@ -22,6 +22,16 @@ class EmptyInputsSpec extends AnyFunSuite {
     assert(Dedup.ngramJaccardPairs(noDocs, "doc_id", "text").count() === 0)
   }
 
+  test("null and empty text rows flow through the dedup family") {
+    val docs = Seq((1L, null: String), (2L, ""), (3L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    // null/empty texts shingle to nothing → no pairs, no crash
+    assert(Dedup.minhashLshVerified(docs, "doc_id", "text").count() === 0)
+    assert(Dedup.simhashNearPairs(docs, "doc_id", "text").count() === 0)
+    // exact dedup groups them (null hash and empty-string hash differ)
+    assert(Dedup.exactDedup(docs, "doc_id", "text").count() === 3)
+  }
+
   test("connected components on an empty edge set") {
     assert(ConnectedComponents.components(noEdges, "a", "b").count() === 0)
     assert(ConnectedComponents.componentsStarContraction(noEdges, "a", "b")
