@@ -897,6 +897,38 @@ object OperatorQueries {
       |         'Success', '')
       |ORDER BY table_name""".stripMargin
 
+  // I10 — incremental aggregate maintenance: the monthly gold rollup is
+  // maintained by merging the delta's PARTIAL aggregate into the base
+  // aggregate (counts/decimal sums are associative), and the derived
+  // average is recomputed from merged primitives. The oracle is the
+  // from-scratch aggregate over ALL orders — any non-associative merge
+  // or stale derived measure hash-fails.
+  private val i10IncrementalAgg: QFn = (s, dir) => {
+    val cut = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
+    def monthly(df: DataFrame): DataFrame = df
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+           dsum(col("o_totalprice")).as("month_value"))
+    val orders = t(s, dir, "orders")
+    val base = monthly(orders.filter(col("o_orderdate") < lit(cut)))
+    val delta = monthly(orders.filter(col("o_orderdate") >= lit(cut)))
+    graft.etl.IncrementalAgg.withDerived(
+        graft.etl.IncrementalAgg.merge(Seq(base, delta), keys = Seq("month"),
+          counts = Seq("n_orders"), sums = Seq("month_value")),
+        Seq("avg_order_value" ->
+          (col("month_value").cast("double") / col("n_orders"))))
+      .select(col("month"), col("n_orders"),
+        col("month_value").cast("double").as("month_value"),
+        col("avg_order_value"))
+      .orderBy("month")
+  }
+  private val i10Sql =
+    s"""SELECT date_trunc('month', o_orderdate) AS month,
+       |COUNT(*) AS n_orders,
+       |CAST(${dsumSql("o_totalprice")} AS DOUBLE) AS month_value,
+       |CAST(${dsumSql("o_totalprice")} AS DOUBLE) / COUNT(*) AS avg_order_value
+       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   // J11 — salted skew join, driver-proven: lineitem keyed on
   // l_returnflag is adversarially skewed (3 hot keys carry everything);
   // the salted join replicates the tiny flag dim 8 ways and scatters
@@ -1329,6 +1361,7 @@ object OperatorQueries {
     "f_hash_sha2" -> fHashPack,
     "i_watermark_delta" -> iWatermark,
     "i_scd1_merge" -> iScd1Merge,
+    "i10_incremental_agg" -> i10IncrementalAgg,
     "j11_salted_skew_join" -> j11SkewSalted,
     "s9_bucketed_join" -> s9BucketedJoin,
     "i_delta_append" -> iDeltaAppend,
@@ -1384,6 +1417,7 @@ object OperatorQueries {
     "f_hash_sha2" -> fHashSql,
     "i_watermark_delta" -> iWatermarkSql,
     "i_scd1_merge" -> iScd1Sql,
+    "i10_incremental_agg" -> i10Sql,
     "j11_salted_skew_join" -> j11Sql,
     "s9_bucketed_join" -> s9Sql,
     "i_delta_append" -> iDeltaAppendSql,
