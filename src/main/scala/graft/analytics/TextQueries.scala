@@ -283,6 +283,44 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // d7 — chunk-level boilerplate dedup: exact dedup at CHUNK granularity
+  // across documents. Doc-level dedup misses repeated passages inside
+  // otherwise-distinct documents (headers, footers, license blocks —
+  // classic training-data boilerplate); chunking first, then one
+  // hash-groupBy over chunk fingerprints, surfaces every passage that
+  // appears in more than one document. Same two-shuffle shape at 100 TB:
+  // the chunk stream never materializes chunk text, only md5 keys.
+  private val dChunkDedup: QFn = (s, dir) => {
+    val words = split(TF.normText(col("text")), " ")
+    val chunks = docs(s, dir)
+      .select(col("doc_id"), words.as("__w"))
+      .select(col("doc_id"), col("__w"),
+        posexplode(sequence(lit(0), greatest(size(col("__w")) - 1, lit(0)),
+          lit(80))).as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("__w"), col("start") + 1, lit(100))))
+          .as("chunk_fp"))
+    chunks.groupBy("chunk_fp")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+           count(lit(1)).as("n_occurrences"),
+           min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("chunk_fp")
+  }
+  private val dChunkDedupSql = {
+    val norm = TF.normTextSql("text")
+    s"""WITH w AS (SELECT doc_id, string_split($norm, ' ') AS ws FROM documents),
+       |st AS (SELECT doc_id, ws,
+       |  unnest(range(0, CAST(greatest(len(ws) - 1, 0) AS BIGINT) + 1, 80)) AS start
+       |  FROM w),
+       |c AS (SELECT doc_id, md5(array_to_string(ws[start + 1:start + 100], ' '))
+       |  AS chunk_fp FROM st)
+       |SELECT chunk_fp, COUNT(DISTINCT doc_id) AS n_docs,
+       |COUNT(*) AS n_occurrences, MIN(doc_id) AS first_doc
+       |FROM c GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+       |ORDER BY chunk_fp""".stripMargin
+  }
+
   // d1 — exact dedup (hash-groupBy)
   private val dExact: QFn = (s, dir) =>
     Dedup.exactDedup(docs(s, dir), "doc_id", "text").orderBy("content_hash")
@@ -754,6 +792,7 @@ object TextQueries {
     "t_chunking" -> tChunking,
     "s_bm25_search" -> tBm25,
     "d_exact_dedup" -> dExact,
+    "d_chunk_dedup" -> dChunkDedup,
     "d_dup_clusters" -> dClusters,
     "d_dup_clusters_star" -> dClustersStar,
     "d_minhash_lsh" -> dMinhash,
@@ -783,6 +822,7 @@ object TextQueries {
     "t_chunking" -> tChunkingSql,
     "s_bm25_search" -> tBm25Sql,
     "d_exact_dedup" -> dExactSql,
+    "d_chunk_dedup" -> dChunkDedupSql,
     "d_dup_clusters" -> dClustersSql,
     "d_dup_clusters_star" -> dClustersSql,
     "d_minhash_lsh" -> dMinhashSql,
