@@ -53,13 +53,18 @@ object Bench {
     val pass1 = timedPass().toMap
     val pass2 = timedPass().toMap
     val results = names.map { case (n, _) => n -> math.min(pass1(n), pass2(n)) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"agg":"min"}"""
-    println(json)
-    try Files.writeString(Paths.get(outPath), json + "\n")
+    // The driver keeps only a bounded tail of stdout: r2 and r3 both lost
+    // the head of this line (parsed:null). Print per-query secs at 3
+    // decimals (1 ms — well under run-to-run noise) so the whole line fits
+    // the capture window; the file keeps full precision.
+    def line(fmt: Double => String): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"agg":"min"}"""
+    }
+    println(line(v => f"$v%.3f"))
+    try Files.writeString(Paths.get(outPath), line(_.toString) + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
