@@ -36,7 +36,13 @@ object ConnectedComponents {
     * `component` is the minimum node id reachable from `id`. */
   def components(edges: DataFrame, aCol: String, bCol: String,
                  maxIterations: Int = 20): DataFrame = {
+    // materialize the edge projection BEFORE symmetrizing: both union
+    // branches reference it, and a lazy plan there is evaluated twice —
+    // for pair streams from a dedup pipeline that re-runs the whole
+    // sketch+verify cascade a second time (measured 2× the pipeline
+    // cost at sf0.1 before this cut lineage)
     val fwd = edges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .localCheckpoint(true)
     val und = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
