@@ -1,0 +1,256 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Behavioral / affinity analytics over the event stream and the order
+  * baskets, plus the z-order layout operator — the round-5 widening of
+  * the warehouse surface (funnel conversion, cohort retention, market-
+  * basket lift, co-purchase graph triangles, multi-dimensional
+  * clustering). Every entry follows the determinism rules (integer or
+  * rational arithmetic only — counts, integer lags, single final
+  * divisions — so doubles are bit-identical across engines) and ends in
+  * a total ORDER BY.
+  */
+object BehaviorQueries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Event epoch-seconds: ns-long `ts` floored to seconds — the same
+    * second-granularity both engines agree on (see ev_sessionization). */
+  private val sec = expr("ts div 1000000000")
+
+  // ev_funnel — ordered-stage funnel: first signup → first click within
+  // 7 days of it → first purchase within 7 days of that click. Each
+  // stage is one aggregate + one join hash-partitioned on user_id (Spark
+  // reuses the partitioning across stages; no extra shuffle), the shape
+  // that holds at any user cardinality. Latency totals are exact integer
+  // sums of second lags.
+  private val horizonS = 604800L // 7 days
+
+  /** Ordered-stage funnel over (user_id, event_type, sec) rows: first
+    * `stages.head`, then the first of each later stage within `horizonS`
+    * seconds of reaching the previous one. One row per stage with the
+    * surviving-user count and the exact integer sum of stage lags. */
+  def funnelStages(e: DataFrame, stages: Seq[String], horizonS: Long): DataFrame = {
+    require(stages.nonEmpty, "funnelStages needs at least one stage")
+    val first = e.filter(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min(col("sec")).as("prev"))
+    def stageRow(df: DataFrame, n: Int, name: String, lag: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_users"),
+             coalesce(sum(lag), lit(0L)).cast("long").as("total_lag_s"))
+        .select(lit(n).as("stage"), lit(name).as("stage_name"),
+                col("n_users"), col("total_lag_s"))
+    val (rows, _) = stages.tail.zipWithIndex.foldLeft(
+        (Seq(stageRow(first, 1, stages.head, lit(0L))), first)) {
+      case ((acc, prev), (name, i)) =>
+        val cur = e.filter(col("event_type") === name).join(prev, "user_id")
+          .filter(col("sec") >= col("prev") && col("sec") < col("prev") + horizonS)
+          .groupBy("user_id").agg(min(col("sec")).as("cur"), max(col("prev")).as("prev"))
+        val row = stageRow(cur, i + 2, name, col("cur") - col("prev"))
+        (acc :+ row, cur.select(col("user_id"), col("cur").as("prev")))
+    }
+    rows.reduce(_.unionByName(_)).orderBy("stage")
+  }
+
+  private val evFunnel: QFn = (s, dir) =>
+    funnelStages(
+      t(s, dir, "events").select(col("user_id"), col("event_type"), sec.as("sec")),
+      Seq("signup", "click", "purchase"), horizonS)
+  private val evFunnelSql =
+    s"""WITH e AS (SELECT user_id, event_type,
+       |  CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+       |s1 AS (SELECT user_id, min(sec) AS ss FROM e
+       |       WHERE event_type = 'signup' GROUP BY 1),
+       |s2 AS (SELECT e.user_id, min(sec) AS cs, max(ss) AS ss
+       |       FROM e JOIN s1 USING (user_id)
+       |       WHERE event_type = 'click' AND sec >= ss AND sec < ss + $horizonS
+       |       GROUP BY 1),
+       |s3 AS (SELECT e.user_id, min(sec) AS ps, max(cs) AS cs
+       |       FROM e JOIN s2 USING (user_id)
+       |       WHERE event_type = 'purchase' AND sec >= cs AND sec < cs + $horizonS
+       |       GROUP BY 1)
+       |SELECT stage, stage_name, n_users, total_lag_s FROM (
+       |  SELECT 1 AS stage, 'signup' AS stage_name, COUNT(*) AS n_users,
+       |         CAST(0 AS BIGINT) AS total_lag_s FROM s1
+       |  UNION ALL
+       |  SELECT 2, 'click', COUNT(*), CAST(COALESCE(SUM(cs - ss), 0) AS BIGINT) FROM s2
+       |  UNION ALL
+       |  SELECT 3, 'purchase', COUNT(*), CAST(COALESCE(SUM(ps - cs), 0) AS BIGINT) FROM s3)
+       |ORDER BY stage""".stripMargin
+
+  // ev_retention — day-grain cohort retention: cohort = day of a user's
+  // first signup; a cell counts users from that cohort active (any
+  // event) day_offset days later. One distinct + one join + one groupBy,
+  // all partitioned on user_id / (cohort, offset) — the triangular
+  // cohort matrix every growth dashboard is built from.
+  /** Cohort retention matrix over (user_id, event_type, day) rows:
+    * cohort = day of first `cohortType` event; each cell counts that
+    * cohort's users active (any event) `day_offset` days later. */
+  def retentionMatrix(e: DataFrame, cohortType: String): DataFrame = {
+    val coh = e.filter(col("event_type") === cohortType)
+      .groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    val act = e.select(col("user_id"), col("day")).distinct()
+    act.join(coh, "user_id")
+      .filter(col("day") >= col("cohort_day"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  private val evRetention: QFn = (s, dir) =>
+    retentionMatrix(
+      t(s, dir, "events").select(col("user_id"), col("event_type"),
+        expr("(ts div 1000000000) div 86400").as("day")),
+      cohortType = "signup")
+  private val evRetentionSql =
+    """WITH e AS (SELECT user_id, event_type,
+      |  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+      |coh AS (SELECT user_id, min(day) AS cohort_day FROM e
+      |        WHERE event_type = 'signup' GROUP BY 1),
+      |act AS (SELECT DISTINCT user_id, day FROM e)
+      |SELECT cohort_day, day - cohort_day AS day_offset, COUNT(*) AS n_active
+      |FROM act JOIN coh USING (user_id)
+      |WHERE day >= cohort_day
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // q19 — market-basket affinity: parts co-purchased in the same order,
+  // with support / confidence / lift from exact co-occurrence counts.
+  // The pair join is keyed on l_orderkey (pairs-per-order is quadratic
+  // in basket size, bounded by the ~20-line basket cap of order data);
+  // part-frequency joins broadcast (part cardinality ≪ pair count). All
+  // measures are single divisions of exact integer-valued doubles —
+  // bit-identical across engines, no decimal routing needed.
+  /** Market-basket pair affinity over (basket, item) rows (need not be
+    * pre-distinct): co-occurrence count, support, confidence and lift
+    * for every item pair sharing ≥ `minBoth` baskets. */
+  def basketAffinity(df: DataFrame, basketCol: String, itemCol: String,
+                     minBoth: Long): DataFrame = {
+    val op = df.select(col(basketCol).as("bk"), col(itemCol).as("it")).distinct()
+    val nBaskets = op.select(countDistinct(col("bk")).as("n_orders"))
+    val cnt = op.groupBy("it").agg(count(lit(1)).as("n_ord"))
+    val a = op.select(col("bk"), col("it").as("part_a"))
+    val b = op.select(col("bk"), col("it").as("part_b"))
+    val co = a.join(b, "bk").filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minBoth)
+    co.join(cnt.select(col("it").as("part_a"), col("n_ord").as("n_a")), "part_a")
+      .join(cnt.select(col("it").as("part_b"), col("n_ord").as("n_b")), "part_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("part_a"), col("part_b"), col("n_both"),
+        (col("n_both").cast("double") / col("n_orders").cast("double")).as("support"),
+        (col("n_both").cast("double") / col("n_a").cast("double")).as("confidence_a"),
+        ((col("n_both").cast("double") * col("n_orders").cast("double"))
+          / (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
+      .orderBy("part_a", "part_b")
+  }
+
+  private val q19Basket: QFn = (s, dir) =>
+    basketAffinity(t(s, dir, "lineitem"), "l_orderkey", "l_partkey", minBoth = 2L)
+  private val q19Sql =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op),
+      |cnt AS (SELECT l_partkey, COUNT(*) AS n_ord FROM op GROUP BY 1),
+      |co AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_both
+      |       FROM op a JOIN op b USING (l_orderkey)
+      |       WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      |SELECT part_a, part_b, n_both,
+      |CAST(n_both AS DOUBLE) / CAST(n_orders AS DOUBLE) AS support,
+      |CAST(n_both AS DOUBLE) / CAST(ca.n_ord AS DOUBLE) AS confidence_a,
+      |(CAST(n_both AS DOUBLE) * CAST(n_orders AS DOUBLE))
+      |  / (CAST(ca.n_ord AS DOUBLE) * CAST(cb.n_ord AS DOUBLE)) AS lift
+      |FROM co JOIN cnt ca ON ca.l_partkey = part_a
+      |        JOIN cnt cb ON cb.l_partkey = part_b
+      |        CROSS JOIN tot
+      |ORDER BY part_a, part_b""".stripMargin
+
+  // g_triangle_count — triangles in the co-purchase graph (edges = part
+  // pairs co-occurring in ≥2 orders), via the degree-ordered orientation
+  // (each edge directed low→high (degree, id)): every triangle is
+  // counted exactly once, and wedge enumeration is bounded by the
+  // orientation's out-degree (O(m^1.5) total — the MapReduce triangle-
+  // counting shape of Suri & Vassilvitskii, WWW'11), not by hub degrees.
+  private val gTriangles: QFn = (s, dir) => {
+    val op = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = op.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    val edges = a.join(b, "l_orderkey").filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= 2)
+      .select(col("pa").as("ea"), col("pb").as("eb"))
+    graft.operators.Triangles.stats(edges, "ea", "eb")
+  }
+  private val gTrianglesSql =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (SELECT a.l_partkey AS ea, b.l_partkey AS eb
+      |      FROM op a JOIN op b USING (l_orderkey)
+      |      WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |deg AS (SELECT node, COUNT(*) AS d FROM
+      |        (SELECT ea AS node FROM e UNION ALL SELECT eb FROM e) GROUP BY 1),
+      |o AS (SELECT CASE WHEN (da.d, e.ea) < (db.d, e.eb) THEN e.ea ELSE e.eb END AS s,
+      |             CASE WHEN (da.d, e.ea) < (db.d, e.eb) THEN e.eb ELSE e.ea END AS t,
+      |             CASE WHEN (da.d, e.ea) < (db.d, e.eb) THEN db.d ELSE da.d END AS dt
+      |      FROM e JOIN deg da ON da.node = e.ea JOIN deg db ON db.node = e.eb),
+      |tri AS (SELECT COUNT(*) AS n_triangles
+      |        FROM o x JOIN o y ON x.s = y.s
+      |          AND ((x.dt, x.t) < (y.dt, y.t))
+      |        JOIN o z ON z.s = x.t AND z.t = y.t)
+      |SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+      |       (SELECT COUNT(*) FROM e) AS n_edges,
+      |       (SELECT n_triangles FROM tri) AS n_triangles""".stripMargin
+
+  // s10 — z-order layout: Morton-interleave (o_custkey, order-day) and
+  // report per-z-range stats. Tight min/max spans on BOTH dimensions in
+  // every z-bucket are exactly what parquet row-group pruning consumes
+  // after ZOrder.writeZOrdered — a filter on either customer OR date
+  // skips most buckets, which a single-column sort only gives for its
+  // leading column. (ZOrderSpec proves the written-layout side; this
+  // entry driver-proves the interleave arithmetic + clustering stats.)
+  private val s10ZOrder: QFn = (s, dir) => {
+    val day = datediff(col("o_orderdate").cast("date"),
+      lit("1995-01-01").cast("date")).cast("long")
+    val z = graft.operators.ZOrder.interleave16(col("o_custkey"), day)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), day.as("day"), z.as("z"))
+      .groupBy(shiftrightunsigned(col("z"), 16).as("z_bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+           min(col("o_custkey")).as("min_cust"), max(col("o_custkey")).as("max_cust"),
+           min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+      .orderBy("z_bucket")
+  }
+  private def spreadSql(x: String): String = {
+    val a = s"($x & 65535)"
+    val b = s"(($a | ($a << 8)) & 16711935)"
+    val c = s"(($b | ($b << 4)) & 252645135)"
+    val d = s"(($c | ($c << 2)) & 858993459)"
+    s"(($d | ($d << 1)) & 1431655765)"
+  }
+  private val s10Sql = {
+    val day = "date_diff('day', DATE '1995-01-01', o_orderdate)"
+    val z = s"(${spreadSql("o_custkey")} | (${spreadSql(day)} << 1))"
+    s"""WITH o AS (SELECT o_custkey, $day AS day, $z AS z FROM orders)
+       |SELECT z // 65536 AS z_bucket, COUNT(*) AS n_rows,
+       |MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+       |MIN(day) AS min_day, MAX(day) AS max_day
+       |FROM o GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "ev_funnel" -> evFunnel,
+    "ev_retention" -> evRetention,
+    "q19_basket_affinity" -> q19Basket,
+    "g_triangle_count" -> gTriangles,
+    "s10_zorder_layout" -> s10ZOrder)
+
+  val oracleSql: Map[String, String] = Map(
+    "ev_funnel" -> evFunnelSql,
+    "ev_retention" -> evRetentionSql,
+    "q19_basket_affinity" -> q19Sql,
+    "g_triangle_count" -> gTrianglesSql,
+    "s10_zorder_layout" -> s10Sql)
+}

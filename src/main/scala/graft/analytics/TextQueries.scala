@@ -456,6 +456,35 @@ object TextQueries {
        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // d7 — directed containment (doc quoted inside another): the
+  // asymmetric score |src∩dst|/|src| that symmetric Jaccard misses when
+  // a small doc hides in a big one. Source-side prefix filter + exact
+  // verification (Dedup.containmentPairs); the oracle is the full
+  // inverted-index containment join over the same capped shingles.
+  private val dContainment: QFn = (s, dir) =>
+    Dedup.containmentPairs(docs(s, dir), "doc_id", "text",
+      shingleK = 3, threshold = 0.8, maxShingleFreq = 1000)
+      .orderBy("id_src", "id_dst")
+  private val dContainmentSql = {
+    val norm = TF.normTextSql("text")
+    s"""WITH w AS (SELECT doc_id, string_split($norm, ' ') AS ws FROM documents),
+       |sh0 AS (SELECT DISTINCT doc_id,
+       |  unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+       |    i -> array_to_string(ws[i:i+2], ' '))) AS shingle
+       |  FROM w),
+       |sh AS (SELECT doc_id, shingle FROM sh0
+       |       QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT x.doc_id AS id_src, y.doc_id AS id_dst, COUNT(*) AS c
+       |          FROM sh x JOIN sh y USING (shingle)
+       |          WHERE x.doc_id <> y.doc_id GROUP BY 1, 2)
+       |SELECT id_src, id_dst,
+       |CAST(c AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment
+       |FROM inter JOIN sizes sa ON sa.doc_id = id_src
+       |WHERE CAST(c AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.8
+       |ORDER BY id_src, id_dst""".stripMargin
+  }
+
   private def sqlArr(p: Array[Double]): String =
     p.mkString("[", ", ", "]") + "::DOUBLE[]"
 
@@ -605,6 +634,38 @@ object TextQueries {
        |        ORDER BY ${cosSql("a2.x", "q.qx")} DESC, a2.vec_id LIMIT 10)
        |SELECT vec_id FROM top ORDER BY vec_id""".stripMargin
   }
+
+  // d8 — semantic dedup (SemDeDup-style): coarse k-means cells bound the
+  // comparison space, exact cosine runs within cells only. The oracle
+  // replays the ENTIRE build — seeded init (8 lowest vec_ids), one
+  // decimal-routed Lloyd pass, float-rounded assignment codebook — then
+  // the same in-cell pair join, so the driver hash-proves both the
+  // clustering and the pair scores.
+  private val dSemantic: QFn = (s, dir) =>
+    Similarity.semanticDupPairs(embs(s, dir), "vec_id", "embedding",
+      dim = 64, nlist = 8, iterations = 1, threshold = 0.2)
+      .orderBy("id_a", "id_b")
+  private val dSemanticSql: String =
+    s"""WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+       |init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, x AS c
+       |         FROM (SELECT * FROM corpus ORDER BY vec_id LIMIT 8)),
+       |a1 AS (SELECT v.vec_id, v.x,
+       |         (SELECT i.cid FROM init i
+       |          ORDER BY COALESCE(${cosSql("v.x", "i.c")}, -1e308) DESC, i.cid ASC LIMIT 1) AS cid
+       |       FROM corpus v),
+       |sums AS (SELECT cid, i, CAST(SUM(CAST(xe AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*) AS m
+       |         FROM (SELECT cid, unnest(x) AS xe, generate_subscripts(x,1) AS i FROM a1)
+       |         GROUP BY cid, i),
+       |cent_f AS (SELECT cid, list(CAST(CAST(m AS FLOAT) AS DOUBLE) ORDER BY i) AS c FROM sums GROUP BY cid),
+       |a2 AS (SELECT v.vec_id, v.x,
+       |         (SELECT f.cid FROM cent_f f
+       |          ORDER BY COALESCE(${cosSql("v.x", "f.c")}, -1e308) DESC, f.cid ASC LIMIT 1) AS cid
+       |       FROM corpus v)
+       |SELECT x.vec_id AS id_a, y.vec_id AS id_b, CAST(x.cid AS INT) AS cell,
+       |round(${cosSql("x.x", "y.x")}, 6) AS cosine_r
+       |FROM a2 x JOIN a2 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |WHERE ${cosSql("x.x", "y.x")} >= 0.2
+       |ORDER BY id_a, id_b""".stripMargin
 
   // m1 — multimodal blob plumbing: binary column + metadata + sha-256
   private val mBlob: QFn = (s, dir) =>
@@ -799,6 +860,8 @@ object TextQueries {
     "d_simhash_pairs" -> dSimhash,
     "d_ngram_jaccard" -> dJaccard,
     "d_embedding_dup" -> dEmbDup,
+    "d_containment" -> dContainment,
+    "d_semantic_dedup" -> dSemantic,
     "ann_brute_force_topk" -> aBrute,
     "ann_l2_topk" -> aBruteL2,
     "ann_lsh_topk" -> aLsh,
@@ -829,6 +892,8 @@ object TextQueries {
     "d_simhash_pairs" -> dSimhashSql,
     "d_ngram_jaccard" -> dJaccardSql,
     "d_embedding_dup" -> dEmbDupSql,
+    "d_containment" -> dContainmentSql,
+    "d_semantic_dedup" -> dSemanticSql,
     "ann_brute_force_topk" -> aBruteSql,
     "ann_l2_topk" -> aBruteL2Sql,
     "ann_lsh_topk" -> aLshSql,

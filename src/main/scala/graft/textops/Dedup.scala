@@ -294,6 +294,57 @@ object Dedup {
     verifyJaccard(cands, capped.select("doc_id", "sh"), threshold, broadcastDocLimit)
   }
 
+  /** Directed containment pairs: C(src → dst) = |src ∩ dst| / |src| ≥
+    * `threshold` over the (capped) shingle sets — the asymmetric twin of
+    * Jaccard that catches a small document quoted inside a large one,
+    * which symmetric near-dup misses (the union term drowns the overlap).
+    *
+    * Prefix filtering adapts to the directed score: under the global
+    * rare-first shingle order, C(src→dst) ≥ t forces a shared shingle
+    * inside src's first |src| − ⌈t·|src|⌉ + 1 rarest shingles (else the
+    * overlap tops out at ⌈t·|src|⌉ − 1) — so only the SOURCE side is
+    * prefix-indexed while the destination side joins its full capped
+    * postings. Exact verification against the sets follows, as in
+    * [[ngramJaccardPairs]]; recall is exact, no banding escape. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleK: Int = 3, threshold: Double = 0.8,
+                       maxShingleFreq: Int = 1000,
+                       broadcastDocLimit: Long = 200000L): DataFrame = {
+    val sh = shingledHashed(df, idCol, textCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = sh.groupBy("sh").agg(count(lit(1)).as("freq"))
+    val capped = sh.join(freq.filter(col("freq") <= maxShingleFreq), Seq("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val byDoc = Window.partitionBy("doc_id")
+    val indexed = capped
+      .withColumn("__pos", row_number().over(byDoc.orderBy("freq", "sh")))
+      .withColumn("__n", count(lit(1)).over(byDoc))
+    // same 1e-9 ceil slack as ngramJaccardPairs: err toward a longer
+    // prefix (extra candidates), never a shorter one (lost recall)
+    val prefix = indexed.filter(
+      col("__pos") <= col("__n") - ceil(col("__n") * lit(threshold) - lit(1e-9)) + 1)
+    val cands = prefix.as("x").join(indexed.as("y"), Seq("sh"))
+      .filter(col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("id_src"), col("y.doc_id").as("id_dst"))
+    val sets = capped.groupBy("doc_id")
+      .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val small = sets.count() <= broadcastDocLimit
+    val (setsS, setsD, pairs) =
+      if (small) (broadcast(sets), broadcast(sets), cands)
+      else (sets, sets, cands.distinct())
+    pairs
+      .join(setsS.select(col("doc_id").as("id_src"), col("set").as("set_s"),
+        col("n").as("n_s")), "id_src")
+      .join(setsD.select(col("doc_id").as("id_dst"), col("set").as("set_d")), "id_dst")
+      .withColumn("containment",
+        size(array_intersect(col("set_s"), col("set_d"))).cast("double")
+          / col("n_s").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("id_src", "id_dst", "containment")
+      .distinct()
+  }
+
   /** 64-bit SimHash over word shingles: bit i is the sign of the weighted
     * sum of shingle-hash bits. Column-level convenience for tests; the
     * pipeline path is [[simhashSignatures]]. */

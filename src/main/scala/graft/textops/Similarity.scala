@@ -167,6 +167,34 @@ object Similarity {
       .limit(k)
   }
 
+  /** Semantic near-duplicate pairs: coarse k-means cells ([[ivfTrain]])
+    * partition the corpus, then exact cosine runs only WITHIN each cell —
+    * the SemDeDup-style recipe (cluster first, compare inside clusters)
+    * that turns the quadratic all-pairs scan into per-cell quadratics.
+    * At 100 TB the cell id becomes a partition column and each cell's
+    * self-join runs co-located with no global shuffle; pairs whose
+    * members land in different cells are out of contract by design
+    * (the cell assignment IS the approximation, exactly as in IVF).
+    * Deterministic end to end: seeded init, decimal-routed means,
+    * float-rounded codebook — the same replayable build as [[ivfTopK]]. */
+  def semanticDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, nlist: Int, iterations: Int = 1,
+                       threshold: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val centroids = ivfTrain(df, idCol, vecCol, dim, nlist, iterations)
+    val assigned = assignToCentroid(df, vecCol, centroids)
+      .select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"),
+        col("__cid").as("cell"))
+    val a = assigned.select(col("cell"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = assigned.select(col("cell"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosineNative(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cell"),
+        round(col("cosine"), 6).as("cosine_r"))
+  }
+
   /** LSH-bucketed top-k: candidates = rows sharing at least one band of
     * `planesPerBand` sign bits with the query; exact cosine ranks them.
     * With `bands` bands the probability a true neighbor shares none decays
