@@ -256,19 +256,24 @@ object Dedup {
                         shingleK: Int = 3, threshold: Double = 0.5,
                         maxShingleFreq: Int = 1000,
                         broadcastDocLimit: Long = 200000L): DataFrame = {
+    // sh has exactly one consumer (capped) — persisting it would only
+    // force an extra materialization; capped is the reused index.
     val sh = shingledHashed(df, idCol, textCol, shingleK)
+    // global frequency + cap as ONE window count over the sh partition:
+    // a single exchange of the posting stream, where a groupBy+join pair
+    // would shuffle the big side twice (once into the aggregate, once as
+    // the probe).
+    val capped = sh
+      .withColumn("freq", count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("freq") <= maxShingleFreq)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val freq = sh.groupBy("sh").agg(count(lit(1)).as("freq"))
-    // inner join keeps only sub-cap shingles AND attaches the global
-    // frequency for prefix ordering — one shuffle join, no separate
-    // anti-join pass; both sides arrive hash-partitioned on sh.
-    val capped = sh.join(freq.filter(col("freq") <= maxShingleFreq), Seq("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val byDoc = Window.partitionBy("doc_id")
-    val rareFirst = byDoc.orderBy("freq", "sh")
+    // __pos and __n share one sorted window (same partition + ordering,
+    // whole-partition frame for the count) → a single WindowExec pass
+    val rareFirst = Window.partitionBy("doc_id").orderBy("freq", "sh")
     val indexed = capped
       .withColumn("__pos", row_number().over(rareFirst))
-      .withColumn("__n", count(lit(1)).over(byDoc))
+      .withColumn("__n", count(lit(1)).over(
+        rareFirst.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     // ceil over a FP product can round UP past the exact ⌈t·n⌉ (e.g.
     // 500·0.87 = 435.00000000000006) which would SHORTEN the prefix and
     // lose recall; the 1e-9 slack errs toward a one-longer prefix (extra
@@ -311,14 +316,17 @@ object Dedup {
                        maxShingleFreq: Int = 1000,
                        broadcastDocLimit: Long = 200000L): DataFrame = {
     val sh = shingledHashed(df, idCol, textCol, shingleK)
+    // same single-exchange freq/cap + single-pass window as
+    // ngramJaccardPairs (see comments there)
+    val capped = sh
+      .withColumn("freq", count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("freq") <= maxShingleFreq)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val freq = sh.groupBy("sh").agg(count(lit(1)).as("freq"))
-    val capped = sh.join(freq.filter(col("freq") <= maxShingleFreq), Seq("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val byDoc = Window.partitionBy("doc_id")
+    val rareFirst = Window.partitionBy("doc_id").orderBy("freq", "sh")
     val indexed = capped
-      .withColumn("__pos", row_number().over(byDoc.orderBy("freq", "sh")))
-      .withColumn("__n", count(lit(1)).over(byDoc))
+      .withColumn("__pos", row_number().over(rareFirst))
+      .withColumn("__n", count(lit(1)).over(
+        rareFirst.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     // same 1e-9 ceil slack as ngramJaccardPairs: err toward a longer
     // prefix (extra candidates), never a shorter one (lost recall)
     val prefix = indexed.filter(
