@@ -204,6 +204,55 @@ object BehaviorQueries {
       |       (SELECT COUNT(*) FROM e) AS n_edges,
       |       (SELECT n_triangles FROM tri) AS n_triangles""".stripMargin
 
+  // g_pagerank — damped PageRank (3 fixed rounds) over the symmetrized
+  // co-purchase graph: per-round join + decimal-routed aggregation, both
+  // hash-partitioned on the node key (operators/PageRank.scala). The
+  // oracle unrolls all three rounds in SQL with the same decimal-routed
+  // sums, so every intermediate rank is engine-identical; the VARCHAR
+  // route on the decimal→double surface matches Spark's correctly-
+  // rounded BigDecimal.doubleValue.
+  private val gPageRank: QFn = (s, dir) => {
+    val op = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = op.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    val e0 = a.join(b, "l_orderkey").filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= 2)
+    val edges = e0.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionAll(e0.select(col("pb").as("src"), col("pa").as("dst")))
+    graft.operators.PageRank.ranks(edges, "src", "dst",
+        iterations = 3, damping = 0.85)
+      .orderBy("node")
+  }
+  private val gPageRankSql = {
+    def iter(prev: String, cur: String) =
+      s"""$cur AS (SELECT nodes.node,
+         |  ((1.0 - 0.85) / CAST(nn.n AS DOUBLE))
+         |    + 0.85 * COALESCE(CAST(CAST(c.s AS VARCHAR) AS DOUBLE), 0.0) AS rank
+         |  FROM nodes CROSS JOIN nn LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      SUM(CAST($prev.rank / out_d.out_deg AS DECIMAL(38,15))) AS s
+         |    FROM e JOIN $prev ON $prev.node = e.src
+         |           JOIN out_d ON out_d.src = e.src GROUP BY 1) c
+         |    ON c.node = nodes.node)""".stripMargin
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e0 AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+       |       FROM op a JOIN op b USING (l_orderkey)
+       |       WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |e AS (SELECT pa AS src, pb AS dst FROM e0
+       |      UNION ALL SELECT pb, pa FROM e0),
+       |out_d AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY 1),
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |r0 AS (SELECT node, 1.0 / CAST(nn.n AS DOUBLE) AS rank
+       |       FROM nodes CROSS JOIN nn),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT node, round(rank, 9) AS rank_r FROM r3 ORDER BY node""".stripMargin
+  }
+
   // s10 — z-order layout: Morton-interleave (o_custkey, order-day) and
   // report per-z-range stats. Tight min/max spans on BOTH dimensions in
   // every z-bucket are exactly what parquet row-group pruning consumes
@@ -240,17 +289,80 @@ object BehaviorQueries {
        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // q20 — RFM segmentation: per-customer recency (days before the
+  // corpus max order date), frequency (order count) and monetary
+  // (decimal-routed revenue), bucketed by fixed business thresholds into
+  // 1-5 scores and rolled up per segment. Fixed thresholds (not global
+  // ntile) keep the plan free of single-partition windows — the
+  // 100×-safe form of the classic RFM report.
+  private def dsum(c: Column): Column =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+  private val q20Rfm: QFn = (s, dir) => {
+    val orders = t(s, dir, "orders")
+    val maxD = orders.agg(max(col("o_orderdate")).as("max_d"))
+    val cust = orders.groupBy("o_custkey")
+      .agg(max(col("o_orderdate")).as("last_d"),
+           count(lit(1)).as("freq"),
+           dsum(col("o_totalprice")).cast("double").as("monetary"))
+      .crossJoin(broadcast(maxD))
+      .withColumn("recency",
+        datediff(col("max_d").cast("date"), col("last_d").cast("date")))
+    val scored = cust.select(
+      when(col("recency") <= 90, 5).when(col("recency") <= 365, 4)
+        .when(col("recency") <= 730, 3).when(col("recency") <= 1095, 2)
+        .otherwise(1).as("r_score"),
+      when(col("freq") >= 20, 5).when(col("freq") >= 15, 4)
+        .when(col("freq") >= 10, 3).when(col("freq") >= 5, 2)
+        .otherwise(1).as("f_score"),
+      when(col("monetary") >= 2000000.0, 5).when(col("monetary") >= 1500000.0, 4)
+        .when(col("monetary") >= 1000000.0, 3).when(col("monetary") >= 500000.0, 2)
+        .otherwise(1).as("m_score"),
+      col("monetary"))
+    scored.groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"),
+           sum(col("monetary").cast(org.apache.spark.sql.types.DecimalType(19, 4)))
+             .cast("double").as("segment_value"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+  private val q20Sql =
+    """WITH maxd AS (SELECT max(o_orderdate) AS max_d FROM orders),
+      |cust AS (SELECT o_custkey, max(o_orderdate) AS last_d,
+      |  COUNT(*) AS freq,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+      |  FROM orders GROUP BY 1),
+      |scored AS (SELECT
+      |  CASE WHEN date_diff('day', last_d, max_d) <= 90 THEN 5
+      |       WHEN date_diff('day', last_d, max_d) <= 365 THEN 4
+      |       WHEN date_diff('day', last_d, max_d) <= 730 THEN 3
+      |       WHEN date_diff('day', last_d, max_d) <= 1095 THEN 2
+      |       ELSE 1 END AS r_score,
+      |  CASE WHEN freq >= 20 THEN 5 WHEN freq >= 15 THEN 4
+      |       WHEN freq >= 10 THEN 3 WHEN freq >= 5 THEN 2
+      |       ELSE 1 END AS f_score,
+      |  CASE WHEN monetary >= 2000000.0 THEN 5 WHEN monetary >= 1500000.0 THEN 4
+      |       WHEN monetary >= 1000000.0 THEN 3 WHEN monetary >= 500000.0 THEN 2
+      |       ELSE 1 END AS m_score,
+      |  monetary
+      |  FROM cust CROSS JOIN maxd)
+      |SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+      |CAST(SUM(CAST(monetary AS DECIMAL(19,4))) AS DOUBLE) AS segment_value
+      |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "ev_funnel" -> evFunnel,
     "ev_retention" -> evRetention,
     "q19_basket_affinity" -> q19Basket,
+    "q20_rfm_segmentation" -> q20Rfm,
     "g_triangle_count" -> gTriangles,
+    "g_pagerank" -> gPageRank,
     "s10_zorder_layout" -> s10ZOrder)
 
   val oracleSql: Map[String, String] = Map(
     "ev_funnel" -> evFunnelSql,
     "ev_retention" -> evRetentionSql,
     "q19_basket_affinity" -> q19Sql,
+    "q20_rfm_segmentation" -> q20Sql,
     "g_triangle_count" -> gTrianglesSql,
+    "g_pagerank" -> gPageRankSql,
     "s10_zorder_layout" -> s10Sql)
 }

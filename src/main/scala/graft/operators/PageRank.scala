@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Fixed-iteration PageRank as pure DataFrame algebra: each Lloyd-style
+  * round is one join (rank → out-edges) + one aggregation (contributions
+  * → new rank), both hash-partitioned on the node key — the classic
+  * iterative-shuffle shape that scales with executors and needs no
+  * driver-side graph state.
+  *
+  * Determinism at any partitioning: per-node contribution sums are
+  * routed through DECIMAL(38,15) (order-independent, like every other
+  * floating aggregate in this repo), so ranks are bit-identical across
+  * runs, partition counts and engines — which is what lets the driver
+  * oracle replay the whole computation in SQL.
+  *
+  * Fixed iteration count (not convergence-tested) keeps the plan static
+  * and replayable; lineage is cut per round with localCheckpoint so the
+  * plan tree doesn't grow exponentially with rounds (same discipline as
+  * [[ConnectedComponents]]).
+  */
+object PageRank {
+
+  /** Ranks after `iterations` rounds of damped PageRank over DIRECTED
+    * edges (aCol → bCol). Every node must have out-degree ≥ 1 (true for
+    * symmetrized/undirected graphs; callers with genuine sinks should
+    * add self-loops or symmetrize) — enforced, since silently leaking
+    * rank mass would corrupt every score downstream. Returns (node,
+    * rank) with rank rounded to 9 decimals. */
+  def ranks(edges: DataFrame, aCol: String, bCol: String,
+            iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1 && iterations <= 20,
+      s"iterations must be in [1, 20], got $iterations")
+    val e = edges.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst")).distinct()
+    val out = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+    val sinks = nodes.join(out.select(col("src").as("node")), Seq("node"), "left_anti")
+    require(sinks.isEmpty,
+      "PageRank.ranks requires out-degree >= 1 for every node (symmetrize or add self-loops)")
+    val n = nodes.count()
+    val base = (1.0 - damping) / n
+    var rank = nodes.withColumn("rank", lit(1.0 / n))
+    (0 until iterations).foreach { _ =>
+      val contrib = e.join(rank.withColumnRenamed("node", "src"), "src")
+        .join(out, "src")
+        .select(col("dst").as("node"),
+          (col("rank") / col("out_deg")).cast(DecimalType(38, 15)).as("c"))
+      rank = nodes.join(
+          contrib.groupBy("node").agg(sum(col("c")).as("s")), Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + lit(damping) * coalesce(col("s").cast("double"), lit(0.0)))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    rank.select(col("node"), round(col("rank"), 9).as("rank_r"))
+  }
+}
