@@ -18,7 +18,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val families: Set[String] =
       if (args.nonEmpty) args(0).split(",").toSet
-      else Set("dedup", "events", "ann")
+      else Set("dedup", "events", "ann", "graph", "behavior")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -90,6 +90,64 @@ object ScaleProbe {
           .select(col("event_id").as("error_id"), col("user_id"), col("ts"))
         graft.operators.AsOfJoin.asOf(clicks, errors, key = "user_id", time = "ts")
           .count()
+      }
+    }
+    if (families("graph")) {
+      // 10x lineitem via replicated orders (shifted order/part ids keep
+      // per-basket geometry): drives the pair join, triangle wedges and
+      // 3-round PageRank at ~6M line rows / ~20k parts
+      val base = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+      val big = (0 until 10).map(i =>
+        base.select((col("l_orderkey") + lit(i * 10000000L)).as("l_orderkey"),
+          (col("l_partkey") + lit((i % 2) * 100000L)).as("l_partkey")))
+        .reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"lineitems: ${big.count()}")
+      time("basket_affinity") {
+        graft.analytics.BehaviorQueries.basketAffinity(
+          big, "l_orderkey", "l_partkey", minBoth = 2L).count()
+      }
+      val op = big.distinct()
+      val a = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      val b = op.select(col("l_orderkey"), col("l_partkey").as("pb"))
+      val e0 = a.join(b, "l_orderkey").filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("n_both"))
+        .filter(col("n_both") >= 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"edges: ${e0.count()}")
+      time("triangles") {
+        graft.operators.Triangles.stats(
+          e0.select(col("pa"), col("pb")), "pa", "pb")
+          .collect().head.getLong(2)
+      }
+      time("pagerank_3") {
+        val edges = e0.select(col("pa").as("s"), col("pb").as("d"))
+          .unionAll(e0.select(col("pb").as("s"), col("pa").as("d")))
+        graft.operators.PageRank.ranks(edges, "s", "d", iterations = 3).count()
+      }
+    }
+    if (families("behavior")) {
+      // 10x users, same per-user history: funnel + retention scale on the
+      // user axis (their joins/aggs all hash on user_id)
+      val base = Tables.load(spark, "/root/testdata/sf0.1", "events")
+      val big = (0 until 10).map(i =>
+        base.select((col("user_id") + lit(i * 100000L)).as("user_id"),
+          col("event_type"), col("ts")))
+        .reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"events: ${big.count()}")
+      time("funnel") {
+        graft.analytics.BehaviorQueries.funnelStages(
+          big.select(col("user_id"), col("event_type"),
+            expr("ts div 1000000000").as("sec")),
+          Seq("signup", "click", "purchase"), horizonS = 604800L).count()
+      }
+      time("retention") {
+        graft.analytics.BehaviorQueries.retentionMatrix(
+          big.select(col("user_id"), col("event_type"),
+            expr("(ts div 1000000000) div 86400").as("day")),
+          cohortType = "signup").count()
       }
     }
     if (families("ann")) {

@@ -33,11 +33,16 @@ object PageRank {
             iterations: Int = 3, damping: Double = 0.85): DataFrame = {
     require(iterations >= 1 && iterations <= 20,
       s"iterations must be in [1, 20], got $iterations")
+    // the graph structures are re-read every round — pin them once
+    // (evicted at session scope like the dedup indexes)
     val e = edges.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sinks = nodes.join(out.select(col("src").as("node")), Seq("node"), "left_anti")
     require(sinks.isEmpty,
       "PageRank.ranks requires out-degree >= 1 for every node (symmetrize or add self-loops)")
