@@ -53,9 +53,9 @@ object OperatorQueries {
   // the same registered views (01_database_exploration.sql:16-30).
   private val s8Catalog: QFn = (s, dir) => {
     Tables.registerAll(s, dir)
-    val cols = Tables.all.map { tn =>
-      (tn, s.catalog.listColumns(tn).count().toInt)
-    }
+    // catalog-resolved schemas, no per-table Spark job (listColumns()
+    // .count() launched 11 driver jobs for 11 scalar answers)
+    val cols = Tables.all.map { tn => (tn, s.table(tn).schema.length) }
     s.createDataFrame(cols).toDF("table_name", "n_columns").orderBy("table_name")
   }
   private val s8Sql =
