@@ -348,7 +348,38 @@ object BehaviorQueries {
       |CAST(SUM(CAST(monetary AS DECIMAL(19,4))) AS DOUBLE) AS segment_value
       |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  // s11 — calendar dimension generation: the date-spine every warehouse
+  // builds first. One sequence() explode over the fact's date bounds —
+  // no source table, no driver loop; attributes are pure date
+  // arithmetic (ISO day-of-week so both engines agree on week start).
+  private val s11DateDim: QFn = (s, dir) => {
+    val bounds = t(s, dir, "orders")
+      .agg(min(col("o_orderdate").cast("date")).as("d0"),
+           max(col("o_orderdate").cast("date")).as("d1"))
+    bounds.select(explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+      .select(col("d"),
+        year(col("d")).as("year"),
+        quarter(col("d")).as("quarter"),
+        month(col("d")).as("month"),
+        dayofmonth(col("d")).as("day_of_month"),
+        (expr("weekday(d)") + 1).as("iso_dow"),
+        (expr("weekday(d)") + 1 >= 6).as("is_weekend"),
+        datediff(last_day(col("d")), col("d")).as("days_to_month_end"))
+      .orderBy("d")
+  }
+  private val s11Sql =
+    """WITH b AS (SELECT min(CAST(o_orderdate AS DATE)) AS d0,
+      |                  max(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+      |d AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+      |      FROM b)
+      |SELECT d, CAST(year(d) AS INT) AS year, CAST(quarter(d) AS INT) AS quarter,
+      |CAST(month(d) AS INT) AS month, CAST(day(d) AS INT) AS day_of_month,
+      |CAST(isodow(d) AS INT) AS iso_dow, isodow(d) >= 6 AS is_weekend,
+      |CAST(date_diff('day', d, last_day(d)) AS INT) AS days_to_month_end
+      |FROM d ORDER BY d""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "s11_date_dim" -> s11DateDim,
     "ev_funnel" -> evFunnel,
     "ev_retention" -> evRetention,
     "q19_basket_affinity" -> q19Basket,
@@ -358,6 +389,7 @@ object BehaviorQueries {
     "s10_zorder_layout" -> s10ZOrder)
 
   val oracleSql: Map[String, String] = Map(
+    "s11_date_dim" -> s11Sql,
     "ev_funnel" -> evFunnelSql,
     "ev_retention" -> evRetentionSql,
     "q19_basket_affinity" -> q19Sql,
