@@ -27,6 +27,12 @@ object ExtCheck {
       s"md5_long broken: $h")
     println(s"EXTCHECK md5_long OK ($h)")
 
+    val z = spark.sql("SELECT zorder_key(CAST(3 AS BIGINT), CAST(5 AS BIGINT)) AS z")
+      .head().getLong(0)
+    // x=3 (0b11) even bits, y=5 (0b101) odd bits: 0b100111 = 39
+    assert(z == 39L, s"zorder_key broken: $z")
+    println(s"EXTCHECK zorder_key OK ($z)")
+
     val dir = java.nio.file.Files.createTempDirectory("graft_ext").toString
     import spark.implicits._
     Seq(("ab", "abc"), ("kitten", "sitting")).toDF("a", "b")

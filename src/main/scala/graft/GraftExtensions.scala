@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{FloatVecCosine, FloatVecL2, Md5Long}
+import graft.functions.{FloatVecCosine, FloatVecL2, Md5Long, ZOrderKey}
 
 /** Session extension registering the engine's native functions, so any
   * session — including spark-sql / JDBC entry points — gets them via
@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("md5_long"),
       new ExpressionInfo(classOf[Md5Long].getName, "md5_long"),
       exprs => Md5Long(exprs(0))))
+    e.injectFunction((
+      new FunctionIdentifier("zorder_key"),
+      new ExpressionInfo(classOf[ZOrderKey].getName, "zorder_key"),
+      exprs => ZOrderKey(exprs(0), exprs(1))))
     // algebraic prefilter for fuzzy-match predicates; runs inside the
     // operator-optimization fixpoint so the injected guard participates
     // in normal predicate pushdown

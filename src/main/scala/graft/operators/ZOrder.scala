@@ -27,8 +27,17 @@ object ZOrder {
     d.bitwiseOR(shiftleft(d, 1)).bitwiseAND(lit(0x55555555L))
   }
 
-  /** 32-bit Morton code of two 16-bit keys: x in even bits, y in odd. */
+  /** 32-bit Morton code of two 16-bit keys: x in even bits, y in odd —
+    * the native codegen expression (one fused call per row; see
+    * graft.functions.ZOrderKey). */
   def interleave16(x: Column, y: Column): Column =
+    graft.functions.ZOrderExpressions.zorder_key(
+      x.cast("long"), y.cast("long"))
+
+  /** Built-ins-only twin of [[interleave16]] — the reference the native
+    * expression is spec-tested against (and the form the DuckDB oracle
+    * mirrors arithmetically). */
+  def interleave16Composable(x: Column, y: Column): Column =
     spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
 
   /** Write `df` clustered by the z-order of (xCol, yCol): range-partition

@@ -29,6 +29,17 @@ class ZOrderSpec extends AnyFunSuite {
     assert(got.toSeq === pts.map { case (x, y) => mortonRef(x, y) })
   }
 
+  test("native zorder_key is bit-identical to the composable cascade") {
+    val pts = (0 until 4096).map(i => ((i * 2654435761L) % 65536,
+      (i * 40503L) % 65536))
+    val df = pts.toDF("x", "y")
+    val diff = df.select(
+        ZOrder.interleave16(col("x"), col("y")).as("n"),
+        ZOrder.interleave16Composable(col("x"), col("y")).as("c"))
+      .filter(col("n") =!= col("c")).count()
+    assert(diff === 0L)
+  }
+
   test("z-order is monotone within a quadrant split") {
     // the top interleaved bits are the quadrant id: all points of the
     // low-low quadrant sort before any point of the high-high quadrant
