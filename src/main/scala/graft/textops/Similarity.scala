@@ -182,6 +182,13 @@ object Similarity {
                        threshold: Double = 0.2): DataFrame = {
     import org.apache.spark.sql.types.LongType
     val centroids = ivfTrain(df, idCol, vecCol, dim, nlist, iterations)
+    if (centroids.isEmpty) {
+      // empty corpus: no cells to train — an empty pair set, not a crash
+      // (greatest() over zero centroid scores has no plan-time form)
+      import df.sparkSession.implicits._
+      return Seq.empty[(Long, Long, Int, Double)]
+        .toDF("id_a", "id_b", "cell", "cosine_r")
+    }
     val assigned = assignToCentroid(df, vecCol, centroids)
       .select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"),
         col("__cid").as("cell"))

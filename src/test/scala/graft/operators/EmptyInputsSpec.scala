@@ -38,6 +38,28 @@ class EmptyInputsSpec extends AnyFunSuite {
       .count() === 0)
   }
 
+  test("round-5 operators on empty inputs") {
+    assert(Dedup.containmentPairs(noDocs, "doc_id", "text").count() === 0)
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(graft.textops.Similarity.semanticDupPairs(
+      noVecs, "vec_id", "embedding", dim = 8, nlist = 3).count() === 0)
+    // triangle stats degrade to a single all-zero row, not an error
+    val stats = Triangles.stats(noEdges, "a", "b")
+      .as[(Long, Long, Long)].head()
+    assert(stats === ((0L, 0L, 0L)))
+    assert(PageRank.ranks(noEdges, "a", "b", iterations = 2).count() === 0)
+    val noEvents = Seq.empty[(Long, String, Long)]
+      .toDF("user_id", "event_type", "sec")
+    val funnel = graft.analytics.BehaviorQueries.funnelStages(
+      noEvents, Seq("signup", "click"), 10L)
+      .as[(Int, String, Long, Long)].collect().toSeq
+    assert(funnel === Seq((1, "signup", 0L, 0L), (2, "click", 0L, 0L)))
+    assert(graft.analytics.BehaviorQueries.retentionMatrix(
+      noEvents.withColumnRenamed("sec", "day"), "signup").count() === 0)
+    assert(graft.analytics.BehaviorQueries.basketAffinity(
+      Seq.empty[(Long, Long)].toDF("bk", "it"), "bk", "it", 2L).count() === 0)
+  }
+
   test("rank top-k, as-of join, salted join on empty inputs") {
     val empty = Seq.empty[(Long, Long)].toDF("id", "v")
     assert(TopK.rankTopK(empty, 5, Seq(col("v").desc)).count() === 0)
