@@ -165,6 +165,104 @@ object TextQueries {
   // so it broadcasts and the 100 TB scan never shuffles; shingles are
   // the portable md5 hashes, which the oracle mirrors with raw shingle
   // strings (identical up to 2^-64 collisions).
+  // t8 — URL extraction + canonicalization, the domain-level filter step
+  // of web-corpus curation. The word-soup corpus carries no organic
+  // URLs, so (as with PII) deterministic URLs are planted keyed off
+  // doc_id in BOTH engines; extraction pulls the host, canonicalization
+  // lowercases, strips the query string, a trailing slash and a leading
+  // www., and a literal blocklist flags disallowed domains. Simple
+  // regexes only (no backrefs/lookaround) so Java and RE2 semantics
+  // coincide.
+  private val tUrlExtract: QFn = (s, dir) => {
+    val url = concat(
+      when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("http://")),
+      when(col("doc_id") % 4 === 0, lit("WWW.Example.com"))
+        .when(col("doc_id") % 4 === 1, lit("blog.example.com"))
+        .when(col("doc_id") % 4 === 2, lit("Spam-Site.net"))
+        .otherwise(lit("docs.test.org")),
+      lit("/p/"), (col("doc_id") % 50).cast("string"),
+      when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("?utm_source=feed&id="), col("doc_id").cast("string")))
+        .otherwise(lit("")))
+    val noQuery = regexp_replace(lower(url), "\\?.*$", "")
+    val noSlash = regexp_replace(noQuery, "/$", "")
+    val host = regexp_replace(
+      regexp_extract(noSlash, "https?://([^/]+)", 1), "^www\\.", "")
+    val canon = concat(lit("https://"), host,
+      regexp_extract(noSlash, "https?://[^/]+(/.*)?$", 1))
+    docs(s, dir).select(col("doc_id"), host.as("host"),
+        md5(canon).as("canon_fp"),
+        host.isin("spam-site.net").as("blocked"))
+      .orderBy("doc_id")
+  }
+  private val tUrlExtractSql = {
+    val url =
+      """(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END ||
+        | CASE WHEN doc_id % 4 = 0 THEN 'WWW.Example.com'
+        |      WHEN doc_id % 4 = 1 THEN 'blog.example.com'
+        |      WHEN doc_id % 4 = 2 THEN 'Spam-Site.net'
+        |      ELSE 'docs.test.org' END ||
+        | '/p/' || CAST(doc_id % 50 AS VARCHAR) ||
+        | CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+        | CASE WHEN doc_id % 3 = 0
+        |      THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+        |      ELSE '' END)""".stripMargin
+    s"""WITH u AS (SELECT doc_id,
+       |  regexp_replace(regexp_replace(lower($url), '\\?.*$$', ''), '/$$', '')
+       |    AS nu FROM documents),
+       |h AS (SELECT doc_id, nu,
+       |  regexp_replace(regexp_extract(nu, 'https?://([^/]+)', 1), '^www\\.', '')
+       |    AS host FROM u)
+       |SELECT doc_id, host,
+       |md5('https://' || host ||
+       |    COALESCE(regexp_extract(nu, 'https?://[^/]+(/.*)?$$', 1), ''))
+       |  AS canon_fp,
+       |host IN ('spam-site.net') AS blocked
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  // t9 — unigram log-probability scoring: the perplexity-proxy quality
+  // filter (score docs by how typical their words are under the corpus
+  // unigram LM). Corpus word frequencies are one groupBy; per-doc
+  // scores sum ln(freq/total) per token. Each ln() term is quantized to
+  // DECIMAL(38,12) before the (order-independent) sum — the engines'
+  // 1-ulp libm skew (~1e-16 per term) vanishes at the 12th decimal, and
+  // the 6-decimal surface absorbs the rest (same discipline as BM25).
+  private val tUnigramLp: QFn = (s, dir) => {
+    val words = docs(s, dir).select(col("doc_id"),
+        explode(split(TF.normText(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val freq = words.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum(col("c")).cast("long").as("total"))
+    words.join(broadcast(freq), "w")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+           sum(log(col("c").cast("double") / col("total").cast("double"))
+             .cast(org.apache.spark.sql.types.DecimalType(38, 12))).as("lp"))
+      .select(col("doc_id"), col("n_words"),
+        round(col("lp").cast("double") / col("n_words").cast("double"), 6)
+          .as("avg_logprob_r"))
+      .orderBy("doc_id")
+  }
+  private val tUnigramLpSql = {
+    val norm = TF.normTextSql("text")
+    s"""WITH w AS (SELECT doc_id, unnest(string_split($norm, ' ')) AS w
+       |  FROM documents),
+       |ww AS (SELECT doc_id, w FROM w WHERE length(w) > 0),
+       |f AS (SELECT w, COUNT(*) AS c FROM ww GROUP BY 1),
+       |t AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM f),
+       |d AS (SELECT doc_id, COUNT(*) AS n_words,
+       |  SUM(CAST(ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE))
+       |      AS DECIMAL(38,12))) AS lp
+       |  FROM ww JOIN f USING (w) CROSS JOIN t GROUP BY 1)
+       |SELECT doc_id, n_words,
+       |round(CAST(CAST(lp AS VARCHAR) AS DOUBLE)
+       |      / CAST(n_words AS DOUBLE), 6) AS avg_logprob_r
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
+
   private val tDecontaminate: QFn = (s, dir) => {
     val sh = Dedup.shingledHashedPortable(docs(s, dir), "doc_id", "text", 5)
     val evalSet = sh.filter(col("doc_id") < 20).select("sh").distinct()
@@ -850,6 +948,8 @@ object TextQueries {
     "t_pii_redaction" -> tPiiRedact,
     "t_repetition_score" -> tRepetition,
     "t_decontaminate" -> tDecontaminate,
+    "t_url_extraction" -> tUrlExtract,
+    "t_unigram_logprob" -> tUnigramLp,
     "t_chunking" -> tChunking,
     "s_bm25_search" -> tBm25,
     "d_exact_dedup" -> dExact,
@@ -882,6 +982,8 @@ object TextQueries {
     "t_pii_redaction" -> tPiiRedactSql,
     "t_repetition_score" -> tRepetitionSql,
     "t_decontaminate" -> tDecontaminateSql,
+    "t_url_extraction" -> tUrlExtractSql,
+    "t_unigram_logprob" -> tUnigramLpSql,
     "t_chunking" -> tChunkingSql,
     "s_bm25_search" -> tBm25Sql,
     "d_exact_dedup" -> dExactSql,
