@@ -128,4 +128,82 @@ class OperatorPropsSpec extends AnyFunSuite {
     val allTies = TopK.rankTopK(df.repartition(5), 1, Seq(lit(1)))
     assert(allTies.count() === rows.length.toLong)
   }
+
+  // ---- Triangles vs brute force on random graphs -------------------
+
+  test("triangle count equals brute force on random graphs") {
+    for (seedOff <- 0 until 3) {
+      val edges = LazyList.from(0)
+        .flatMap(i => edgeGen.apply(Gen.Parameters.default,
+          Seed(101L + seedOff * 1000 + i)))
+        .take(80).toList.distinct
+      val es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct.toSet
+      val nodes = es.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+      var brute = 0L
+      for (i <- nodes.indices; j <- (i + 1) until nodes.size;
+           k <- (j + 1) until nodes.size)
+        if (es((nodes(i), nodes(j))) && es((nodes(j), nodes(k))) &&
+            es((nodes(i), nodes(k)))) brute += 1
+      val got = Triangles.stats(edges.toDF("a", "b"), "a", "b")
+        .select("n_triangles").as[Long].head()
+      assert(got === brute, s"seedOff=$seedOff")
+    }
+  }
+
+  // ---- PageRank invariants on random symmetric graphs --------------
+
+  test("pagerank conserves mass and matches the reference on random graphs") {
+    for (seedOff <- 0 until 3) {
+      val raw = LazyList.from(0)
+        .flatMap(i => edgeGen.apply(Gen.Parameters.default,
+          Seed(577L + seedOff * 1000 + i)))
+        .take(50).toList.distinct
+      val edges = (raw ++ raw.map(_.swap)).distinct
+      val got = PageRank.ranks(edges.toDF("a", "b"), "a", "b", iterations = 3)
+        .as[(Long, Double)].collect().toMap
+      // mass conservation: on sink-free graphs ranks sum to 1
+      assert(math.abs(got.values.sum - 1.0) < 1e-6, s"seedOff=$seedOff")
+      // reference implementation agreement
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct.sorted
+      val out = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+      val in = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+      var rank = nodes.map(_ -> 1.0 / nodes.size).toMap
+      for (_ <- 0 until 3)
+        rank = nodes.map { v =>
+          val s = in.getOrElse(v, Seq.empty).map(u => rank(u) / out(u)).sum
+          v -> (0.15 / nodes.size + 0.85 * s)
+        }.toMap
+      got.foreach { case (k, v) =>
+        assert(math.abs(v - rank(k)) < 1e-9, s"node $k seedOff=$seedOff")
+      }
+    }
+  }
+
+  // ---- containment vs brute force on random corpora ----------------
+
+  test("containment pairs equal brute force on random corpora") {
+    val wordGen = Gen.choose(0, 25).map(i => s"w$i")
+    for (seedOff <- 0 until 2) {
+      val docs = (0 until 15).map { d =>
+        val words = LazyList.from(0)
+          .flatMap(i => wordGen.apply(Gen.Parameters.default,
+            Seed(331L + seedOff * 7919 + d * 131 + i)))
+          .take(8 + d % 7).toList
+        (d.toLong, words.mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val sh = graft.textops.Dedup.shingledHashed(df, "doc_id", "text", 3)
+        .as[(Long, Long)].collect().groupBy(_._1)
+        .map { case (d, xs) => d -> xs.map(_._2).toSet }
+      val brute = (for {
+        (a, sa) <- sh.toSeq; (b, sb) <- sh.toSeq if a != b
+        c = (sa & sb).size.toDouble / sa.size if c >= 0.6
+      } yield (a, b)).toSet
+      val got = graft.textops.Dedup.containmentPairs(df, "doc_id", "text",
+          shingleK = 3, threshold = 0.6)
+        .select("id_src", "id_dst").as[(Long, Long)].collect().toSet
+      assert(got === brute, s"seedOff=$seedOff")
+    }
+  }
 }
