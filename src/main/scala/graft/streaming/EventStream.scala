@@ -18,6 +18,14 @@ final case class OpenSession(start_ms: Long, last_ms: Long, n: Long)
 final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                             n_events: Long, duration_s: Long)
 
+/** Per-user funnel progress for [[EventStream.funnelProgress]]: number
+  * of stages completed and when the latest one was reached (epoch ms). */
+final case class FunnelState(stage: Int, stage_ms: Long)
+
+/** A stage advance emitted by [[EventStream.funnelProgress]]. */
+final case class FunnelHit(user_id: Long, stage: Int, stage_name: String,
+                           lag_s: Long)
+
 /** Structured Streaming over the `events` table (the reference has no true
   * streaming — its watermark framework is the batch analog, SURVEY.md
   * §2.9; this module is the engine's native streaming surface).
@@ -177,6 +185,70 @@ object EventStream {
               }
             }
             closed.reverseIterator
+          }
+      }
+  }
+
+  /** Streaming funnel — the live twin of
+    * `analytics.BehaviorQueries.funnelStages`: per-user state is just
+    * (stages-completed, reached-at), each qualifying event advances one
+    * stage and EMITS the transition as it happens (append mode), so a
+    * dashboard sees conversions live instead of re-scanning history.
+    * A stage-k event counts only inside `horizonS` of reaching stage
+    * k−1, mirroring the batch semantics exactly under in-order delivery
+    * (the in-batch sort orders within a micro-batch; cross-batch
+    * stragglers obey the watermark like every operator here).
+    *
+    * State is bounded two ways: a completed funnel removes its state
+    * immediately, and an EVENT-TIME TIMEOUT purges users whose window
+    * has passed (once the watermark clears stage_ms + horizon no
+    * qualifying event can still arrive — the state is dead weight and
+    * is dropped without emitting). */
+  def funnelProgress(spark: SparkSession, events: DataFrame,
+                     stages: Seq[String], horizonS: Long,
+                     lateness: String = "10 minutes"): Dataset[FunnelHit] = {
+    import spark.implicits._
+    require(stages.nonEmpty, "funnelProgress needs at least one stage")
+    val horizonMs = horizonS * 1000L
+    events.as[Event]
+      .withWatermark("event_time", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            state.remove() // conversion window passed: nothing can advance
+            Iterator.empty
+          } else {
+            var cur = state.getOption.getOrElse(FunnelState(0, 0L))
+            var hits = List.empty[FunnelHit]
+            batch.toSeq.sortBy(e => (e.event_time.getTime, e.event_id))
+              .foreach { e =>
+                if (cur.stage < stages.length &&
+                    e.event_type == stages(cur.stage)) {
+                  val t = e.event_time.getTime
+                  val inWindow = cur.stage == 0 ||
+                    (t >= cur.stage_ms && t < cur.stage_ms + horizonMs)
+                  if (inWindow) {
+                    val lag = if (cur.stage == 0) 0L
+                              else (t - cur.stage_ms) / 1000L
+                    cur = FunnelState(cur.stage + 1, t)
+                    hits ::= FunnelHit(userId, cur.stage,
+                      stages(cur.stage - 1), lag)
+                  }
+                }
+              }
+            if (cur.stage == 0) state.remove()
+            else if (cur.stage == stages.length) state.remove() // complete
+            else {
+              state.update(cur)
+              // past stage_ms + horizon the next stage can never fire
+              val purgeAt = cur.stage_ms + horizonMs
+              if (purgeAt > state.getCurrentWatermarkMs())
+                state.setTimeoutTimestamp(purgeAt)
+              else state.remove()
+            }
+            hits.reverseIterator
           }
       }
   }

@@ -198,6 +198,44 @@ class EventStreamSpec extends AnyFunSuite {
     assert(matched.count() === got.count())
   }
 
+  test("streaming funnel emits exactly the reference stage transitions") {
+    val stages = Seq("signup", "click", "purchase")
+    val horizonS = 604800L // 7 days, as ev_funnel
+    EventStream.runToMemory(
+      EventStream.funnelProgress(spark,
+        EventStream.readEvents(spark, dir), stages, horizonS).toDF(),
+      "funnel_out", OutputMode.Append())
+    val got = spark.table("funnel_out")
+    // in-memory ms-precision reference with identical first-transition
+    // semantics (the batch ev_funnel entry floors to seconds, so user
+    // SETS per stage are compared through this reference instead)
+    val events = spark.read.parquet(dir)
+      .select(col("user_id"),
+        unix_millis(timestamp_micros(expr("ts div 1000"))).as("ms"),
+        col("event_type"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(e => (e._2, e._4))
+    val ref = scala.collection.mutable.Map.empty[Long, (Int, Long)]
+    val refHits = scala.collection.mutable.ListBuffer.empty[(Long, Int, Long)]
+    events.foreach { case (u, ms, tpe, _) =>
+      val (st, stMs) = ref.getOrElse(u, (0, 0L))
+      if (st < stages.length && tpe == stages(st) &&
+          (st == 0 || (ms >= stMs && ms < stMs + horizonS * 1000L))) {
+        val lag = if (st == 0) 0L else (ms - stMs) / 1000L
+        ref(u) = (st + 1, ms)
+        refHits += ((u, st + 1, lag))
+      }
+    }
+    val gotRows = got.select("user_id", "stage", "lag_s")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(gotRows === refHits.toSet)
+    // stage counts decrease monotonically (it is a funnel)
+    val byStage = gotRows.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byStage(1) >= byStage.getOrElse(2, 0))
+    assert(byStage.getOrElse(2, 0) >= byStage.getOrElse(3, 0))
+  }
+
   test("stateful per-user activity accumulates across the stream") {
     val stream = EventStream.readEvents(spark, dir)
     EventStream.runToMemory(
