@@ -84,6 +84,30 @@ object OperatorQueries {
     """SELECT COUNT(*) AS n_rows, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
       |COUNT(DISTINCT n_name) AS n_names FROM nation""".stripMargin
 
+  // A13 — mode (most frequent value) per group, with a DETERMINISTIC
+  // tiebreak (smallest value wins): built-in `mode()` breaks ties
+  // arbitrarily in both engines, so the portable form is count + one
+  // key-partitioned row_number — same shape at any group count.
+  private val a13Mode: QFn = (s, dir) => {
+    val counts = t(s, dir, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("n").desc, col("o_orderpriority"))
+    counts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("modal_priority"),
+        col("n").as("n_orders"))
+      .orderBy("o_orderstatus")
+  }
+  private val a13Sql =
+    """SELECT o_orderstatus, o_orderpriority AS modal_priority,
+      |COUNT(*) AS n_orders
+      |FROM orders GROUP BY 1, 2
+      |QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+      |  ORDER BY COUNT(*) DESC, o_orderpriority) = 1
+      |ORDER BY o_orderstatus""".stripMargin
+
   // Exact interpolated percentiles (median/p90 of order value per
   // status) — Spark `percentile` and DuckDB `quantile_cont` share the
   // linear-interpolation definition; plus the approx scale path.
@@ -1331,6 +1355,7 @@ object OperatorQueries {
     "w12_linear_interp" -> w12Interp,
     "w13_range_frame" -> w13RangeFrame,
     "b1_histogram" -> b1Histogram,
+    "a13_mode" -> a13Mode,
     "a11_stats_pack" -> a11Stats,
     "a_approx_percentiles" -> aApproxPct,
     "u3_unpivot" -> u3Unpivot,
@@ -1385,6 +1410,7 @@ object OperatorQueries {
     "w12_linear_interp" -> w12Sql,
     "w13_range_frame" -> w13Sql,
     "b1_histogram" -> b1Sql,
+    "a13_mode" -> a13Sql,
     "a11_stats_pack" -> a11Sql,
     "a_approx_percentiles" -> aApproxPctSql,
     "u3_unpivot" -> u3Sql,
