@@ -765,6 +765,53 @@ object TextQueries {
        |WHERE ${cosSql("x.x", "y.x")} >= 0.2
        |ORDER BY id_a, id_b""".stripMargin
 
+  // a4 — k-NN majority-vote classification: vectors 0-19 are held-out
+  // queries, the rest vote with their labels through exact cosine top-5
+  // (ties: higher cosine, then lower vec_id; vote ties: lower label).
+  // The brute scoring join broadcasts the 20 queries past the corpus —
+  // at 100 TB the corpus side swaps to the LSH/IVF candidate scan used
+  // by ann_lsh/ann_ivf while the vote logic is unchanged.
+  private val aKnn: QFn = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = embs(s, dir)
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("label").as("true_label"),
+        col("embedding").as("qvec"))
+    val corpus = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn("cos", Similarity.cosineNative(col("embedding"), col("qvec")))
+    val byQ = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    val votes = scored.withColumn("__rn", row_number().over(byQ))
+      .filter(col("__rn") <= 5)
+      .groupBy("query_id", "true_label", "label")
+      .agg(count(lit(1)).as("n_votes"))
+    val byVote = Window.partitionBy("query_id")
+      .orderBy(col("n_votes").desc, col("label"))
+    votes.withColumn("__rv", row_number().over(byVote))
+      .filter(col("__rv") === 1)
+      .select(col("query_id"), col("true_label"),
+        col("label").as("pred_label"), col("n_votes"))
+      .orderBy("query_id")
+  }
+  private val aKnnSql =
+    s"""WITH q AS (SELECT vec_id AS query_id, label AS true_label,
+       |  CAST(embedding AS DOUBLE[]) AS qx FROM embeddings WHERE vec_id < 20),
+       |v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS x
+       |      FROM embeddings WHERE vec_id >= 20),
+       |sc AS (SELECT query_id, true_label, vec_id, label,
+       |  ${cosSql("x", "qx")} AS cos FROM v CROSS JOIN q),
+       |top AS (SELECT * FROM sc QUALIFY
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, vec_id) <= 5),
+       |votes AS (SELECT query_id, true_label, label, COUNT(*) AS n_votes
+       |          FROM top GROUP BY 1, 2, 3)
+       |SELECT query_id, true_label, label AS pred_label, n_votes
+       |FROM votes QUALIFY row_number() OVER (PARTITION BY query_id
+       |  ORDER BY n_votes DESC, label) = 1
+       |ORDER BY query_id""".stripMargin
+
   // m1 — multimodal blob plumbing: binary column + metadata + sha-256
   private val mBlob: QFn = (s, dir) =>
     Multimodal.blobStats(
@@ -966,6 +1013,7 @@ object TextQueries {
     "ann_l2_topk" -> aBruteL2,
     "ann_lsh_topk" -> aLsh,
     "ann_ivf_topk" -> aIvf,
+    "ann_knn_classify" -> aKnn,
     "mm_blob_stats" -> mBlob,
     "mm_frame_sample" -> mFrames,
     "mm_decode_features" -> mFeatures)
@@ -1000,6 +1048,7 @@ object TextQueries {
     "ann_l2_topk" -> aBruteL2Sql,
     "ann_lsh_topk" -> aLshSql,
     "ann_ivf_topk" -> aIvfSql,
+    "ann_knn_classify" -> aKnnSql,
     "mm_blob_stats" -> mBlobSql,
     "mm_frame_sample" -> mFramesSql,
     "mm_decode_features" -> mFeaturesSql)
