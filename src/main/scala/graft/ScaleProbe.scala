@@ -44,6 +44,8 @@ object ScaleProbe {
       time("simhash")(Dedup.simhashNearPairs(cached, "doc_id", "text").count())
       time("ngram_jaccard")(Dedup.ngramJaccardPairs(cached, "doc_id", "text",
         shingleK = 3, threshold = 0.5).count())
+      time("containment")(Dedup.containmentPairs(cached, "doc_id", "text",
+        shingleK = 3, threshold = 0.8).count())
     }
 
     if (families("events")) {
