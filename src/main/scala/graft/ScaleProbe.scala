@@ -184,6 +184,10 @@ object ScaleProbe {
         Dedup.embeddingDupPairs(big, "vec_id", "embedding",
           dim = 64, numPlanes = 14, threshold = 0.99).count()
       }
+      time("semantic_dup") {
+        Similarity.semanticDupPairs(big, "vec_id", "embedding",
+          dim = 64, nlist = 16, iterations = 1, threshold = 0.99).count()
+      }
     }
     spark.stop()
   }

@@ -921,6 +921,50 @@ object OperatorQueries {
       |         'Success', '')
       |ORDER BY table_name""".stripMargin
 
+  // I12 — snapshot diff (CDC derivation): given two snapshots of a
+  // keyed table, classify every key as inserted / deleted / changed /
+  // unchanged via one full-outer join comparing a non-key fingerprint —
+  // the change feed a downstream incremental consumer needs when the
+  // source publishes only full snapshots. Both snapshots are derived
+  // deterministically from orders (old = pre-cut; new = all rows, with
+  // a price bump on a keyed slice), so the oracle rebuilds the same
+  // diff in SQL.
+  private val i12SnapshotDiff: QFn = (s, dir) => {
+    val cut = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
+    val orders = t(s, dir, "orders")
+    val oldSnap = orders.filter(col("o_orderdate") < lit(cut))
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val newSnap = orders
+      .filter(col("o_orderkey") % 89 =!= 1) // a keyed slice got deleted
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 97 === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+    val o = oldSnap.select(col("o_orderkey"), col("o_totalprice").as("old_p"))
+    val n = newSnap.select(col("o_orderkey"), col("o_totalprice").as("new_p"))
+    o.join(n, Seq("o_orderkey"), "full_outer")
+      .select(col("o_orderkey"),
+        when(col("old_p").isNull, lit("inserted"))
+          .when(col("new_p").isNull, lit("deleted"))
+          .when(col("old_p") =!= col("new_p"), lit("changed"))
+          .otherwise(lit("unchanged")).as("change"))
+      .groupBy("change").agg(count(lit(1)).as("n_keys"))
+      .orderBy("change")
+  }
+  private val i12Sql =
+    """WITH o AS (SELECT o_orderkey, o_totalprice AS old_p FROM orders
+      |           WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+      |n AS (SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2
+      |       ELSE o_totalprice END AS new_p FROM orders
+      |      WHERE o_orderkey % 89 <> 1)
+      |SELECT CASE WHEN old_p IS NULL THEN 'inserted'
+      |            WHEN new_p IS NULL THEN 'deleted'
+      |            WHEN old_p <> new_p THEN 'changed'
+      |            ELSE 'unchanged' END AS change,
+      |COUNT(*) AS n_keys
+      |FROM o FULL OUTER JOIN n USING (o_orderkey)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // I10 — incremental aggregate maintenance: the monthly gold rollup is
   // maintained by merging the delta's PARTIAL aggregate into the base
   // aggregate (counts/decimal sums are associative), and the derived
@@ -1387,6 +1431,7 @@ object OperatorQueries {
     "i_watermark_delta" -> iWatermark,
     "i_scd1_merge" -> iScd1Merge,
     "i10_incremental_agg" -> i10IncrementalAgg,
+    "i12_snapshot_diff" -> i12SnapshotDiff,
     "j11_salted_skew_join" -> j11SkewSalted,
     "s9_bucketed_join" -> s9BucketedJoin,
     "i_delta_append" -> iDeltaAppend,
@@ -1444,6 +1489,7 @@ object OperatorQueries {
     "i_watermark_delta" -> iWatermarkSql,
     "i_scd1_merge" -> iScd1Sql,
     "i10_incremental_agg" -> i10Sql,
+    "i12_snapshot_diff" -> i12Sql,
     "j11_salted_skew_join" -> j11Sql,
     "s9_bucketed_join" -> s9Sql,
     "i_delta_append" -> iDeltaAppendSql,
