@@ -921,6 +921,50 @@ object OperatorQueries {
       |         'Success', '')
       |ORDER BY table_name""".stripMargin
 
+  // S12 — table profiling (the reference's EDA-exploration analog as
+  // ONE operator): per-column non-null / distinct counts and min/max in
+  // a single pass over the table — one aggregate with 4 expressions per
+  // column, then a stack() unpivot; no per-column rescans. Numeric
+  // min/max surface through DECIMAL(18,4)→string so both engines print
+  // identical text.
+  private val s12Profile: QFn = (s, dir) => {
+    val orders = t(s, dir, "orders")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    def minMax(c: String): (Column, Column) = c match {
+      case "o_totalprice" =>
+        (min(col(c)).cast(DecimalType(18, 4)).cast("string"),
+         max(col(c)).cast(DecimalType(18, 4)).cast("string"))
+      case _ => (min(col(c)).cast("string"), max(col(c)).cast("string"))
+    }
+    val aggs = cols.flatMap { c =>
+      val (mn, mx) = minMax(c)
+      Seq(count(col(c)).as(s"${c}_nn"),
+          countDistinct(col(c)).as(s"${c}_nd"),
+          mn.as(s"${c}_mn"), mx.as(s"${c}_mx"))
+    }
+    val wide = orders.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', ${c}_nn, ${c}_nd, ${c}_mn, ${c}_mx").mkString(", ")
+    wide.select(expr(
+        s"stack(${cols.size}, $stackArgs) AS " +
+          "(column_name, n_nonnull, n_distinct, min_value, max_value)"))
+      .orderBy("column_name")
+  }
+  private val s12Sql = {
+    def row(c: String, mm: String => String) =
+      s"""SELECT '$c' AS column_name, COUNT($c) AS n_nonnull,
+         |COUNT(DISTINCT $c) AS n_distinct,
+         |${mm(s"MIN($c)")} AS min_value, ${mm(s"MAX($c)")} AS max_value
+         |FROM orders""".stripMargin
+    val plain = (x: String) => s"CAST($x AS VARCHAR)"
+    val dec = (x: String) => s"CAST(CAST($x AS DECIMAL(18,4)) AS VARCHAR)"
+    Seq(row("o_orderkey", plain), row("o_custkey", plain),
+        row("o_orderstatus", plain), row("o_totalprice", dec),
+        row("o_orderdate", plain), row("o_orderpriority", plain))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
   // I12 — snapshot diff (CDC derivation): given two snapshots of a
   // keyed table, classify every key as inserted / deleted / changed /
   // unchanged via one full-outer join comparing a non-key fingerprint —
@@ -1432,6 +1476,7 @@ object OperatorQueries {
     "i_scd1_merge" -> iScd1Merge,
     "i10_incremental_agg" -> i10IncrementalAgg,
     "i12_snapshot_diff" -> i12SnapshotDiff,
+    "s12_profile_table" -> s12Profile,
     "j11_salted_skew_join" -> j11SkewSalted,
     "s9_bucketed_join" -> s9BucketedJoin,
     "i_delta_append" -> iDeltaAppend,
@@ -1490,6 +1535,7 @@ object OperatorQueries {
     "i_scd1_merge" -> iScd1Sql,
     "i10_incremental_agg" -> i10Sql,
     "i12_snapshot_diff" -> i12Sql,
+    "s12_profile_table" -> s12Sql,
     "j11_salted_skew_join" -> j11Sql,
     "s9_bucketed_join" -> s9Sql,
     "i_delta_append" -> iDeltaAppendSql,
