@@ -921,6 +921,46 @@ object OperatorQueries {
       |         'Success', '')
       |ORDER BY table_name""".stripMargin
 
+  // I13 — SCD Type 3: current value + most-recent PREVIOUS value as
+  // columns (the third classic slowly-changing-dimension form next to
+  // the repo's SCD1 merge and SCD2 intervals). Derived from the order
+  // history: per customer, the latest order's priority is current; the
+  // newest order carrying a DIFFERENT priority supplies the previous
+  // value ('n/a' when the history never changed). Two key-partitioned
+  // windows, no global sort.
+  private val i13Scd3: QFn = (s, dir) => {
+    val orders = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val byCustDesc = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val latest = orders.withColumn("__rn", row_number().over(byCustDesc))
+      .filter(col("__rn") === 1)
+      .select(col("o_custkey"), col("o_orderpriority").as("current_priority"))
+    val prev = orders.join(latest, "o_custkey")
+      .filter(col("o_orderpriority") =!= col("current_priority"))
+      .withColumn("__rn", row_number().over(byCustDesc))
+      .filter(col("__rn") === 1)
+      .select(col("o_custkey"), col("o_orderpriority").as("previous_priority"))
+    latest.join(prev, Seq("o_custkey"), "left")
+      .select(col("o_custkey"), col("current_priority"),
+        coalesce(col("previous_priority"), lit("n/a")).as("previous_priority"))
+      .orderBy("o_custkey")
+  }
+  private val i13Sql =
+    """WITH latest AS (SELECT o_custkey, o_orderpriority AS current_priority
+      |  FROM orders QUALIFY row_number() OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate DESC, o_orderkey DESC) = 1),
+      |prev AS (SELECT o.o_custkey, o.o_orderpriority AS previous_priority
+      |  FROM orders o JOIN latest USING (o_custkey)
+      |  WHERE o.o_orderpriority <> latest.current_priority
+      |  QUALIFY row_number() OVER (PARTITION BY o.o_custkey
+      |    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1)
+      |SELECT o_custkey, current_priority,
+      |COALESCE(previous_priority, 'n/a') AS previous_priority
+      |FROM latest LEFT JOIN prev USING (o_custkey)
+      |ORDER BY o_custkey""".stripMargin
+
   // S12 — table profiling (the reference's EDA-exploration analog as
   // ONE operator): per-column non-null / distinct counts and min/max in
   // a single pass over the table — one aggregate with 4 expressions per
@@ -1477,6 +1517,7 @@ object OperatorQueries {
     "i10_incremental_agg" -> i10IncrementalAgg,
     "i12_snapshot_diff" -> i12SnapshotDiff,
     "s12_profile_table" -> s12Profile,
+    "i13_scd3" -> i13Scd3,
     "j11_salted_skew_join" -> j11SkewSalted,
     "s9_bucketed_join" -> s9BucketedJoin,
     "i_delta_append" -> iDeltaAppend,
@@ -1536,6 +1577,7 @@ object OperatorQueries {
     "i10_incremental_agg" -> i10Sql,
     "i12_snapshot_diff" -> i12Sql,
     "s12_profile_table" -> s12Sql,
+    "i13_scd3" -> i13Sql,
     "j11_salted_skew_join" -> j11Sql,
     "s9_bucketed_join" -> s9Sql,
     "i_delta_append" -> iDeltaAppendSql,
