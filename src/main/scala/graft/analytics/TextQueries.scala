@@ -165,6 +165,35 @@ object TextQueries {
   // so it broadcasts and the 100 TB scan never shuffles; shingles are
   // the portable md5 hashes, which the oracle mirrors with raw shingle
   // strings (identical up to 2^-64 collisions).
+  // t10 — exact frequent terms via the Misra-Gries candidate sweep
+  // (operators/FrequentItems): per-partition decrement counting
+  // nominates candidates without shuffling the long tail, an exact
+  // count over candidates only finishes. Threshold = 0.2% of all
+  // tokens; the oracle is the plain heavy-hitters GROUP BY — candidate
+  // pruning must be invisible in the result (the no-false-negative
+  // guarantee, driver-proven).
+  private val tFrequentTerms: QFn = (s, dir) => {
+    import s.implicits._
+    val words = docs(s, dir).select(
+        explode(split(TF.normText(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0).as[String]
+    val n = words.count()
+    val minCount = math.max(1L, n / 500L)
+    graft.operators.FrequentItems.frequent(words, minCount, sketchK = 4096)
+      .select(col("item").as("term"), col("n"))
+      .orderBy("term")
+  }
+  private val tFrequentTermsSql = {
+    val norm = TF.normTextSql("text")
+    s"""WITH w AS (SELECT unnest(string_split($norm, ' ')) AS term
+       |  FROM documents),
+       |ww AS (SELECT term FROM w WHERE length(term) > 0),
+       |t AS (SELECT greatest(CAST(COUNT(*) // 500 AS BIGINT), 1) AS mc FROM ww)
+       |SELECT term, COUNT(*) AS n FROM ww CROSS JOIN t
+       |GROUP BY term, mc HAVING COUNT(*) >= mc
+       |ORDER BY term""".stripMargin
+  }
+
   // t8 — URL extraction + canonicalization, the domain-level filter step
   // of web-corpus curation. The word-soup corpus carries no organic
   // URLs, so (as with PII) deterministic URLs are planted keyed off
@@ -997,6 +1026,7 @@ object TextQueries {
     "t_decontaminate" -> tDecontaminate,
     "t_url_extraction" -> tUrlExtract,
     "t_unigram_logprob" -> tUnigramLp,
+    "t_frequent_terms" -> tFrequentTerms,
     "t_chunking" -> tChunking,
     "s_bm25_search" -> tBm25,
     "d_exact_dedup" -> dExact,
@@ -1032,6 +1062,7 @@ object TextQueries {
     "t_decontaminate" -> tDecontaminateSql,
     "t_url_extraction" -> tUrlExtractSql,
     "t_unigram_logprob" -> tUnigramLpSql,
+    "t_frequent_terms" -> tFrequentTermsSql,
     "t_chunking" -> tChunkingSql,
     "s_bm25_search" -> tBm25Sql,
     "d_exact_dedup" -> dExactSql,
