@@ -921,6 +921,74 @@ object OperatorQueries {
       |         'Success', '')
       |ORDER BY table_name""".stripMargin
 
+  // J12 — point-in-time (SCD2 validity) join: each fact row picks up
+  // the dimension VERSION that was current at its event date — the
+  // equi-join on the key carries the heavy lifting (hash-partitioned,
+  // no nested loop), the validity range is a residual filter. Dimension
+  // versions are derived on the fly from the order history (each
+  // customer's orders form consecutive validity intervals, LEAD closes
+  // them), so the oracle rebuilds the identical intervals.
+  private val j12PointInTime: QFn = (s, dir) => {
+    val orders = t(s, dir, "orders")
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val versions = orders.select(col("o_custkey"),
+        col("o_orderkey").as("version_id"),
+        col("o_orderpriority").as("version_priority"),
+        col("o_orderdate").as("eff"),
+        lead(col("o_orderdate"), 1).over(w).as("exp"))
+    val facts = orders.select(col("o_custkey"), col("o_orderkey"),
+      col("o_orderdate"))
+    facts.join(versions, Seq("o_custkey"))
+      .filter(col("o_orderdate") >= col("eff") &&
+        (col("exp").isNull || col("o_orderdate") < col("exp")))
+      .groupBy("version_priority")
+      .agg(count(lit(1)).as("n_matched"),
+           countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy("version_priority")
+  }
+  private val j12Sql =
+    """WITH v AS (SELECT o_custkey, o_orderkey AS version_id,
+      |  o_orderpriority AS version_priority, o_orderdate AS eff,
+      |  LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey) AS exp FROM orders),
+      |f AS (SELECT o_custkey, o_orderkey, o_orderdate FROM orders)
+      |SELECT version_priority, COUNT(*) AS n_matched,
+      |COUNT(DISTINCT f.o_custkey) AS n_customers
+      |FROM f JOIN v USING (o_custkey)
+      |WHERE f.o_orderdate >= v.eff
+      |  AND (v.exp IS NULL OR f.o_orderdate < v.exp)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // W15 — gaps and islands: per-user consecutive-day activity streaks
+  // via the day − dense_rank trick (consecutive days share a constant
+  // difference → one key-partitioned window + one groupBy; no global
+  // structure). Reports each user's longest streak and streak count.
+  private val w15GapsIslands: QFn = (s, dir) => {
+    val days = t(s, dir, "events")
+      .select(col("user_id"), expr("(ts div 1000000000) div 86400").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val islands = days
+      .withColumn("__grp", col("day") - row_number().over(w))
+      .groupBy("user_id", "__grp")
+      .agg(count(lit(1)).as("streak_len"))
+    islands.groupBy("user_id")
+      .agg(max(col("streak_len")).as("longest_streak"),
+           count(lit(1)).as("n_streaks"))
+      .orderBy("user_id")
+  }
+  private val w15Sql =
+    """WITH d AS (SELECT DISTINCT user_id,
+      |  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+      |g AS (SELECT user_id, day,
+      |  day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |  FROM d),
+      |i AS (SELECT user_id, grp, COUNT(*) AS streak_len
+      |      FROM g GROUP BY 1, 2)
+      |SELECT user_id, MAX(streak_len) AS longest_streak,
+      |COUNT(*) AS n_streaks
+      |FROM i GROUP BY 1 ORDER BY 1""".stripMargin
+
   // I13 — SCD Type 3: current value + most-recent PREVIOUS value as
   // columns (the third classic slowly-changing-dimension form next to
   // the repo's SCD1 merge and SCD2 intervals). Derived from the order
@@ -1518,6 +1586,8 @@ object OperatorQueries {
     "i12_snapshot_diff" -> i12SnapshotDiff,
     "s12_profile_table" -> s12Profile,
     "i13_scd3" -> i13Scd3,
+    "j12_point_in_time" -> j12PointInTime,
+    "w15_gaps_islands" -> w15GapsIslands,
     "j11_salted_skew_join" -> j11SkewSalted,
     "s9_bucketed_join" -> s9BucketedJoin,
     "i_delta_append" -> iDeltaAppend,
@@ -1578,6 +1648,8 @@ object OperatorQueries {
     "i12_snapshot_diff" -> i12Sql,
     "s12_profile_table" -> s12Sql,
     "i13_scd3" -> i13Sql,
+    "j12_point_in_time" -> j12Sql,
+    "w15_gaps_islands" -> w15Sql,
     "j11_salted_skew_join" -> j11Sql,
     "s9_bucketed_join" -> s9Sql,
     "i_delta_append" -> iDeltaAppendSql,
