@@ -1039,19 +1039,25 @@ object OperatorQueries {
     val orders = t(s, dir, "orders")
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
       "o_totalprice", "o_orderdate", "o_orderpriority")
+    // two aggregates, not one: the multi-distinct Expand stays purely
+    // hash-capable (count buffers only), while min/max — whose STRING
+    // buffers force SortAggregate — run over the unexpanded rows (6×
+    // fewer than the Expand stream; 3.1 s → 1.2 s at sf0.1)
+    val cntAggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}_nn"), countDistinct(col(c)).as(s"${c}_nd"))
+    }
     def minMax(c: String): (Column, Column) = c match {
       case "o_totalprice" =>
         (min(col(c)).cast(DecimalType(18, 4)).cast("string"),
          max(col(c)).cast(DecimalType(18, 4)).cast("string"))
       case _ => (min(col(c)).cast("string"), max(col(c)).cast("string"))
     }
-    val aggs = cols.flatMap { c =>
+    val mmAggs = cols.flatMap { c =>
       val (mn, mx) = minMax(c)
-      Seq(count(col(c)).as(s"${c}_nn"),
-          countDistinct(col(c)).as(s"${c}_nd"),
-          mn.as(s"${c}_mn"), mx.as(s"${c}_mx"))
+      Seq(mn.as(s"${c}_mn"), mx.as(s"${c}_mx"))
     }
-    val wide = orders.agg(aggs.head, aggs.tail: _*)
+    val wide = orders.agg(cntAggs.head, cntAggs.tail: _*)
+      .crossJoin(broadcast(orders.agg(mmAggs.head, mmAggs.tail: _*)))
     val stackArgs = cols.map(c =>
       s"'$c', ${c}_nn, ${c}_nd, ${c}_mn, ${c}_mx").mkString(", ")
     wide.select(expr(
