@@ -194,6 +194,74 @@ object TextQueries {
        |ORDER BY term""".stripMargin
   }
 
+  // pipe2 — RAG ingest pipeline as ONE declarative plan: overlapping
+  // chunking → (stub) embedding → hyperplane-LSH bucket assignment →
+  // per-bucket index stats. The embedding is the documented stub
+  // boundary (a real model is environment-blocked, as with multimodal
+  // decode): 8 dims derived from the portable md5 hash of the chunk
+  // fingerprint — deterministic, SQL-replayable, and the Spark-side
+  // plumbing (chunk geometry, per-dim columns staying in codegen, the
+  // sign-bit bucketing, the rollup) is the real pipeline shape. Dots
+  // fold left-to-right in both engines so doubles are bit-identical.
+  private val pipeRagIngest: QFn = (s, dir) => {
+    val d = docs(s, dir)
+      .select(col("doc_id"), split(TF.normText(col("text")), " ").as("__w"))
+      .select(col("doc_id"), col("__w"),
+        explode(sequence(lit(0), greatest(size(col("__w")) - 1, lit(0)), lit(80)))
+          .as("start"))
+      .select(col("doc_id"), (col("start") / 80).cast("int").as("chunk_idx"),
+        md5(concat_ws(" ", slice(col("__w"), col("start") + 1, lit(100))))
+          .as("chunk_fp"))
+    val dims = (0 until 8).map { i =>
+      (Dedup.md5Hash64(concat(col("chunk_fp"), lit(s":$i")))
+        .cast("double") / lit(9.223372036854776e18)).as(s"v$i")
+    }
+    val embedded = d.select(col("doc_id") +: col("chunk_idx") +: dims: _*)
+    val planes = Similarity.hyperplanes(dim = 8, numPlanes = 6, seed = 7L)
+    val bucket = planes.zipWithIndex.map { case (p, b) =>
+      val dot = (0 until 8).map(i => col(s"v$i") * lit(p(i))).reduce(_ + _)
+      when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    embedded.withColumn("bucket", bucket)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_chunks"),
+           countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("bucket")
+  }
+  private val pipeRagIngestSql = {
+    val norm = TF.normTextSql("text")
+    // DuckDB << raises on overflow (Java's wraps), so the signed 64-bit
+    // combine is arithmetic: fold the high half's sign explicitly, then
+    // hi*2^32 + lo stays inside int64 exactly like (hi << 32) | lo
+    def h64(x: String) = {
+      val hi = s"CAST(('0x' || substring(md5($x), 1, 8)) AS BIGINT)"
+      val lo = s"CAST(('0x' || substring(md5($x), 9, 8)) AS BIGINT)"
+      s"(($hi - (CASE WHEN $hi >= 2147483648 THEN 4294967296 ELSE 0 END))" +
+        s" * 4294967296 + $lo)"
+    }
+    val dims = (0 until 8).map { i =>
+      s"(CAST(${h64(s"chunk_fp || ':$i'")} AS DOUBLE) / 9.223372036854776e18) AS v$i"
+    }.mkString(",\n")
+    val planes = Similarity.hyperplanes(dim = 8, numPlanes = 6, seed = 7L)
+    val bucket = planes.zipWithIndex.map { case (p, b) =>
+      val dot = (0 until 8).map(i => s"v$i * ${p(i)}").mkString(" + ")
+      s"(CASE WHEN $dot >= 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, string_split($norm, ' ') AS ws FROM documents),
+       |st AS (SELECT doc_id, ws,
+       |  unnest(range(0, CAST(greatest(len(ws) - 1, 0) AS BIGINT) + 1, 80)) AS start
+       |  FROM w),
+       |c AS (SELECT doc_id, CAST(start // 80 AS INT) AS chunk_idx,
+       |  md5(array_to_string(ws[start + 1:start + 100], ' ')) AS chunk_fp
+       |  FROM st),
+       |e AS (SELECT doc_id, chunk_idx,
+       |$dims
+       |FROM c)
+       |SELECT $bucket AS bucket, COUNT(*) AS n_chunks,
+       |COUNT(DISTINCT doc_id) AS n_docs
+       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // t8 — URL extraction + canonicalization, the domain-level filter step
   // of web-corpus curation. The word-soup corpus carries no organic
   // URLs, so (as with PII) deterministic URLs are planted keyed off
@@ -1014,6 +1082,7 @@ object TextQueries {
 
   val queries: Map[String, QFn] = Map(
     "pipe_corpus_curation" -> pipeCuration,
+    "pipe_rag_ingest" -> pipeRagIngest,
     "p_hash_split" -> pSplit,
     "p_stratified_sample" -> pStratified,
     "p_token_shards" -> pShards,
@@ -1050,6 +1119,7 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "pipe_corpus_curation" -> pipeCurationSql,
+    "pipe_rag_ingest" -> pipeRagIngestSql,
     "p_hash_split" -> pSplitSql,
     "p_stratified_sample" -> pStratifiedSql,
     "p_token_shards" -> pShardsSql,
