@@ -378,8 +378,61 @@ object BehaviorQueries {
       |CAST(date_diff('day', d, last_day(d)) AS INT) AS days_to_month_end
       |FROM d ORDER BY d""".stripMargin
 
+  // ev_anomaly_days — per-user activity anomalies: a user's daily event
+  // counts are z-scored against that user's own mean/stddev (sample), and
+  // days ≥ 2σ above surface. Moments are exact integer window sums over
+  // the user_id partition (no global window, no second shuffle past the
+  // daily groupBy — the window reuses its hash partitioning), and the
+  // z expression is one fixed double tree over exact integers, so the
+  // ≥ 2.0 cut lands identically in both engines.
+  /** Daily-count anomaly days over (user_id, day) event rows: days whose
+    * count is ≥ `sigmas` sample standard deviations above the user's own
+    * daily mean (users need ≥ 2 active days and nonzero variance). */
+  def anomalyDays(e: DataFrame, sigmas: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = e.groupBy("user_id", "day").agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("user_id")
+    val withM = daily
+      .withColumn("nd", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("n_events")).over(w))
+      .withColumn("sxx", sum(col("n_events") * col("n_events")).over(w))
+    val nd = col("nd").cast("double")
+    val sx = col("sx").cast("double"); val sxx = col("sxx").cast("double")
+    val mean = sx / nd
+    val varS = (sxx - sx * sx / nd) / (nd - lit(1.0))
+    val z = (col("n_events").cast("double") - mean) / sqrt(varS)
+    withM.filter(col("nd") > 1 && varS > 0.0 && z >= sigmas)
+      .select(col("user_id"), col("day"), col("n_events"),
+        round(z, 6).as("z_r"))
+      .orderBy("user_id", "day")
+  }
+
+  private val evAnomaly: QFn = (s, dir) =>
+    anomalyDays(
+      t(s, dir, "events").select(col("user_id"),
+        expr("(ts div 1000000000) div 86400").as("day")),
+      sigmas = 2.0)
+  private val evAnomalySql =
+    """WITH e AS (SELECT user_id,
+      |  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+      |daily AS (SELECT user_id, day, COUNT(*) AS n_events FROM e GROUP BY 1, 2),
+      |m AS (SELECT user_id, day, n_events,
+      |  CAST(COUNT(*) OVER w AS DOUBLE) AS nd,
+      |  CAST(SUM(n_events) OVER w AS DOUBLE) AS sx,
+      |  CAST(SUM(n_events * n_events) OVER w AS DOUBLE) AS sxx
+      |  FROM daily WINDOW w AS (PARTITION BY user_id))
+      |SELECT user_id, day, n_events,
+      |round((CAST(n_events AS DOUBLE) - sx / nd)
+      |  / sqrt((sxx - sx * sx / nd) / (nd - 1.0)), 6) AS z_r
+      |FROM m
+      |WHERE nd > 1 AND (sxx - sx * sx / nd) / (nd - 1.0) > 0.0
+      |  AND (CAST(n_events AS DOUBLE) - sx / nd)
+      |    / sqrt((sxx - sx * sx / nd) / (nd - 1.0)) >= 2.0
+      |ORDER BY user_id, day""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "s11_date_dim" -> s11DateDim,
+    "ev_anomaly_days" -> evAnomaly,
     "ev_funnel" -> evFunnel,
     "ev_retention" -> evRetention,
     "q19_basket_affinity" -> q19Basket,
@@ -390,6 +443,7 @@ object BehaviorQueries {
 
   val oracleSql: Map[String, String] = Map(
     "s11_date_dim" -> s11Sql,
+    "ev_anomaly_days" -> evAnomalySql,
     "ev_funnel" -> evFunnelSql,
     "ev_retention" -> evRetentionSql,
     "q19_basket_affinity" -> q19Sql,

@@ -389,6 +389,76 @@ object OperatorQueries {
       |  / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_price_qty
       |FROM d ORDER BY l_returnflag""".stripMargin
 
+  // A14 — per-group least-squares regression (price ~ quantity): slope,
+  // intercept and R² derived from the same exact decimal moments as
+  // a11_stats_pack, then one fixed double expression tree — identical
+  // IEEE arithmetic in both engines, no regr_slope() built-in needed
+  // (and none of its accumulation-order dependence). At 100 TB this is
+  // one map-side-combined aggregate per group; nothing else moves.
+  private val a14Linreg: QFn = (s, dir) => {
+    val x = col("l_quantity").cast(DecimalType(19, 4))
+    val y = col("l_extendedprice").cast(DecimalType(19, 4))
+    val m = t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).cast("long").as("n"),
+           sum(x).as("sx"), sum(y).as("sy"),
+           sum(x * x).as("sxx"), sum(y * y).as("syy"),
+           sum(x * y).as("sxy"))
+    val n = col("n")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val sxx = col("sxx").cast("double"); val syy = col("syy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    m.select(col("l_returnflag"), col("l_linestatus"), n,
+        slope.as("slope"),
+        ((sy - slope * sx) / n).as("intercept"),
+        (slope * slope * (n * sxx - sx * sx) / (n * syy - sy * sy)).as("r2"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+  private val a14Sql =
+    """WITH m AS (SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  SUM(CAST(l_quantity AS DECIMAL(19,4))) AS sx,
+      |  SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS sy,
+      |  SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS sxx,
+      |  SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS syy,
+      |  SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS sxy
+      |  FROM lineitem GROUP BY 1, 2),
+      |d AS (SELECT l_returnflag, l_linestatus, n,
+      |  CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx,
+      |  CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy,
+      |  CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxx,
+      |  CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syy,
+      |  CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxy FROM m)
+      |SELECT l_returnflag, l_linestatus, n,
+      |(n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+      |(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept,
+      |((n * sxy - sx * sy) / (n * sxx - sx * sx))
+      |  * ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+      |  * (n * sxx - sx * sx) / (n * syy - sy * sy) AS r2
+      |FROM d ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // S13 — schema evolution on read: a v1 writer lands files without
+  // n_regionkey, a v2 writer appends the full schema; mergeSchema
+  // reconciles them into one unioned scan where v1 rows surface NULLs
+  // (the parquet-footers-only analog of a warehouse ALTER TABLE ADD
+  // COLUMN — the pattern every long-lived 100-TB table needs because
+  // rewriting history per column add is off the table).
+  private val s13SchemaEvo: QFn = (s, dir) => {
+    val src = t(s, dir, "nation")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    src.select("n_nationkey", "n_name").write.mode("append").parquet(tmp)
+    src.write.mode("append").parquet(tmp)
+    s.read.option("mergeSchema", "true").parquet(tmp)
+      .agg(count(lit(1)).as("n_rows"),
+           (count(lit(1)) - count(col("n_regionkey"))).as("n_regionkey_nulls"),
+           sum(col("n_regionkey")).cast("long").as("regionkey_sum"),
+           countDistinct(col("n_name")).as("n_names"))
+  }
+  private val s13Sql =
+    """SELECT 2 * COUNT(*) AS n_rows, COUNT(*) AS n_regionkey_nulls,
+      |CAST(SUM(n_regionkey) AS BIGINT) AS regionkey_sum,
+      |COUNT(DISTINCT n_name) AS n_names FROM nation""".stripMargin
+
   private val w12Interp: QFn = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val up = Window.partitionBy("user_id").orderBy("tus", "event_id")
@@ -1559,6 +1629,8 @@ object OperatorQueries {
     "b1_histogram" -> b1Histogram,
     "a13_mode" -> a13Mode,
     "a11_stats_pack" -> a11Stats,
+    "a14_linreg" -> a14Linreg,
+    "s13_schema_evolution" -> s13SchemaEvo,
     "a_approx_percentiles" -> aApproxPct,
     "u3_unpivot" -> u3Unpivot,
     "u4_bag_set_ops" -> u4BagOps,
@@ -1619,6 +1691,8 @@ object OperatorQueries {
     "b1_histogram" -> b1Sql,
     "a13_mode" -> a13Sql,
     "a11_stats_pack" -> a11Sql,
+    "a14_linreg" -> a14Sql,
+    "s13_schema_evolution" -> s13Sql,
     "a_approx_percentiles" -> aApproxPctSql,
     "u3_unpivot" -> u3Sql,
     "u4_bag_set_ops" -> u4Sql,

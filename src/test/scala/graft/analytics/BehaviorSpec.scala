@@ -59,6 +59,29 @@ class BehaviorSpec extends AnyFunSuite {
       (2.0 * 4.0) / (3.0 * 2.0))))
   }
 
+  test("anomaly days flag only >=2-sigma days, with exact z-scores") {
+    // u1: counts (1,1,1,1,1,7) over 6 days — day 15 is the spike (a
+    // sample z-score is capped at (n-1)/sqrt(n), so 5 days can never
+    // reach 2 sigma; 6 can, barely);
+    // u2: constant counts (zero variance) — never flagged;
+    // u3: one active day — excluded (needs >= 2 days)
+    val e = ((10L to 14L).map(d => (1L, d)) ++ Seq.fill(7)((1L, 15L)) ++
+        Seq.fill(2)((2L, 10L)) ++ Seq.fill(2)((2L, 11L)) ++
+        Seq.fill(3)((3L, 10L)))
+      .toDF("user_id", "day")
+    val got = BehaviorQueries.anomalyDays(e, sigmas = 2.0)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // mean = 2, var = (54 - 144/6)/5 = 6, z = (7-2)/sqrt(6) ~ 2.0412
+    val z = BigDecimal(5.0 / math.sqrt(6.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Seq((1L, 15L, 7L, z)))
+  }
+
+  test("anomaly days on an empty input is empty") {
+    val e = Seq.empty[(Long, Long)].toDF("user_id", "day")
+    assert(BehaviorQueries.anomalyDays(e, 2.0).count() === 0)
+  }
+
   test("funnel with an unreached tail stage reports zero users") {
     val e = Seq((1L, "signup", 0L)).toDF("user_id", "event_type", "sec")
     val got = BehaviorQueries.funnelStages(e, Seq("signup", "click"), 10L)
