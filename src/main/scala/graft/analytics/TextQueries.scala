@@ -862,6 +862,65 @@ object TextQueries {
        |WHERE ${cosSql("x.x", "y.x")} >= 0.2
        |ORDER BY id_a, id_b""".stripMargin
 
+  // a5 — product-quantization ANN: 4 subspaces × 8-centroid L2 codebooks
+  // (deterministic train, Similarity.pqTrain), corpus encoded to 4 small
+  // codes, query ranked by asymmetric (reconstruction) distance looked up
+  // from plan-time literal tables. The oracle replays EVERYTHING in SQL —
+  // per-subspace init (8 lowest ids), one decimal-routed Lloyd pass,
+  // float-rounded codebooks, UNROLLED sequential 16-term squared sums
+  // (the exact FloatVecL2 accumulation order) — so codes AND distances
+  // are driver-proven.
+  private val aPq: QFn = (s, dir) => {
+    val corpus = embs(s, dir).filter(col("vec_id") =!= 0)
+    val books = Similarity.pqTrain(corpus, "vec_id", "embedding",
+      dim = 64, m = 4, k = 8, iterations = 1)
+    Similarity.pqTopK(corpus, "vec_id", "embedding",
+        queryVec(s, dir), k = 10, books)
+      .select(col("vec_id"), col("code_0"), col("code_1"),
+        col("code_2"), col("code_3"), round(col("adc"), 6).as("adc_r"))
+      .orderBy("adc_r", "vec_id")
+  }
+  private val aPqSql: String = {
+    val sd = 16; val m = 4; val k = 8
+    def l2sq(xOf: Int => String, cOf: Int => String) =
+      (0 until sd).map { j =>
+        s"(${xOf(j)} - ${cOf(j)}) * (${xOf(j)} - ${cOf(j)})"
+      }.mkString(" + ")
+    def subCtes(s: Int): String = {
+      val lo = s * sd + 1; val hi = (s + 1) * sd
+      val asgInit = l2sq(j => s"v.x[${lo + j}]", j => s"i.c[${j + 1}]")
+      val asgF = l2sq(j => s"v.x[${lo + j}]", j => s"f.c[${j + 1}]")
+      val qtab = l2sq(j => s"q.qx[${lo + j}]", j => s"f.c[${j + 1}]")
+      s"""init_$s AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, x[$lo:$hi] AS c
+         |  FROM (SELECT * FROM corpus ORDER BY vec_id LIMIT $k)),
+         |a1_$s AS (SELECT v.vec_id, v.x,
+         |  (SELECT i.cid FROM init_$s i ORDER BY sqrt($asgInit) ASC, i.cid ASC LIMIT 1) AS cid
+         |  FROM corpus v),
+         |sums_$s AS (SELECT cid, i, CAST(SUM(CAST(xe AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*) AS mu
+         |  FROM (SELECT cid, unnest(x[$lo:$hi]) AS xe, generate_subscripts(x[$lo:$hi], 1) AS i FROM a1_$s)
+         |  GROUP BY cid, i),
+         |cent_$s AS (SELECT cid, list(CAST(CAST(mu AS FLOAT) AS DOUBLE) ORDER BY i) AS c FROM sums_$s GROUP BY cid),
+         |a2_$s AS (SELECT v.vec_id,
+         |  (SELECT f.cid FROM cent_$s f ORDER BY sqrt($asgF) ASC, f.cid ASC LIMIT 1) AS cid
+         |  FROM corpus v),
+         |qtab_$s AS (SELECT f.cid, $qtab AS d2 FROM cent_$s f CROSS JOIN q)""".stripMargin
+    }
+    val codeCols = (0 until m).map(s => s"a2_$s.cid AS code_$s").mkString(", ")
+    val codeJoins = (1 until m).map(s => s"JOIN a2_$s USING (vec_id)").mkString(" ")
+    val tabJoins = (0 until m).map(s => s"JOIN qtab_$s t$s ON t$s.cid = c.code_$s").mkString(" ")
+    val adcSum = (0 until m).map(s => s"t$s.d2").reduce((a, b) => s"($a + $b)")
+    s"""WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+       |  FROM embeddings WHERE vec_id <> 0),
+       |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qx FROM embeddings WHERE vec_id = 0),
+       |${(0 until m).map(subCtes).mkString(",\n")},
+       |codes AS (SELECT a2_0.vec_id, $codeCols FROM a2_0 $codeJoins),
+       |scored AS (SELECT c.vec_id, code_0, code_1, code_2, code_3,
+       |  sqrt($adcSum) AS adc FROM codes c $tabJoins),
+       |top AS (SELECT * FROM scored ORDER BY adc, vec_id LIMIT 10)
+       |SELECT vec_id, code_0, code_1, code_2, code_3, round(adc, 6) AS adc_r
+       |FROM top ORDER BY adc_r, vec_id""".stripMargin
+  }
+
   // a4 — k-NN majority-vote classification: vectors 0-19 are held-out
   // queries, the rest vote with their labels through exact cosine top-5
   // (ties: higher cosine, then lower vec_id; vote ties: lower label).
@@ -1112,6 +1171,7 @@ object TextQueries {
     "ann_l2_topk" -> aBruteL2,
     "ann_lsh_topk" -> aLsh,
     "ann_ivf_topk" -> aIvf,
+    "ann_pq_topk" -> aPq,
     "ann_knn_classify" -> aKnn,
     "mm_blob_stats" -> mBlob,
     "mm_frame_sample" -> mFrames,
@@ -1149,6 +1209,7 @@ object TextQueries {
     "ann_l2_topk" -> aBruteL2Sql,
     "ann_lsh_topk" -> aLshSql,
     "ann_ivf_topk" -> aIvfSql,
+    "ann_pq_topk" -> aPqSql,
     "ann_knn_classify" -> aKnnSql,
     "mm_blob_stats" -> mBlobSql,
     "mm_frame_sample" -> mFramesSql,

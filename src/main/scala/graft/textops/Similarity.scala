@@ -202,6 +202,124 @@ object Similarity {
         round(col("cosine"), 6).as("cosine_r"))
   }
 
+  // ------------------------------------------------ product quantization
+
+  /** Nearest-centroid L2 assignment over an arbitrary vector Column —
+    * the metric twin of [[assignToCentroid]]: the codebook is a literal,
+    * so assignment is one codegen'd projection (flat argmin: least() +
+    * a linear when-chain, ties to the lowest cid). */
+  private def assignL2(df: DataFrame, vec: Column,
+                       centroids: Map[Int, Array[Double]], out: String): DataFrame = {
+    val dists = centroids.toSeq.sortBy(_._1).map { case (cid, c) =>
+      cid -> l2Native(vec, array(c.map(v => lit(v.toFloat)): _*)).as(s"__d$cid")
+    }
+    val withD = df.select(col("*") +: dists.map(_._2): _*)
+    def d(cid: Int) = coalesce(col(s"__d$cid"), lit(Double.MaxValue))
+    val best = least(dists.map(p => d(p._1)): _*)
+    val cid = dists.map(_._1).foldRight(lit(-1)) { (c, rest) =>
+      when(d(c) === best, lit(c)).otherwise(rest)
+    }
+    withD.withColumn(out, cid).drop(dists.map(p => s"__d${p._1}"): _*)
+  }
+
+  /** Product-quantization codebooks: the vector splits into `m` equal
+    * subspaces, each learning a k-centroid L2 k-means codebook. Build is
+    * deterministic end to end — init = the `k` lowest-id vectors' slices,
+    * one decimal-routed Lloyd pass per iteration, float-rounded codebooks
+    * at assignment time — the same replayable recipe as [[ivfTrain]].
+    * ALL subspaces train in one pass per iteration: encode is a single
+    * projection and the per-element means come from ONE posexplode +
+    * groupBy keyed (subspace, code, offset), so shuffle count doesn't
+    * scale with `m`. Collected state is m·k·(dim/m) = k·dim doubles — a
+    * codebook, not data. */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+              m: Int, k: Int, iterations: Int = 1): Seq[Map[Int, Array[Double]]] = {
+    require(m > 0 && dim % m == 0, s"pqTrain: dim $dim must split into $m subspaces")
+    val sd = dim / m
+    val initRows = df.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol).cast("array<double>")).collect()
+    require(initRows.nonEmpty,
+      "pqTrain: empty corpus — a PQ codebook needs at least one vector")
+    var books: Seq[Map[Int, Array[Double]]] = (0 until m).map { s =>
+      initRows.zipWithIndex.map { case (r, i) =>
+        i -> r.getSeq[Double](0).slice(s * sd, (s + 1) * sd).toArray
+      }.toMap
+    }
+    (0 until iterations).foreach { _ =>
+      val encoded = pqEncode(df, vecCol, books)
+      val sub = (col("__i") / sd).cast("int")
+      val codeOf = (0 until m).foldRight(lit(-1)) { (s, rest) =>
+        when(sub === s, col(s"__code_$s")).otherwise(rest)
+      }
+      val sums = encoded
+        .select((0 until m).map(s => col(s"__code_$s")) :+
+          posexplode(col(vecCol).cast("array<double>")).as(Seq("__i", "__x")): _*)
+        .groupBy(sub.as("__s"), codeOf.as("__cid"), (col("__i") % sd).as("__j"))
+        .agg(sum(col("__x").cast(org.apache.spark.sql.types.DecimalType(38, 15)))
+          .cast("double").as("sum_x"), count(lit(1)).as("n"))
+        .collect()
+      books = (0 until m).map { s =>
+        sums.filter(_.getInt(0) == s).groupBy(_.getInt(1)).map { case (cid, rows) =>
+          val arr = new Array[Double](sd)
+          rows.foreach { r =>
+            val n = r.getLong(4)
+            arr(r.getInt(2)) = if (n == 0) 0.0 else r.getDouble(3) / n
+          }
+          cid -> arr
+        }
+      }
+    }
+    books
+  }
+
+  /** PQ encode: append `__code_0..__code_{m-1}` — each subspace's nearest-
+    * centroid id. One chained projection (the per-subspace argmins collapse
+    * into a single codegen stage); no shuffle. */
+  def pqEncode(df: DataFrame, vecCol: String,
+               books: Seq[Map[Int, Array[Double]]]): DataFrame = {
+    val sd = books.head.head._2.length
+    books.zipWithIndex.foldLeft(df) { case (acc, (cb, s)) =>
+      assignL2(acc, slice(col(vecCol), s * sd + 1, sd), cb, s"__code_$s")
+    }
+  }
+
+  /** PQ asymmetric-distance top-k: corpus vectors are ranked by their
+    * RECONSTRUCTION distance to the query — sqrt of the sum of squared
+    * query-to-centroid sub-distances looked up by code. The lookup tables
+    * are plan-time double literals (m·k scalars computed on the driver
+    * with the exact FloatVecL2 arithmetic), so scoring an encoded corpus
+    * is a literal CASE chain per subspace — no vector math per row at
+    * probe time, which is the entire point of PQ at 100 TB: the fat
+    * embedding column stays unread once codes are materialized. */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String,
+             query: Seq[Double], k: Int,
+             books: Seq[Map[Int, Array[Double]]]): DataFrame = {
+    val sd = books.head.head._2.length
+    val tables: Seq[Map[Int, Double]] = books.zipWithIndex.map { case (cb, s) =>
+      cb.map { case (cid, c) =>
+        var acc = 0.0
+        var i = 0
+        while (i < sd) {
+          // float-rounded on both sides, exactly like the encode path
+          val d = query(s * sd + i).toFloat.toDouble - c(i).toFloat.toDouble
+          acc += d * d
+          i += 1
+        }
+        cid -> acc
+      }
+    }
+    val adc2 = tables.zipWithIndex.map { case (tab, s) =>
+      tab.toSeq.sortBy(_._1).foldRight(lit(Double.MaxValue): Column) {
+        case ((cid, d2), rest) => when(col(s"__code_$s") === cid, lit(d2)).otherwise(rest)
+      }
+    }.reduce(_ + _)
+    pqEncode(df, vecCol, books)
+      .select(col(idCol) +: (0 until books.length).map(s =>
+        col(s"__code_$s").as(s"code_$s")) :+ sqrt(adc2).as("adc"): _*)
+      .orderBy(col("adc").asc, col(idCol))
+      .limit(k)
+  }
+
   /** LSH-bucketed top-k: candidates = rows sharing at least one band of
     * `planesPerBand` sign bits with the query; exact cosine ranks them.
     * With `bands` bands the probability a true neighbor shares none decays
