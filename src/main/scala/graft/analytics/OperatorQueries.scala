@@ -389,6 +389,48 @@ object OperatorQueries {
       |  / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_price_qty
       |FROM d ORDER BY l_returnflag""".stripMargin
 
+  // S14 — JSON-lines source: round-trip the event stream through
+  // newline-delimited JSON with a DECLARED schema (schema inference on
+  // 100 TB means reading everything twice), then aggregate. Doubles
+  // survive exactly (shortest round-trippable repr); the timestamp
+  // travels as epoch seconds to stay engine-portable.
+  private val s14JsonlSource: QFn = (s, dir) => {
+    val src = t(s, dir, "events").select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      expr("ts div 1000000000").as("sec"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    src.write.mode("overwrite").json(tmp)
+    s.read.schema(src.schema).json(tmp)
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("event_id")).cast("long").as("id_sum"),
+           sum(col("sec")).cast("long").as("sec_sum"),
+           dsum(col("value")).cast("double").as("value_sum"),
+           countDistinct(col("event_type")).as("n_types"))
+  }
+  private val s14Sql =
+    s"""SELECT COUNT(*) AS n_rows, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+       |CAST(SUM(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT) AS sec_sum,
+       |CAST(${dsumSql("value")} AS DOUBLE) AS value_sum,
+       |COUNT(DISTINCT event_type) AS n_types FROM events""".stripMargin
+
+  // S15 — ORC source: the same declared-schema round-trip through the
+  // other columnar format Spark ships a vectorized reader for. ORC
+  // stores numerics losslessly, so the aggregate is the identity check.
+  private val s15OrcSource: QFn = (s, dir) => {
+    val src = t(s, dir, "orders")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    src.write.mode("overwrite").orc(tmp)
+    s.read.schema(src.schema).orc(tmp)
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("o_orderkey")).cast("long").as("key_sum"),
+           dsum(col("o_totalprice")).cast("double").as("price_sum"),
+           countDistinct(col("o_orderstatus")).as("n_statuses"))
+  }
+  private val s15Sql =
+    s"""SELECT COUNT(*) AS n_rows, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       |CAST(${dsumSql("o_totalprice")} AS DOUBLE) AS price_sum,
+       |COUNT(DISTINCT o_orderstatus) AS n_statuses FROM orders""".stripMargin
+
   // A14 — per-group least-squares regression (price ~ quantity): slope,
   // intercept and R² derived from the same exact decimal moments as
   // a11_stats_pack, then one fixed double expression tree — identical
@@ -1631,6 +1673,8 @@ object OperatorQueries {
     "a11_stats_pack" -> a11Stats,
     "a14_linreg" -> a14Linreg,
     "s13_schema_evolution" -> s13SchemaEvo,
+    "s14_jsonl_source" -> s14JsonlSource,
+    "s15_orc_source" -> s15OrcSource,
     "a_approx_percentiles" -> aApproxPct,
     "u3_unpivot" -> u3Unpivot,
     "u4_bag_set_ops" -> u4BagOps,
@@ -1693,6 +1737,8 @@ object OperatorQueries {
     "a11_stats_pack" -> a11Sql,
     "a14_linreg" -> a14Sql,
     "s13_schema_evolution" -> s13Sql,
+    "s14_jsonl_source" -> s14Sql,
+    "s15_orc_source" -> s15Sql,
     "a_approx_percentiles" -> aApproxPctSql,
     "u3_unpivot" -> u3Sql,
     "u4_bag_set_ops" -> u4Sql,
