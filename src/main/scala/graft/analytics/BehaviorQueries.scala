@@ -430,9 +430,48 @@ object BehaviorQueries {
       |    / sqrt((sxx - sx * sx / nd) / (nd - 1.0)) >= 2.0
       |ORDER BY user_id, day""".stripMargin
 
+  // q21 — Pareto / ABC analysis: parts ranked by revenue with their
+  // cumulative revenue share; A = the parts covering the first 80% of
+  // revenue, B to 95%, C the tail. The running sum is the classic
+  // unpartitioned-window trap — here it goes through
+  // operators/PrefixSum (range-partition + per-partition window +
+  // broadcast prefix offsets), so no single task ever sees the whole
+  // ranking. Sums are decimal-exact end to end; the share is one double
+  // division of VARCHAR-routable exact scalars.
+  private val q21Pareto: QFn = (s, dir) => {
+    val rev = t(s, dir, "lineitem").groupBy("l_partkey")
+      .agg(dsum(col("l_extendedprice")).as("rev"))
+    val tot = rev.agg(sum(col("rev")).as("tot"))
+    val cum = graft.operators.PrefixSum.withRunningSum(
+      rev, Seq(col("rev").desc, col("l_partkey")), col("rev"), "cum_rev")
+    val share = col("cum_rev").cast("double") / col("tot").cast("double")
+    cum.crossJoin(broadcast(tot))
+      .select(col("l_partkey"), col("rev").cast("double").as("rev"),
+        share.as("cum_share"),
+        when(share <= 0.80, "A").when(share <= 0.95, "B")
+          .otherwise("C").as("abc_class"))
+      .orderBy("l_partkey")
+  }
+  private val q21Sql =
+    """WITH r AS (SELECT l_partkey,
+      |  SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |c AS (SELECT l_partkey, rev,
+      |  SUM(rev) OVER (ORDER BY rev DESC, l_partkey ROWS UNBOUNDED PRECEDING) AS cum,
+      |  SUM(rev) OVER () AS tot FROM r),
+      |d AS (SELECT l_partkey,
+      |  CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS rev,
+      |  CAST(CAST(cum AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(tot AS VARCHAR) AS DOUBLE) AS cum_share FROM c)
+      |SELECT l_partkey, rev, cum_share,
+      |CASE WHEN cum_share <= 0.80 THEN 'A'
+      |     WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class
+      |FROM d ORDER BY l_partkey""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "s11_date_dim" -> s11DateDim,
     "ev_anomaly_days" -> evAnomaly,
+    "q21_pareto_abc" -> q21Pareto,
     "ev_funnel" -> evFunnel,
     "ev_retention" -> evRetention,
     "q19_basket_affinity" -> q19Basket,
@@ -444,6 +483,7 @@ object BehaviorQueries {
   val oracleSql: Map[String, String] = Map(
     "s11_date_dim" -> s11Sql,
     "ev_anomaly_days" -> evAnomalySql,
+    "q21_pareto_abc" -> q21Sql,
     "ev_funnel" -> evFunnelSql,
     "ev_retention" -> evRetentionSql,
     "q19_basket_affinity" -> q19Sql,
