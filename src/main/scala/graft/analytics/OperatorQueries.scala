@@ -431,6 +431,31 @@ object OperatorQueries {
        |CAST(${dsumSql("o_totalprice")} AS DOUBLE) AS price_sum,
        |COUNT(DISTINCT o_orderstatus) AS n_statuses FROM orders""".stripMargin
 
+  // I14 — late-arriving dimension (inferred members): a dimension
+  // missing a third of its members still serves fact joins because
+  // unknown fact keys materialize as flagged placeholder rows
+  // (etl/Scd.inferMembers); the next real dim load resolves them via
+  // the SCD1 hash merge.
+  private val i14Inferred: QFn = (s, dir) => {
+    val dim = t(s, dir, "customer")
+      .filter(col("c_custkey") % 3 =!= 0)
+      .select("c_custkey", "c_name", "c_mktsegment")
+    val facts = t(s, dir, "orders")
+    graft.etl.Scd.inferMembers(dim, facts, "c_custkey", "o_custkey",
+        defaults = Map("c_name" -> lit("(inferred)")))
+      .orderBy("c_custkey")
+  }
+  private val i14Sql =
+    """WITH dim0 AS (SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |  WHERE c_custkey % 3 <> 0),
+      |missing AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders o
+      |  WHERE NOT EXISTS (SELECT 1 FROM dim0 d WHERE d.c_custkey = o.o_custkey))
+      |SELECT c_custkey, c_name, c_mktsegment, is_inferred FROM (
+      |  SELECT c_custkey, c_name, c_mktsegment, FALSE AS is_inferred FROM dim0
+      |  UNION ALL
+      |  SELECT c_custkey, '(inferred)', NULL, TRUE FROM missing)
+      |ORDER BY c_custkey""".stripMargin
+
   // A14 — per-group least-squares regression (price ~ quantity): slope,
   // intercept and R² derived from the same exact decimal moments as
   // a11_stats_pack, then one fixed double expression tree — identical
@@ -1675,6 +1700,7 @@ object OperatorQueries {
     "s13_schema_evolution" -> s13SchemaEvo,
     "s14_jsonl_source" -> s14JsonlSource,
     "s15_orc_source" -> s15OrcSource,
+    "i14_inferred_members" -> i14Inferred,
     "a_approx_percentiles" -> aApproxPct,
     "u3_unpivot" -> u3Unpivot,
     "u4_bag_set_ops" -> u4BagOps,
@@ -1739,6 +1765,7 @@ object OperatorQueries {
     "s13_schema_evolution" -> s13Sql,
     "s14_jsonl_source" -> s14Sql,
     "s15_orc_source" -> s15Sql,
+    "i14_inferred_members" -> i14Sql,
     "a_approx_percentiles" -> aApproxPctSql,
     "u3_unpivot" -> u3Sql,
     "u4_bag_set_ops" -> u4Sql,

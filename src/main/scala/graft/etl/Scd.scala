@@ -102,6 +102,26 @@ object Scd {
   }
 
   /** Bootstrap an SCD2 table from a first snapshot. */
+  /** Late-arriving dimension handling: facts can reference members the
+    * dimension hasn't loaded yet (the fact feed outruns the dim feed).
+    * Emit the dimension plus one INFERRED placeholder row per unknown
+    * fact key — key + `defaults`, everything else NULL, `is_inferred`
+    * true — so fact joins never drop rows; the next real dim load
+    * resolves placeholders via [[scd1Merge]] (the placeholder hash never
+    * matches a real row's). One distinct + one anti-join, both hash-
+    * partitioned on the key — no driver state at any fact volume. */
+  def inferMembers(dim: DataFrame, facts: DataFrame, dimKey: String,
+                   factKey: String, defaults: Map[String, Column]): DataFrame = {
+    val unknown = facts.select(col(factKey).as(dimKey)).distinct()
+      .join(dim, Seq(dimKey), "left_anti")
+    val placeholder = dim.columns.filterNot(_ == dimKey).foldLeft(unknown) {
+      case (acc, c) => acc.withColumn(c,
+        defaults.getOrElse(c, lit(null)).cast(dim.schema(c).dataType))
+    }
+    dim.withColumn("is_inferred", lit(false))
+      .unionByName(placeholder.withColumn("is_inferred", lit(true)))
+  }
+
   def scd2Init(source: DataFrame, loadTs: java.sql.Timestamp): DataFrame =
     source.withColumn("effective_date", lit(loadTs))
       .withColumn("expiry_date", lit(null).cast("timestamp"))

@@ -203,6 +203,41 @@ class PipelineSpec extends AnyFunSuite {
     perFile.foreach(ks => assert(ks === ks.sorted, "file not sorted by cluster key"))
   }
 
+  test("inferred members: unknown fact keys materialize, then resolve") {
+    import spark.implicits._
+    val dim = Seq((1L, "Alice", "AUTO"), (2L, "Bob", "HOME"))
+      .toDF("c_custkey", "c_name", "c_mktsegment")
+    val facts = Seq((101L, 1L), (102L, 3L), (103L, 3L), (104L, 4L))
+      .toDF("o_orderkey", "o_custkey")
+    val inferred = Scd.inferMembers(dim, facts, "c_custkey", "o_custkey",
+      defaults = Map("c_name" -> lit("(inferred)")))
+    val rows = inferred.orderBy("c_custkey")
+      .as[(Long, String, String, Boolean)].collect().toSeq
+    assert(rows === Seq(
+      (1L, "Alice", "AUTO", false), (2L, "Bob", "HOME", false),
+      (3L, "(inferred)", null, true), (4L, "(inferred)", null, true)))
+    // a fact join against the inferred dim drops nothing
+    assert(facts.join(inferred,
+      facts("o_custkey") === inferred("c_custkey"), "left")
+      .filter(col("c_custkey").isNull).count() === 0)
+    // the next real dim load resolves placeholders through the SCD1 merge
+    val tracked = Seq("c_name", "c_mktsegment")
+    val t0 = new java.sql.Timestamp(1000000L)
+    val t1 = new java.sql.Timestamp(2000000L)
+    val target = Scd.withHash(inferred.drop("is_inferred"), tracked)
+      .withColumn("dwh_create_date", lit(t0))
+      .withColumn("dwh_update_date", lit(t0))
+    val lateDim = Scd.withHash(
+      Seq((3L, "Carol", "SHIP"), (4L, "Dave", "AUTO"))
+        .toDF("c_custkey", "c_name", "c_mktsegment"), tracked)
+    val merged = Scd.scd1Merge(target, lateDim, Seq("c_custkey"),
+      "dwh_hash_full", t1)
+    val resolved = merged.filter(col("c_custkey") === 3).head()
+    assert(resolved.getAs[String]("c_name") === "Carol")
+    assert(merged.filter(col("c_name") === "(inferred)").count() === 0)
+    assert(merged.count() === 4)
+  }
+
   test("metadata-driven loader: hard stop on empty config") {
     intercept[IllegalArgumentException] {
       MetadataDriven.runAll(spark, wh, Seq(EtlConfig("a.b", "c.d", is_active = false)))
