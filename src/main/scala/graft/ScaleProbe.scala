@@ -188,6 +188,26 @@ object ScaleProbe {
         Similarity.semanticDupPairs(big, "vec_id", "embedding",
           dim = 64, nlist = 16, iterations = 1, threshold = 0.99).count()
       }
+      time("pq_train_encode_probe") {
+        val books = Similarity.pqTrain(big, "vec_id", "embedding",
+          dim = 64, m = 4, k = 16, iterations = 1)
+        Similarity.pqTopK(big, "vec_id", "embedding", q, k = 10, books).count()
+      }
+    }
+    if (families("prefix")) {
+      // 10x lineitem: global cumulative revenue share over ~200k parts
+      val base = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      val big = (0 until 10).map(i =>
+        base.select((col("l_partkey") + lit(i * 10000000L)).as("l_partkey"),
+          col("l_extendedprice")))
+        .reduce(_ unionByName _)
+      time("prefix_sum_pareto") {
+        import org.apache.spark.sql.types.DecimalType
+        val rev = big.groupBy("l_partkey")
+          .agg(sum(col("l_extendedprice").cast(DecimalType(18, 4))).as("rev"))
+        graft.operators.PrefixSum.withRunningSum(rev,
+          Seq(col("rev").desc, col("l_partkey")), col("rev"), "cum").count()
+      }
     }
     spark.stop()
   }
