@@ -456,6 +456,36 @@ object OperatorQueries {
       |  SELECT c_custkey, '(inferred)', NULL, TRUE FROM missing)
       |ORDER BY c_custkey""".stripMargin
 
+  // J13 — interval-overlap join (operators/IntervalJoin): two order
+  // cohorts get activity windows ([day, day+3] vs [day, day+5]) and
+  // every overlapping pair surfaces with its intersection. The bucketed
+  // plan is two equi-shuffles + a per-bucket filter — no inequality
+  // join, no cartesian — and the owner-bucket rule keeps it exact
+  // without a distinct.
+  private val j13IntervalOverlap: QFn = (s, dir) => {
+    val day = datediff(col("o_orderdate").cast("date"),
+      lit("1995-01-01").cast("date")).cast("long")
+    val orders = t(s, dir, "orders")
+    val a = orders.filter(col("o_custkey") % 100 === 0)
+      .select(col("o_orderkey").as("id"), day.as("start"), (day + 3).as("end"))
+    val b = orders.filter(col("o_custkey") % 100 === 1)
+      .select(col("o_orderkey").as("id"), day.as("start"), (day + 5).as("end"))
+    graft.operators.IntervalJoin.overlap(a, b, "id", "start", "end", bucketW = 7L)
+      .orderBy("a_id", "b_id")
+  }
+  private val j13Sql =
+    """WITH o AS (SELECT o_orderkey, o_custkey,
+      |  date_diff('day', DATE '1995-01-01', o_orderdate) AS d FROM orders),
+      |a AS (SELECT o_orderkey AS a_id, d AS a_start, d + 3 AS a_end
+      |      FROM o WHERE o_custkey % 100 = 0),
+      |b AS (SELECT o_orderkey AS b_id, d AS b_start, d + 5 AS b_end
+      |      FROM o WHERE o_custkey % 100 = 1)
+      |SELECT a_id, b_id,
+      |CAST(GREATEST(a_start, b_start) AS BIGINT) AS ov_start,
+      |CAST(LEAST(a_end, b_end) AS BIGINT) AS ov_end
+      |FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
+      |ORDER BY a_id, b_id""".stripMargin
+
   // A14 — per-group least-squares regression (price ~ quantity): slope,
   // intercept and R² derived from the same exact decimal moments as
   // a11_stats_pack, then one fixed double expression tree — identical
@@ -1701,6 +1731,7 @@ object OperatorQueries {
     "s14_jsonl_source" -> s14JsonlSource,
     "s15_orc_source" -> s15OrcSource,
     "i14_inferred_members" -> i14Inferred,
+    "j13_interval_overlap" -> j13IntervalOverlap,
     "a_approx_percentiles" -> aApproxPct,
     "u3_unpivot" -> u3Unpivot,
     "u4_bag_set_ops" -> u4BagOps,
@@ -1766,6 +1797,7 @@ object OperatorQueries {
     "s14_jsonl_source" -> s14Sql,
     "s15_orc_source" -> s15Sql,
     "i14_inferred_members" -> i14Sql,
+    "j13_interval_overlap" -> j13Sql,
     "a_approx_percentiles" -> aApproxPctSql,
     "u3_unpivot" -> u3Sql,
     "u4_bag_set_ops" -> u4Sql,
