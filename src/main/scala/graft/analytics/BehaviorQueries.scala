@@ -253,6 +253,67 @@ object BehaviorQueries {
        |SELECT node, round(rank, 9) AS rank_r FROM r3 ORDER BY node""".stripMargin
   }
 
+  // g_two_hop_recs — "bought with what you bought": 2-hop neighbors in
+  // the co-purchase graph, path-counted and top-3-ranked per source,
+  // direct neighbors excluded. Hub degrees make raw wedge enumeration
+  // quadratic, so each node keeps only its 30 strongest edges first
+  // (key-partitioned window — the candidate-generation cap every
+  // production recommender applies); after the cap the wedge join is
+  // bounded by 30² per node at ANY graph size. Every stage is keyed on
+  // a node id — no global window, no driver state.
+  private val gTwoHopRecs: QFn = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val op = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = op.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    val e0 = a.join(b, "l_orderkey").filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= 2)
+    val edges = e0.select(col("pa").as("src"), col("pb").as("dst"), col("n_both"))
+      .unionAll(e0.select(col("pb").as("src"), col("pa").as("dst"), col("n_both")))
+    val byStrength = Window.partitionBy("src")
+      .orderBy(col("n_both").desc, col("dst"))
+    val capped = edges.withColumn("__rn", row_number().over(byStrength))
+      .filter(col("__rn") <= 30).drop("__rn")
+    val x = capped.select(col("src"), col("dst").as("mid"))
+    val y = capped.select(col("src").as("mid"), col("dst").as("rec"))
+    val paths = x.join(y, "mid")
+      .filter(col("src") =!= col("rec"))
+      .groupBy("src", "rec").agg(count(lit(1)).as("n_paths"))
+    val indirect = paths.join(
+      edges.select(col("src"), col("dst").as("rec")),
+      Seq("src", "rec"), "left_anti")
+    val byPaths = Window.partitionBy("src")
+      .orderBy(col("n_paths").desc, col("rec"))
+    indirect.withColumn("rank", row_number().over(byPaths))
+      .filter(col("rank") <= 3)
+      .select(col("src"), col("rec"), col("n_paths"), col("rank"))
+      .orderBy("src", "rank")
+  }
+  private val gTwoHopRecsSql =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e0 AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_both
+      |       FROM op a JOIN op b USING (l_orderkey)
+      |       WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |e AS (SELECT pa AS src, pb AS dst, n_both FROM e0
+      |      UNION ALL SELECT pb, pa, n_both FROM e0),
+      |capped AS (SELECT src, dst FROM e
+      |  QUALIFY row_number() OVER (PARTITION BY src
+      |    ORDER BY n_both DESC, dst) <= 30),
+      |paths AS (SELECT x.src, y.dst AS rec, COUNT(*) AS n_paths
+      |  FROM capped x JOIN capped y ON x.dst = y.src
+      |  WHERE x.src <> y.dst GROUP BY 1, 2),
+      |indirect AS (SELECT p.* FROM paths p
+      |  WHERE NOT EXISTS (SELECT 1 FROM e
+      |    WHERE e.src = p.src AND e.dst = p.rec))
+      |SELECT src, rec, n_paths,
+      |CAST(row_number() OVER (PARTITION BY src
+      |  ORDER BY n_paths DESC, rec) AS INT) AS rank
+      |FROM indirect
+      |QUALIFY rank <= 3
+      |ORDER BY src, rank""".stripMargin
+
   // s10 — z-order layout: Morton-interleave (o_custkey, order-day) and
   // report per-z-range stats. Tight min/max spans on BOTH dimensions in
   // every z-bucket are exactly what parquet row-group pruning consumes
@@ -478,6 +539,7 @@ object BehaviorQueries {
     "q20_rfm_segmentation" -> q20Rfm,
     "g_triangle_count" -> gTriangles,
     "g_pagerank" -> gPageRank,
+    "g_two_hop_recs" -> gTwoHopRecs,
     "s10_zorder_layout" -> s10ZOrder)
 
   val oracleSql: Map[String, String] = Map(
@@ -490,5 +552,6 @@ object BehaviorQueries {
     "q20_rfm_segmentation" -> q20Sql,
     "g_triangle_count" -> gTrianglesSql,
     "g_pagerank" -> gPageRankSql,
+    "g_two_hop_recs" -> gTwoHopRecsSql,
     "s10_zorder_layout" -> s10Sql)
 }
