@@ -456,6 +456,35 @@ object OperatorQueries {
       |  SELECT c_custkey, '(inferred)', NULL, TRUE FROM missing)
       |ORDER BY c_custkey""".stripMargin
 
+  // B2 — equi-depth histogram: bucket boundaries are the exact
+  // interpolated deciles (the percentile definition both engines share,
+  // proved by a_percentiles), rows bucket by how many boundaries they
+  // exceed (one lambda over the 9-element literal — no join per
+  // boundary), counts land near-uniform by construction. One aggregate
+  // for the boundaries + one 1-row broadcast + one groupBy: the
+  // equi-depth complement of b1's equi-width histogram.
+  private val b2EquiDepth: QFn = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val deciles = (1 to 9).map(_ / 10.0)
+    val bounds = o.agg(expr(
+      s"percentile(o_totalprice, array(${deciles.mkString(", ")}))").as("bounds"))
+    o.crossJoin(broadcast(bounds))
+      .select(size(filter(col("bounds"), b => b <= col("o_totalprice")))
+        .as("bucket"), col("o_totalprice"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"),
+           min(col("o_totalprice")).as("min_price"),
+           max(col("o_totalprice")).as("max_price"))
+      .orderBy("bucket")
+  }
+  private val b2Sql =
+    """WITH b AS (SELECT quantile_cont(o_totalprice,
+      |  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bounds FROM orders)
+      |SELECT CAST(len(list_filter(bounds, x -> x <= o_totalprice)) AS INT) AS bucket,
+      |COUNT(*) AS n_orders, MIN(o_totalprice) AS min_price,
+      |MAX(o_totalprice) AS max_price
+      |FROM orders CROSS JOIN b GROUP BY 1 ORDER BY 1""".stripMargin
+
   // J13 — interval-overlap join (operators/IntervalJoin): two order
   // cohorts get activity windows ([day, day+3] vs [day, day+5]) and
   // every overlapping pair surfaces with its intersection. The bucketed
@@ -1732,6 +1761,7 @@ object OperatorQueries {
     "s15_orc_source" -> s15OrcSource,
     "i14_inferred_members" -> i14Inferred,
     "j13_interval_overlap" -> j13IntervalOverlap,
+    "b2_equidepth_histogram" -> b2EquiDepth,
     "a_approx_percentiles" -> aApproxPct,
     "u3_unpivot" -> u3Unpivot,
     "u4_bag_set_ops" -> u4BagOps,
@@ -1798,6 +1828,7 @@ object OperatorQueries {
     "s15_orc_source" -> s15Sql,
     "i14_inferred_members" -> i14Sql,
     "j13_interval_overlap" -> j13Sql,
+    "b2_equidepth_histogram" -> b2Sql,
     "a_approx_percentiles" -> aApproxPctSql,
     "u3_unpivot" -> u3Sql,
     "u4_bag_set_ops" -> u4Sql,
