@@ -2,6 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 
 /** Behavioral / affinity analytics over the event stream and the order
@@ -529,7 +530,53 @@ object BehaviorQueries {
       |     WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class
       |FROM d ORDER BY l_partkey""".stripMargin
 
+  // ev_attribution — last-touch marketing attribution: every purchase is
+  // credited to the user's most recent click no older than 7 days
+  // (as-of join semantics — operators/AsOfJoin's union-and-sweep form,
+  // ONE shuffle on user_id, no per-row inequality join), then revenue
+  // rolls up by attribution day; purchases with no qualifying click land
+  // in the day = -1 bucket. DuckDB's native ASOF JOIN is the oracle —
+  // its greatest-right-ts-≤-left-ts pick is exactly asOf's inclusive
+  // semantics (no same-µs click ties exist in the data at any SF; the
+  // day-grain rollup would absorb them regardless).
+  private val evAttribution: QFn = (s, dir) => {
+    val e = t(s, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts div 1000").as("us"),
+              col("value").cast(DecimalType(18, 4)).as("pvalue"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), expr("ts div 1000").as("us"),
+              expr("ts div 1000").as("click_us"))
+    val horizonUs = 7L * 86400L * 1000000L
+    graft.operators.AsOfJoin.asOf(purchases, clicks, "user_id", "us")
+      .withColumn("attr_day",
+        when(col("click_us").isNotNull &&
+             col("us") - col("click_us") <= horizonUs,
+             (col("click_us") / lit(86400000000L)).cast("long"))
+          .otherwise(lit(-1L)))
+      .groupBy("attr_day")
+      .agg(count(lit(1)).as("n_purchases"),
+           sum(col("pvalue")).cast("double").as("attributed_value"))
+      .orderBy("attr_day")
+  }
+  private val evAttributionSql =
+    """WITH p AS (SELECT user_id, epoch_us(ts) AS us,
+      |  CAST(value AS DECIMAL(18,4)) AS pvalue
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id AS cu, epoch_us(ts) AS click_us
+      |  FROM events WHERE event_type = 'click'),
+      |j AS (SELECT p.us, p.pvalue, c.click_us
+      |  FROM p ASOF LEFT JOIN c ON p.user_id = c.cu AND p.us >= c.click_us),
+      |a AS (SELECT CASE WHEN click_us IS NOT NULL
+      |    AND us - click_us <= 604800000000 THEN click_us // 86400000000
+      |  ELSE -1 END AS attr_day, pvalue FROM j)
+      |SELECT CAST(attr_day AS BIGINT) AS attr_day,
+      |COUNT(*) AS n_purchases,
+      |CAST(SUM(pvalue) AS DOUBLE) AS attributed_value
+      |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "ev_attribution" -> evAttribution,
     "s11_date_dim" -> s11DateDim,
     "ev_anomaly_days" -> evAnomaly,
     "q21_pareto_abc" -> q21Pareto,
@@ -543,6 +590,7 @@ object BehaviorQueries {
     "s10_zorder_layout" -> s10ZOrder)
 
   val oracleSql: Map[String, String] = Map(
+    "ev_attribution" -> evAttributionSql,
     "s11_date_dim" -> s11Sql,
     "ev_anomaly_days" -> evAnomalySql,
     "q21_pareto_abc" -> q21Sql,

@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
+import graft.etl.JoinIvm
+import graft.operators.PrefixSum
 
 /** One named entry per remaining SURVEY.md §2 operator row, exercised over
   * the testdata tables with a DuckDB oracle twin where SQL-expressible.
@@ -1740,9 +1742,156 @@ object OperatorQueries {
       |  -1.0) AS last_purchase_value
       |FROM events ORDER BY event_id""".stripMargin
 
+  // I15 — incremental JOIN view maintenance: the materialized
+  // orders⋈lineitem view advances by the insert-only delta rule
+  // (etl/JoinIvm: ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB) instead of re-joining both
+  // histories — every term is |Δ|-sized, and with key-bucketed bases the
+  // probes are co-located at 100 TB. The oracle is the from-scratch
+  // join: equality IS the delta-rule correctness claim.
+  private val i15JoinIvm: QFn = (s, dir) => {
+    val cut = lit("1998-01-01").cast("date")
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+    val l = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"),
+              col("l_shipdate"))
+    val (a0, da) = (o.filter(col("o_orderdate") < cut),
+                    o.filter(col("o_orderdate") >= cut))
+    val (b0, db) = (l.filter(col("l_shipdate") < cut),
+                    l.filter(col("l_shipdate") >= cut))
+    val base = a0.join(b0, Seq("o_orderkey"))
+    JoinIvm.maintain(base, a0, da, b0, db, Seq("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+           dsum(col("l_extendedprice")).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+  private val i15Sql =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_rows,
+       |CAST(${dsumSql("l_extendedprice")} AS DOUBLE) AS revenue
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // W16 — rolling exact median: 7-day-frame median of per-nation daily
+  // revenue. Spark has no median window; the frame is BOUNDED (≤ 7
+  // rows), so collect_list + sort_array inside the frame is O(1) per
+  // row — the right exact form for any constant frame (data-scaled
+  // frames would want approx sketches instead). The pre-aggregation
+  // bounds the windowed rows by calendar × nations, not by data size;
+  // the oracle replays list-sort-pick so even-count interpolation is
+  // identical in both engines.
+  private val w16RollingMedian: QFn = (s, dir) => {
+    val daily = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("o_orderdate"))
+      .agg(dsum(col("o_totalprice")).as("rev"))
+    val w = Window.partitionBy("n_name").orderBy("o_orderdate")
+      .rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("fr", sort_array(collect_list(col("rev")).over(w)))
+      .withColumn("n", size(col("fr")))
+      .withColumn("rolling_median",
+        (element_at(col("fr"), ((col("n") + 1) / 2).cast("int")).cast("double") +
+         element_at(col("fr"), (col("n") / 2 + 1).cast("int")).cast("double")) / 2.0)
+      .select(col("n_name"), col("o_orderdate"),
+              col("rev").cast("double").as("day_revenue"),
+              col("rolling_median"))
+      .orderBy("n_name", "o_orderdate")
+  }
+  private val w16Sql =
+    s"""WITH daily AS (
+       |  SELECT n_name, o_orderdate, ${dsumSql("o_totalprice")} AS rev
+       |  FROM orders
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY 1, 2),
+       |f AS (SELECT n_name, o_orderdate, rev,
+       |  list_sort(list(rev) OVER (PARTITION BY n_name ORDER BY o_orderdate
+       |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS fr
+       |  FROM daily)
+       |SELECT n_name, o_orderdate, CAST(rev AS DOUBLE) AS day_revenue,
+       |(CAST(fr[(len(fr)+1)//2] AS DOUBLE)
+       | + CAST(fr[len(fr)//2+1] AS DOUBLE)) / 2 AS rolling_median
+       |FROM f ORDER BY n_name, o_orderdate""".stripMargin
+
+  // Q22 — skyline (Pareto frontier): customers not strictly dominated on
+  // (total spend, order recency). The dominance test reduces to ONE
+  // exclusive prefix-max scan over spend-descending distinct spend
+  // levels (operators/PrefixSum.withRunningMaxLong — the two-exchange
+  // range-partition scan, no global window): a customer survives iff its
+  // recency ≥ the max recency among all strictly-higher spenders. The
+  // oracle is the O(n²) NOT EXISTS dominance query.
+  private val q22Skyline: QFn = (s, dir) => {
+    val cust = t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(dsum(col("o_totalprice")).as("spend"),
+           max(datediff(col("o_orderdate"), lit("1992-01-01").cast("date")))
+             .as("last_day"))
+    val lvl = cust.groupBy("spend").agg(max("last_day").cast("long").as("lvl_day"))
+    val scanned = PrefixSum.withRunningMaxLong(
+      lvl, Seq(col("spend").desc), col("lvl_day"), "hi_day",
+      inclusive = false)
+    cust.join(scanned.select("spend", "hi_day"), Seq("spend"))
+      .filter(col("hi_day").isNull || col("last_day") >= col("hi_day"))
+      .select(col("o_custkey"),
+              col("spend").cast("double").as("total_spend"),
+              col("last_day").cast("long").as("last_order_day"))
+      .orderBy("o_custkey")
+  }
+  private val q22Sql =
+    s"""WITH cust AS (
+       |  SELECT o_custkey, ${dsumSql("o_totalprice")} AS spend,
+       |  MAX(datediff('day', DATE '1992-01-01', o_orderdate)) AS last_day
+       |  FROM orders GROUP BY 1)
+       |SELECT o_custkey, CAST(spend AS DOUBLE) AS total_spend,
+       |CAST(last_day AS BIGINT) AS last_order_day
+       |FROM cust a
+       |WHERE NOT EXISTS (SELECT 1 FROM cust b
+       |  WHERE b.spend > a.spend AND b.last_day > a.last_day)
+       |ORDER BY o_custkey""".stripMargin
+
+  // S16 — dynamic partition pruning: orders land partitioned by month
+  // (the 100-TB fact layout); a filtered month-dimension join then scans
+  // ONLY the matching partitions — Catalyst inserts a dynamicpruning
+  // subquery fed by the broadcast dim (DppSpec asserts it in the plan
+  // and counts pruned files). At 100 TB this is the difference between
+  // reading 12 months and reading 84.
+  private val s16Dpp: QFn = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    t(s, dir, "orders")
+      .withColumn("order_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .write.mode("overwrite").partitionBy("order_month").parquet(tmp)
+    val fact = s.read.parquet(tmp)
+    // the month dim round-trips through parquet: a LocalRelation's
+    // filter would be constant-folded before the PartitionPruning rule
+    // runs, and DPP only fires on a surviving selective Filter
+    val months = (1992 to 1998).flatMap(y =>
+      (1 to 12).map(m => (f"$y-$m%02d", y)))
+    val dimTmp = java.nio.file.Files.createTempDirectory("graft_dpp_dim").toString
+    s.createDataFrame(months).toDF("order_month", "order_year")
+      .write.mode("overwrite").parquet(dimTmp)
+    val dim = s.read.parquet(dimTmp)
+    fact.join(broadcast(dim.filter(col("order_year") === 1995)), Seq("order_month"))
+      .groupBy("order_month")
+      .agg(count(lit(1)).as("n_orders"),
+           dsum(col("o_totalprice")).cast("double").as("total_price"))
+      .orderBy("order_month")
+  }
+  private val s16Sql =
+    s"""SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+       |COUNT(*) AS n_orders,
+       |CAST(${dsumSql("o_totalprice")} AS DOUBLE) AS total_price
+       |FROM orders WHERE year(o_orderdate) = 1995
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, QFn] = Map(
+    "i15_join_ivm" -> i15JoinIvm,
+    "w16_rolling_median" -> w16RollingMedian,
+    "q22_skyline" -> q22Skyline,
+    "s16_partition_pruning" -> s16Dpp,
     "j8_asof_join" -> j8AsOf,
     "j10_fuzzy_match" -> j10Fuzzy,
     "w9_locf_fill" -> w9Locf,
@@ -1810,6 +1959,10 @@ object OperatorQueries {
     "ev_sessionization" -> evSessionize)
 
   val oracleSql: Map[String, String] = Map(
+    "i15_join_ivm" -> i15Sql,
+    "w16_rolling_median" -> w16Sql,
+    "q22_skyline" -> q22Sql,
+    "s16_partition_pruning" -> s16Sql,
     "j8_asof_join" -> j8Sql,
     "j10_fuzzy_match" -> j10Sql,
     "w9_locf_fill" -> w9Sql,

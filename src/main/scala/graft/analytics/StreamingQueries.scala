@@ -163,13 +163,48 @@ object StreamingQueries {
       |CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ST5 — streaming exact dedup with bounded state: the source dir holds
+  // TWO copies of every event file and maxFilesPerTrigger=1 forces the
+  // copies into SEPARATE micro-batches, so the dedup state (not in-batch
+  // hashing) must drop the replays — the at-least-once-upstream shape.
+  // A second-batch duplicate is either inside the watermark horizon
+  // (dropped against state) or behind it (dropped as late); either way
+  // emitted rows = exactly one copy, which the oracle states as equality
+  // with the plain events table. State stays bounded by the horizon —
+  // the 100-TB claim for an unbounded replay-y stream.
+  private val stDedupStream: QFn = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_st_dup")
+    Seq("a", "b").foreach { tag =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        tmp.resolve(s"events_$tag.parquet"))
+    }
+    val ev = EventStream.readEvents(s, tmp.toString, maxFilesPerTrigger = 1)
+    val deduped = EventStream.dedupedEvents(ev)
+      .select(col("event_id"), col("event_type"), col("value"))
+    drain(s, deduped, "st_dedup_", OutputMode.Append())
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("event_id")).cast("long").as("id_sum"),
+           sum(col("value").cast(DecimalType(18, 4)))
+             .cast("double").as("value_sum"))
+      .orderBy("event_type")
+  }
+  private val stDedupSql =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |CAST(SUM(event_id) AS BIGINT) AS id_sum,
+      |CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "st_dedup_stream" -> stDedupStream,
     "st_windowed_counts" -> stWindowedCounts,
     "st_session_counts" -> stSessionCounts,
     "st_stream_join" -> stStreamJoin,
     "st_exactly_once_sink" -> stExactlyOnce)
 
   val oracleSql: Map[String, String] = Map(
+    "st_dedup_stream" -> stDedupSql,
     "st_windowed_counts" -> stWindowedSql,
     "st_session_counts" -> stSessionSql,
     "st_stream_join" -> stStreamJoinSql,

@@ -58,4 +58,51 @@ object PrefixSum {
       .withColumn(out, col("__run") + col("__off").cast(runType))
       .drop("__pid", "__run", "__off")
   }
+
+  /** Append `out` = running MAX of long-typed `valueCol` over the total
+    * order `sortCols` — same two-exchange range-partition shape as
+    * [[withRunningSum]] (max is associative, so per-partition scan +
+    * broadcast prefix-of-partition-maxima composes identically).
+    *
+    * With `inclusive = false` the scan is EXCLUSIVE — each row sees the
+    * max over STRICTLY-PRECEDING rows only (null when none precede):
+    * the per-partition window ends at -1 and the partition offset is
+    * itself exclusive, so the strict-prefix semantics hold across
+    * partition boundaries too. The exclusive form is what dominance /
+    * skyline pruning consumes ("best value among everything ranked
+    * ahead of me"), which no single inclusive pass can answer when sort
+    * keys tie. */
+  def withRunningMaxLong(df: DataFrame, sortCols: Seq[Column], valueCol: Column,
+                         out: String, inclusive: Boolean = true,
+                         partitions: Int = 32): DataFrame = {
+    require(sortCols.nonEmpty, "withRunningMaxLong needs a sort order")
+    val spark = df.sparkSession
+    // same layout-pinning barrier as withRunningSum: offsets job and
+    // window job must read identical range partitions
+    val ranged = df.repartitionByRange(partitions, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val hi = if (inclusive) Window.currentRow else -1L
+    val w = Window.partitionBy("__pid").orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, hi)
+    val local = ranged.withColumn("__run", max(valueCol).over(w))
+    val totals = local.groupBy("__pid")
+      .agg(max(valueCol).cast("long").as("__tot")).collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .sortBy(_._1)
+    var acc: Option[Long] = None
+    val offsets = totals.map { case (pid, tot) =>
+      val off = acc
+      acc = (acc.toSeq ++ tot.toSeq).reduceOption(math.max(_: Long, _: Long))
+      (pid, off)
+    }
+    val offDf = spark.createDataFrame(
+      offsets.toSeq.map { case (pid, off) =>
+        (pid, off.map(_.toString).orNull) })
+      .toDF("__pid", "__off")
+    local.join(broadcast(offDf), "__pid")
+      .withColumn(out,
+        greatest(col("__run").cast("long"), col("__off").cast("long")))
+      .drop("__pid", "__run", "__off")
+  }
 }

@@ -50,4 +50,48 @@ class PrefixSumSpec extends AnyFunSuite {
     assert(PrefixSum.withRunningSum(none,
       Seq(col("v")), col("v"), "run", partitions = 4).count() === 0)
   }
+
+  // ---- withRunningMaxLong ----
+
+  private lazy val maxRows = {
+    val rnd = new scala.util.Random(11)
+    (1 to 400).map(i => (i.toLong, rnd.nextInt(1000).toLong))
+      .toDF("id", "v")
+  }
+
+  private def naiveMax(inclusive: Boolean): Map[Long, Option[Long]] = {
+    val hi = if (inclusive) Window.currentRow else -1L
+    maxRows.withColumn("run",
+        max(col("v")).over(Window.orderBy(col("id"))
+          .rowsBetween(Window.unboundedPreceding, hi)))
+      .select(col("id"), col("run"))
+      .as[(Long, Option[Long])].collect().toMap
+  }
+
+  for (parts <- Seq(7, 16); inclusive <- Seq(true, false)) {
+    test(s"running max (inclusive=$inclusive) matches the single window " +
+         s"at $parts partitions") {
+      val got = PrefixSum.withRunningMaxLong(maxRows, Seq(col("id")),
+          col("v"), "run", inclusive = inclusive, partitions = parts)
+        .select(col("id"), col("run"))
+        .as[(Long, Option[Long])].collect().toMap
+      assert(got.size === 400)
+      val want = naiveMax(inclusive)
+      got.foreach { case (id, run) => assert(run === want(id), s"id=$id") }
+    }
+  }
+
+  test("exclusive running max: first row sees null") {
+    val got = PrefixSum.withRunningMaxLong(maxRows, Seq(col("id")),
+        col("v"), "run", inclusive = false, partitions = 5)
+      .orderBy("id").select("run").limit(1)
+      .as[Option[Long]].head()
+    assert(got.isEmpty)
+  }
+
+  test("running max on empty input yields an empty result") {
+    val none = Seq.empty[(Long, Long)].toDF("id", "v")
+    assert(PrefixSum.withRunningMaxLong(none, Seq(col("id")),
+      col("v"), "run", partitions = 4).count() === 0)
+  }
 }
