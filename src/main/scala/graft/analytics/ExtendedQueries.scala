@@ -1,0 +1,524 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Round-5 third-session widening: null-semantics joins, runtime-filter
+  * (Bloom) semi join, distribution statistics (entropy/Gini, Spearman,
+  * weighted median), Markov transition matrices, grid-bucketed spatial
+  * radius join, CDC batch apply, self-join EWMA frames, and mergeable
+  * HLL sketch rollups.
+  *
+  * Determinism rules follow the house style (SURVEY §11): counts and
+  * integer/decimal arithmetic end-to-end, a single final double
+  * division/`round(…, 6)` where a ratio is the deliverable, and every
+  * entry ends in a total ORDER BY.
+  */
+object ExtendedQueries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ------------------------------------------------------------------
+  // j14_null_safe_join — null-safe equi-join (`<=>` / IS NOT DISTINCT
+  // FROM). NULLs are deliberately minted with NULLIF so the NULL bucket
+  // is non-empty, then a derived dim built from the same keyspace is
+  // joined back null-safely: the NULL dim row must match the NULL fact
+  // rows (a plain equi-join would silently drop them). Null-safe
+  // equality hash-partitions NULL like any other key — one shuffle,
+  // no special-casing, the same plan shape at any scale.
+  // ------------------------------------------------------------------
+  private val j14NullSafe: QFn = (s, dir) => {
+    val l = t(s, dir, "orders")
+      .select(expr("nullif(o_orderpriority, '3-MEDIUM')").as("pr"))
+    val d = l.groupBy(col("pr").as("dpr"))
+      .agg(count(lit(1)).as("dim_total"))
+    l.join(d, col("pr") <=> col("dpr"))
+      .groupBy(col("dpr").as("priority"), col("dim_total"))
+      .agg(count(lit(1)).as("n_orders"))
+      .select(col("priority"), col("n_orders"), col("dim_total"))
+      .orderBy(asc_nulls_first("priority"))
+  }
+  private val j14Sql =
+    """WITH l AS (SELECT nullif(o_orderpriority, '3-MEDIUM') AS pr FROM orders),
+      |d AS (SELECT pr AS dpr, COUNT(*) AS dim_total FROM l GROUP BY 1)
+      |SELECT dpr AS priority, COUNT(*) AS n_orders, dim_total
+      |FROM l JOIN d ON l.pr IS NOT DISTINCT FROM d.dpr
+      |GROUP BY 1, 3 ORDER BY priority NULLS FIRST""".stripMargin
+
+  // ------------------------------------------------------------------
+  // j15_bloom_semi_join — the runtime-filter pattern: build a Bloom
+  // filter over the (filtered) dim keys, pre-filter the fact scan with
+  // `mightContain`, then run the exact semi join on the survivors. The
+  // Bloom pass admits ~1% false positives and NO false negatives, so
+  // the final result is byte-identical to the plain semi join (which is
+  // exactly what the oracle runs) — but at 100 TB the fact side entering
+  // the shuffle shrinks to ~selectivity of the dim filter, the same
+  // trade Spark's own `spark.sql.optimizer.runtime.bloomFilter` makes.
+  // The filter itself is a few hundred KB broadcast in the UDF closure.
+  // ------------------------------------------------------------------
+  private val j15Bloom: QFn = (s, dir) => {
+    val cust = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val bf = cust.stat.bloomFilter("c_custkey", 1 << 20, 0.01)
+    val mightContain = udf((k: Long) => bf.mightContain(k))
+    val pre = t(s, dir, "orders").filter(mightContain(col("o_custkey")))
+    pre.join(cust, pre("o_custkey") === cust("c_custkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(col("o_totalprice").cast(DecimalType(18, 4)))
+             .cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+  private val j15Sql =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders WHERE o_custkey IN
+      |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // a15_entropy — per-nation Shannon entropy + Gini impurity of the
+  // customer market-segment distribution. Both reduce to the per-class
+  // counts (one groupBy shuffle, then a per-nation re-agg): entropy =
+  // ln(total) − Σ c·ln(c) / total, gini = 1 − Σ c² / total². Counts are
+  // exact integers; ln/division happen once at the end and the result
+  // is rounded to 6 dp (the t_unigram_logprob double-parity recipe).
+  // ------------------------------------------------------------------
+  private val a15Entropy: QFn = (s, dir) => {
+    val c = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+    val per = c.groupBy(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"))
+    per.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_segments"),
+           sum(col("cnt")).as("total"),
+           sum(col("cnt").cast("double") * log(col("cnt").cast("double")))
+             .as("clnc"),
+           sum(col("cnt") * col("cnt")).as("csq"))
+      .select(col("n_name"), col("n_segments"), col("total"),
+        round(log(col("total").cast("double"))
+          - col("clnc") / col("total").cast("double"), 6).as("entropy_r"),
+        round(lit(1.0) - col("csq").cast("double")
+          / (col("total") * col("total")).cast("double"), 6).as("gini_r"))
+      .orderBy("n_name")
+  }
+  private val a15Sql =
+    """WITH per AS (
+      |  SELECT n_name, c_mktsegment, COUNT(*) AS cnt
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2)
+      |SELECT n_name, COUNT(*) AS n_segments,
+      |CAST(SUM(cnt) AS BIGINT) AS total,
+      |round(ln(CAST(SUM(cnt) AS DOUBLE))
+      |  - SUM(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE)))
+      |    / CAST(SUM(cnt) AS DOUBLE), 6) AS entropy_r,
+      |round(1.0 - CAST(SUM(cnt * cnt) AS DOUBLE)
+      |  / CAST(SUM(cnt) * SUM(cnt) AS DOUBLE), 6) AS gini_r
+      |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // ev_transition_matrix — first-order Markov transitions over the
+  // event stream: per user, order events by (µs, event_id) and count
+  // (from → to) adjacent pairs; probability is the count over the
+  // from-state total. The lead() window partitions on user_id — state
+  // stays per-user-bounded, so the sort is millions of tiny tasks, not
+  // one big one. Totals come from a groupBy + broadcast-size join (the
+  // event-type alphabet is tiny), not a second window.
+  // ------------------------------------------------------------------
+  private val evTransitions: QFn = (s, dir) => {
+    val e = t(s, dir, "events").select(col("user_id"),
+      col("event_type"), expr("ts div 1000").as("us"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val pairs = e.withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+               col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val totals = pairs.groupBy(col("from_type").as("ft"))
+      .agg(sum(col("n_trans")).as("from_total"))
+    pairs.join(broadcast(totals), col("from_type") === col("ft"))
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        round(col("n_trans").cast("double")
+          / col("from_total").cast("double"), 6).as("p_r"))
+      .orderBy("from_type", "to_type")
+  }
+  private val evTransitionsSql =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+      |  FROM events),
+      |p AS (SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |      AS to_type
+      |  FROM e),
+      |c AS (SELECT from_type, to_type, COUNT(*) AS n_trans FROM p
+      |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |tt AS (SELECT from_type, SUM(n_trans) AS from_total FROM c GROUP BY 1)
+      |SELECT c.from_type, to_type, n_trans,
+      |round(CAST(n_trans AS DOUBLE) / CAST(from_total AS DOUBLE), 6) AS p_r
+      |FROM c JOIN tt ON c.from_type = tt.from_type
+      |ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // geo_radius_join — all (customer, supplier) pairs within Euclidean
+  // radius r, via grid bucketing: synthetic integer coordinates derived
+  // from the keys (pure modular arithmetic — fully deterministic), each
+  // left point explodes into its 3×3 neighborhood of r-sized grid
+  // cells, the right point sits in exactly ONE cell, so an equi-join on
+  // cell id co-locates every candidate pair exactly once (no distinct
+  // pass) and the exact integer predicate (dx²+dy² ≤ r²) filters. Two
+  // equi-shuffles + a 9× left expansion instead of an O(n·m) cross
+  // join — the standard spatial-join shape that survives any scale.
+  // The oracle IS the brute-force cross join.
+  // ------------------------------------------------------------------
+  private val geoR = 8L // radius; grid cell size = r
+
+  private val geoRadius: QFn = (s, dir) => {
+    val c = t(s, dir, "customer").select(
+      col("c_custkey").as("cid"), col("c_nationkey"),
+      expr("(c_custkey * 37 + 11) % 1000").as("cx"),
+      expr("(c_custkey * 73 + 29) % 1000").as("cy"))
+    val sup = t(s, dir, "supplier").select(
+      col("s_suppkey").as("sid"),
+      expr("(s_suppkey * 53 + 17) % 1000").as("sx"),
+      expr("(s_suppkey * 97 + 43) % 1000").as("sy"))
+      .withColumn("cellx", expr(s"sx div $geoR"))
+      .withColumn("celly", expr(s"sy div $geoR"))
+    val cells = c
+      .withColumn("dxy", explode(expr(
+        "array(-1L, 0L, 1L)")))
+      .withColumn("dy2", explode(expr("array(-1L, 0L, 1L)")))
+      .withColumn("cellx", expr(s"cx div $geoR") + col("dxy"))
+      .withColumn("celly", expr(s"cy div $geoR") + col("dy2"))
+    val pairs = cells.join(sup, Seq("cellx", "celly"))
+      .filter((col("cx") - col("sx")) * (col("cx") - col("sx"))
+            + (col("cy") - col("sy")) * (col("cy") - col("sy"))
+            <= lit(geoR * geoR))
+    pairs.join(broadcast(t(s, dir, "nation")),
+               col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_pairs"),
+           sum(col("cid") + col("sid")).as("pair_checksum"))
+      .orderBy("n_name")
+  }
+  private val geoRadiusSql =
+    s"""WITH c AS (SELECT c_custkey AS cid, c_nationkey,
+       |    (c_custkey * 37 + 11) % 1000 AS cx,
+       |    (c_custkey * 73 + 29) % 1000 AS cy FROM customer),
+       |sup AS (SELECT s_suppkey AS sid,
+       |    (s_suppkey * 53 + 17) % 1000 AS sx,
+       |    (s_suppkey * 97 + 43) % 1000 AS sy FROM supplier),
+       |p AS (SELECT cid, c_nationkey, sid FROM c, sup
+       |  WHERE (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)
+       |    <= ${geoR * geoR})
+       |SELECT n_name, COUNT(*) AS n_pairs,
+       |CAST(SUM(cid + sid) AS BIGINT) AS pair_checksum
+       |FROM p JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Shared scale-safe primitive for a16/a17: cumulative weight within
+  // each group over a value ordering, WITHOUT a per-group window (a
+  // handful of giant groups would each become one sort task). Shape:
+  // one GLOBAL PrefixSum over (group, value) — a parallel range sort —
+  // then subtract each group's exclusive offset (running sum over the
+  // tiny per-group totals; the group count is bounded — 3 return
+  // flags — so that window is a few rows, not a few billion).
+  // Returns the grouped rows (g, v, c) + `cum` = within-group running
+  // count and `tot` = group total, all exact decimals.
+  // ------------------------------------------------------------------
+  private[analytics] def groupedCum(base: DataFrame, g: String, v: String,
+                                    weight: Column): DataFrame = {
+    val grouped = base.groupBy(col(g), col(v))
+      .agg(sum(weight).cast(DecimalType(38, 0)).as("c"))
+    val cum = graft.operators.PrefixSum.withRunningSum(
+      grouped, Seq(col(g), col(v)), col("c"), "gcum")
+    val wOff = Window.orderBy("__g").rowsBetween(Window.unboundedPreceding, -1)
+    val off = grouped.groupBy(col(g).as("__g"))
+      .agg(sum(col("c")).as("tot"))
+      .withColumn("off", coalesce(sum(col("tot")).over(wOff),
+                                  lit(0).cast(DecimalType(38, 0))))
+    cum.join(broadcast(off), col(g) === col("__g"))
+      .withColumn("cum", col("gcum") - col("off"))
+      .select(col(g), col(v), col("c"), col("cum"), col("tot"))
+  }
+
+  // ------------------------------------------------------------------
+  // a16_weighted_median — quantity-weighted median of the extended
+  // price per return flag: smallest price whose within-flag cumulative
+  // weight reaches half the flag total (2·cum ≥ tot in integers — no
+  // fractional midpoint arithmetic). Built on groupedCum, so the heavy
+  // ordering is a distributed range sort; the median pick is one more
+  // groupBy. Everything stays integer/decimal until the final cast.
+  // ------------------------------------------------------------------
+  private val a16WeightedMedian: QFn = (s, dir) => {
+    val base = t(s, dir, "lineitem").select(
+      col("l_returnflag").as("f"),
+      col("l_extendedprice").cast(DecimalType(18, 2)).as("p"),
+      col("l_quantity").cast("long").as("w"))
+    groupedCum(base, "f", "p", col("w"))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy(col("f").as("l_returnflag"))
+      .agg(min(col("p")).cast("double").as("median_price"),
+           max(col("tot")).cast("long").as("total_w"))
+      .orderBy("l_returnflag")
+  }
+  private val a16Sql =
+    """WITH g AS (
+      |  SELECT l_returnflag AS f, CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+      |         SUM(CAST(l_quantity AS BIGINT)) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |cw AS (SELECT f, p,
+      |    SUM(c) OVER (PARTITION BY f ORDER BY p) AS cum,
+      |    SUM(c) OVER (PARTITION BY f) AS tot FROM g)
+      |SELECT f AS l_returnflag,
+      |CAST(MIN(p) AS DOUBLE) AS median_price,
+      |CAST(MAX(tot) AS BIGINT) AS total_w
+      |FROM cw WHERE cum * 2 >= tot GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // a17_spearman — Spearman rank correlation (with tie-averaged ranks)
+  // between quantity and extended price per return flag. Average ranks
+  // come from COUNTS, not a window over raw rows: within a flag,
+  // avg_rank(v) = cum_less + (c+1)/2, kept integral by carrying
+  // r2 = 2·avg_rank. Both rank maps are groupedCum outputs joined back
+  // onto the fact rows; the correlation is Pearson on the exact-integer
+  // rank moments (decimal sums), converted to double ONCE for the final
+  // closed-form formula (IEEE ops on identical inputs → identical
+  // doubles), rounded to 6 dp.
+  // ------------------------------------------------------------------
+  private def rank2Map(base: DataFrame, g: String, v: String): DataFrame =
+    groupedCum(base, g, v, lit(1L))
+      .select(col(g), col(v),
+        (lit(2) * (col("cum") - col("c")) + col("c") + 1)
+          .cast(DecimalType(38, 0)).as("r2"))
+
+  private val a17Spearman: QFn = (s, dir) => {
+    val base = t(s, dir, "lineitem").select(
+      col("l_returnflag").as("f"),
+      col("l_quantity").cast("long").as("q"),
+      col("l_extendedprice").cast(DecimalType(18, 2)).as("p"))
+    val rq = rank2Map(base, "f", "q").withColumnRenamed("r2", "rx")
+    val rp = rank2Map(base, "f", "p").withColumnRenamed("r2", "ry")
+    val joined = base.join(rq, Seq("f", "q")).join(rp, Seq("f", "p"))
+    val m = joined.groupBy(col("f").as("l_returnflag"))
+      .agg(count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+           sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+           sum(col("rx") * col("rx")).as("sxx"),
+           sum(col("ry") * col("ry")).as("syy"),
+           sum(col("rx") * col("ry")).as("sxy"))
+    def d(c: String): Column = col(c).cast("double")
+    m.select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+        round((d("n") * d("sxy") - d("sx") * d("sy"))
+          / (sqrt(d("n") * d("sxx") - d("sx") * d("sx"))
+             * sqrt(d("n") * d("syy") - d("sy") * d("sy"))), 6)
+          .as("spearman_r"))
+      .orderBy("l_returnflag")
+  }
+  private val a17Sql =
+    """WITH b AS (SELECT l_returnflag AS f, CAST(l_quantity AS BIGINT) AS q,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS p FROM lineitem),
+      |gq AS (SELECT f, q, COUNT(*) AS c FROM b GROUP BY 1, 2),
+      |rq AS (SELECT f, q,
+      |    2 * (SUM(c) OVER (PARTITION BY f ORDER BY q) - c) + c + 1 AS rx
+      |  FROM gq),
+      |gp AS (SELECT f, p, COUNT(*) AS c FROM b GROUP BY 1, 2),
+      |rp AS (SELECT f, p,
+      |    2 * (SUM(c) OVER (PARTITION BY f ORDER BY p) - c) + c + 1 AS ry
+      |  FROM gp),
+      |j AS (SELECT b.f, rx, ry FROM b
+      |  JOIN rq ON b.f = rq.f AND b.q = rq.q
+      |  JOIN rp ON b.f = rp.f AND b.p = rp.p),
+      |m AS (SELECT f AS l_returnflag, COUNT(*) AS n,
+      |    SUM(rx) AS sx, SUM(ry) AS sy, SUM(rx * rx) AS sxx,
+      |    SUM(ry * ry) AS syy, SUM(rx * ry) AS sxy
+      |  FROM j GROUP BY 1)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+      |round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |  AS spearman_r
+      |FROM m ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // i16_cdc_apply — apply a CDC change batch (upserts + deletes with a
+  // sequence number) to a snapshot: keep the LATEST op per key
+  // (row_number over the key partition — millions of small partitions,
+  // scale-safe), then delete-keys drop out, upsert-keys replace, and
+  // untouched base rows pass through via an anti-join on the changed
+  // keyset. The change batch is derived deterministically from the
+  // orders table (overlapping key ranges exercise update-vs-insert,
+  // multi-op keys exercise keep-latest, op 'D' exercises tombstones).
+  // ------------------------------------------------------------------
+  private val i16CdcApply: QFn = (s, dir) => {
+    val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("st"),
+      col("o_totalprice").cast(DecimalType(18, 4)).as("price"))
+    val base = o.filter(col("k") % 10 < 8)
+    val src = o.filter(col("k") % 10 >= 5)
+    val changes =
+      src.select(col("k"), col("st"), lit(1L).as("seq"), lit("U").as("op"),
+                 (col("price") * 2).cast(DecimalType(18, 4)).as("price2"))
+        .unionByName(src.filter(col("k") % 4 === 1)
+          .select(col("k"), col("st"), lit(2L).as("seq"), lit("D").as("op"),
+                  lit(null).cast(DecimalType(18, 4)).as("price2")))
+        .unionByName(src.filter(col("k") % 4 === 2)
+          .select(col("k"), col("st"), lit(2L).as("seq"), lit("U").as("op"),
+                  (col("price") + 1000).cast(DecimalType(18, 4)).as("price2")))
+    val wk = Window.partitionBy("k").orderBy(col("seq").desc)
+    val latest = changes.withColumn("rn", row_number().over(wk))
+      .filter(col("rn") === 1).drop("rn")
+    val survivors = base.join(latest.select(col("k")), Seq("k"), "left_anti")
+    val applied = survivors.unionByName(
+      latest.filter(col("op") === "U")
+        .select(col("k"), col("st"), col("price2").as("price")))
+    applied.groupBy(col("st").as("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("price")).cast("double").as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+  private val i16Sql =
+    """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(o_totalprice AS DECIMAL(18,4)) AS price FROM orders),
+      |base AS (SELECT * FROM o WHERE k % 10 < 8),
+      |src AS (SELECT * FROM o WHERE k % 10 >= 5),
+      |changes AS (
+      |  SELECT k, st, 1 AS seq, 'U' AS op,
+      |      CAST(price * 2 AS DECIMAL(18,4)) AS price2 FROM src
+      |  UNION ALL
+      |  SELECT k, st, 2, 'D', NULL FROM src WHERE k % 4 = 1
+      |  UNION ALL
+      |  SELECT k, st, 2, 'U', CAST(price + 1000 AS DECIMAL(18,4))
+      |    FROM src WHERE k % 4 = 2),
+      |latest AS (SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC)
+      |      AS rn FROM changes) WHERE rn = 1),
+      |applied AS (
+      |  SELECT k, st, price FROM base
+      |    WHERE k NOT IN (SELECT k FROM latest)
+      |  UNION ALL
+      |  SELECT k, st, price2 FROM latest WHERE op = 'U')
+      |SELECT st AS o_orderstatus, COUNT(*) AS n_rows,
+      |CAST(SUM(price) AS DOUBLE) AS total_price
+      |FROM applied GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // w17_ewma — exponential moving average (α = 1/2) of monthly revenue
+  // per nation over an 8-month trailing frame, as a SELF-JOIN on the
+  // aggregated series instead of a per-row window: weights are exact
+  // powers of two (1L << (7 − lag)), so weight·revenue stays exact
+  // decimal and only the final normalize is a double. The join runs on
+  // an already-aggregated nation×month table (thousands of rows at any
+  // SF — monthly grain is data-scale-invariant), so the 8× frame
+  // expansion is free.
+  // ------------------------------------------------------------------
+  private val w17Ewma: QFn = (s, dir) => {
+    val m = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("mon"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 4))).as("rev"))
+    val a = m.select(col("n_name"), col("mon"))
+    val b = m.select(col("n_name").as("bn"), col("mon").as("bmon"),
+                     col("rev").as("brev"))
+    a.join(b, col("n_name") === col("bn")
+         && col("mon") - col("bmon") >= 0 && col("mon") - col("bmon") <= 7)
+      .withColumn("w", expr("shiftleft(1L, cast(7 - (mon - bmon) as int))"))
+      .groupBy(col("n_name"), col("mon"))
+      .agg(sum(col("brev") * col("w")).as("num"),
+           sum(col("w")).as("den"))
+      .select(col("n_name"), col("mon"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("ewma_r"))
+      .orderBy("n_name", "mon")
+  }
+  private val w17Sql =
+    """WITH m AS (
+      |  SELECT n_name,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mon,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2)
+      |SELECT a.n_name, a.mon,
+      |round(CAST(SUM(b.rev * (CAST(1 AS BIGINT) << CAST(7 - (a.mon - b.mon)
+      |        AS INT))) AS DOUBLE)
+      |  / CAST(SUM(CAST(1 AS BIGINT) << CAST(7 - (a.mon - b.mon) AS INT))
+      |      AS DOUBLE), 6) AS ewma_r
+      |FROM m a JOIN m b ON a.n_name = b.n_name
+      |  AND a.mon - b.mon >= 0 AND a.mon - b.mon <= 7
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // a18_hll_merge — MERGEABLE distinct-count sketches: per-nation HLL
+  // sketches of the customer keys (DataSketches hll_sketch_agg), rolled
+  // up to region level with hll_union_agg — the two-level shape that
+  // matters at 100 TB, where per-partition sketches merge in a
+  // combiner tree instead of re-scanning raw keys. Verified the a2 way:
+  // the entry emits the EXACT distinct count plus a boolean corridor
+  // check on the estimate (±5%), and the oracle reproduces the exact
+  // count with a literal TRUE — a drifting sketch breaks the hash.
+  // ------------------------------------------------------------------
+  private val a18HllMerge: QFn = (s, dir) => {
+    val c = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+    val perNation = c.groupBy(col("r_name"), col("n_nationkey"))
+      .agg(expr("hll_sketch_agg(c_custkey)").as("sk"))
+    val merged = perNation.groupBy(col("r_name"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx"))
+    val exact = c.groupBy(col("r_name").as("rn"))
+      .agg(countDistinct(col("c_custkey")).as("exact_custs"))
+    merged.join(exact, col("r_name") === col("rn"))
+      .select(col("r_name"), col("exact_custs"),
+        ((abs(col("approx") - col("exact_custs")).cast("double")
+          / col("exact_custs").cast("double")) <= 0.05).as("approx_ok"))
+      .orderBy("r_name")
+  }
+  private val a18Sql =
+    """SELECT r_name, COUNT(DISTINCT c_custkey) AS exact_custs,
+      |TRUE AS approx_ok
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------ maps
+
+  val queries: Map[String, QFn] = Map(
+    "j14_null_safe_join" -> j14NullSafe,
+    "j15_bloom_semi_join" -> j15Bloom,
+    "a15_entropy" -> a15Entropy,
+    "ev_transition_matrix" -> evTransitions,
+    "geo_radius_join" -> geoRadius,
+    "a16_weighted_median" -> a16WeightedMedian,
+    "a17_spearman" -> a17Spearman,
+    "i16_cdc_apply" -> i16CdcApply,
+    "w17_ewma" -> w17Ewma,
+    "a18_hll_merge" -> a18HllMerge)
+
+  val oracleSql: Map[String, String] = Map(
+    "j14_null_safe_join" -> j14Sql,
+    "j15_bloom_semi_join" -> j15Sql,
+    "a15_entropy" -> a15Sql,
+    "ev_transition_matrix" -> evTransitionsSql,
+    "geo_radius_join" -> geoRadiusSql,
+    "a16_weighted_median" -> a16Sql,
+    "a17_spearman" -> a17Sql,
+    "i16_cdc_apply" -> i16Sql,
+    "w17_ewma" -> w17Sql,
+    "a18_hll_merge" -> a18Sql)
+}

@@ -1,0 +1,190 @@
+package graft.analytics
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.etl.TestSessions
+
+/** Invariant + ground-truth checks for the ExtendedQueries pack. The
+  * driver oracle hash-checks exact values at sf0.01/sf0.1; these specs
+  * pin the SEMANTICS on hand-built inputs (grouped cumulative weights,
+  * Bloom-filter equivalence, grid-join vs brute force, CDC keep-latest)
+  * so a refactor that preserves determinism but breaks meaning fails
+  * here first. */
+class ExtendedQueriesSpec extends AnyFunSuite {
+  lazy val spark = TestSessions.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("groupedCum equals the per-group window cumulative sum") {
+    val base = Seq(
+      ("a", 3L, 2L), ("a", 1L, 5L), ("a", 3L, 1L), ("a", 7L, 4L),
+      ("b", 2L, 10L), ("b", 9L, 1L),
+      ("c", 5L, 7L)
+    ).toDF("g", "v", "w")
+    val got = ExtendedQueries.groupedCum(base, "g", "v", col("w"))
+      .select(col("g"), col("v"), col("cum").cast("long"),
+              col("tot").cast("long"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("a", 1L, 5L, 12L), ("a", 3L, 8L, 12L), ("a", 7L, 12L, 12L),
+      ("b", 2L, 10L, 11L), ("b", 9L, 11L, 11L),
+      ("c", 5L, 7L, 7L)))
+  }
+
+  test("a16 weighted median matches the naive window form") {
+    val got = ExtendedQueries.queries("a16_weighted_median")(spark, sf)
+      .select(col("l_returnflag"), col("median_price"))
+      .as[(String, Double)].collect().toMap
+    val li = graft.Tables.load(spark, sf, "lineitem")
+      .select(col("l_returnflag").as("f"),
+        col("l_extendedprice").cast("decimal(18,2)").as("p"),
+        col("l_quantity").cast("long").as("w"))
+    val wf = Window.partitionBy("f").orderBy("p")
+    val want = li.withColumn("cum", sum(col("w")).over(
+        wf.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("w")).over(Window.partitionBy("f")))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy("f").agg(min(col("p")).cast("double").as("m"))
+      .as[(String, Double)].collect().toMap
+    assert(got === want)
+  }
+
+  test("a17 spearman is 1 for a perfect monotone relation and handles ties") {
+    // strictly increasing pair -> rho = 1 exactly; a tied column vs
+    // itself also gives 1 under average ranks
+    val mono = Seq(("x", 1L, BigDecimal(10)), ("x", 2L, BigDecimal(20)),
+                   ("x", 3L, BigDecimal(35)), ("x", 4L, BigDecimal(99)))
+      .toDF("f", "q", "p")
+    val rq = ExtendedQueries.groupedCum(mono, "f", "q", lit(1L))
+      .select(col("f"), col("q"),
+        (lit(2) * (col("cum") - col("c")) + col("c") + 1).as("r2"))
+      .as[(String, Long, java.math.BigDecimal)].collect()
+      .map { case (_, q, r) => q -> r.longValueExact() }.toMap
+    // avg ranks of 1..4 doubled: 2,4,6,8
+    assert(rq === Map(1L -> 2L, 2L -> 4L, 3L -> 6L, 4L -> 8L))
+    // tie-averaging: values (5,5,9) -> avg ranks (1.5,1.5,3) -> r2 (3,3,6)
+    val tied = Seq(("x", 5L, BigDecimal(1)), ("x", 5L, BigDecimal(2)),
+                   ("x", 9L, BigDecimal(3))).toDF("f", "q", "p")
+    val rt = ExtendedQueries.groupedCum(tied, "f", "q", lit(1L))
+      .select(col("q"),
+        (lit(2) * (col("cum") - col("c")) + col("c") + 1).as("r2"))
+      .as[(Long, java.math.BigDecimal)].collect()
+      .map { case (q, r) => q -> r.longValueExact() }.toMap
+    assert(rt === Map(5L -> 3L, 9L -> 6L))
+  }
+
+  test("a17 spearman on testdata stays within [-1, 1] and is non-trivial") {
+    val rows = ExtendedQueries.queries("a17_spearman")(spark, sf)
+      .select(col("l_returnflag"), col("spearman_r"))
+      .as[(String, Double)].collect()
+    assert(rows.length === 3)
+    rows.foreach { case (f, r) =>
+      assert(r >= -1.0 && r <= 1.0, s"flag=$f rho=$r")
+      assert(r != 0.0, s"flag=$f suspiciously exactly zero")
+    }
+  }
+
+  test("j15 bloom-filtered semi join equals the plain semi join") {
+    val got = ExtendedQueries.queries("j15_bloom_semi_join")(spark, sf)
+      .as[(String, Long, Double)].collect().toSet
+    val o = graft.Tables.load(spark, sf, "orders")
+    val cust = graft.Tables.load(spark, sf, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val want = o.join(cust, o("o_custkey") === cust("c_custkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+           sum(col("o_totalprice").cast("decimal(18,4)")).cast("double"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(got === want)
+  }
+
+  test("geo grid join equals the brute-force radius join") {
+    val c = graft.Tables.load(spark, sf, "customer").select(
+      col("c_custkey").as("cid"), col("c_nationkey"),
+      expr("(c_custkey * 37 + 11) % 1000").as("cx"),
+      expr("(c_custkey * 73 + 29) % 1000").as("cy"))
+    val s2 = graft.Tables.load(spark, sf, "supplier").select(
+      col("s_suppkey").as("sid"),
+      expr("(s_suppkey * 53 + 17) % 1000").as("sx"),
+      expr("(s_suppkey * 97 + 43) % 1000").as("sy"))
+    val brute = c.crossJoin(s2)
+      .filter((col("cx") - col("sx")) * (col("cx") - col("sx"))
+            + (col("cy") - col("sy")) * (col("cy") - col("sy")) <= 64)
+      .count()
+    val gridTotal = ExtendedQueries.queries("geo_radius_join")(spark, sf)
+      .agg(sum(col("n_pairs"))).as[Long].head()
+    assert(gridTotal === brute)
+  }
+
+  test("i16 CDC apply: deletes vanish, latest upsert wins, base passes through") {
+    val o = graft.Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey").as("k"),
+              col("o_totalprice").cast("decimal(18,4)").as("price"))
+    // rebuild expected final keyset: base keys (k%10<8) minus D-keys
+    // (k%10>=5 && k%4==1), plus change keys surviving as upserts
+    val expectedRows = o.filter(
+        (col("k") % 10 < 8 || col("k") % 10 >= 5)
+        && !(col("k") % 10 >= 5 && col("k") % 4 === 1))
+      .count()
+    val got = ExtendedQueries.queries("i16_cdc_apply")(spark, sf)
+      .agg(sum(col("n_rows"))).as[Long].head()
+    assert(got === expectedRows)
+  }
+
+  test("ev transition probabilities sum to 1 per source state") {
+    val sums = ExtendedQueries.queries("ev_transition_matrix")(spark, sf)
+      .groupBy("from_type").agg(sum(col("p_r")).as("s"))
+      .as[(String, Double)].collect()
+    assert(sums.nonEmpty)
+    sums.foreach { case (f, p) =>
+      assert(math.abs(p - 1.0) < 1e-4, s"from=$f sum=$p") }
+  }
+
+  test("j14 null-safe join carries the NULL bucket with full counts") {
+    val rows = ExtendedQueries.queries("j14_null_safe_join")(spark, sf)
+      .as[(Option[String], Long, Long)].collect()
+    assert(rows.exists(_._1.isEmpty), "NULL priority bucket missing")
+    rows.foreach { case (pr, n, tot) =>
+      assert(n === tot, s"priority=$pr matched $n of $tot") }
+  }
+
+  test("a15 entropy within [0, ln k] and gini within [0, 1)") {
+    val rows = ExtendedQueries.queries("a15_entropy")(spark, sf)
+      .select(col("n_segments"), col("entropy_r"), col("gini_r"))
+      .as[(Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, h, g) =>
+      assert(h >= 0.0 && h <= math.log(k.toDouble) + 1e-9, s"entropy $h k=$k")
+      assert(g >= 0.0 && g < 1.0, s"gini $g")
+    }
+  }
+
+  test("w17 EWMA lies within the min/max of its trailing frame") {
+    val m = ExtendedQueries.queries("w17_ewma")(spark, sf)
+    val rev = graft.Tables.load(spark, sf, "orders")
+      .join(graft.Tables.load(spark, sf, "customer"),
+            col("o_custkey") === col("c_custkey"))
+      .join(graft.Tables.load(spark, sf, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("bn"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("bmon"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double").as("brev"))
+    val joined = m.join(rev, col("n_name") === col("bn")
+        && col("mon") - col("bmon") >= 0 && col("mon") - col("bmon") <= 7)
+      .groupBy("n_name", "mon", "ewma_r")
+      .agg(min("brev").as("lo"), max("brev").as("hi"))
+      .filter(col("ewma_r") < col("lo") - 0.001
+           || col("ewma_r") > col("hi") + 0.001)
+    assert(joined.count() === 0)
+  }
+
+  test("a18 HLL estimates stay inside the 5% corridor") {
+    val rows = ExtendedQueries.queries("a18_hll_merge")(spark, sf)
+      .select(col("approx_ok")).as[Boolean].collect()
+    assert(rows.nonEmpty && rows.forall(identity))
+  }
+}
