@@ -496,6 +496,172 @@ object ExtendedQueries {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // a19_count_min — Count-Min sketch heavy-hitter estimation, verified
+  // the a2/a18 corridor way. The sketch is built distributed (Spark's
+  // stat.countMinSketch tree-aggregates mergeable counter arrays — the
+  // 100 TB shape: no key ever shuffles, only eps⁻¹·ln(δ⁻¹) counters per
+  // partition), then the top-10 exact keys are probed driver-side. CMS
+  // guarantees est ≥ exact and, w.h.p., est ≤ exact + ε·N — the entry
+  // emits the exact counts plus that bound as a boolean, so a broken
+  // sketch breaks the hash while the oracle stays pure SQL.
+  // ------------------------------------------------------------------
+  private val a19CountMin: QFn = (s, dir) => {
+    val keys = t(s, dir, "lineitem").select(col("l_partkey"))
+    val eps = 1e-4
+    val cms = keys.stat.countMinSketch("l_partkey", eps, 0.99, 42)
+    val top = keys.groupBy("l_partkey").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("l_partkey")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val total = cms.totalCount()
+    val slack = math.ceil(eps * total).toLong
+    val rows = top.map { case (k, cnt) =>
+      val est = cms.estimateCount(java.lang.Long.valueOf(k))
+      (k, cnt, est >= cnt && est <= cnt + slack)
+    }
+    s.createDataFrame(rows.toSeq)
+      .toDF("l_partkey", "exact_cnt", "cms_ok")
+      .orderBy(col("exact_cnt").desc, col("l_partkey"))
+  }
+  private val a19Sql =
+    """SELECT l_partkey, COUNT(*) AS exact_cnt, TRUE AS cms_ok
+      |FROM lineitem GROUP BY 1
+      |ORDER BY exact_cnt DESC, l_partkey LIMIT 10""".stripMargin
+
+  // ------------------------------------------------------------------
+  // f_array_pack — array/collection surface: collect_set → array_sort →
+  // array_join (order-insensitive aggregation rendered deterministic by
+  // the sort), size, array_contains. Arrays never reach the output
+  // schema — the join-to-string keeps the driver compare engine-neutral.
+  // ------------------------------------------------------------------
+  private val fArrayPack: QFn = (s, dir) =>
+    t(s, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(array_sort(collect_set(col("c_mktsegment"))).as("segs_arr"))
+      .select(col("c_nationkey"),
+        array_join(col("segs_arr"), ",").as("segments"),
+        size(col("segs_arr")).as("n_segments"),
+        array_contains(col("segs_arr"), "BUILDING").as("has_building"))
+      .orderBy("c_nationkey")
+  private val fArraySql =
+    """WITH d AS (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)
+      |SELECT c_nationkey,
+      |string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+      |CAST(COUNT(*) AS INT) AS n_segments,
+      |bool_or(c_mktsegment = 'BUILDING') AS has_building
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // dq_benford — Benford's-law first-digit profile of the order values:
+  // observed digit shares vs the log10(1+1/d) expectation — the
+  // screening test a data-quality suite runs over monetary columns.
+  // The digit comes from the DECIMAL string rendering (both engines
+  // print plain decimal), counts are exact, and the two ratios take
+  // the one-final-double-division path.
+  // ------------------------------------------------------------------
+  private val dqBenford: QFn = (s, dir) => {
+    val d = t(s, dir, "orders").select(
+      substring(col("o_totalprice").cast(DecimalType(18, 4)).cast("string"),
+                1, 1).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("cnt"))
+    val tot = d.agg(sum(col("cnt")).as("t")).select(col("t"))
+    d.crossJoin(broadcast(tot))
+      .select(col("digit"), col("cnt"),
+        round(col("cnt").cast("double") / col("t").cast("double"), 6)
+          .as("observed_r"),
+        round(log(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+          / log(lit(10.0)), 6).as("benford_r"))
+      .orderBy("digit")
+  }
+  private val dqBenfordSql =
+    """WITH d AS (SELECT substring(CAST(CAST(o_totalprice AS DECIMAL(18,4))
+      |      AS VARCHAR), 1, 1) AS digit, COUNT(*) AS cnt
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM d)
+      |SELECT digit, cnt,
+      |round(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE), 6) AS observed_r,
+      |round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6)
+      |  AS benford_r
+      |FROM d, t ORDER BY digit""".stripMargin
+
+  // ------------------------------------------------------------------
+  // s17_dynamic_partition_overwrite — partitioned-sink overwrite that
+  // replaces ONLY the partitions present in the incoming batch (Spark's
+  // dynamic partitionOverwriteMode): the URGENT partition is rewritten
+  // with corrected prices, every other partition must survive
+  // untouched. At 100 TB this is THE idempotent-backfill primitive —
+  // a day's re-run rewrites one date partition, not the table.
+  // ------------------------------------------------------------------
+  private val s17DynOverwrite: QFn = (s, dir) => {
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderpriority").as("pr"),
+      col("o_totalprice").cast(DecimalType(18, 4)).as("price"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpo").toString
+    o.write.partitionBy("pr").mode("overwrite").parquet(tmp)
+    val patch = o.filter(col("pr") === "1-URGENT")
+      .withColumn("price", (col("price") * 2).cast(DecimalType(18, 4)))
+    patch.write.partitionBy("pr").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(tmp)
+    s.read.parquet(tmp)
+      .groupBy(col("pr"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(col("price")).cast("double").as("total_price"))
+      .orderBy("pr")
+  }
+  private val s17Sql =
+    """SELECT o_orderpriority AS pr, COUNT(*) AS n_orders,
+      |CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+      |  THEN CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 2 AS DECIMAL(18,4))
+      |  ELSE CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE)
+      |  AS total_price
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // ev_cohort_ltv — cohort lifetime value: users cohort on their FIRST
+  // purchase day; each cohort's cumulative revenue per cohort user by
+  // day-age. The cumulative window runs over cohort×age CELLS (grain
+  // bounded by the calendar, not the data), after the heavy lifting —
+  // first-purchase min and cell sums — happens in key-partitioned
+  // groupBys. Revenue stays decimal until the final per-user division.
+  // ------------------------------------------------------------------
+  private val evCohortLtv: QFn = (s, dir) => {
+    val p = t(s, dir, "events").filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("ts div 1000 div 86400000000").as("day"),
+        col("value").cast(DecimalType(18, 4)).as("v"))
+    val firstMon = p.groupBy("user_id").agg(min(col("day")).as("cohort"))
+    val cells = p.join(firstMon, "user_id")
+      .groupBy(col("cohort"), (col("day") - col("cohort")).as("age"))
+      .agg(sum(col("v")).as("rev"))
+    val sizes = firstMon.groupBy(col("cohort").as("ch"))
+      .agg(count(lit(1)).as("n_users"))
+    val wc = Window.partitionBy("cohort").orderBy("age")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.withColumn("cum_rev", sum(col("rev")).over(wc))
+      .join(broadcast(sizes), col("cohort") === col("ch"))
+      .select(col("cohort"), col("age"), col("n_users"),
+        round(col("cum_rev").cast("double") / col("n_users").cast("double"),
+              6).as("ltv_r"))
+      .orderBy("cohort", "age")
+  }
+  private val evCohortLtvSql =
+    """WITH p AS (SELECT user_id,
+      |    epoch_us(ts) // 86400000000 AS day,
+      |    CAST(value AS DECIMAL(18,4)) AS v
+      |  FROM events WHERE event_type = 'purchase'),
+      |f AS (SELECT user_id, MIN(day) AS cohort FROM p GROUP BY 1),
+      |cells AS (SELECT cohort, day - cohort AS age, SUM(v) AS rev
+      |  FROM p JOIN f USING (user_id) GROUP BY 1, 2),
+      |sz AS (SELECT cohort, COUNT(*) AS n_users FROM f GROUP BY 1),
+      |c AS (SELECT cohort, age,
+      |    SUM(rev) OVER (PARTITION BY cohort ORDER BY age
+      |      ROWS UNBOUNDED PRECEDING) AS cum_rev
+      |  FROM cells)
+      |SELECT c.cohort, age, n_users,
+      |round(CAST(cum_rev AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS ltv_r
+      |FROM c JOIN sz ON c.cohort = sz.cohort
+      |ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, QFn] = Map(
@@ -508,7 +674,12 @@ object ExtendedQueries {
     "a17_spearman" -> a17Spearman,
     "i16_cdc_apply" -> i16CdcApply,
     "w17_ewma" -> w17Ewma,
-    "a18_hll_merge" -> a18HllMerge)
+    "a18_hll_merge" -> a18HllMerge,
+    "a19_count_min" -> a19CountMin,
+    "f_array_pack" -> fArrayPack,
+    "dq_benford" -> dqBenford,
+    "s17_dynamic_partition_overwrite" -> s17DynOverwrite,
+    "ev_cohort_ltv" -> evCohortLtv)
 
   val oracleSql: Map[String, String] = Map(
     "j14_null_safe_join" -> j14Sql,
@@ -520,5 +691,10 @@ object ExtendedQueries {
     "a17_spearman" -> a17Sql,
     "i16_cdc_apply" -> i16Sql,
     "w17_ewma" -> w17Sql,
-    "a18_hll_merge" -> a18Sql)
+    "a18_hll_merge" -> a18Sql,
+    "a19_count_min" -> a19Sql,
+    "f_array_pack" -> fArraySql,
+    "dq_benford" -> dqBenfordSql,
+    "s17_dynamic_partition_overwrite" -> s17Sql,
+    "ev_cohort_ltv" -> evCohortLtvSql)
 }

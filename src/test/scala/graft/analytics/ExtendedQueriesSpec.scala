@@ -182,6 +182,70 @@ class ExtendedQueriesSpec extends AnyFunSuite {
     assert(joined.count() === 0)
   }
 
+  test("a19 count-min estimates respect the one-sided CMS bound") {
+    val rows = ExtendedQueries.queries("a19_count_min")(spark, sf)
+      .select(col("cms_ok")).as[Boolean].collect()
+    assert(rows.length === 10 && rows.forall(identity))
+  }
+
+  test("f_array_pack renders sorted deduplicated segment lists") {
+    val rows = ExtendedQueries.queries("f_array_pack")(spark, sf)
+      .select(col("segments"), col("n_segments"))
+      .as[(String, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (segs, n) =>
+      val parts = segs.split(",").toSeq
+      assert(parts.length === n)
+      assert(parts === parts.sorted, s"unsorted: $segs")
+      assert(parts.distinct.length === parts.length, s"dupes: $segs")
+    }
+  }
+
+  test("dq_benford shares sum to 1 and expectations are the log law") {
+    val rows = ExtendedQueries.queries("dq_benford")(spark, sf)
+      .select(col("digit"), col("observed_r"), col("benford_r"))
+      .as[(String, Double, Double)].collect()
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-3)
+    rows.foreach { case (d, _, b) =>
+      val expect = math.log(1.0 + 1.0 / d.toInt) / math.log(10.0)
+      assert(math.abs(b - expect) < 1e-6, s"digit $d") }
+  }
+
+  test("s17 dynamic overwrite rewrites only the patched partition") {
+    val got = ExtendedQueries.queries(
+        "s17_dynamic_partition_overwrite")(spark, sf)
+      .select(col("pr"), col("n_orders"), col("total_price"))
+      .as[(String, Long, Double)].collect()
+      .map { case (k, n, p) => k -> ((n, p)) }.toMap
+    val base = graft.Tables.load(spark, sf, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double"))
+      .as[(String, Long, Double)].collect()
+    base.foreach { case (pr, n, total) =>
+      val (gn, gp) = got(pr)
+      assert(gn === n, s"$pr row count changed")
+      if (pr == "1-URGENT")
+        assert(math.abs(gp - 2 * total) < 1e-4, s"$pr not doubled")
+      else assert(math.abs(gp - total) < 1e-4, s"$pr was touched")
+    }
+  }
+
+  test("ev_cohort_ltv is monotone non-decreasing in age per cohort") {
+    val rows = ExtendedQueries.queries("ev_cohort_ltv")(spark, sf)
+      .select(col("cohort"), col("age"), col("ltv_r"))
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).values
+    assert(rows.nonEmpty)
+    rows.foreach { cells =>
+      val byAge = cells.toSeq.sortBy(_._2).map(_._3)
+      byAge.sliding(2).foreach { pair =>
+        if (pair.length == 2)
+          assert(pair(1) >= pair(0) - 1e-9, "LTV decreased with age")
+      }
+    }
+  }
+
   test("a18 HLL estimates stay inside the 5% corridor") {
     val rows = ExtendedQueries.queries("a18_hll_merge")(spark, sf)
       .select(col("approx_ok")).as[Boolean].collect()
