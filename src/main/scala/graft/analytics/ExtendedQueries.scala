@@ -253,17 +253,42 @@ object ExtendedQueries {
   // a16_weighted_median — quantity-weighted median of the extended
   // price per return flag: smallest price whose within-flag cumulative
   // weight reaches half the flag total (2·cum ≥ tot in integers — no
-  // fractional midpoint arithmetic). Built on groupedCum, so the heavy
-  // ordering is a distributed range sort; the median pick is one more
-  // groupBy. Everything stays integer/decimal until the final cast.
+  // fractional midpoint arithmetic). Two-phase bucketed selection, the
+  // classic distributed-median shape: phase 1 aggregates weights into
+  // fixed-width price buckets (table size bounded by the PRICE DOMAIN /
+  // width, not the data — safe to window per flag) and locates the
+  // bucket containing the median plus the cumulative weight before it;
+  // phase 2 re-scans ONLY that bucket's rows (broadcast filter join —
+  // at 100 TB this touches ~1/width of the fact) and resolves the exact
+  // price. No global range sort, no checkpoint barrier, and every
+  // window runs over domain-bounded row counts.
   // ------------------------------------------------------------------
   private val a16WeightedMedian: QFn = (s, dir) => {
     val base = t(s, dir, "lineitem").select(
       col("l_returnflag").as("f"),
       col("l_extendedprice").cast(DecimalType(18, 2)).as("p"),
       col("l_quantity").cast("long").as("w"))
-    groupedCum(base, "f", "p", col("w"))
-      .filter(col("cum") * 2 >= col("tot"))
+      .withColumn("bkt", expr("cast(floor(p / 1000) as bigint)"))
+    val wB = Window.partitionBy("f").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val b1 = base.groupBy(col("f"), col("bkt")).agg(sum(col("w")).as("bw"))
+      .withColumn("cumb", sum(col("bw")).over(wB))
+      .withColumn("tot", sum(col("bw")).over(Window.partitionBy("f")))
+    val medBkt = b1.filter(col("cumb") * 2 >= col("tot"))
+      .groupBy(col("f").as("mf"))
+      .agg(min(col("bkt")).as("mb"))
+    val before = b1.join(broadcast(medBkt),
+        col("f") === col("mf") && col("bkt") === col("mb"))
+      .select(col("mf"), col("mb"),
+        (col("cumb") - col("bw")).as("cb"), col("tot"))
+    val wP = Window.partitionBy("f").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(before),
+        col("f") === col("mf") && col("bkt") === col("mb"))
+      .groupBy(col("f"), col("p"), col("cb"), col("tot"))
+      .agg(sum(col("w")).as("w2"))
+      .withColumn("cum2", sum(col("w2")).over(wP))
+      .filter((col("cb") + col("cum2")) * 2 >= col("tot"))
       .groupBy(col("f").as("l_returnflag"))
       .agg(min(col("p")).cast("double").as("median_price"),
            max(col("tot")).cast("long").as("total_w"))
@@ -295,24 +320,54 @@ object ExtendedQueries {
   // ------------------------------------------------------------------
   private def rank2Map(base: DataFrame, g: String, v: String): DataFrame =
     groupedCum(base, g, v, lit(1L))
-      .select(col(g), col(v),
+      .select(col(g), col(v), col("c"),
         (lit(2) * (col("cum") - col("c")) + col("c") + 1)
           .cast(DecimalType(38, 0)).as("r2"))
+
+  /** Rank map over a DOMAIN-BOUNDED value column (e.g. quantity,
+    * 1..50): the grouped table is ≤ |domain|·|groups| rows at ANY data
+    * size, so a plain per-group window is safe and the PrefixSum
+    * machinery (range exchange + checkpoint barrier) is pure overhead. */
+  private def rank2MapSmall(base: DataFrame, g: String, v: String): DataFrame = {
+    val wG = Window.partitionBy(g).orderBy(v)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.groupBy(col(g), col(v))
+      .agg(count(lit(1)).cast(DecimalType(38, 0)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wG))
+      .select(col(g), col(v), col("c"),
+        (lit(2) * (col("cum") - col("c")) + col("c") + 1)
+          .cast(DecimalType(38, 0)).as("r2"))
+  }
 
   private val a17Spearman: QFn = (s, dir) => {
     val base = t(s, dir, "lineitem").select(
       col("l_returnflag").as("f"),
       col("l_quantity").cast("long").as("q"),
       col("l_extendedprice").cast(DecimalType(18, 2)).as("p"))
-    val rq = rank2Map(base, "f", "q").withColumnRenamed("r2", "rx")
+    // q is domain-bounded (integral 1..50) → tiny windowed rank map,
+    // broadcast into the cross-moment join; p is data-cardinality →
+    // scale-safe groupedCum ranks. The marginal moments (sx/sxx/sy/syy)
+    // come straight off the grouped maps as Σ c·r2 — only the CROSS
+    // moment needs the per-row (q,p) pairing, so exactly one shuffle
+    // join over the fact rows survives.
+    val rq = rank2MapSmall(base, "f", "q").withColumnRenamed("r2", "rx")
     val rp = rank2Map(base, "f", "p").withColumnRenamed("r2", "ry")
-    val joined = base.join(rq, Seq("f", "q")).join(rp, Seq("f", "p"))
-    val m = joined.groupBy(col("f").as("l_returnflag"))
-      .agg(count(lit(1)).cast(DecimalType(38, 0)).as("n"),
-           sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
-           sum(col("rx") * col("rx")).as("sxx"),
-           sum(col("ry") * col("ry")).as("syy"),
-           sum(col("rx") * col("ry")).as("sxy"))
+    val margQ = rq.groupBy(col("f"))
+      .agg(sum(col("c")).cast(DecimalType(38, 0)).as("n"),
+           sum(col("c") * col("rx")).as("sx"),
+           sum(col("c") * col("rx") * col("rx")).as("sxx"))
+    val margP = rp.groupBy(col("f").as("fp"))
+      .agg(sum(col("c") * col("ry")).as("sy"),
+           sum(col("c") * col("ry") * col("ry")).as("syy"))
+    val cross = base
+      .join(broadcast(rq.select(col("f"), col("q"), col("rx"))), Seq("f", "q"))
+      .join(rp.select(col("f"), col("p"), col("ry")), Seq("f", "p"))
+      .groupBy(col("f").as("fc"))
+      .agg(sum(col("rx") * col("ry")).as("sxy"))
+    val m = margQ
+      .join(broadcast(margP), col("f") === col("fp"))
+      .join(broadcast(cross), col("f") === col("fc"))
+      .withColumn("l_returnflag", col("f"))
     def d(c: String): Column = col(c).cast("double")
     m.select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
         round((d("n") * d("sxy") - d("sx") * d("sy"))
