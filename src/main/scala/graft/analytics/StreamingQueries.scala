@@ -58,7 +58,17 @@ object StreamingQueries {
   private def drain(spark: SparkSession, df: DataFrame, prefix: String,
                     mode: OutputMode): DataFrame = {
     val name = freshName(prefix)
-    EventStream.runToMemory(df, name, mode)
+    // Stateful streaming cost scales with the state-store count — one
+    // store (files, maintenance thread, commit) per shuffle partition
+    // per stateful operator, regardless of data volume. A bounded
+    // replay of one file doesn't need 32; drop to 4 for the drain and
+    // restore after. On a real unbounded deployment this knob goes the
+    // other way (partitions sized to state volume) — that's a cluster
+    // config decision, not a plan change.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try EventStream.runToMemory(df, name, mode)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 
