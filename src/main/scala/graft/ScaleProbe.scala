@@ -209,6 +209,62 @@ object ScaleProbe {
           Seq(col("rev").desc, col("l_partkey")), col("rev"), "cum").count()
       }
     }
+    if (families("stats")) {
+      // 10x lineitem (6M rows), duplicated prices — worst case for the
+      // two-phase median (each price bucket 10x heavier) and for the
+      // Spearman rank maps (tie runs 10x longer)
+      import org.apache.spark.sql.types.DecimalType
+      val base = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      val big = (0 until 10).map(i =>
+        base.select(col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice")))
+        .reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"lineitem10x: ${big.count()}")
+      time("weighted_median") {
+        val b2 = big.select(col("l_returnflag").as("f"),
+          col("l_extendedprice").cast(DecimalType(18, 2)).as("p"),
+          col("l_quantity").cast("long").as("w"))
+          .withColumn("bkt", expr("cast(floor(p / 1000) as bigint)"))
+        // same two-phase shape as a16, inlined over the big frame
+        val w = org.apache.spark.sql.expressions.Window
+        val wB = w.partitionBy("f").orderBy("bkt")
+          .rowsBetween(Long.MinValue, 0)
+        val b1 = b2.groupBy(col("f"), col("bkt")).agg(sum("w").as("bw"))
+          .withColumn("cumb", sum(col("bw")).over(wB))
+          .withColumn("tot", sum(col("bw")).over(w.partitionBy("f")))
+        val med = b1.filter(col("cumb") * 2 >= col("tot"))
+          .groupBy(col("f").as("mf")).agg(min(col("bkt")).as("mb"))
+        b2.join(broadcast(med), col("f") === col("mf")
+            && col("bkt") === col("mb")).count()
+      }
+      time("geo_radius_10x") {
+        // 10x customers (150k points) against 10x suppliers (10k)
+        val c = (0 until 10).map(i =>
+          spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
+            .select((col("c_custkey") + lit(i * 1000000L)).as("cid")))
+          .reduce(_ unionByName _)
+          .select(col("cid"), expr("(cid * 37 + 11) % 1000").as("cx"),
+                  expr("(cid * 73 + 29) % 1000").as("cy"))
+        val su = (0 until 10).map(i =>
+          spark.read.parquet("/root/testdata/sf0.1/supplier.parquet")
+            .select((col("s_suppkey") + lit(i * 1000000L)).as("sid")))
+          .reduce(_ unionByName _)
+          .select(col("sid"), expr("(sid * 53 + 17) % 1000").as("sx"),
+                  expr("(sid * 97 + 43) % 1000").as("sy"))
+          .withColumn("cellx", expr("sx div 8"))
+          .withColumn("celly", expr("sy div 8"))
+        val cells = c
+          .withColumn("dx", explode(expr("array(-1L, 0L, 1L)")))
+          .withColumn("dy", explode(expr("array(-1L, 0L, 1L)")))
+          .withColumn("cellx", expr("cx div 8") + col("dx"))
+          .withColumn("celly", expr("cy div 8") + col("dy"))
+        cells.join(su, Seq("cellx", "celly"))
+          .filter((col("cx") - col("sx")) * (col("cx") - col("sx"))
+                + (col("cy") - col("sy")) * (col("cy") - col("sy")) <= 64)
+          .count()
+      }
+    }
     spark.stop()
   }
 }
