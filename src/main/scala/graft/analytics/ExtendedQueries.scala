@@ -717,6 +717,197 @@ object ExtendedQueries {
       |FROM c JOIN sz ON c.cohort = sz.cohort
       |ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------------
+  // a20_higher_moments — skewness and excess kurtosis per return flag
+  // from raw power sums. Quantities are integral, so powers stay in
+  // long arithmetic (q⁴ ≤ 6.25e6) and the sums are exact (routed
+  // through DECIMAL(38,0) on the Spark side for the 100-TB headroom);
+  // the central-moment formulas run once in double over those exact
+  // scalars. Same one-shuffle moment-sketch shape as a11/a14.
+  // ------------------------------------------------------------------
+  private val a20Moments: QFn = (s, dir) => {
+    val q = col("l_quantity").cast("long")
+    val m = t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("long").as("n"),
+           sum(q.cast(DecimalType(38, 0))).cast("long").as("s1"),
+           sum((q * q).cast(DecimalType(38, 0))).cast("long").as("s2"),
+           sum((q * q * q).cast(DecimalType(38, 0))).cast("long").as("s3"),
+           sum((q * q * q * q).cast(DecimalType(38, 0))).cast("long").as("s4"))
+    def d(c: String): Column = col(c).cast("double")
+    val mean = d("s1") / d("n")
+    val m2 = d("s2") / d("n") - mean * mean
+    val m3 = (d("s3") / d("n")) - (lit(3.0) * mean * (d("s2") / d("n"))) +
+      (lit(2.0) * mean * mean * mean)
+    val m4 = (d("s4") / d("n")) - (lit(4.0) * mean * (d("s3") / d("n"))) +
+      (lit(6.0) * mean * mean * (d("s2") / d("n"))) -
+      (lit(3.0) * mean * mean * mean * mean)
+    m.select(col("l_returnflag"), col("n"),
+        round(m3 / sqrt(m2 * m2 * m2), 6).as("skew_r"),
+        round(m4 / (m2 * m2) - lit(3.0), 6).as("kurt_r"))
+      .orderBy("l_returnflag")
+  }
+  private val a20Sql =
+    """WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(q) AS BIGINT) AS s1, CAST(SUM(q*q) AS BIGINT) AS s2,
+      |    CAST(SUM(q*q*q) AS BIGINT) AS s3,
+      |    CAST(SUM(q*q*q*q) AS BIGINT) AS s4
+      |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
+      |        FROM lineitem) GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |round((CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+      |    - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+      |    + 2.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+      |  / sqrt(power(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+      |    - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 3)), 6) AS skew_r,
+      |round((CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+      |    - 4.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+      |    + 6.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+      |    - 3.0 * power(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 4))
+      |  / power(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+      |    - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 2) - 3.0, 6)
+      |  AS kurt_r
+      |FROM m ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // s18_compaction — small-file compaction: a fragmented sink (64
+  // files for a dimension-sized table) rewritten to 4, verified on
+  // both axes — the CONTENT (checksum aggregate equals the source) and
+  // the FILE COUNT (distinct input_file_name of the compacted read).
+  // At 100 TB this is the nightly maintenance job that keeps scan task
+  // counts and name-node pressure sane; the rewrite is one shuffle-free
+  // coalesce per partition subtree.
+  // ------------------------------------------------------------------
+  private val s18Compaction: QFn = (s, dir) => {
+    val src = t(s, dir, "customer")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact")
+    val frag = s"$tmp/frag"; val compact = s"$tmp/compact"
+    src.repartition(64).write.mode("overwrite").parquet(frag)
+    s.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(compact)
+    val re = s.read.parquet(compact)
+      .withColumn("__file", input_file_name())
+    re.agg(
+        countDistinct(col("__file")).cast("long").as("n_files"),
+        count(lit(1)).as("n_rows"),
+        sum(col("c_custkey")).cast("long").as("key_checksum"),
+        sum(col("c_acctbal").cast(DecimalType(18, 4)))
+          .cast("double").as("bal_checksum"))
+  }
+  private val s18Sql =
+    """SELECT CAST(4 AS BIGINT) AS n_files, COUNT(*) AS n_rows,
+      |CAST(SUM(c_custkey) AS BIGINT) AS key_checksum,
+      |CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal_checksum
+      |FROM customer""".stripMargin
+
+  // ------------------------------------------------------------------
+  // ann_recall_eval — retrieval-quality evaluation as a first-class
+  // operator: recall@10 of the LSH-bucketed ANN against the exact
+  // brute-force top-10, computed by COMPOSING the two existing oracled
+  // entries (both deterministic, so recall is an exact number, not a
+  // corridor). The oracle composes the same two oracle queries as
+  // subqueries — the eval harness itself is hash-verified.
+  // ------------------------------------------------------------------
+  private val annRecall: QFn = (s, dir) => {
+    val lsh = TextQueries.queries("ann_lsh_topk")(s, dir).select("vec_id")
+    val brute = TextQueries.queries("ann_brute_force_topk")(s, dir)
+      .select("vec_id")
+    lsh.join(brute, "vec_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(col("n_overlap"),
+        round(col("n_overlap").cast("double") / 10.0, 6).as("recall_r"))
+  }
+  private def annRecallSql =
+    s"""WITH lsh AS (SELECT vec_id FROM (
+       |${TextQueries.oracleSql("ann_lsh_topk")})),
+       |brute AS (SELECT vec_id FROM (
+       |${TextQueries.oracleSql("ann_brute_force_topk")}))
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap,
+       |round(CAST(COUNT(*) AS DOUBLE) / 10.0, 6) AS recall_r
+       |FROM lsh JOIN brute USING (vec_id)""".stripMargin
+
+  // ------------------------------------------------------------------
+  // g_modularity — graph-partition quality: Newman modularity of the
+  // nation partition over the geo-proximity graph (customers ⋈
+  // suppliers within radius, from geo_radius_join's grid join). Per
+  // community: Q_c = within_c/m − (d_c/2m)², everything an exact
+  // integer count until the final double. The grid join keeps edge
+  // generation scale-safe; degrees/within-counts are two more
+  // key-partitioned groupBys.
+  // ------------------------------------------------------------------
+  private val gModularity: QFn = (s, dir) => {
+    val c = t(s, dir, "customer").select(
+      col("c_custkey").as("cid"), col("c_nationkey").as("cn"),
+      expr("(c_custkey * 37 + 11) % 1000").as("cx"),
+      expr("(c_custkey * 73 + 29) % 1000").as("cy"))
+    val sup = t(s, dir, "supplier").select(
+      col("s_suppkey").as("sid"), col("s_nationkey").as("sn"),
+      expr("(s_suppkey * 53 + 17) % 1000").as("sx"),
+      expr("(s_suppkey * 97 + 43) % 1000").as("sy"))
+      .withColumn("cellx", expr(s"sx div $geoR"))
+      .withColumn("celly", expr(s"sy div $geoR"))
+    val cells = c
+      .withColumn("dx", explode(expr("array(-1L, 0L, 1L)")))
+      .withColumn("dy", explode(expr("array(-1L, 0L, 1L)")))
+      .withColumn("cellx", expr(s"cx div $geoR") + col("dx"))
+      .withColumn("celly", expr(s"cy div $geoR") + col("dy"))
+    val edges = cells.join(sup, Seq("cellx", "celly"))
+      .filter((col("cx") - col("sx")) * (col("cx") - col("sx"))
+            + (col("cy") - col("sy")) * (col("cy") - col("sy"))
+            <= lit(geoR * geoR))
+      .select(col("cid"), col("cn"), col("sid"), col("sn"))
+      .persist()
+    val m = edges.count()
+    val within = edges.filter(col("cn") === col("sn"))
+      .groupBy(col("cn").as("community"))
+      .agg(count(lit(1)).as("within_edges"))
+    val deg = edges.select(col("cn").as("community"))
+      .unionAll(edges.select(col("sn").as("community")))
+      .groupBy("community").agg(count(lit(1)).as("degree_sum"))
+    val out = deg.join(within, Seq("community"), "left")
+      .select(col("community"),
+        coalesce(col("within_edges"), lit(0L)).as("within_edges"),
+        col("degree_sum"),
+        round(coalesce(col("within_edges"), lit(0L)).cast("double")
+            / lit(m.toDouble)
+          - (col("degree_sum").cast("double") / lit(2.0 * m))
+            * (col("degree_sum").cast("double") / lit(2.0 * m)), 6)
+          .as("q_contrib_r"))
+      .orderBy("community")
+    edges.unpersist()
+    out
+  }
+  private val gModularitySql =
+    s"""WITH c AS (SELECT c_custkey AS cid, c_nationkey AS cn,
+       |    (c_custkey * 37 + 11) % 1000 AS cx,
+       |    (c_custkey * 73 + 29) % 1000 AS cy FROM customer),
+       |sup AS (SELECT s_suppkey AS sid, s_nationkey AS sn,
+       |    (s_suppkey * 53 + 17) % 1000 AS sx,
+       |    (s_suppkey * 97 + 43) % 1000 AS sy FROM supplier),
+       |edges AS (SELECT cid, cn, sid, sn FROM c, sup
+       |  WHERE (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)
+       |    <= ${geoR * geoR}),
+       |mm AS (SELECT COUNT(*) AS m FROM edges),
+       |w AS (SELECT cn AS community, COUNT(*) AS within_edges
+       |  FROM edges WHERE cn = sn GROUP BY 1),
+       |d AS (SELECT community, COUNT(*) AS degree_sum FROM (
+       |    SELECT cn AS community FROM edges
+       |    UNION ALL SELECT sn FROM edges) GROUP BY 1)
+       |SELECT community, COALESCE(within_edges, 0) AS within_edges,
+       |degree_sum,
+       |round(CAST(COALESCE(within_edges, 0) AS DOUBLE) / CAST(m AS DOUBLE)
+       |  - (CAST(degree_sum AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+       |    * (CAST(degree_sum AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))), 6)
+       |  AS q_contrib_r
+       |FROM d LEFT JOIN w USING (community) CROSS JOIN mm
+       |ORDER BY community""".stripMargin
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, QFn] = Map(
@@ -734,7 +925,11 @@ object ExtendedQueries {
     "f_array_pack" -> fArrayPack,
     "dq_benford" -> dqBenford,
     "s17_dynamic_partition_overwrite" -> s17DynOverwrite,
-    "ev_cohort_ltv" -> evCohortLtv)
+    "ev_cohort_ltv" -> evCohortLtv,
+    "a20_higher_moments" -> a20Moments,
+    "s18_compaction" -> s18Compaction,
+    "ann_recall_eval" -> annRecall,
+    "g_modularity" -> gModularity)
 
   val oracleSql: Map[String, String] = Map(
     "j14_null_safe_join" -> j14Sql,
@@ -751,5 +946,9 @@ object ExtendedQueries {
     "f_array_pack" -> fArraySql,
     "dq_benford" -> dqBenfordSql,
     "s17_dynamic_partition_overwrite" -> s17Sql,
-    "ev_cohort_ltv" -> evCohortLtvSql)
+    "ev_cohort_ltv" -> evCohortLtvSql,
+    "a20_higher_moments" -> a20Sql,
+    "s18_compaction" -> s18Sql,
+    "ann_recall_eval" -> annRecallSql,
+    "g_modularity" -> gModularitySql)
 }

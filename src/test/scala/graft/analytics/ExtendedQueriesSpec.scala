@@ -246,6 +246,57 @@ class ExtendedQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("a20 skewness/kurtosis match direct computation on a hand sample") {
+    // exact check against definitional central moments over quantities
+    // of one flag at sf0.001
+    val qs = graft.Tables.load(spark, sf, "lineitem")
+      .filter(col("l_returnflag") === "A")
+      .select(col("l_quantity").cast("long")).as[Long].collect()
+      .map(_.toDouble)
+    val n = qs.length.toDouble
+    val mean = qs.sum / n
+    val m2 = qs.map(q => (q - mean) * (q - mean)).sum / n
+    val m3 = qs.map(q => math.pow(q - mean, 3)).sum / n
+    val m4 = qs.map(q => math.pow(q - mean, 4)).sum / n
+    val got = ExtendedQueries.queries("a20_higher_moments")(spark, sf)
+      .filter(col("l_returnflag") === "A")
+      .select(col("skew_r"), col("kurt_r")).as[(Double, Double)].head()
+    assert(math.abs(got._1 - m3 / math.pow(m2, 1.5)) < 1e-5)
+    assert(math.abs(got._2 - (m4 / (m2 * m2) - 3.0)) < 1e-5)
+  }
+
+  test("s18 compaction lands exactly 4 files with identical content") {
+    val row = ExtendedQueries.queries("s18_compaction")(spark, sf)
+      .as[(Long, Long, Long, Double)].head()
+    val src = graft.Tables.load(spark, sf, "customer")
+    assert(row._1 === 4L)
+    assert(row._2 === src.count())
+    assert(row._3 === src.agg(sum(col("c_custkey"))).as[Long].head())
+  }
+
+  test("ann recall eval agrees with a direct intersection of the entries") {
+    val lsh = TextQueries.queries("ann_lsh_topk")(spark, sf)
+      .select("vec_id").as[Long].collect().toSet
+    val brute = TextQueries.queries("ann_brute_force_topk")(spark, sf)
+      .select("vec_id").as[Long].collect().toSet
+    val got = ExtendedQueries.queries("ann_recall_eval")(spark, sf)
+      .select(col("n_overlap")).as[Long].head()
+    assert(got === (lsh & brute).size.toLong)
+  }
+
+  test("g_modularity contributions sum to a valid modularity in [-0.5, 1]") {
+    val rows = ExtendedQueries.queries("g_modularity")(spark, sf)
+      .select(col("within_edges"), col("degree_sum"), col("q_contrib_r"))
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val q = rows.map(_._3).sum
+    assert(q >= -0.5 && q <= 1.0, s"Q=$q out of range")
+    // handshake: total degree = 2m = sum of degree_sum
+    val m2x = rows.map(_._2).sum
+    assert(m2x % 2 === 0)
+    assert(rows.map(_._1).sum <= m2x / 2)
+  }
+
   test("a18 HLL estimates stay inside the 5% corridor") {
     val rows = ExtendedQueries.queries("a18_hll_merge")(spark, sf)
       .select(col("approx_ok")).as[Boolean].collect()
