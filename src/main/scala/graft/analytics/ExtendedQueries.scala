@@ -908,6 +908,142 @@ object ExtendedQueries {
        |FROM d LEFT JOIN w USING (community) CROSS JOIN mm
        |ORDER BY community""".stripMargin
 
+  // ------------------------------------------------------------------
+  // typed_agg_revenue — the fully TYPED Dataset path (case-class
+  // Encoders, groupByKey, a custom Aggregator) producing an
+  // oracle-exact answer: the Aggregator's buffer is a java BigDecimal
+  // (merge-order-proof, like the untyped DECIMAL routing), so the
+  // compile-time-checked pipeline is held to the same hash-match bar
+  // as the Column one. Per-flag discounted revenue.
+  // ------------------------------------------------------------------
+  private val typedAggRevenue: QFn = (s, dir) =>
+    TypedQueries.exactRevenueByFlag(s, dir).toDF()
+      .select(col("flag"), col("n_items"), col("revenue"))
+      .orderBy("flag")
+  private val typedAggSql =
+    """SELECT l_returnflag AS flag, COUNT(*) AS n_items,
+      |CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+      |  * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE)
+      |  AS revenue
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // j16_existence_flags — EXISTS-decoration: a dimension row gains
+  // boolean flags for related-fact existence (has orders / has an
+  // urgent order / appears as a supplier nation), each flag one
+  // LEFT SEMI join reduced to per-key booleans via a groupBy — no
+  // row multiplication, no DISTINCT pass, and every join is
+  // key-partitioned. The standard "decorate the dim" warehouse op.
+  // ------------------------------------------------------------------
+  private val j16Existence: QFn = (s, dir) => {
+    val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val orderKeys = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0))
+        .as("has_urgent_i"), count(lit(1)).as("n_ord"))
+    val supNations = t(s, dir, "supplier").select(col("s_nationkey")).distinct()
+    cust.join(orderKeys, col("c_custkey") === col("o_custkey"), "left")
+      .join(broadcast(supNations), col("c_nationkey") === col("s_nationkey"),
+            "left")
+      .select(col("c_custkey"),
+        col("n_ord").isNotNull.as("has_orders"),
+        (coalesce(col("has_urgent_i"), lit(0)) === 1).as("has_urgent_order"),
+        col("s_nationkey").isNotNull.as("nation_has_suppliers"))
+      .orderBy("c_custkey")
+  }
+  private val j16Sql =
+    """SELECT c_custkey,
+      |EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  AS has_orders,
+      |EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |        AND o_orderpriority = '1-URGENT') AS has_urgent_order,
+      |EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = c_nationkey)
+      |  AS nation_has_suppliers
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------------------------
+  // w19_mad — median absolute deviation of quantity per return flag:
+  // median via the count-based grouped-cum trick, then the SAME trick
+  // again over |q − med|. Quantity is domain-bounded (1..50), so both
+  // grouped tables are ≤ |domain|·|flags| rows at ANY data size and
+  // the windows are safe — the all-integer robust-dispersion op.
+  // ------------------------------------------------------------------
+  private val w19Mad: QFn = (s, dir) => {
+    val base = t(s, dir, "lineitem").select(
+      col("l_returnflag").as("f"), col("l_quantity").cast("long").as("q"))
+    def lowMedian(df: DataFrame, v: String, out: String): DataFrame = {
+      val w = Window.partitionBy("f").orderBy(v)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.groupBy(col("f"), col(v)).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("tot", sum(col("c")).over(Window.partitionBy("f")))
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy(col("f")).agg(min(col(v)).as(out))
+    }
+    val med = lowMedian(base, "q", "med")
+    val dev = base.join(broadcast(med), "f")
+      .select(col("f"), abs(col("q") - col("med")).as("dev"))
+    lowMedian(dev, "dev", "mad")
+      .join(broadcast(med), "f")
+      .select(col("f").as("l_returnflag"), col("med").as("median_qty"),
+              col("mad").as("mad_qty"))
+      .orderBy("l_returnflag")
+  }
+  private val w19Sql =
+    """WITH b AS (SELECT l_returnflag AS f, CAST(l_quantity AS BIGINT) AS q
+      |  FROM lineitem),
+      |g1 AS (SELECT f, q, COUNT(*) AS c FROM b GROUP BY 1, 2),
+      |c1 AS (SELECT f, q,
+      |    SUM(c) OVER (PARTITION BY f ORDER BY q) AS cum,
+      |    SUM(c) OVER (PARTITION BY f) AS tot FROM g1),
+      |med AS (SELECT f, MIN(q) AS med FROM c1
+      |  WHERE cum * 2 >= tot GROUP BY 1),
+      |d AS (SELECT b.f, abs(q - med) AS dev FROM b JOIN med ON b.f = med.f),
+      |g2 AS (SELECT f, dev, COUNT(*) AS c FROM d GROUP BY 1, 2),
+      |c2 AS (SELECT f, dev,
+      |    SUM(c) OVER (PARTITION BY f ORDER BY dev) AS cum,
+      |    SUM(c) OVER (PARTITION BY f) AS tot FROM g2),
+      |mad AS (SELECT f, MIN(dev) AS mad FROM c2
+      |  WHERE cum * 2 >= tot GROUP BY 1)
+      |SELECT med.f AS l_returnflag, CAST(med AS BIGINT) AS median_qty,
+      |CAST(mad AS BIGINT) AS mad_qty
+      |FROM med JOIN mad ON med.f = mad.f ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // ev_dau_wau — engagement stickiness: daily active users, trailing
+  // 7-day weekly active users, and the DAU/WAU ratio. Per-(user, day)
+  // distinct first (the only fact-sized shuffle), then a 7× day-range
+  // self-join over the per-day USER SETS — the trailing-distinct
+  // problem that a window can't express (distinct doesn't compose
+  // across frames) solved with bounded expansion.
+  // ------------------------------------------------------------------
+  private val evDauWau: QFn = (s, dir) => {
+    val ud = t(s, dir, "events")
+      .select(col("user_id"), expr("ts div 1000 div 86400000000").as("day"))
+      .distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val days = ud.select(col("day").as("d")).distinct()
+    val wau = days.join(ud,
+        col("day") >= col("d") - 6 && col("day") <= col("d"))
+      .groupBy(col("d"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, col("day") === col("d"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau").cast("double"), 6)
+          .as("stickiness_r"))
+      .orderBy("day")
+  }
+  private val evDauWauSql =
+    """WITH ud AS (SELECT DISTINCT user_id,
+      |    epoch_us(ts) // 86400000000 AS day FROM events),
+      |dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
+      |days AS (SELECT DISTINCT day AS d FROM ud),
+      |wau AS (SELECT d, COUNT(DISTINCT user_id) AS wau
+      |  FROM days JOIN ud ON ud.day >= d - 6 AND ud.day <= d GROUP BY 1)
+      |SELECT day, dau, wau,
+      |round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6) AS stickiness_r
+      |FROM dau JOIN wau ON day = d ORDER BY day""".stripMargin
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, QFn] = Map(
@@ -929,7 +1065,11 @@ object ExtendedQueries {
     "a20_higher_moments" -> a20Moments,
     "s18_compaction" -> s18Compaction,
     "ann_recall_eval" -> annRecall,
-    "g_modularity" -> gModularity)
+    "g_modularity" -> gModularity,
+    "typed_agg_revenue" -> typedAggRevenue,
+    "j16_existence_flags" -> j16Existence,
+    "w19_mad" -> w19Mad,
+    "ev_dau_wau" -> evDauWau)
 
   val oracleSql: Map[String, String] = Map(
     "j14_null_safe_join" -> j14Sql,
@@ -950,5 +1090,9 @@ object ExtendedQueries {
     "a20_higher_moments" -> a20Sql,
     "s18_compaction" -> s18Sql,
     "ann_recall_eval" -> annRecallSql,
-    "g_modularity" -> gModularitySql)
+    "g_modularity" -> gModularitySql,
+    "typed_agg_revenue" -> typedAggSql,
+    "j16_existence_flags" -> j16Sql,
+    "w19_mad" -> w19Sql,
+    "ev_dau_wau" -> evDauWauSql)
 }

@@ -48,4 +48,47 @@ object TypedQueries {
       .agg(revenueAgg.toColumn.name("stats"))
       .map { case (flag, (n, rev)) => FlagStats(flag, n, rev) }
   }
+
+  /** The ORACLE-GRADE twin of [[revenueAgg]]: the buffer carries an
+    * exact java BigDecimal, so merge order (partitioning, AQE splits)
+    * can never perturb the sum — the typed-path analog of the untyped
+    * DECIMAL(18,4) routing every oracled entry uses. Inputs are scaled
+    * to 4 dp first (BigDecimal.valueOf keeps the double's shortest
+    * decimal rendering; setScale(4) pins it to what SQL's CAST(… AS
+    * DECIMAL(18,4)) produces). */
+  val exactRevenueAgg: Aggregator[LineItem, (Long, java.math.BigDecimal),
+                                  (Long, java.math.BigDecimal)] =
+    new Aggregator[LineItem, (Long, java.math.BigDecimal),
+                   (Long, java.math.BigDecimal)] {
+      private def d4(x: Double): java.math.BigDecimal =
+        java.math.BigDecimal.valueOf(x)
+          .setScale(4, java.math.RoundingMode.HALF_UP)
+      def zero: (Long, java.math.BigDecimal) = (0L, java.math.BigDecimal.ZERO)
+      def reduce(b: (Long, java.math.BigDecimal), a: LineItem) =
+        (b._1 + 1, b._2.add(
+          d4(a.l_extendedprice).multiply(
+            java.math.BigDecimal.ONE.subtract(d4(a.l_discount)))))
+      def merge(x: (Long, java.math.BigDecimal),
+                y: (Long, java.math.BigDecimal)) =
+        (x._1 + y._1, x._2.add(y._2))
+      def finish(r: (Long, java.math.BigDecimal)) = r
+      def bufferEncoder: Encoder[(Long, java.math.BigDecimal)] =
+        Encoders.tuple(Encoders.scalaLong, Encoders.DECIMAL)
+      def outputEncoder: Encoder[(Long, java.math.BigDecimal)] =
+        Encoders.tuple(Encoders.scalaLong, Encoders.DECIMAL)
+    }
+
+  final case class FlagRevenue(flag: String, n_items: Long, revenue: Double)
+
+  /** Typed pipeline returning engine-exact revenue per flag — the
+    * entry behind `typed_agg_revenue`. */
+  def exactRevenueByFlag(spark: SparkSession, dir: String): Dataset[FlagRevenue] = {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_returnflag")
+      .as[LineItem]
+      .groupByKey(_.l_returnflag)
+      .agg(exactRevenueAgg.toColumn.name("stats"))
+      .map { case (flag, (n, rev)) => FlagRevenue(flag, n, rev.doubleValue) }
+  }
 }

@@ -297,6 +297,61 @@ class ExtendedQueriesSpec extends AnyFunSuite {
     assert(rows.map(_._1).sum <= m2x / 2)
   }
 
+  test("typed aggregator matches the untyped exact-decimal aggregation") {
+    val got = ExtendedQueries.queries("typed_agg_revenue")(spark, sf)
+      .as[(String, Long, Double)].collect().toSet
+    val want = graft.Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")
+          * (lit(1) - col("l_discount").cast("decimal(18,4)")))
+          .cast("double").as("revenue"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(got === want)
+  }
+
+  test("j16 existence flags agree with direct semi/anti joins") {
+    val rows = ExtendedQueries.queries("j16_existence_flags")(spark, sf)
+    val o = graft.Tables.load(spark, sf, "orders")
+    val withOrders = o.select(col("o_custkey")).distinct().count()
+    assert(rows.filter(col("has_orders")).count() === withOrders)
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey").distinct().count()
+    assert(rows.filter(col("has_urgent_order")).count() === urgent)
+    // urgent implies orders
+    assert(rows.filter(col("has_urgent_order") && !col("has_orders"))
+      .count() === 0)
+  }
+
+  test("w19 MAD matches a driver-side computation") {
+    val got = ExtendedQueries.queries("w19_mad")(spark, sf)
+      .as[(String, Long, Long)].collect()
+    got.foreach { case (f, med, mad) =>
+      val qs = graft.Tables.load(spark, sf, "lineitem")
+        .filter(col("l_returnflag") === f)
+        .select(col("l_quantity").cast("long")).as[Long].collect().sorted
+      def lowMed(xs: Array[Long]): Long = {
+        // smallest value whose cumulative count reaches half the total
+        val tot = xs.length
+        xs.zipWithIndex.collectFirst {
+          case (v, i) if (i + 1) * 2 >= tot => v }.get
+      }
+      assert(med === lowMed(qs), s"median flag=$f")
+      assert(mad === lowMed(qs.map(q => math.abs(q - med)).sorted),
+             s"mad flag=$f")
+    }
+  }
+
+  test("ev_dau_wau: WAU bounds DAU and stickiness is in (0, 1]") {
+    val rows = ExtendedQueries.queries("ev_dau_wau")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (day, dau, wau, st) =>
+      assert(wau >= dau, s"day=$day wau<dau")
+      assert(st > 0.0 && st <= 1.0, s"day=$day stickiness=$st")
+    }
+  }
+
   test("a18 HLL estimates stay inside the 5% corridor") {
     val rows = ExtendedQueries.queries("a18_hll_merge")(spark, sf)
       .select(col("approx_ok")).as[Boolean].collect()
