@@ -1044,6 +1044,37 @@ object ExtendedQueries {
       |round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6) AS stickiness_r
       |FROM dau JOIN wau ON day = d ORDER BY day""".stripMargin
 
+  // ------------------------------------------------------------------
+  // x5_native_topk — the custom Catalyst WHOLE-OPERATOR path
+  // (TopKPerGroupPlan logical node → TopKStrategy → partial/final
+  // bounded-heap SparkPlans, graft.plans.TopKPerGroup): top-3 orders
+  // per priority. Unlike the row_number window (which shuffles and
+  // sorts every row), the partial exec caps each input partition's
+  // contribution at k rows per group BEFORE the exchange — the bounded
+  // shuffle that survives hot groups at 100 TB. Oracled against the
+  // window formulation, so the driver proves operator ≡ window.
+  // ------------------------------------------------------------------
+  private val x5NativeTopK: QFn = (s, dir) => {
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderpriority"),
+      col("o_totalprice").cast(DecimalType(18, 4)).as("price"))
+    graft.plans.TopKPerGroup.topK(o, Seq("o_orderpriority"),
+        Seq(("price", true), ("o_orderkey", false)), k = 3)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+              col("price").cast("double").as("price"))
+      .orderBy(col("o_orderpriority"), col("price").desc, col("o_orderkey"))
+  }
+  private val x5Sql =
+    """WITH r AS (SELECT o_orderpriority, o_orderkey,
+      |    CAST(o_totalprice AS DECIMAL(18,4)) AS price,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY CAST(o_totalprice AS DECIMAL(18,4)) DESC, o_orderkey)
+      |      AS rn
+      |  FROM orders)
+      |SELECT o_orderpriority, o_orderkey, CAST(price AS DOUBLE) AS price
+      |FROM r WHERE rn <= 3
+      |ORDER BY o_orderpriority, price DESC, o_orderkey""".stripMargin
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, QFn] = Map(
@@ -1069,7 +1100,8 @@ object ExtendedQueries {
     "typed_agg_revenue" -> typedAggRevenue,
     "j16_existence_flags" -> j16Existence,
     "w19_mad" -> w19Mad,
-    "ev_dau_wau" -> evDauWau)
+    "ev_dau_wau" -> evDauWau,
+    "x5_native_topk" -> x5NativeTopK)
 
   val oracleSql: Map[String, String] = Map(
     "j14_null_safe_join" -> j14Sql,
@@ -1094,5 +1126,6 @@ object ExtendedQueries {
     "typed_agg_revenue" -> typedAggSql,
     "j16_existence_flags" -> j16Sql,
     "w19_mad" -> w19Sql,
-    "ev_dau_wau" -> evDauWauSql)
+    "ev_dau_wau" -> evDauWauSql,
+    "x5_native_topk" -> x5Sql)
 }

@@ -49,6 +49,12 @@ object TypedQueries {
       .map { case (flag, (n, rev)) => FlagStats(flag, n, rev) }
   }
 
+  /** Narrow input for the exact typed aggregation — deserializing only
+    * the three fields the Aggregator reads (object creation dominates
+    * the typed path's cost; column pruning still pushes to the scan). */
+  final case class RevRow(l_extendedprice: Double, l_discount: Double,
+                          l_returnflag: String)
+
   /** The ORACLE-GRADE twin of [[revenueAgg]]: the buffer carries an
     * exact java BigDecimal, so merge order (partitioning, AQE splits)
     * can never perturb the sum — the typed-path analog of the untyped
@@ -56,15 +62,15 @@ object TypedQueries {
     * to 4 dp first (BigDecimal.valueOf keeps the double's shortest
     * decimal rendering; setScale(4) pins it to what SQL's CAST(… AS
     * DECIMAL(18,4)) produces). */
-  val exactRevenueAgg: Aggregator[LineItem, (Long, java.math.BigDecimal),
+  val exactRevenueAgg: Aggregator[RevRow, (Long, java.math.BigDecimal),
                                   (Long, java.math.BigDecimal)] =
-    new Aggregator[LineItem, (Long, java.math.BigDecimal),
+    new Aggregator[RevRow, (Long, java.math.BigDecimal),
                    (Long, java.math.BigDecimal)] {
       private def d4(x: Double): java.math.BigDecimal =
         java.math.BigDecimal.valueOf(x)
           .setScale(4, java.math.RoundingMode.HALF_UP)
       def zero: (Long, java.math.BigDecimal) = (0L, java.math.BigDecimal.ZERO)
-      def reduce(b: (Long, java.math.BigDecimal), a: LineItem) =
+      def reduce(b: (Long, java.math.BigDecimal), a: RevRow) =
         (b._1 + 1, b._2.add(
           d4(a.l_extendedprice).multiply(
             java.math.BigDecimal.ONE.subtract(d4(a.l_discount)))))
@@ -85,8 +91,8 @@ object TypedQueries {
   def exactRevenueByFlag(spark: SparkSession, dir: String): Dataset[FlagRevenue] = {
     import spark.implicits._
     Tables.load(spark, dir, "lineitem")
-      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_returnflag")
-      .as[LineItem]
+      .select("l_extendedprice", "l_discount", "l_returnflag")
+      .as[RevRow]
       .groupByKey(_.l_returnflag)
       .agg(exactRevenueAgg.toColumn.name("stats"))
       .map { case (flag, (n, rev)) => FlagRevenue(flag, n, rev.doubleValue) }
