@@ -1075,6 +1075,128 @@ object ExtendedQueries {
       |FROM r WHERE rn <= 3
       |ORDER BY o_orderpriority, price DESC, o_orderkey""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q23_decorrelated_subquery — the correlated-scalar-subquery pattern
+  // ("customers above their nation's average balance"), written the
+  // way the optimizer decorrelates it: ONE aggregate over the inner
+  // side joined back — no per-row re-execution. Balance stays decimal;
+  // comparison happens in exact decimal too (avg as sum/count cross-
+  // multiplied: bal·n > total avoids division entirely).
+  // ------------------------------------------------------------------
+  private val q23Decorrelated: QFn = (s, dir) => {
+    val c = t(s, dir, "customer").select(col("c_custkey"),
+      col("c_nationkey"), col("c_acctbal").cast(DecimalType(18, 4)).as("bal"))
+    val navg = c.groupBy(col("c_nationkey").as("nk"))
+      .agg(sum(col("bal")).as("total"), count(lit(1)).as("n"))
+    c.join(broadcast(navg), col("c_nationkey") === col("nk"))
+      .filter(col("bal") * col("n") > col("total"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_above"),
+           min(col("c_custkey")).as("first_cust"))
+      .orderBy("c_nationkey")
+  }
+  private val q23Sql =
+    """SELECT c_nationkey, COUNT(*) AS n_above,
+      |CAST(MIN(c_custkey) AS BIGINT) AS first_cust
+      |FROM customer c
+      |WHERE CAST(c_acctbal AS DECIMAL(18,4))
+      |  * (SELECT COUNT(*) FROM customer i
+      |     WHERE i.c_nationkey = c.c_nationkey)
+      |  > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4))) FROM customer i
+      |     WHERE i.c_nationkey = c.c_nationkey)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // ev_power_users — two-level aggregation with a computed threshold:
+  // per-user event counts, the exact p95 of that distribution (integer
+  // counts → count-based percentile, no interpolation ambiguity:
+  // smallest c with cum ≥ ceil(0.95·n) users), then the cohort above
+  // it. The threshold is ONE broadcast scalar — the scalar-subquery
+  // shape again, this time over a derived distribution.
+  // ------------------------------------------------------------------
+  private val evPowerUsers: QFn = (s, dir) => {
+    val per = t(s, dir, "events").groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val dist = per.groupBy(col("n_events").as("c"))
+      .agg(count(lit(1)).as("users"))
+    val wc = Window.orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // distinct per-user counts form a BOUNDED domain (max events per
+    // user), so this unpartitioned window is domain-sized, not data-
+    // sized — same safety argument as the a16/w19 bucket tables
+    val thr = dist.withColumn("cum", sum(col("users")).over(wc))
+      .withColumn("tot", sum(col("users")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)))
+      .filter(col("cum") * 20 >= col("tot") * 19)
+      .agg(min(col("c")).as("p95"))
+    per.crossJoin(broadcast(thr))
+      .filter(col("n_events") >= col("p95"))
+      .agg(count(lit(1)).as("n_power_users"),
+           sum(col("n_events")).as("events_covered"),
+           max(col("p95")).as("p95_threshold"))
+  }
+  private val evPowerUsersSql =
+    """WITH per AS (SELECT user_id, COUNT(*) AS n_events FROM events
+      |  GROUP BY 1),
+      |dist AS (SELECT n_events AS c, COUNT(*) AS users FROM per GROUP BY 1),
+      |cw AS (SELECT c, SUM(users) OVER (ORDER BY c) AS cum,
+      |    SUM(users) OVER () AS tot FROM dist),
+      |thr AS (SELECT MIN(c) AS p95 FROM cw WHERE cum * 20 >= tot * 19)
+      |SELECT COUNT(*) AS n_power_users,
+      |CAST(SUM(n_events) AS BIGINT) AS events_covered,
+      |CAST(MAX(p95) AS BIGINT) AS p95_threshold
+      |FROM per, thr WHERE n_events >= p95""".stripMargin
+
+  // ------------------------------------------------------------------
+  // d_survivorship — MDM survivorship over exact-duplicate clusters:
+  // within each content-hash cluster the CANONICAL record is chosen by
+  // policy (longest text, then lowest doc_id) via one max_by-style
+  // struct-ordered aggregate — no window, no second shuffle: the
+  // policy rides the same groupBy that finds the clusters. The corpus
+  // has no planted exact dups at small SFs, so the entry simulates the
+  // real scenario — the same content arriving twice from two source
+  // systems — by mirroring every 7th doc under a shifted id.
+  // ------------------------------------------------------------------
+  private val dSurvivorship: QFn = (s, dir) => {
+    val docs0 = t(s, dir, "documents")
+    val mirror = docs0.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
+              concat(col("source"), lit("-mirror")).as("source"))
+    val d = docs0.select(col("doc_id"), col("text"), col("source"))
+      .unionByName(mirror)
+      .select(col("doc_id"), col("text"), col("source"),
+              length(col("text")).as("len"))
+    d.groupBy(graft.textops.TextFunctions.fingerprint(col("text"))
+        .as("content_hash"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("len").as("len"), (-col("doc_id")).as("negid"),
+                   col("source").as("source"))).as("winner"))
+      .filter(col("n_members") >= 2)
+      .select(col("content_hash"), col("n_members"),
+        (-col("winner.negid")).as("survivor_id"),
+        col("winner.source").as("survivor_source"))
+      .orderBy("content_hash")
+  }
+  private val dSurvivorshipSql = {
+    val fp = graft.textops.TextFunctions.fingerprintSql("text")
+    s"""WITH src AS (SELECT doc_id, text, source FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000000, text, source || '-mirror'
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |d AS (SELECT doc_id, source, length(text) AS len,
+       |  $fp AS content_hash FROM src),
+       |r AS (SELECT content_hash, doc_id, source,
+       |    COUNT(*) OVER (PARTITION BY content_hash) AS n_members,
+       |    row_number() OVER (PARTITION BY content_hash
+       |      ORDER BY len DESC, doc_id) AS rn
+       |  FROM d)
+       |SELECT content_hash, n_members, doc_id AS survivor_id,
+       |source AS survivor_source
+       |FROM r WHERE rn = 1 AND n_members >= 2
+       |ORDER BY content_hash""".stripMargin
+  }
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, QFn] = Map(
@@ -1101,7 +1223,10 @@ object ExtendedQueries {
     "j16_existence_flags" -> j16Existence,
     "w19_mad" -> w19Mad,
     "ev_dau_wau" -> evDauWau,
-    "x5_native_topk" -> x5NativeTopK)
+    "x5_native_topk" -> x5NativeTopK,
+    "q23_decorrelated_subquery" -> q23Decorrelated,
+    "ev_power_users" -> evPowerUsers,
+    "d_survivorship" -> dSurvivorship)
 
   val oracleSql: Map[String, String] = Map(
     "j14_null_safe_join" -> j14Sql,
@@ -1127,5 +1252,8 @@ object ExtendedQueries {
     "j16_existence_flags" -> j16Sql,
     "w19_mad" -> w19Sql,
     "ev_dau_wau" -> evDauWauSql,
-    "x5_native_topk" -> x5Sql)
+    "x5_native_topk" -> x5Sql,
+    "q23_decorrelated_subquery" -> q23Sql,
+    "ev_power_users" -> evPowerUsersSql,
+    "d_survivorship" -> dSurvivorshipSql)
 }

@@ -352,6 +352,47 @@ class ExtendedQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q23: above-nation-average membership verified per customer") {
+    val rows = ExtendedQueries.queries("q23_decorrelated_subquery")(spark, sf)
+      .select(col("c_nationkey"), col("n_above"))
+      .as[(Int, Long)].collect().toMap
+    val c = graft.Tables.load(spark, sf, "customer")
+      .select(col("c_nationkey"), col("c_acctbal").cast("decimal(18,4)")
+        .as("bal")).as[(Int, BigDecimal)].collect()
+    val byNation = c.groupBy(_._1)
+    byNation.foreach { case (nk, xs) =>
+      val avg = xs.map(_._2).sum / xs.length
+      val above = xs.count(_._2 > avg).toLong
+      assert(rows.getOrElse(nk, 0L) === above, s"nation $nk")
+    }
+  }
+
+  test("ev_power_users: threshold is the exact p95 of per-user counts") {
+    val (n, _, thr) = ExtendedQueries.queries("ev_power_users")(spark, sf)
+      .as[(Long, Long, Long)].head()
+    val counts = graft.Tables.load(spark, sf, "events")
+      .groupBy("user_id").count().select(col("count"))
+      .as[Long].collect().sorted
+    val need = (counts.length * 19 + 19) / 20 // ceil(0.95 n)
+    val expectThr = counts(need - 1)
+    assert(thr === expectThr)
+    assert(n === counts.count(_ >= expectThr).toLong)
+  }
+
+  test("d_survivorship: originals beat mirrors and clusters are >= 2") {
+    val rows = ExtendedQueries.queries("d_survivorship")(spark, sf)
+      .select(col("n_members"), col("survivor_id"), col("survivor_source"))
+      .as[(Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (m, id, src) =>
+      assert(m >= 2)
+      // identical text -> tie on length -> lowest doc_id wins, which is
+      // always the original, never the +10M mirror
+      assert(id < 10000000L, s"mirror won: $id")
+      assert(!src.endsWith("-mirror"), src)
+    }
+  }
+
   test("a18 HLL estimates stay inside the 5% corridor") {
     val rows = ExtendedQueries.queries("a18_hll_merge")(spark, sf)
       .select(col("approx_ok")).as[Boolean].collect()
