@@ -35,5 +35,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // operator-optimization fixpoint so the injected guard participates
     // in normal predicate pushdown
     e.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
+    // whole-operator extension: plans TopKPerGroupPlan into the
+    // partial/final bounded-heap execs (plans/TopKPerGroup.scala)
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

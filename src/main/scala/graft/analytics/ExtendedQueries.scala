@@ -1197,6 +1197,86 @@ object ExtendedQueries {
        |ORDER BY content_hash""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // j17_asof_forward — FORWARD as-of join (next event at-or-after, the
+  // time-to-convert direction) by running the backward as-of operator
+  // over NEGATED timestamps — one algebraic flip instead of a second
+  // operator: most-recent(-t' ≤ -t) ≡ earliest(t' ≥ t). Clicks attach
+  // their next same-user purchase; conversions within a 1-hour horizon
+  // aggregate per day with exact integer gaps.
+  // ------------------------------------------------------------------
+  private val j17AsofForward: QFn = (s, dir) => {
+    val e = t(s, dir, "events")
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), expr("ts div 1000").as("cus"),
+        (-expr("ts div 1000")).as("nt"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), (-expr("ts div 1000")).as("nt"),
+        expr("ts div 1000").as("pus"))
+    graft.operators.AsOfJoin.asOf(clicks, purchases, "user_id", "nt")
+      .select(col("cus"), col("pus"))
+      .withColumn("day", expr("cus div 86400000000"))
+      .withColumn("converted",
+        (col("pus").isNotNull && col("pus") - col("cus") <= 3600000000L)
+          .cast("int"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(col("converted")).cast("long").as("n_converted"),
+        coalesce(sum(when(col("converted") === 1, col("pus") - col("cus"))),
+          lit(0L)).cast("long").as("total_lag_us"))
+      .orderBy("day")
+  }
+  private val j17Sql =
+    """WITH c AS (SELECT user_id, epoch_us(ts) AS cus, -epoch_us(ts) AS nt
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id AS pu, -epoch_us(ts) AS pnt, epoch_us(ts) AS pus
+      |  FROM events WHERE event_type = 'purchase'),
+      |j AS (SELECT cus, pus FROM c
+      |  ASOF LEFT JOIN p ON c.user_id = p.pu AND c.nt >= p.pnt),
+      |f AS (SELECT cus // 86400000000 AS day,
+      |    CASE WHEN pus IS NOT NULL AND pus - cus <= 3600000000
+      |         THEN 1 ELSE 0 END AS conv,
+      |    CASE WHEN pus IS NOT NULL AND pus - cus <= 3600000000
+      |         THEN pus - cus ELSE 0 END AS lag
+      |  FROM j)
+      |SELECT day, COUNT(*) AS n_clicks,
+      |CAST(SUM(conv) AS BIGINT) AS n_converted,
+      |CAST(SUM(lag) AS BIGINT) AS total_lag_us
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // ev_bot_features — per-entity behavioral fingerprints (the feature-
+  // extraction step of abuse/bot filtering in a training-data
+  // pipeline): event volume, active-span, type diversity, and rate for
+  // the 20 most active users. One groupBy builds every feature; the
+  // top-k head rides the same aggregate (a 20-row driver-safe limit
+  // after a total order). Rate is the single final double division.
+  // ------------------------------------------------------------------
+  private val evBotFeatures: QFn = (s, dir) =>
+    t(s, dir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("us"),
+              col("event_type"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        ((max(col("us")) - min(col("us"))) / 1000000L).cast("long")
+          .as("span_s"),
+        countDistinct(col("event_type")).as("n_types"))
+      .withColumn("events_per_hour_r",
+        round(col("n_events").cast("double") * 3600.0
+          / greatest(col("span_s"), lit(1L)).cast("double"), 6))
+      .orderBy(col("n_events").desc, col("user_id"))
+      .limit(20)
+  private val evBotFeaturesSql =
+    """WITH per AS (SELECT user_id, COUNT(*) AS n_events,
+      |    CAST((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000000 AS BIGINT)
+      |      AS span_s,
+      |    COUNT(DISTINCT event_type) AS n_types
+      |  FROM events GROUP BY 1)
+      |SELECT user_id, n_events, span_s, n_types,
+      |round(CAST(n_events AS DOUBLE) * 3600.0
+      |  / CAST(greatest(span_s, 1) AS DOUBLE), 6) AS events_per_hour_r
+      |FROM per ORDER BY n_events DESC, user_id LIMIT 20""".stripMargin
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, QFn] = Map(
@@ -1226,7 +1306,9 @@ object ExtendedQueries {
     "x5_native_topk" -> x5NativeTopK,
     "q23_decorrelated_subquery" -> q23Decorrelated,
     "ev_power_users" -> evPowerUsers,
-    "d_survivorship" -> dSurvivorship)
+    "d_survivorship" -> dSurvivorship,
+    "j17_asof_forward" -> j17AsofForward,
+    "ev_bot_features" -> evBotFeatures)
 
   val oracleSql: Map[String, String] = Map(
     "j14_null_safe_join" -> j14Sql,
@@ -1255,5 +1337,7 @@ object ExtendedQueries {
     "x5_native_topk" -> x5Sql,
     "q23_decorrelated_subquery" -> q23Sql,
     "ev_power_users" -> evPowerUsersSql,
-    "d_survivorship" -> dSurvivorshipSql)
+    "d_survivorship" -> dSurvivorshipSql,
+    "j17_asof_forward" -> j17Sql,
+    "ev_bot_features" -> evBotFeaturesSql)
 }

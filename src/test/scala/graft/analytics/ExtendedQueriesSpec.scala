@@ -393,6 +393,34 @@ class ExtendedQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("j17 forward as-of picks the EARLIEST purchase at-or-after each click") {
+    // hand-built: u1 click at 100 with purchases at 90 (before, ignored)
+    // and 150/200 (150 wins); u2 click with no later purchase
+    val clicks = Seq((1L, 100L), (2L, 500L)).toDF("user_id", "cus")
+      .withColumn("nt", -col("cus"))
+    val purch = Seq((1L, 90L), (1L, 150L), (1L, 200L), (2L, 400L))
+      .toDF("user_id", "pus")
+      .withColumn("nt", -col("pus"))
+      .select(col("user_id"), col("nt"), col("pus"))
+    val got = graft.operators.AsOfJoin.asOf(clicks, purch, "user_id", "nt")
+      .select(col("user_id"), col("cus"), col("pus"))
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(got === Set((1L, 100L, Some(150L)), (2L, 500L, None)))
+  }
+
+  test("ev_bot_features rates are consistent with counts and spans") {
+    val rows = ExtendedQueries.queries("ev_bot_features")(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // sorted by volume descending
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sortBy(-_).toSeq)
+    rows.foreach { case (u, n, span, types, rate) =>
+      assert(types >= 1 && span >= 0)
+      val expect = n.toDouble * 3600.0 / math.max(span, 1L).toDouble
+      assert(math.abs(rate - expect) < 1e-4, s"user $u")
+    }
+  }
+
   test("a18 HLL estimates stay inside the 5% corridor") {
     val rows = ExtendedQueries.queries("a18_hll_merge")(spark, sf)
       .select(col("approx_ok")).as[Boolean].collect()
