@@ -222,8 +222,10 @@ object BehaviorQueries {
       .filter(col("n_both") >= 2)
     val edges = e0.select(col("pa").as("src"), col("pb").as("dst"))
       .unionAll(e0.select(col("pb").as("src"), col("pa").as("dst")))
+    // edges are symmetrized two lines up -> no sinks by construction;
+    // skip the audit job
     graft.operators.PageRank.ranks(edges, "src", "dst",
-        iterations = 3, damping = 0.85)
+        iterations = 3, damping = 0.85, validateSinks = false)
       .orderBy("node")
   }
   private val gPageRankSql = {

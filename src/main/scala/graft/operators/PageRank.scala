@@ -29,8 +29,13 @@ object PageRank {
     * add self-loops or symmetrize) — enforced, since silently leaking
     * rank mass would corrupt every score downstream. Returns (node,
     * rank) with rank rounded to 9 decimals. */
+  /** `validateSinks = false` skips the out-degree audit (one extra
+    * full-graph anti-join job) when the caller guarantees it by
+    * construction — e.g. a symmetrized edge list, where every node
+    * appearing at all has out-degree ≥ 1. */
   def ranks(edges: DataFrame, aCol: String, bCol: String,
-            iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+            iterations: Int = 3, damping: Double = 0.85,
+            validateSinks: Boolean = true): DataFrame = {
     require(iterations >= 1 && iterations <= 20,
       s"iterations must be in [1, 20], got $iterations")
     // the graph structures are re-read every round — pin them once
@@ -43,9 +48,11 @@ object PageRank {
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sinks = nodes.join(out.select(col("src").as("node")), Seq("node"), "left_anti")
-    require(sinks.isEmpty,
-      "PageRank.ranks requires out-degree >= 1 for every node (symmetrize or add self-loops)")
+    if (validateSinks) {
+      val sinks = nodes.join(out.select(col("src").as("node")), Seq("node"), "left_anti")
+      require(sinks.isEmpty,
+        "PageRank.ranks requires out-degree >= 1 for every node (symmetrize or add self-loops)")
+    }
     val n = nodes.count()
     val base = (1.0 - damping) / n
     var rank = nodes.withColumn("rank", lit(1.0 / n))
