@@ -1277,6 +1277,85 @@ object ExtendedQueries {
       |  / CAST(greatest(span_s, 1) AS DOUBLE), 6) AS events_per_hour_r
       |FROM per ORDER BY n_events DESC, user_id LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------------------
+  // g_kcore — k-core decomposition (fixed-round synchronous peeling,
+  // operators/KCore) of the co-purchase graph: nodes surviving R=3
+  // rounds of simultaneous sub-k removal at k=3, with their residual
+  // degrees. Synchronous rounds make the state after exactly R rounds
+  // engine-independent, so the oracle replays the peel as 3 chained
+  // CTE rounds over the same wedge-built graph.
+  // ------------------------------------------------------------------
+  private val gKcore: QFn = (s, dir) => {
+    val op = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = op.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    val e0 = a.join(b, "l_orderkey").filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= 2)
+    graft.operators.KCore.survivors(e0, "pa", "pb", k = 3, rounds = 3)
+      .orderBy("node")
+  }
+  private val gKcoreSql = {
+    val rounds = (1 to 3).map { i =>
+      val prev = s"e${i - 1}"
+      s"""d$i AS (SELECT a, COUNT(*) AS n FROM $prev GROUP BY 1),
+         |k$i AS (SELECT a FROM d$i WHERE n >= 3),
+         |e$i AS (SELECT $prev.a, $prev.b FROM $prev
+         |  JOIN k$i x ON $prev.a = x.a JOIN k$i y ON $prev.b = y.a)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+       |      FROM op a JOIN op b USING (l_orderkey)
+       |      WHERE a.l_partkey < b.l_partkey
+       |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |e0 AS (SELECT pa AS a, pb AS b FROM p
+       |       UNION SELECT pb, pa FROM p),
+       |$rounds
+       |SELECT a AS node, COUNT(*) AS degree FROM e3
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // s19_permissive_json — malformed-record quarantine on ingest: a
+  // staged JSONL feed where every 13th record is broken mid-object is
+  // read back in PERMISSIVE mode with a _corrupt_record column — bad
+  // lines surface as NULL-field rows instead of failing the scan (the
+  // dead-letter pattern; FAILFAST would abort a 100-TB load for one
+  // bad byte). The entry aggregates clean rows per language plus the
+  // corrupt bucket; the oracle derives the same split from the source
+  // table.
+  // ------------------------------------------------------------------
+  private val s19PermissiveJson: QFn = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonq").toString
+    t(s, dir, "documents")
+      .select(when(col("doc_id") % 13 === 0, lit("{\"doc_id\":"))
+        .otherwise(to_json(struct(col("doc_id"), col("lang"),
+                                  col("n_chars")))).as("value"))
+      .write.mode("overwrite").text(tmp)
+    val parsed = s.read
+      .schema("doc_id LONG, lang STRING, n_chars LONG, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(tmp)
+    parsed.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+           coalesce(sum(col("n_chars")), lit(0L)).cast("long")
+             .as("total_chars"),
+           sum(when(col("_corrupt_record").isNotNull, 1).otherwise(0))
+             .cast("long").as("n_corrupt"))
+      .orderBy(asc_nulls_first("lang"))
+  }
+  private val s19Sql =
+    """SELECT CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END AS lang,
+      |COUNT(*) AS n_rows,
+      |CAST(SUM(CASE WHEN doc_id % 13 = 0 THEN 0 ELSE n_chars END)
+      |  AS BIGINT) AS total_chars,
+      |CAST(SUM(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |  AS n_corrupt
+      |FROM documents GROUP BY 1 ORDER BY lang NULLS FIRST""".stripMargin
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, QFn] = Map(
@@ -1308,7 +1387,9 @@ object ExtendedQueries {
     "ev_power_users" -> evPowerUsers,
     "d_survivorship" -> dSurvivorship,
     "j17_asof_forward" -> j17AsofForward,
-    "ev_bot_features" -> evBotFeatures)
+    "ev_bot_features" -> evBotFeatures,
+    "g_kcore" -> gKcore,
+    "s19_permissive_json" -> s19PermissiveJson)
 
   val oracleSql: Map[String, String] = Map(
     "j14_null_safe_join" -> j14Sql,
@@ -1339,5 +1420,7 @@ object ExtendedQueries {
     "ev_power_users" -> evPowerUsersSql,
     "d_survivorship" -> dSurvivorshipSql,
     "j17_asof_forward" -> j17Sql,
-    "ev_bot_features" -> evBotFeaturesSql)
+    "ev_bot_features" -> evBotFeaturesSql,
+    "g_kcore" -> gKcoreSql,
+    "s19_permissive_json" -> s19Sql)
 }

@@ -421,6 +421,22 @@ class ExtendedQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("s19 PERMISSIVE read quarantines exactly the broken records") {
+    val rows = ExtendedQueries.queries("s19_permissive_json")(spark, sf)
+      .select(col("lang"), col("n_rows"), col("n_corrupt"))
+      .as[(Option[String], Long, Long)].collect()
+    val corrupt = rows.filter(_._1.isEmpty)
+    val clean = rows.filter(_._1.nonEmpty)
+    val docs = graft.Tables.load(spark, sf, "documents")
+    assert(corrupt.map(_._2).sum ===
+      docs.filter(col("doc_id") % 13 === 0).count())
+    // every corrupt-bucket row is flagged, no clean row is
+    assert(corrupt.forall(r => r._3 === r._2))
+    assert(clean.forall(_._3 === 0L))
+    assert(clean.map(_._2).sum ===
+      docs.filter(col("doc_id") % 13 =!= 0).count())
+  }
+
   test("a18 HLL estimates stay inside the 5% corridor") {
     val rows = ExtendedQueries.queries("a18_hll_merge")(spark, sf)
       .select(col("approx_ok")).as[Boolean].collect()
