@@ -209,6 +209,31 @@ object ScaleProbe {
           Seq(col("rev").desc, col("l_partkey")), col("rev"), "cum").count()
       }
     }
+    if (families("topk")) {
+      // adversarial hot group: 6M rows, ONE group — the case where the
+      // window form funnels everything through one sort task while the
+      // native operator's partial pass caps the shuffle at k rows per
+      // input partition
+      import org.apache.spark.sql.expressions.Window
+      val base = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      val big = (0 until 10).map(_ =>
+        base.select(col("l_orderkey"), col("l_extendedprice")))
+        .reduce(_ unionByName _)
+        .withColumn("g", lit("hot"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"topk rows: ${big.count()}")
+      time("native_topk_hot") {
+        graft.plans.TopKPerGroup.topK(big, Seq("g"),
+          Seq(("l_extendedprice", true), ("l_orderkey", false)), 10).count()
+      }
+      time("window_topk_hot") {
+        val w = Window.partitionBy("g")
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"))
+        big.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10).count()
+      }
+      big.unpersist()
+    }
     if (families("stats")) {
       // 10x lineitem (6M rows), duplicated prices — worst case for the
       // two-phase median (each price bucket 10x heavier) and for the

@@ -1356,6 +1356,44 @@ object ExtendedQueries {
       |  AS n_corrupt
       |FROM documents GROUP BY 1 ORDER BY lang NULLS FIRST""".stripMargin
 
+  // ------------------------------------------------------------------
+  // ev_twap — time-weighted average (the TWAP/occupancy pattern): each
+  // reading holds until the next one, so it weighs by its holding
+  // duration; the last reading carries no weight. One lead() over the
+  // user partition (scale-safe), exact decimal·µs products, single
+  // final division. Users with a single event have no holding
+  // intervals and drop out.
+  // ------------------------------------------------------------------
+  private val evTwap: QFn = (s, dir) => {
+    val e = t(s, dir, "events").select(col("user_id"),
+      expr("ts div 1000").as("us"), col("event_id"),
+      col("value").cast(DecimalType(18, 4)).as("v"))
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    e.withColumn("nxt", lead(col("us"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy("user_id")
+      .agg(sum(col("v") * (col("nxt") - col("us"))).as("num"),
+           sum(col("nxt") - col("us")).cast("long").as("span_us"))
+      .filter(col("span_us") > 0)
+      .select(col("user_id"), col("span_us"),
+        round(col("num").cast("double") / col("span_us").cast("double"), 6)
+          .as("twap_r"))
+      .orderBy("user_id")
+  }
+  private val evTwapSql =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+      |    CAST(value AS DECIMAL(18,4)) AS v FROM events),
+      |l AS (SELECT user_id, v, us,
+      |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |      AS nxt
+      |  FROM e),
+      |g AS (SELECT user_id, SUM(v * (nxt - us)) AS num,
+      |    CAST(SUM(nxt - us) AS BIGINT) AS span_us
+      |  FROM l WHERE nxt IS NOT NULL GROUP BY 1)
+      |SELECT user_id, span_us,
+      |round(CAST(num AS DOUBLE) / CAST(span_us AS DOUBLE), 6) AS twap_r
+      |FROM g WHERE span_us > 0 ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, QFn] = Map(
@@ -1389,7 +1427,8 @@ object ExtendedQueries {
     "j17_asof_forward" -> j17AsofForward,
     "ev_bot_features" -> evBotFeatures,
     "g_kcore" -> gKcore,
-    "s19_permissive_json" -> s19PermissiveJson)
+    "s19_permissive_json" -> s19PermissiveJson,
+    "ev_twap" -> evTwap)
 
   val oracleSql: Map[String, String] = Map(
     "j14_null_safe_join" -> j14Sql,
@@ -1422,5 +1461,6 @@ object ExtendedQueries {
     "j17_asof_forward" -> j17Sql,
     "ev_bot_features" -> evBotFeaturesSql,
     "g_kcore" -> gKcoreSql,
-    "s19_permissive_json" -> s19Sql)
+    "s19_permissive_json" -> s19Sql,
+    "ev_twap" -> evTwapSql)
 }

