@@ -1394,6 +1394,40 @@ object ExtendedQueries {
       |round(CAST(num AS DOUBLE) / CAST(span_us AS DOUBLE), 6) AS twap_r
       |FROM g WHERE span_us > 0 ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // f_hof_pack — higher-order array functions (lambda surface):
+  // filter, transform, aggregate and first+last pairing over each
+  // customer's sorted order-price array. HOFs run inside codegen (no
+  // UDF); arrays never reach the output schema — each facet reduces to
+  // a scalar (the f_array_pack discipline). Prices stay decimal inside
+  // the lambdas, so the aggregate facet is exact.
+  // ------------------------------------------------------------------
+  private val fHofPack: QFn = (s, dir) =>
+    t(s, dir, "orders")
+      .select(col("o_custkey"),
+        col("o_totalprice").cast(DecimalType(18, 4)).as("price"))
+      .groupBy("o_custkey")
+      .agg(array_sort(collect_list(col("price"))).as("arr"))
+      .filter(size(col("arr")) >= 2)
+      .select(col("o_custkey"),
+        size(col("arr")).as("n_orders"),
+        expr("size(filter(arr, x -> x > 100000))").as("n_big"),
+        expr("aggregate(arr, cast(0 as decimal(28,4)), " +
+             "(acc, x) -> cast(acc + x as decimal(28,4)))")
+          .cast("double").as("hof_total"),
+        expr("cast(element_at(arr, 1) + element_at(arr, -1) as double)")
+          .as("min_plus_max"))
+      .orderBy("o_custkey")
+  private val fHofSql =
+    """WITH g AS (SELECT o_custkey,
+      |    list_sort(list(CAST(o_totalprice AS DECIMAL(18,4)))) AS arr
+      |  FROM orders GROUP BY 1)
+      |SELECT o_custkey, CAST(len(arr) AS INT) AS n_orders,
+      |CAST(len(list_filter(arr, x -> x > 100000)) AS INT) AS n_big,
+      |CAST(list_aggregate(arr, 'sum') AS DOUBLE) AS hof_total,
+      |CAST(arr[1] + arr[-1] AS DOUBLE) AS min_plus_max
+      |FROM g WHERE len(arr) >= 2 ORDER BY o_custkey""".stripMargin
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, QFn] = Map(
@@ -1428,7 +1462,8 @@ object ExtendedQueries {
     "ev_bot_features" -> evBotFeatures,
     "g_kcore" -> gKcore,
     "s19_permissive_json" -> s19PermissiveJson,
-    "ev_twap" -> evTwap)
+    "ev_twap" -> evTwap,
+    "f_hof_pack" -> fHofPack)
 
   val oracleSql: Map[String, String] = Map(
     "j14_null_safe_join" -> j14Sql,
@@ -1462,5 +1497,6 @@ object ExtendedQueries {
     "ev_bot_features" -> evBotFeaturesSql,
     "g_kcore" -> gKcoreSql,
     "s19_permissive_json" -> s19Sql,
-    "ev_twap" -> evTwapSql)
+    "ev_twap" -> evTwapSql,
+    "f_hof_pack" -> fHofSql)
 }

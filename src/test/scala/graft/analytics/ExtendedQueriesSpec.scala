@@ -458,6 +458,26 @@ class ExtendedQueriesSpec extends AnyFunSuite {
     assert(math.abs(got._2 - 17.5) < 1e-9)
   }
 
+  test("f_hof_pack facets agree with direct aggregates") {
+    val rows = ExtendedQueries.queries("f_hof_pack")(spark, sf)
+      .select(col("o_custkey"), col("n_orders"), col("hof_total"))
+      .as[(Long, Int, Double)].collect()
+    assert(rows.nonEmpty)
+    val want = graft.Tables.load(spark, sf, "orders")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).cast("int").as("n"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")
+          .as("total"))
+      .filter(col("n") >= 2)
+      .as[(Long, Int, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    rows.foreach { case (ck, n, total) =>
+      val (wn, wt) = want(ck)
+      assert(n === wn, s"cust $ck")
+      assert(math.abs(total - wt) < 1e-6, s"cust $ck")
+    }
+  }
+
   test("a18 HLL estimates stay inside the 5% corridor") {
     val rows = ExtendedQueries.queries("a18_hll_merge")(spark, sf)
       .select(col("approx_ok")).as[Boolean].collect()
