@@ -1428,6 +1428,101 @@ object ExtendedQueries {
       |CAST(arr[1] + arr[-1] AS DOUBLE) AS min_plus_max
       |FROM g WHERE len(arr) >= 2 ORDER BY o_custkey""".stripMargin
 
+  // ------------------------------------------------------------------
+  // a21_cov_matrix — full covariance matrix of (quantity, price,
+  // discount) per return flag in ONE pass: every pairwise exact-decimal
+  // product sum rides the same groupBy (the a11 moment recipe widened
+  // to a matrix), emitted as tidy (flag, var_i, var_j, cov) rows. At
+  // any scale this is one shuffle of 3+3+6 decimal sums per group —
+  // the covariance of p columns never needs p² passes.
+  // ------------------------------------------------------------------
+  private val a21CovMatrix: QFn = (s, dir) => {
+    val x = col("l_quantity").cast(DecimalType(19, 4))
+    val y = col("l_extendedprice").cast(DecimalType(19, 4))
+    val z = col("l_discount").cast(DecimalType(19, 4))
+    val m = t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(x).as("sx"), sum(y).as("sy"), sum(z).as("sz"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(z * z).as("szz"),
+        sum(x * y).as("sxy"), sum(x * z).as("sxz"), sum(y * z).as("syz"))
+    def d(c: String): Column =
+      col(c).cast("string").cast("double") // VARCHAR-route parity (a11)
+    def cov(spq: String, sp: String, sq: String): Column =
+      round((d(spq) - d(sp) * d(sq) / col("n").cast("double"))
+        / (col("n").cast("double") - 1.0), 6)
+    val pairs = Seq(
+      ("qty", "qty", "sxx", "sx", "sx"), ("qty", "price", "sxy", "sx", "sy"),
+      ("qty", "disc", "sxz", "sx", "sz"),
+      ("price", "price", "syy", "sy", "sy"),
+      ("price", "disc", "syz", "sy", "sz"),
+      ("disc", "disc", "szz", "sz", "sz"))
+    pairs.map { case (vi, vj, spq, sp, sq) =>
+      m.select(col("l_returnflag"), lit(vi).as("var_i"), lit(vj).as("var_j"),
+        cov(spq, sp, sq).as("cov_r"))
+    }.reduce(_ unionByName _).orderBy("l_returnflag", "var_i", "var_j")
+  }
+  private val a21Sql = {
+    def mSql = """SELECT l_returnflag, COUNT(*) AS n,
+      |SUM(q) AS sx, SUM(p) AS sy, SUM(dd) AS sz,
+      |SUM(q*q) AS sxx, SUM(p*p) AS syy, SUM(dd*dd) AS szz,
+      |SUM(q*p) AS sxy, SUM(q*dd) AS sxz, SUM(p*dd) AS syz
+      |FROM (SELECT l_returnflag, CAST(l_quantity AS DECIMAL(19,4)) AS q,
+      |      CAST(l_extendedprice AS DECIMAL(19,4)) AS p,
+      |      CAST(l_discount AS DECIMAL(19,4)) AS dd FROM lineitem)
+      |GROUP BY 1""".stripMargin
+    def d(c: String) = s"CAST(CAST($c AS VARCHAR) AS DOUBLE)"
+    def cov(spq: String, sp: String, sq: String) =
+      s"round((${d(spq)} - ${d(sp)} * ${d(sq)} / CAST(n AS DOUBLE))" +
+      s" / (CAST(n AS DOUBLE) - 1.0), 6)"
+    val rows = Seq(
+      ("qty", "qty", "sxx", "sx", "sx"), ("qty", "price", "sxy", "sx", "sy"),
+      ("qty", "disc", "sxz", "sx", "sz"),
+      ("price", "price", "syy", "sy", "sy"),
+      ("price", "disc", "syz", "sy", "sz"),
+      ("disc", "disc", "szz", "sz", "sz")).map { case (vi, vj, spq, sp, sq) =>
+      s"""SELECT l_returnflag, '$vi' AS var_i, '$vj' AS var_j,
+         |${cov(spq, sp, sq)} AS cov_r FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH m AS ($mSql)\n$rows\nORDER BY l_returnflag, var_i, var_j"
+  }
+
+  // ------------------------------------------------------------------
+  // d_lsh_tuning — principled LSH planning as a queryable report: for
+  // each (bands b, rows-per-band r) layout of a 32-hash MinHash and a
+  // grid of similarities s, the candidate probability 1 − (1 − s^r)^b
+  // and whether the layout catches s ≥ 0.8 pairs with ≥ 99.9%
+  // probability. Pure closed-form math — but AS AN ENTRY, so the
+  // banding parameters shipped in d_minhash_lsh are hash-verified to
+  // be justified, not folklore.
+  // ------------------------------------------------------------------
+  private val dLshTuning: QFn = (s, dir) => {
+    val layouts = Seq((4, 8), (8, 4), (16, 2), (32, 1))
+    val sims = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+    import s.implicits._
+    val grid = (for ((b, r) <- layouts; sim <- sims) yield (b, r, sim))
+      .toDF("bands", "rows_per_band", "sim")
+    grid.select(col("bands"), col("rows_per_band"), col("sim"),
+        round(lit(1.0) - pow(lit(1.0) - pow(col("sim"),
+          col("rows_per_band").cast("double")), col("bands").cast("double")),
+          6).as("p_candidate_r"))
+      .withColumn("catches_dups",
+        col("sim") >= 0.8 && col("p_candidate_r") >= 0.98)
+      .orderBy("bands", "sim")
+  }
+  private val dLshTuningSql = {
+    val rows = (for ((b, r) <- Seq((4, 8), (8, 4), (16, 2), (32, 1));
+                     sim <- Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+      yield s"($b, $r, ${sim})").mkString(", ")
+    s"""WITH g(bands, rows_per_band, sim) AS (VALUES $rows)
+       |SELECT bands, rows_per_band, sim,
+       |round(1.0 - power(1.0 - power(sim, CAST(rows_per_band AS DOUBLE)),
+       |  CAST(bands AS DOUBLE)), 6) AS p_candidate_r,
+       |(sim >= 0.8 AND round(1.0 - power(1.0 - power(sim,
+       |  CAST(rows_per_band AS DOUBLE)), CAST(bands AS DOUBLE)), 6)
+       |  >= 0.98) AS catches_dups
+       |FROM g ORDER BY bands, sim""".stripMargin
+  }
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, QFn] = Map(
@@ -1463,7 +1558,9 @@ object ExtendedQueries {
     "g_kcore" -> gKcore,
     "s19_permissive_json" -> s19PermissiveJson,
     "ev_twap" -> evTwap,
-    "f_hof_pack" -> fHofPack)
+    "f_hof_pack" -> fHofPack,
+    "a21_cov_matrix" -> a21CovMatrix,
+    "d_lsh_tuning" -> dLshTuning)
 
   val oracleSql: Map[String, String] = Map(
     "j14_null_safe_join" -> j14Sql,
@@ -1498,5 +1595,7 @@ object ExtendedQueries {
     "g_kcore" -> gKcoreSql,
     "s19_permissive_json" -> s19Sql,
     "ev_twap" -> evTwapSql,
-    "f_hof_pack" -> fHofSql)
+    "f_hof_pack" -> fHofSql,
+    "a21_cov_matrix" -> a21Sql,
+    "d_lsh_tuning" -> dLshTuningSql)
 }

@@ -478,6 +478,30 @@ class ExtendedQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("a21 covariance matrix is symmetric-complete and matches Spark's covar_samp") {
+    val rows = ExtendedQueries.queries("a21_cov_matrix")(spark, sf)
+      .as[(String, String, String, Double)].collect()
+    assert(rows.length === 18) // 3 flags x 6 upper-triangle cells
+    val want = graft.Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(covar_samp(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .as[(String, Double)].collect().toMap
+    rows.filter(r => r._2 == "qty" && r._3 == "price").foreach {
+      case (f, _, _, c) => assert(math.abs(c - want(f)) < 0.01, s"flag $f")
+    }
+  }
+
+  test("d_lsh_tuning: shipped (8 bands, 4 rows) layout catches s>=0.8") {
+    val rows = ExtendedQueries.queries("d_lsh_tuning")(spark, sf)
+      .filter(col("bands") === 8 && col("rows_per_band") === 4)
+      .select(col("sim"), col("p_candidate_r"), col("catches_dups"))
+      .as[(Double, Double, Boolean)].collect()
+      .map { case (s2, p, c) => s2 -> ((p, c)) }.toMap
+    // monotone in similarity, and the production layout is justified
+    assert(rows(0.8)._1 >= 0.98 && rows(0.8)._2)
+    assert(rows(0.9)._1 > rows(0.8)._1 && rows(0.5)._1 < rows(0.6)._1)
+  }
+
   test("a18 HLL estimates stay inside the 5% corridor") {
     val rows = ExtendedQueries.queries("a18_hll_merge")(spark, sf)
       .select(col("approx_ok")).as[Boolean].collect()
