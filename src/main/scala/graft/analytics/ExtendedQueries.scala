@@ -1523,6 +1523,185 @@ object ExtendedQueries {
        |FROM g ORDER BY bands, sim""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // sql_front_door — the engine's second API surface: temp views +
+  // raw `spark.sql(...)`, proving a reference user who writes SQL (not
+  // DataFrames) gets the same catalog, the same Catalyst plan, and the
+  // same hash-exact answer. The text is portable ANSI — the oracle
+  // runs the IDENTICAL string.
+  // ------------------------------------------------------------------
+  private val sqlFrontDoorText =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+      |  AS revenue,
+      |CAST(MIN(o_orderkey) AS BIGINT) AS first_key
+      |FROM orders WHERE o_orderstatus = 'F'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  private val sqlFrontDoor: QFn = (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql(sqlFrontDoorText)
+  }
+
+  // ------------------------------------------------------------------
+  // a22_hll_intersection — sketch ALGEBRA: |A ∩ B| estimated by
+  // inclusion-exclusion over three HLL sketches (|A| + |B| − |A ∪ B|),
+  // where the union sketch is the lossless HLL merge — no raw keys
+  // move. A = customers with an URGENT order, B = customers with a
+  // FAILED-status order. Corridor-verified against the exact distinct
+  // intersection (±10%: inclusion-exclusion compounds two estimate
+  // errors, so the corridor is wider than a18's single-sketch 5%).
+  // ------------------------------------------------------------------
+  private val a22HllIntersection: QFn = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val aKeys = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val bKeys = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey"))
+    val skA = aKeys.agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
+    val skB = bKeys.agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
+    val est = skA.unionByName(skB)
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("u"))
+      .crossJoin(skA.select(expr("hll_sketch_estimate(sk)").as("ea")))
+      .crossJoin(skB.select(expr("hll_sketch_estimate(sk)").as("eb")))
+      .select((col("ea") + col("eb") - col("u")).as("approx_inter"))
+    val exact = aKeys.intersect(bKeys).agg(count(lit(1)).as("exact_inter"))
+    exact.crossJoin(est)
+      .select(col("exact_inter"),
+        (abs(col("approx_inter") - col("exact_inter")).cast("double")
+          / greatest(col("exact_inter"), lit(1L)).cast("double") <= 0.10)
+          .as("approx_ok"))
+  }
+  private val a22Sql =
+    """SELECT COUNT(*) AS exact_inter, TRUE AS approx_ok FROM (
+      |  SELECT DISTINCT o_custkey FROM orders
+      |  WHERE o_orderpriority = '1-URGENT'
+      |  INTERSECT
+      |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q24_mix_decomposition — period-over-period revenue BRIDGE: the
+  // change in each brand's revenue between two years split into a
+  // volume effect (Δq · p̄) and a price effect (p̄... symmetric
+  // Bennet decomposition: Δrev = Δq·(p1+p2)/2 + Δp·(q1+q2)/2, which
+  // sums exactly to the total change). Everything is decimal until
+  // the final cast — the halves are exact because decimal division
+  // by 2 only extends scale by one digit.
+  // ------------------------------------------------------------------
+  private val q24MixDecomp: QFn = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .select(col("p_brand"), year(col("o_orderdate")).as("yr"),
+        col("l_quantity").cast(DecimalType(18, 2)).as("q"),
+        col("l_extendedprice").cast(DecimalType(18, 2)).as("r"))
+    val per = li.groupBy(col("p_brand"), col("yr"))
+      .agg(sum(col("q")).as("qty"), sum(col("r")).as("rev"))
+    val y1 = per.filter(col("yr") === 1996)
+      .select(col("p_brand"), col("qty").as("q1"), col("rev").as("r1"))
+    val y2 = per.filter(col("yr") === 1997)
+      .select(col("p_brand").as("b2"), col("qty").as("q2"),
+              col("rev").as("r2"))
+    // unit prices divide in DOUBLE, not decimal: decimal division
+    // scale/rounding rules differ across engines (observed one-ulp
+    // drift at sf0.1), while IEEE division of the same exact inputs is
+    // bit-identical everywhere
+    def dd(c: Column): Column = c.cast("double")
+    y1.join(y2, col("p_brand") === col("b2"))
+      .withColumn("p1", dd(col("r1")) / dd(col("q1")))
+      .withColumn("p2", dd(col("r2")) / dd(col("q2")))
+      .select(col("p_brand"),
+        (col("r2") - col("r1")).cast("double").as("d_rev"),
+        round((dd(col("q2")) - dd(col("q1")))
+          * (col("p1") + col("p2")) / 2.0, 4).as("volume_effect_r"),
+        round((col("p2") - col("p1"))
+          * (dd(col("q1")) + dd(col("q2"))) / 2.0, 4).as("price_effect_r"))
+      .orderBy("p_brand")
+  }
+  private val q24Sql =
+    """WITH li AS (SELECT p_brand, year(o_orderdate) AS yr,
+      |    CAST(l_quantity AS DECIMAL(18,2)) AS q,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS r
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE year(o_orderdate) IN (1996, 1997)),
+      |per AS (SELECT p_brand, yr, SUM(q) AS qty, SUM(r) AS rev
+      |  FROM li GROUP BY 1, 2),
+      |j AS (SELECT a.p_brand, a.qty AS q1, a.rev AS r1,
+      |    b.qty AS q2, b.rev AS r2,
+      |    CAST(a.rev AS DOUBLE) / CAST(a.qty AS DOUBLE) AS p1,
+      |    CAST(b.rev AS DOUBLE) / CAST(b.qty AS DOUBLE) AS p2
+      |  FROM per a JOIN per b ON a.p_brand = b.p_brand
+      |  WHERE a.yr = 1996 AND b.yr = 1997)
+      |SELECT p_brand, CAST(r2 - r1 AS DOUBLE) AS d_rev,
+      |round((CAST(q2 AS DOUBLE) - CAST(q1 AS DOUBLE)) * (p1 + p2) / 2.0, 4)
+      |  AS volume_effect_r,
+      |round((p2 - p1) * (CAST(q1 AS DOUBLE) + CAST(q2 AS DOUBLE)) / 2.0, 4)
+      |  AS price_effect_r
+      |FROM j ORDER BY p_brand""".stripMargin
+
+  // ------------------------------------------------------------------
+  // ev_interarrival_histogram — latency/heartbeat profile: per event
+  // type, the distribution of inter-event gaps in minute-granularity
+  // buckets capped at 60 (BOUNDED histogram domain at any data size).
+  // One lag() over the type partition, then a groupBy — the operational
+  // profile behind bot heuristics and SLA monitors.
+  // ------------------------------------------------------------------
+  private val evInterarrival: QFn = (s, dir) => {
+    val e = t(s, dir, "events").select(col("event_type"),
+      expr("ts div 1000").as("us"), col("event_id"))
+    val w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    e.withColumn("prev", lag(col("us"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"),
+        least(expr("(us - prev) div 60000000"), lit(60L)).as("gap_min"))
+      .groupBy("event_type", "gap_min")
+      .agg(count(lit(1)).as("n_gaps"))
+      .orderBy("event_type", "gap_min")
+  }
+  private val evInterarrivalSql =
+    """WITH e AS (SELECT event_type, epoch_us(ts) AS us, event_id
+      |  FROM events),
+      |l AS (SELECT event_type, us,
+      |    lag(us) OVER (PARTITION BY event_type ORDER BY us, event_id)
+      |      AS prev FROM e)
+      |SELECT event_type, least((us - prev) // 60000000, 60) AS gap_min,
+      |COUNT(*) AS n_gaps
+      |FROM l WHERE prev IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // mm_batch_manifest — inference batching for multimodal blobs: pack
+  // each source's media items (in id order) into ~1 MB batches by
+  // cumulative byte size, emit the per-batch manifest (count, bytes) —
+  // the batch-shape step between a blob store and a GPU worker pool.
+  // The running sum partitions by source (data-scaled key); batch id
+  // is cumulative-bytes div target, so packing needs no loop.
+  // ------------------------------------------------------------------
+  private val mmBatchManifest: QFn = (s, dir) => {
+    val media = graft.textops.Multimodal.asMediaTable(
+      t(s, dir, "documents"), "doc_id", "text", "source")
+    val w = Window.partitionBy("source").orderBy("media_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    media.select(col("media_id"), col("meta.source").as("source"),
+        col("meta.n_bytes").as("n_bytes"))
+      .withColumn("cum", sum(col("n_bytes")).over(w))
+      .withColumn("batch_id", expr("(cum - 1) div 1048576"))
+      .groupBy("source", "batch_id")
+      .agg(count(lit(1)).as("n_items"),
+           sum(col("n_bytes")).cast("long").as("batch_bytes"))
+      .orderBy("source", "batch_id")
+  }
+  private val mmBatchManifestSql =
+    """WITH m AS (SELECT doc_id AS media_id, source,
+      |    octet_length(encode(text)) AS n_bytes FROM documents),
+      |c AS (SELECT source, n_bytes,
+      |    SUM(n_bytes) OVER (PARTITION BY source ORDER BY media_id)
+      |      AS cum FROM m)
+      |SELECT source, CAST((cum - 1) // 1048576 AS BIGINT) AS batch_id,
+      |COUNT(*) AS n_items, CAST(SUM(n_bytes) AS BIGINT) AS batch_bytes
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, QFn] = Map(
@@ -1560,7 +1739,12 @@ object ExtendedQueries {
     "ev_twap" -> evTwap,
     "f_hof_pack" -> fHofPack,
     "a21_cov_matrix" -> a21CovMatrix,
-    "d_lsh_tuning" -> dLshTuning)
+    "d_lsh_tuning" -> dLshTuning,
+    "sql_front_door" -> sqlFrontDoor,
+    "a22_hll_intersection" -> a22HllIntersection,
+    "q24_mix_decomposition" -> q24MixDecomp,
+    "ev_interarrival_histogram" -> evInterarrival,
+    "mm_batch_manifest" -> mmBatchManifest)
 
   val oracleSql: Map[String, String] = Map(
     "j14_null_safe_join" -> j14Sql,
@@ -1597,5 +1781,10 @@ object ExtendedQueries {
     "ev_twap" -> evTwapSql,
     "f_hof_pack" -> fHofSql,
     "a21_cov_matrix" -> a21Sql,
-    "d_lsh_tuning" -> dLshTuningSql)
+    "d_lsh_tuning" -> dLshTuningSql,
+    "sql_front_door" -> sqlFrontDoorText,
+    "a22_hll_intersection" -> a22Sql,
+    "q24_mix_decomposition" -> q24Sql,
+    "ev_interarrival_histogram" -> evInterarrivalSql,
+    "mm_batch_manifest" -> mmBatchManifestSql)
 }

@@ -502,6 +502,62 @@ class ExtendedQueriesSpec extends AnyFunSuite {
     assert(rows(0.9)._1 > rows(0.8)._1 && rows(0.5)._1 < rows(0.6)._1)
   }
 
+  test("sql front door equals the DataFrame formulation") {
+    val viaSql = ExtendedQueries.queries("sql_front_door")(spark, sf)
+      .as[(String, Long, Double, Long)].collect().toSet
+    val viaDf = graft.Tables.load(spark, sf, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double"),
+        min(col("o_orderkey")))
+      .as[(String, Long, Double, Long)].collect().toSet
+    assert(viaSql === viaDf)
+  }
+
+  test("a22 HLL inclusion-exclusion stays inside the 10% corridor") {
+    val (exact, ok) = ExtendedQueries.queries("a22_hll_intersection")(spark, sf)
+      .as[(Long, Boolean)].head()
+    assert(exact > 0 && ok)
+  }
+
+  test("q24 decomposition: volume + price effects reconstruct d_rev") {
+    val rows = ExtendedQueries.queries("q24_mix_decomposition")(spark, sf)
+      .as[(String, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (b, dRev, vol, price) =>
+      // Bennet decomposition is exact up to the 4dp rounding of the parts
+      assert(math.abs(dRev - (vol + price)) < 0.01,
+        s"brand $b: $dRev != $vol + $price")
+    }
+  }
+
+  test("ev_interarrival histogram covers every adjacent pair once") {
+    val total = ExtendedQueries.queries(
+        "ev_interarrival_histogram")(spark, sf)
+      .agg(sum(col("n_gaps"))).as[Long].head()
+    val perType = graft.Tables.load(spark, sf, "events")
+      .groupBy("event_type").count().select(col("count")).as[Long].collect()
+    assert(total === perType.map(n => math.max(n - 1, 0L)).sum)
+  }
+
+  test("mm_batch_manifest batches stay under ~1MB plus one item") {
+    val rows = ExtendedQueries.queries("mm_batch_manifest")(spark, sf)
+      .select(col("source"), col("batch_id"), col("batch_bytes"))
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // every non-final batch of a source must not exceed the target by
+    // more than one item's bytes; with ~1KB docs the slack is small
+    rows.groupBy(_._1).values.foreach { batches =>
+      val sorted = batches.toSeq.sortBy(_._2)
+      sorted.dropRight(1).foreach { case (src, _, bytes) =>
+        assert(bytes <= 1048576 + 4096, s"$src oversized batch: $bytes") }
+    }
+    // ids are contiguous from 0 per source
+    rows.groupBy(_._1).values.foreach { bs =>
+      assert(bs.map(_._2).toSeq.sorted === (0L until bs.size).toSeq) }
+  }
+
   test("a18 HLL estimates stay inside the 5% corridor") {
     val rows = ExtendedQueries.queries("a18_hll_merge")(spark, sf)
       .select(col("approx_ok")).as[Boolean].collect()
