@@ -1675,21 +1675,23 @@ object ExtendedQueries {
   // each source's media items (in id order) into ~1 MB batches by
   // cumulative byte size, emit the per-batch manifest (count, bytes) —
   // the batch-shape step between a blob store and a GPU worker pool.
-  // The running sum partitions by source (data-scaled key); batch id
-  // is cumulative-bytes div target, so packing needs no loop.
+  // `source` is a LOW-cardinality key (a window partitioned on it
+  // would funnel each source through one sort task), so the running
+  // sum is groupedCum — a global range-partitioned prefix sum minus
+  // per-source offsets; batch id is cumulative-bytes div target, so
+  // packing needs no loop.
   // ------------------------------------------------------------------
   private val mmBatchManifest: QFn = (s, dir) => {
     val media = graft.textops.Multimodal.asMediaTable(
-      t(s, dir, "documents"), "doc_id", "text", "source")
-    val w = Window.partitionBy("source").orderBy("media_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    media.select(col("media_id"), col("meta.source").as("source"),
-        col("meta.n_bytes").as("n_bytes"))
-      .withColumn("cum", sum(col("n_bytes")).over(w))
-      .withColumn("batch_id", expr("(cum - 1) div 1048576"))
+        t(s, dir, "documents"), "doc_id", "text", "source")
+      .select(col("media_id"), col("meta.source").as("source"),
+              col("meta.n_bytes").as("n_bytes"))
+    groupedCum(media, "source", "media_id", col("n_bytes"))
+      .withColumn("batch_id",
+        expr("(cast(cum as bigint) - 1) div 1048576"))
       .groupBy("source", "batch_id")
       .agg(count(lit(1)).as("n_items"),
-           sum(col("n_bytes")).cast("long").as("batch_bytes"))
+           sum(col("c")).cast("long").as("batch_bytes"))
       .orderBy("source", "batch_id")
   }
   private val mmBatchManifestSql =
@@ -1701,6 +1703,79 @@ object ExtendedQueries {
       |SELECT source, CAST((cum - 1) // 1048576 AS BIGINT) AS batch_id,
       |COUNT(*) AS n_items, CAST(SUM(n_bytes) AS BIGINT) AS batch_bytes
       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q25_percent_of_parent — hierarchical share report: each nation's
+  // revenue as a share of its region AND of the grand total, both
+  // window sums over the ALREADY-AGGREGATED 25-row nation table
+  // (geography-bounded, not data-bounded — windows are free here).
+  // Exact decimal sums; two final double divisions.
+  // ------------------------------------------------------------------
+  private val q25PercentOfParent: QFn = (s, dir) => {
+    val base = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 4))).as("rev"))
+    base.select(col("r_name"), col("n_name"),
+        col("rev").cast("double").as("revenue"),
+        round(col("rev").cast("double")
+          / sum(col("rev")).over(Window.partitionBy("r_name"))
+            .cast("double") * 100, 6).as("pct_of_region_r"),
+        round(col("rev").cast("double")
+          / sum(col("rev")).over(Window.partitionBy()).cast("double") * 100,
+          6).as("pct_of_total_r"))
+      .orderBy("r_name", "n_name")
+  }
+  private val q25Sql =
+    """WITH base AS (SELECT r_name, n_name,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2)
+      |SELECT r_name, n_name, CAST(rev AS DOUBLE) AS revenue,
+      |round(CAST(rev AS DOUBLE)
+      |  / CAST(SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE) * 100, 6)
+      |  AS pct_of_region_r,
+      |round(CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE) * 100, 6)
+      |  AS pct_of_total_r
+      |FROM base ORDER BY r_name, n_name""".stripMargin
+
+  // ------------------------------------------------------------------
+  // ev_path_analysis — top behavioral paths: the 20 most common
+  // 3-step event sequences (order-2 structure, where the transition
+  // matrix is order-1). Two leads over the user partition, a trigram
+  // groupBy, and a deterministic top-k — the path-mining shape behind
+  // funnel discovery.
+  // ------------------------------------------------------------------
+  private val evPathAnalysis: QFn = (s, dir) => {
+    val e = t(s, dir, "events").select(col("user_id"),
+      col("event_type"), expr("ts div 1000").as("us"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    e.withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("e2").as("step2"),
+               col("e3").as("step3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("step1"), col("step2"), col("step3"))
+      .limit(20)
+  }
+  private val evPathAnalysisSql =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+      |  FROM events),
+      |l AS (SELECT event_type AS step1,
+      |    lead(event_type, 1) OVER w AS step2,
+      |    lead(event_type, 2) OVER w AS step3
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+      |SELECT step1, step2, step3, COUNT(*) AS n_paths
+      |FROM l WHERE step3 IS NOT NULL
+      |GROUP BY 1, 2, 3
+      |ORDER BY n_paths DESC, step1, step2, step3 LIMIT 20""".stripMargin
 
   // ------------------------------------------------------------------ maps
 
@@ -1744,7 +1819,9 @@ object ExtendedQueries {
     "a22_hll_intersection" -> a22HllIntersection,
     "q24_mix_decomposition" -> q24MixDecomp,
     "ev_interarrival_histogram" -> evInterarrival,
-    "mm_batch_manifest" -> mmBatchManifest)
+    "mm_batch_manifest" -> mmBatchManifest,
+    "q25_percent_of_parent" -> q25PercentOfParent,
+    "ev_path_analysis" -> evPathAnalysis)
 
   val oracleSql: Map[String, String] = Map(
     "j14_null_safe_join" -> j14Sql,
@@ -1786,5 +1863,7 @@ object ExtendedQueries {
     "a22_hll_intersection" -> a22Sql,
     "q24_mix_decomposition" -> q24Sql,
     "ev_interarrival_histogram" -> evInterarrivalSql,
-    "mm_batch_manifest" -> mmBatchManifestSql)
+    "mm_batch_manifest" -> mmBatchManifestSql,
+    "q25_percent_of_parent" -> q25Sql,
+    "ev_path_analysis" -> evPathAnalysisSql)
 }

