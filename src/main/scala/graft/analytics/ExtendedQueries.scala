@@ -1012,10 +1012,13 @@ object ExtendedQueries {
   // ------------------------------------------------------------------
   // ev_dau_wau — engagement stickiness: daily active users, trailing
   // 7-day weekly active users, and the DAU/WAU ratio. Per-(user, day)
-  // distinct first (the only fact-sized shuffle), then a 7× day-range
-  // self-join over the per-day USER SETS — the trailing-distinct
-  // problem that a window can't express (distinct doesn't compose
-  // across frames) solved with bounded expansion.
+  // distinct first (the only fact-sized shuffle); the trailing
+  // distinct — which a window can't express (distinct doesn't compose
+  // across frames) — comes from EXPLODING each active day into the 7
+  // report days it contributes to and equi-joining: a fixed 7× map-side
+  // expansion into a hash shuffle, where a day-RANGE join would
+  // broadcast-nested-loop against a days table that grows with the
+  // calendar.
   // ------------------------------------------------------------------
   private val evDauWau: QFn = (s, dir) => {
     val ud = t(s, dir, "events")
@@ -1023,8 +1026,10 @@ object ExtendedQueries {
       .distinct()
     val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
     val days = ud.select(col("day").as("d")).distinct()
-    val wau = days.join(ud,
-        col("day") >= col("d") - 6 && col("day") <= col("d"))
+    val contrib = ud
+      .withColumn("off", explode(expr("sequence(0L, 6L)")))
+      .select(col("user_id"), (col("day") + col("off")).as("d"))
+    val wau = contrib.join(days, Seq("d"), "left_semi")
       .groupBy(col("d"))
       .agg(countDistinct(col("user_id")).as("wau"))
     dau.join(wau, col("day") === col("d"))
