@@ -1782,6 +1782,43 @@ object ExtendedQueries {
       |GROUP BY 1, 2, 3
       |ORDER BY n_paths DESC, step1, step2, step3 LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------------------
+  // d_dedup_recall_eval — dedup-quality cross-validation: the verified
+  // MinHash+LSH pair set against the exact n-gram Jaccard join at the
+  // same threshold, composed from the two existing oracled entries on
+  // BOTH engines (the ann_recall_eval pattern applied to dedup).
+  // Banding escape probability at the corpus's duplicate similarities
+  // is ~1e-7, so recall is expected to be exactly 1.0 — and because
+  // the entry emits the measured number, any future regression in the
+  // sketch path breaks the hash, not just a spec.
+  // ------------------------------------------------------------------
+  private val dDedupRecall: QFn = (s, dir) => {
+    val mh = TextQueries.queries("d_minhash_lsh")(s, dir)
+      .select(col("id_a"), col("id_b"))
+    val exact = TextQueries.queries("d_ngram_jaccard")(s, dir)
+      .select(col("id_a"), col("id_b"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val nCommon = mh.join(exact, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    nExact.crossJoin(nCommon)
+      .select(col("n_exact"), col("n_common"),
+        round(col("n_common").cast("double")
+          / greatest(col("n_exact"), lit(1L)).cast("double"), 6)
+          .as("recall_r"))
+  }
+  private def dDedupRecallSql =
+    s"""WITH mh AS (SELECT id_a, id_b FROM (
+       |${TextQueries.oracleSql("d_minhash_lsh")})),
+       |ex AS (SELECT id_a, id_b FROM (
+       |${TextQueries.oracleSql("d_ngram_jaccard")})),
+       |ne AS (SELECT COUNT(*) AS n_exact FROM ex),
+       |nc AS (SELECT COUNT(*) AS n_common FROM mh JOIN ex
+       |  USING (id_a, id_b))
+       |SELECT n_exact, n_common,
+       |round(CAST(n_common AS DOUBLE)
+       |  / CAST(greatest(n_exact, 1) AS DOUBLE), 6) AS recall_r
+       |FROM ne, nc""".stripMargin
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, QFn] = Map(
@@ -1826,7 +1863,8 @@ object ExtendedQueries {
     "ev_interarrival_histogram" -> evInterarrival,
     "mm_batch_manifest" -> mmBatchManifest,
     "q25_percent_of_parent" -> q25PercentOfParent,
-    "ev_path_analysis" -> evPathAnalysis)
+    "ev_path_analysis" -> evPathAnalysis,
+    "d_dedup_recall_eval" -> dDedupRecall)
 
   val oracleSql: Map[String, String] = Map(
     "j14_null_safe_join" -> j14Sql,
@@ -1870,5 +1908,6 @@ object ExtendedQueries {
     "ev_interarrival_histogram" -> evInterarrivalSql,
     "mm_batch_manifest" -> mmBatchManifestSql,
     "q25_percent_of_parent" -> q25Sql,
-    "ev_path_analysis" -> evPathAnalysisSql)
+    "ev_path_analysis" -> evPathAnalysisSql,
+    "d_dedup_recall_eval" -> dDedupRecallSql)
 }
