@@ -234,6 +234,46 @@ object ScaleProbe {
       }
       big.unpersist()
     }
+    if (families("behavior2")) {
+      // 10x users (the realistic growth axis) through the newest
+      // event-family shapes: explode-based trailing distinct, trigram
+      // path mining, per-user TWAP, transition matrix
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.load(spark, "/root/testdata/sf0.1", "events")
+      val big = (0 until 10).map(i =>
+        base.select((col("event_id") + lit(i * 10000000L)).as("event_id"),
+          (col("user_id") + lit(i * 100000L)).as("user_id"),
+          col("ts"), col("event_type"), col("value")))
+        .reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"events10x: ${big.count()}")
+      time("dau_wau_10x") {
+        val ud = big.select(col("user_id"),
+          expr("ts div 1000 div 86400000000").as("day")).distinct()
+        val days = ud.select(col("day").as("d")).distinct()
+        ud.withColumn("off", explode(expr("sequence(0L, 6L)")))
+          .select(col("user_id"), (col("day") + col("off")).as("d"))
+          .join(days, Seq("d"), "left_semi")
+          .groupBy("d").agg(countDistinct(col("user_id")).as("wau"))
+          .count()
+      }
+      time("path_trigrams_10x") {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        big.withColumn("e2", lead(col("event_type"), 1).over(w))
+          .withColumn("e3", lead(col("event_type"), 2).over(w))
+          .filter(col("e3").isNotNull)
+          .groupBy("event_type", "e2", "e3").count().count()
+      }
+      time("twap_10x") {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        big.withColumn("nxt", lead(expr("ts div 1000"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .groupBy("user_id")
+          .agg(sum(col("value") * (col("nxt") - expr("ts div 1000"))))
+          .count()
+      }
+      big.unpersist()
+    }
     if (families("stats")) {
       // 10x lineitem (6M rows), duplicated prices — worst case for the
       // two-phase median (each price bucket 10x heavier) and for the
