@@ -1819,6 +1819,51 @@ object ExtendedQueries {
        |  / CAST(greatest(n_exact, 1) AS DOUBLE), 6) AS recall_r
        |FROM ne, nc""".stripMargin
 
+  // ------------------------------------------------------------------
+  // i21_dq_quarantine — row-level data-quality ROUTING (j7 audits
+  // counts; this one moves rows): each order is tested against a rule
+  // set, failing rows land in a quarantine sink tagged with the FIRST
+  // violated rule, passing rows in the clean sink; both sinks are read
+  // back and reconciled. One pass computes the routing (a CASE
+  // cascade, codegen), two filtered writes — no per-rule rescans.
+  // ------------------------------------------------------------------
+  private val i21DqQuarantine: QFn = (s, dir) => {
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"), col("o_orderdate"),
+      col("o_totalprice").cast(DecimalType(18, 4)).as("price"))
+    val rule = when(col("price") > 400000, lit("r1_price_outlier"))
+      .when(col("o_orderdate") < lit("1995-06-01").cast("date"),
+            lit("r2_stale_order"))
+      .when(col("o_orderstatus") === "P", lit("r3_pending_status"))
+      .otherwise(lit(null).cast("string"))
+    val routed = o.withColumn("rule", rule)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dq").toString
+    routed.filter(col("rule").isNotNull)
+      .write.mode("overwrite").parquet(s"$tmp/quarantine")
+    routed.filter(col("rule").isNull)
+      .write.mode("overwrite").parquet(s"$tmp/clean")
+    val q = s.read.parquet(s"$tmp/quarantine")
+      .groupBy(col("rule")).agg(count(lit(1)).as("n_rows"),
+        sum(col("price")).cast("double").as("total_price"))
+    val c = s.read.parquet(s"$tmp/clean")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("price")).cast("double").as("total_price"))
+      .select(lit("clean").as("rule"), col("n_rows"), col("total_price"))
+    q.unionByName(c).orderBy("rule")
+  }
+  private val i21Sql =
+    """WITH routed AS (SELECT
+      |    CASE WHEN CAST(o_totalprice AS DECIMAL(18,4)) > 400000
+      |           THEN 'r1_price_outlier'
+      |         WHEN o_orderdate < DATE '1995-06-01' THEN 'r2_stale_order'
+      |         WHEN o_orderstatus = 'P' THEN 'r3_pending_status'
+      |         ELSE 'clean' END AS rule,
+      |    CAST(o_totalprice AS DECIMAL(18,4)) AS price
+      |  FROM orders)
+      |SELECT rule, COUNT(*) AS n_rows,
+      |CAST(SUM(price) AS DOUBLE) AS total_price
+      |FROM routed GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, QFn] = Map(
@@ -1864,7 +1909,8 @@ object ExtendedQueries {
     "mm_batch_manifest" -> mmBatchManifest,
     "q25_percent_of_parent" -> q25PercentOfParent,
     "ev_path_analysis" -> evPathAnalysis,
-    "d_dedup_recall_eval" -> dDedupRecall)
+    "d_dedup_recall_eval" -> dDedupRecall,
+    "i21_dq_quarantine" -> i21DqQuarantine)
 
   val oracleSql: Map[String, String] = Map(
     "j14_null_safe_join" -> j14Sql,
@@ -1909,5 +1955,6 @@ object ExtendedQueries {
     "mm_batch_manifest" -> mmBatchManifestSql,
     "q25_percent_of_parent" -> q25Sql,
     "ev_path_analysis" -> evPathAnalysisSql,
-    "d_dedup_recall_eval" -> dDedupRecallSql)
+    "d_dedup_recall_eval" -> dDedupRecallSql,
+    "i21_dq_quarantine" -> i21Sql)
 }

@@ -576,6 +576,21 @@ class ExtendedQueriesSpec extends AnyFunSuite {
     assert(paths.forall(_._4 > 0))
   }
 
+  test("i21 quarantine routing partitions rows exactly (first rule wins)") {
+    val rows = ExtendedQueries.queries("i21_dq_quarantine")(spark, sf)
+      .select(col("rule"), col("n_rows")).as[(String, Long)].collect().toMap
+    val o = graft.Tables.load(spark, sf, "orders")
+    assert(rows.values.sum === o.count(), "row conservation")
+    val r1 = o.filter(col("o_totalprice").cast("decimal(18,4)") > 400000)
+      .count()
+    assert(rows.getOrElse("r1_price_outlier", 0L) === r1)
+    // first-rule-wins: r3 counts exclude rows already caught by r1/r2
+    val r3 = o.filter(col("o_orderstatus") === "P"
+      && col("o_totalprice").cast("decimal(18,4)") <= 400000
+      && col("o_orderdate") >= lit("1995-06-01").cast("date")).count()
+    assert(rows.getOrElse("r3_pending_status", 0L) === r3)
+  }
+
   test("a18 HLL estimates stay inside the 5% corridor") {
     val rows = ExtendedQueries.queries("a18_hll_merge")(spark, sf)
       .select(col("approx_ok")).as[Boolean].collect()
