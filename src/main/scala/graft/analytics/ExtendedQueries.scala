@@ -1864,6 +1864,42 @@ object ExtendedQueries {
       |CAST(SUM(price) AS DOUBLE) AS total_price
       |FROM routed GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // ev_max_concurrent — sweep-line interval stabbing: peak number of
+  // simultaneously-open 5-minute sessions and the first instant it is
+  // reached. Each session becomes a +1/−1 delta event; the
+  // concurrency curve is the running sum over the GLOBAL (t, delta,
+  // id) order — a PrefixSum (range partition + broadcast offsets), not
+  // a single-task window. Half-open [start, end): at equal t the −1
+  // sorts before the +1 (delta ascending), so back-to-back sessions
+  // never double-count.
+  // ------------------------------------------------------------------
+  private val evMaxConcurrent: QFn = (s, dir) => {
+    val e = t(s, dir, "events").select(
+      expr("ts div 1000").as("us"), col("event_id"))
+    val horizon = 300000000L // 5 minutes
+    val deltas = e.select(col("us").as("t"), lit(1L).as("delta"), col("event_id"))
+      .unionByName(e.select((col("us") + horizon).as("t"),
+        lit(-1L).as("delta"), col("event_id")))
+    val cum = graft.operators.PrefixSum.withRunningSum(deltas,
+      Seq(col("t"), col("delta"), col("event_id")),
+      col("delta").cast(DecimalType(20, 0)), "conc")
+    val peak = cum.agg(max(col("conc")).as("p"))
+    cum.join(broadcast(peak), col("conc") === col("p"))
+      .agg(max(col("conc")).cast("long").as("peak_concurrency"),
+           min(col("t")).as("first_peak_us"))
+  }
+  private val evMaxConcurrentSql =
+    """WITH e AS (SELECT epoch_us(ts) AS us, event_id FROM events),
+      |d AS (SELECT us AS t, 1 AS delta, event_id FROM e
+      |  UNION ALL SELECT us + 300000000, -1, event_id FROM e),
+      |c AS (SELECT t, SUM(delta) OVER (ORDER BY t, delta, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS conc FROM d),
+      |p AS (SELECT MAX(conc) AS p FROM c)
+      |SELECT CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+      |CAST(MIN(t) AS BIGINT) AS first_peak_us
+      |FROM c, p WHERE conc = p""".stripMargin
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, QFn] = Map(
@@ -1910,7 +1946,8 @@ object ExtendedQueries {
     "q25_percent_of_parent" -> q25PercentOfParent,
     "ev_path_analysis" -> evPathAnalysis,
     "d_dedup_recall_eval" -> dDedupRecall,
-    "i21_dq_quarantine" -> i21DqQuarantine)
+    "i21_dq_quarantine" -> i21DqQuarantine,
+    "ev_max_concurrent" -> evMaxConcurrent)
 
   val oracleSql: Map[String, String] = Map(
     "j14_null_safe_join" -> j14Sql,
@@ -1956,5 +1993,6 @@ object ExtendedQueries {
     "q25_percent_of_parent" -> q25Sql,
     "ev_path_analysis" -> evPathAnalysisSql,
     "d_dedup_recall_eval" -> dDedupRecallSql,
-    "i21_dq_quarantine" -> i21Sql)
+    "i21_dq_quarantine" -> i21Sql,
+    "ev_max_concurrent" -> evMaxConcurrentSql)
 }

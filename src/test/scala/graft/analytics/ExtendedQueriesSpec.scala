@@ -591,6 +591,24 @@ class ExtendedQueriesSpec extends AnyFunSuite {
     assert(rows.getOrElse("r3_pending_status", 0L) === r3)
   }
 
+  test("ev_max_concurrent matches a driver-side sweep line") {
+    val (peak, firstT) = ExtendedQueries.queries("ev_max_concurrent")(spark, sf)
+      .as[(Long, Long)].head()
+    val starts = graft.Tables.load(spark, sf, "events")
+      .select(expr("ts div 1000")).as[Long].collect()
+    val horizon = 300000000L
+    // driver sweep with the same half-open tie rule (-1 before +1)
+    val events = (starts.map(t => (t, 1)) ++
+      starts.map(t => (t + horizon, -1))).sortBy(e => (e._1, e._2))
+    var cur = 0L; var best = 0L; var bestT = Long.MaxValue
+    events.foreach { case (t2, d) =>
+      cur += d
+      if (cur > best) { best = cur; bestT = t2 }
+    }
+    assert(peak === best)
+    assert(firstT === bestT)
+  }
+
   test("a18 HLL estimates stay inside the 5% corridor") {
     val rows = ExtendedQueries.queries("a18_hll_merge")(spark, sf)
       .select(col("approx_ok")).as[Boolean].collect()
