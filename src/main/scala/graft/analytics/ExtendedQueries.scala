@@ -1793,18 +1793,25 @@ object ExtendedQueries {
   // sketch path breaks the hash, not just a spec.
   // ------------------------------------------------------------------
   private val dDedupRecall: QFn = (s, dir) => {
-    val mh = TextQueries.queries("d_minhash_lsh")(s, dir)
+    // same functions + parameters as the two composed entries, but over
+    // ONE persisted docs frame so the corpus scans (and their codegen)
+    // are shared between the sketch and the exact pipeline
+    val docsDf = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .persist()
+    val mh = graft.textops.Dedup.minhashLshVerified(docsDf, "doc_id", "text",
+        shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5)
       .select(col("id_a"), col("id_b"))
-    val exact = TextQueries.queries("d_ngram_jaccard")(s, dir)
-      .select(col("id_a"), col("id_b"))
-    val nExact = exact.agg(count(lit(1)).as("n_exact"))
-    val nCommon = mh.join(exact, Seq("id_a", "id_b"))
-      .agg(count(lit(1)).as("n_common"))
-    nExact.crossJoin(nCommon)
-      .select(col("n_exact"), col("n_common"),
-        round(col("n_common").cast("double")
-          / greatest(col("n_exact"), lit(1L)).cast("double"), 6)
-          .as("recall_r"))
+    val exact = graft.textops.Dedup.ngramJaccardPairs(docsDf, "doc_id",
+        "text", shingleK = 3, threshold = 0.5, maxShingleFreq = 1000)
+      .select(col("id_a"), col("id_b")).persist()
+    val nExact = exact.count()
+    val nCommon = mh.join(exact, Seq("id_a", "id_b")).count()
+    docsDf.unpersist(); exact.unpersist()
+    import s.implicits._
+    Seq((nExact, nCommon,
+      BigDecimal(nCommon.toDouble / math.max(nExact, 1L).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("n_exact", "n_common", "recall_r")
   }
   private def dDedupRecallSql =
     s"""WITH mh AS (SELECT id_a, id_b FROM (
