@@ -1907,6 +1907,51 @@ object ExtendedQueries {
       |CAST(MIN(t) AS BIGINT) AS first_peak_us
       |FROM c, p WHERE conc = p""".stripMargin
 
+  // ------------------------------------------------------------------
+  // j18_tiered_match — hierarchical entity resolution: orders resolve
+  // against an INCOMPLETE master directory by exact key (tier 1), fall
+  // back to the nation-level representative master (tier 2), else stay
+  // unmatched (tier 0) — the MDM match-cascade pattern. Tier 1 is one
+  // key-partitioned join; tier 2 is a broadcast of the per-nation rep
+  // map (geography-bounded); precedence is a coalesce, not a rescan.
+  // ------------------------------------------------------------------
+  private val j18TieredMatch: QFn = (s, dir) => {
+    val cust = t(s, dir, "customer").select(col("c_custkey"),
+      col("c_nationkey"))
+    val masters = cust.filter(col("c_custkey") % 3 =!= 0)
+    val reps = masters.groupBy(col("c_nationkey").as("rn"))
+      .agg(min(col("c_custkey")).as("rep_key"))
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+    val t1 = masters.select(col("c_custkey").as("m1"))
+    o.join(t1, col("o_custkey") === col("m1"), "left")
+      .join(broadcast(reps), col("c_nationkey") === col("rn"), "left")
+      .select(col("o_orderkey"),
+        when(col("m1").isNotNull, 1)
+          .when(col("rep_key").isNotNull, 2).otherwise(0).as("match_tier"),
+        coalesce(col("m1"), col("rep_key")).as("resolved_key"))
+      .groupBy("match_tier")
+      .agg(count(lit(1)).as("n_orders"),
+           countDistinct(col("resolved_key")).as("n_masters"))
+      .orderBy("match_tier")
+  }
+  private val j18Sql =
+    """WITH masters AS (SELECT c_custkey, c_nationkey FROM customer
+      |  WHERE c_custkey % 3 <> 0),
+      |reps AS (SELECT c_nationkey AS rn, MIN(c_custkey) AS rep_key
+      |  FROM masters GROUP BY 1),
+      |o AS (SELECT o_orderkey, o_custkey, c_nationkey FROM orders
+      |  JOIN customer ON o_custkey = c_custkey),
+      |r AS (SELECT o_orderkey,
+      |    CASE WHEN m.c_custkey IS NOT NULL THEN 1
+      |         WHEN rep_key IS NOT NULL THEN 2 ELSE 0 END AS match_tier,
+      |    COALESCE(m.c_custkey, rep_key) AS resolved_key
+      |  FROM o LEFT JOIN masters m ON o.o_custkey = m.c_custkey
+      |  LEFT JOIN reps ON o.c_nationkey = reps.rn)
+      |SELECT match_tier, COUNT(*) AS n_orders,
+      |COUNT(DISTINCT resolved_key) AS n_masters
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, QFn] = Map(
@@ -1954,7 +1999,8 @@ object ExtendedQueries {
     "ev_path_analysis" -> evPathAnalysis,
     "d_dedup_recall_eval" -> dDedupRecall,
     "i21_dq_quarantine" -> i21DqQuarantine,
-    "ev_max_concurrent" -> evMaxConcurrent)
+    "ev_max_concurrent" -> evMaxConcurrent,
+    "j18_tiered_match" -> j18TieredMatch)
 
   val oracleSql: Map[String, String] = Map(
     "j14_null_safe_join" -> j14Sql,
@@ -2001,5 +2047,6 @@ object ExtendedQueries {
     "ev_path_analysis" -> evPathAnalysisSql,
     "d_dedup_recall_eval" -> dDedupRecallSql,
     "i21_dq_quarantine" -> i21Sql,
-    "ev_max_concurrent" -> evMaxConcurrentSql)
+    "ev_max_concurrent" -> evMaxConcurrentSql,
+    "j18_tiered_match" -> j18Sql)
 }

@@ -609,6 +609,20 @@ class ExtendedQueriesSpec extends AnyFunSuite {
     assert(firstT === bestT)
   }
 
+  test("j18 tiered match: conservation and tier-1 priority") {
+    val rows = ExtendedQueries.queries("j18_tiered_match")(spark, sf)
+      .select(col("match_tier"), col("n_orders"))
+      .as[(Int, Long)].collect().toMap
+    val o = graft.Tables.load(spark, sf, "orders")
+    assert(rows.values.sum === o.count(), "every order resolves to a tier")
+    // exact-key matches: orders whose customer key is in the master set
+    val t1 = o.filter(col("o_custkey") % 3 =!= 0).count()
+    assert(rows.getOrElse(1, 0L) === t1)
+    // tier 2 exists (masters cover every nation at this SF -> no tier 0)
+    assert(rows.getOrElse(2, 0L) > 0)
+    assert(rows.getOrElse(0, 0L) === 0L)
+  }
+
   test("a18 HLL estimates stay inside the 5% corridor") {
     val rows = ExtendedQueries.queries("a18_hll_merge")(spark, sf)
       .select(col("approx_ok")).as[Boolean].collect()
