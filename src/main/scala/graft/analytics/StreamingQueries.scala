@@ -206,7 +206,95 @@ object StreamingQueries {
       |CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ST6 — WATERMARK LATE-DATA DROP, deterministically staged: the
+  // events split into THREE mtime-ordered trigger files (one per
+  // micro-batch) — A = days before the 13th except day 2, B = days
+  // 13–14, C = the rest PLUS the day-2 rows replayed as stragglers.
+  // Spark filters late input with the watermark of the PREVIOUS batch
+  // (eventTimeWatermarkForLateEvents — one batch of grace), so drops
+  // first engage in batch 3: C's day-2 rows test against maxA − 10 min
+  // and vanish, C's on-time rows aggregate, and append mode emits
+  // exactly the windows the FINAL watermark passed. The oracle
+  // reproduces all three rules (lagged drop, accept, emission gate) in
+  // closed form from the source table — the entry hash-proves Spark's
+  // watermark semantics, not just liveness. (A two-file version CANNOT
+  // drop anything — the lag means batch 2 still filters at wm = 0; the
+  // probe that discovered this is ProbeLate.scala.)
+  private val lateDayUs = 19724L * 86400000000L  // 2024-01-02 in µs
+  private val splitAUs = 19735L * 86400000000L   // 2024-01-13 in µs
+  private val splitBUs = 19737L * 86400000000L   // 2024-01-15 in µs
+
+  private def stageLateFeed(s: SparkSession, dir: String): String = {
+    // raw on-disk schema (ts = long ns) so the staged files replay
+    // through the same streaming source as the other ST entries
+    val e = graft.Tables.load(s, dir, "events")
+    val day2 = col("ts").geq(lateDayUs * 1000) &&
+      col("ts") < (lateDayUs + 86400000000L) * 1000
+    val a = e.filter(col("ts") < splitAUs * 1000 && !day2)
+    val b = e.filter(col("ts") >= splitAUs * 1000 &&
+                     col("ts") < splitBUs * 1000)
+    val c = e.filter(col("ts") >= splitBUs * 1000 || day2)
+    val root = java.nio.file.Files.createTempDirectory("graft_late")
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
+                 mtime: Long): Unit = {
+      val tmp = root.resolve(name + "_stage")
+      df.coalesce(1).write.parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator()
+      val target = root.resolve(name)
+      var moved = false
+      while (part.hasNext && !moved) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          java.nio.file.Files.move(p, target); moved = true
+        }
+      }
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val now = System.currentTimeMillis()
+    writeOne(a, "a.parquet", now - 1200000)
+    writeOne(b, "b.parquet", now - 600000)
+    writeOne(c, "c.parquet", now)
+    root.toString
+  }
+
+  private val stLateDrop: QFn = (s, dir) => {
+    val staged = stageLateFeed(s, dir)
+    val ev = EventStream.readEvents(s, staged, maxFilesPerTrigger = 1)
+      .withWatermark("event_time", "10 minutes")
+    val agg = ev
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast(DecimalType(18, 4)))
+             .cast("double").as("total_value"))
+      .select(col("window.start").as("hour_window"), col("event_type"),
+              col("n_events"), col("total_value"))
+    drain(s, agg, "st_late_", OutputMode.Append())
+      .orderBy("hour_window", "event_type")
+  }
+  private val stLateDropSql =
+    s"""WITH e AS (SELECT ts, event_type, CAST(value AS DECIMAL(18,4)) AS v,
+       |    epoch_us(ts) AS us, date_trunc('hour', ts) AS ws,
+       |    epoch_us(date_trunc('hour', ts)) + 3600000000 AS we
+       |  FROM events),
+       |consts AS (SELECT
+       |    (SELECT MAX(us) FROM e WHERE us < $splitAUs
+       |       AND NOT (us >= $lateDayUs AND us < ${lateDayUs + 86400000000L}))
+       |      - 600000000 AS wm_drop_c,
+       |    (SELECT MAX(us) FROM e) - 600000000 AS wm_final),
+       |accepted AS (SELECT e.* FROM e, consts WHERE
+       |    us < $splitBUs
+       |      AND NOT (us >= $lateDayUs AND us < ${lateDayUs + 86400000000L})
+       |    OR ((us >= $splitBUs
+       |         OR (us >= $lateDayUs AND us < ${lateDayUs + 86400000000L}))
+       |        AND we > wm_drop_c))
+       |SELECT ws AS hour_window, event_type, COUNT(*) AS n_events,
+       |CAST(SUM(v) AS DOUBLE) AS total_value
+       |FROM accepted, consts WHERE we <= wm_final
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "st_late_drop" -> stLateDrop,
     "st_dedup_stream" -> stDedupStream,
     "st_windowed_counts" -> stWindowedCounts,
     "st_session_counts" -> stSessionCounts,
@@ -214,6 +302,7 @@ object StreamingQueries {
     "st_exactly_once_sink" -> stExactlyOnce)
 
   val oracleSql: Map[String, String] = Map(
+    "st_late_drop" -> stLateDropSql,
     "st_dedup_stream" -> stDedupSql,
     "st_windowed_counts" -> stWindowedSql,
     "st_session_counts" -> stSessionSql,

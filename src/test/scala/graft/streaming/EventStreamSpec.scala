@@ -236,6 +236,20 @@ class EventStreamSpec extends AnyFunSuite {
     assert(byStage.getOrElse(2, 0) >= byStage.getOrElse(3, 0))
   }
 
+  test("late-drop entry removes exactly the replayed-late day, keeping its neighbors") {
+    val res = graft.analytics.StreamingQueries
+      .queries("st_late_drop")(spark, "/root/testdata/sf0.001")
+    def windowsOn(day: String): Long =
+      res.filter(col("hour_window") >= to_timestamp(lit(day)) &&
+        col("hour_window") < to_timestamp(lit(day)) + expr("INTERVAL 1 DAY"))
+        .count()
+    assert(windowsOn("2024-01-02") === 0, "late day-2 windows must drop")
+    assert(windowsOn("2024-01-01") > 0, "on-time day-1 windows must stay")
+    assert(windowsOn("2024-01-03") > 0, "on-time day-3 windows must stay")
+    // and the on-time tail (file C's >= Jan 15 rows) made it in
+    assert(windowsOn("2024-01-20") > 0, "file-C on-time windows must stay")
+  }
+
   test("stateful per-user activity accumulates across the stream") {
     val stream = EventStream.readEvents(spark, dir)
     EventStream.runToMemory(
