@@ -1952,6 +1952,75 @@ object ExtendedQueries {
       |COUNT(DISTINCT resolved_key) AS n_masters
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // g_bfs_layers — multi-source BFS over the co-purchase graph: seed
+  // nodes (every 100th part) expand level-synchronously for 3 rounds;
+  // each round is one frontier-edge join + an anti-join against the
+  // visited set, lineage cut per round (the KCore/CC discipline).
+  // Level-synchronous = engine-independent levels, so the oracle
+  // replays the 3 rounds as chained CTEs. Emits per-level node counts
+  // and an id checksum.
+  // ------------------------------------------------------------------
+  private val gBfsLayers: QFn = (s, dir) => {
+    val op = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = op.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    val e0 = a.join(b, "l_orderkey").filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= 2)
+    val und = e0.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionAll(e0.select(col("pb").as("src"), col("pa").as("dst")))
+      .localCheckpoint(true)
+    val nodes = und.select(col("src").as("node")).distinct()
+    var labeled = nodes.filter(col("node") % 100 === 0)
+      .withColumn("lvl", lit(0)).localCheckpoint(true)
+    var frontier = labeled.select(col("node"))
+    (1 to 3).foreach { r =>
+      val next = und.join(frontier, col("src") === col("node"), "left_semi")
+        .select(col("dst").as("node")).distinct()
+        .join(labeled.select(col("node").as("seen")),
+              col("node") === col("seen"), "left_anti")
+        .withColumn("lvl", lit(r))
+        .localCheckpoint(true)
+      labeled = labeled.unionByName(next).localCheckpoint(true)
+      frontier = next.select(col("node"))
+    }
+    labeled.groupBy("lvl")
+      .agg(count(lit(1)).as("n_nodes"),
+           sum(col("node")).cast("long").as("id_checksum"))
+      .orderBy("lvl")
+  }
+  private val gBfsSql = {
+    val rounds = (1 to 3).map { r =>
+      s"""f$r AS (SELECT DISTINCT dst AS node FROM e
+         |  JOIN l${r - 1} ON e.src = l${r - 1}.node
+         |  WHERE dst NOT IN (SELECT node FROM v${r - 1})),
+         |l$r AS (SELECT node FROM f$r),
+         |v$r AS (SELECT node FROM v${r - 1}
+         |  UNION ALL SELECT node FROM f$r),
+         |o$r AS (SELECT $r AS lvl, COUNT(*) AS n_nodes,
+         |  CAST(SUM(node) AS BIGINT) AS id_checksum FROM f$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+       |      FROM op a JOIN op b USING (l_orderkey)
+       |      WHERE a.l_partkey < b.l_partkey
+       |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |e AS (SELECT pa AS src, pb AS dst FROM p
+       |      UNION ALL SELECT pb, pa FROM p),
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |l0 AS (SELECT node FROM nodes WHERE node % 100 = 0),
+       |v0 AS (SELECT node FROM l0),
+       |o0 AS (SELECT 0 AS lvl, COUNT(*) AS n_nodes,
+       |  CAST(SUM(node) AS BIGINT) AS id_checksum FROM l0),
+       |$rounds
+       |SELECT * FROM o0 UNION ALL SELECT * FROM o1
+       |UNION ALL SELECT * FROM o2 UNION ALL SELECT * FROM o3
+       |ORDER BY lvl""".stripMargin
+  }
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, QFn] = Map(
@@ -2000,7 +2069,8 @@ object ExtendedQueries {
     "d_dedup_recall_eval" -> dDedupRecall,
     "i21_dq_quarantine" -> i21DqQuarantine,
     "ev_max_concurrent" -> evMaxConcurrent,
-    "j18_tiered_match" -> j18TieredMatch)
+    "j18_tiered_match" -> j18TieredMatch,
+    "g_bfs_layers" -> gBfsLayers)
 
   val oracleSql: Map[String, String] = Map(
     "j14_null_safe_join" -> j14Sql,
@@ -2048,5 +2118,6 @@ object ExtendedQueries {
     "d_dedup_recall_eval" -> dDedupRecallSql,
     "i21_dq_quarantine" -> i21Sql,
     "ev_max_concurrent" -> evMaxConcurrentSql,
-    "j18_tiered_match" -> j18Sql)
+    "j18_tiered_match" -> j18Sql,
+    "g_bfs_layers" -> gBfsSql)
 }

