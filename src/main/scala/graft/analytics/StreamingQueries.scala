@@ -224,7 +224,12 @@ object StreamingQueries {
   private val splitAUs = 19735L * 86400000000L   // 2024-01-13 in µs
   private val splitBUs = 19737L * 86400000000L   // 2024-01-15 in µs
 
-  private def stageLateFeed(s: SparkSession, dir: String): String = {
+  private val lateStaged = new ConcurrentHashMap[String, String]()
+
+  private def stageLateFeed(s: SparkSession, dir: String): String =
+    lateStaged.computeIfAbsent(dir, d => stageLateFeedOnce(s, d))
+
+  private def stageLateFeedOnce(s: SparkSession, dir: String): String = {
     // raw on-disk schema (ts = long ns) so the staged files replay
     // through the same streaming source as the other ST entries
     val e = graft.Tables.load(s, dir, "events")
