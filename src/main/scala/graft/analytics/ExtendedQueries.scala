@@ -2021,6 +2021,53 @@ object ExtendedQueries {
        |ORDER BY lvl""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // a23_winsorized_mean — robust mean: per flag, clamp quantities at
+  // the exact count-based p05/p95 (smallest value whose cumulative
+  // count reaches the target — the w19 recipe over the bounded
+  // quantity domain) and average the clamped values. Clamped sums stay
+  // integral; one final double division.
+  // ------------------------------------------------------------------
+  private val a23Winsorized: QFn = (s, dir) => {
+    val base = t(s, dir, "lineitem").select(
+      col("l_returnflag").as("f"), col("l_quantity").cast("long").as("q"))
+    val wq = Window.partitionBy("f").orderBy("q")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = base.groupBy(col("f"), col("q")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wq))
+      .withColumn("tot", sum(col("c")).over(Window.partitionBy("f")))
+    val bounds = cum.groupBy(col("f").as("bf"))
+      .agg(min(when(col("cum") * 20 >= col("tot"), col("q"))).as("p05"),
+           min(when(col("cum") * 20 >= col("tot") * 19, col("q"))).as("p95"))
+    base.join(broadcast(bounds), col("f") === col("bf"))
+      .select(col("f"),
+        greatest(least(col("q"), col("p95")), col("p05")).as("wq"),
+        col("p05"), col("p95"))
+      .groupBy(col("f").as("l_returnflag"), col("p05"), col("p95"))
+      .agg(count(lit(1)).as("n_rows"),
+           round(sum(col("wq")).cast("double")
+             / count(lit(1)).cast("double"), 6).as("winsorized_mean_r"))
+      .orderBy("l_returnflag")
+  }
+  private val a23Sql =
+    """WITH b AS (SELECT l_returnflag AS f, CAST(l_quantity AS BIGINT) AS q
+      |  FROM lineitem),
+      |g AS (SELECT f, q, COUNT(*) AS c FROM b GROUP BY 1, 2),
+      |cw AS (SELECT f, q,
+      |    SUM(c) OVER (PARTITION BY f ORDER BY q) AS cum,
+      |    SUM(c) OVER (PARTITION BY f) AS tot FROM g),
+      |bounds AS (SELECT f,
+      |    MIN(CASE WHEN cum * 20 >= tot THEN q END) AS p05,
+      |    MIN(CASE WHEN cum * 20 >= tot * 19 THEN q END) AS p95
+      |  FROM cw GROUP BY 1)
+      |SELECT b.f AS l_returnflag,
+      |CAST(p05 AS BIGINT) AS p05, CAST(p95 AS BIGINT) AS p95,
+      |COUNT(*) AS n_rows,
+      |round(CAST(SUM(greatest(least(q, p95), p05)) AS DOUBLE)
+      |  / CAST(COUNT(*) AS DOUBLE), 6) AS winsorized_mean_r
+      |FROM b JOIN bounds ON b.f = bounds.f
+      |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, QFn] = Map(
@@ -2070,7 +2117,8 @@ object ExtendedQueries {
     "i21_dq_quarantine" -> i21DqQuarantine,
     "ev_max_concurrent" -> evMaxConcurrent,
     "j18_tiered_match" -> j18TieredMatch,
-    "g_bfs_layers" -> gBfsLayers)
+    "g_bfs_layers" -> gBfsLayers,
+    "a23_winsorized_mean" -> a23Winsorized)
 
   val oracleSql: Map[String, String] = Map(
     "j14_null_safe_join" -> j14Sql,
@@ -2119,5 +2167,6 @@ object ExtendedQueries {
     "i21_dq_quarantine" -> i21Sql,
     "ev_max_concurrent" -> evMaxConcurrentSql,
     "j18_tiered_match" -> j18Sql,
-    "g_bfs_layers" -> gBfsSql)
+    "g_bfs_layers" -> gBfsSql,
+    "a23_winsorized_mean" -> a23Sql)
 }

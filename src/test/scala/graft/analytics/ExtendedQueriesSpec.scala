@@ -633,6 +633,28 @@ class ExtendedQueriesSpec extends AnyFunSuite {
     assert(rows.map(_._1).distinct.length === rows.length)
   }
 
+  test("a23 winsorized mean clamps exactly at the count-based p05/p95") {
+    val rows = ExtendedQueries.queries("a23_winsorized_mean")(spark, sf)
+      .select(col("l_returnflag"), col("p05"), col("p95"),
+              col("winsorized_mean_r"))
+      .as[(String, Long, Long, Double)].collect()
+    rows.foreach { case (f, p05, p95, wm) =>
+      val qs = graft.Tables.load(spark, sf, "lineitem")
+        .filter(col("l_returnflag") === f)
+        .select(col("l_quantity").cast("long")).as[Long].collect().sorted
+      def kth(frac20: Int): Long = {
+        val tot = qs.length.toLong
+        qs.zipWithIndex.collectFirst {
+          case (v, i) if (i + 1) * 20 >= tot * frac20 => v }.get
+      }
+      assert(p05 === kth(1), s"p05 flag=$f")
+      assert(p95 === kth(19), s"p95 flag=$f")
+      val want = qs.map(q => math.min(math.max(q, p05), p95))
+        .sum.toDouble / qs.length
+      assert(math.abs(wm - want) < 1e-5, s"mean flag=$f")
+    }
+  }
+
   test("a18 HLL estimates stay inside the 5% corridor") {
     val rows = ExtendedQueries.queries("a18_hll_merge")(spark, sf)
       .select(col("approx_ok")).as[Boolean].collect()
