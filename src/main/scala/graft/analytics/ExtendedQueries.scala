@@ -2068,6 +2068,63 @@ object ExtendedQueries {
       |FROM b JOIN bounds ON b.f = bounds.f
       |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // s20_manifest_time_travel — snapshot isolation without a table
+  // format: every commit writes its data files PLUS a manifest (the
+  // authoritative file list); readers resolve a snapshot by manifest,
+  // never by directory listing — so a v1 reader is untouched by the
+  // v2 append landing next to it (the Iceberg/Delta core idea at its
+  // minimum viable size). The entry commits v1 = pre-1997 orders and
+  // v2 = v1 + the rest, reads BOTH snapshots back through their
+  // manifests, and emits per-snapshot aggregates.
+  // ------------------------------------------------------------------
+  private val s20Manifest: QFn = (s, dir) => {
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderdate"),
+      col("o_totalprice").cast(DecimalType(18, 4)).as("price"))
+    val root = java.nio.file.Files.createTempDirectory("graft_tt")
+    def commit(df: DataFrame, name: String): String = {
+      val p = root.resolve(name)
+      df.write.parquet(p.toString)
+      val files = java.nio.file.Files.list(p).iterator()
+      val sb = new StringBuilder
+      while (files.hasNext) {
+        val f = files.next()
+        if (f.getFileName.toString.endsWith(".parquet"))
+          sb.append(f.toAbsolutePath.toString).append('\n')
+      }
+      val mf = root.resolve(s"manifest_$name.txt")
+      java.nio.file.Files.writeString(mf, sb.toString)
+      mf.toString
+    }
+    val m1 = commit(o.filter(year(col("o_orderdate")) < 1997), "v1")
+    val m2 = commit(o.filter(year(col("o_orderdate")) >= 1997), "v2_delta")
+    def readSnapshot(manifests: Seq[String]): DataFrame = {
+      val paths = manifests.flatMap(m =>
+        java.nio.file.Files.readAllLines(java.nio.file.Paths.get(m))
+          .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty))
+      s.read.parquet(paths: _*)
+    }
+    val v1 = readSnapshot(Seq(m1))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(col("price")).cast("double").as("total_price"))
+      .select(lit("v1").as("snapshot"), col("n_orders"), col("total_price"))
+    val v2 = readSnapshot(Seq(m1, m2))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(col("price")).cast("double").as("total_price"))
+      .select(lit("v2").as("snapshot"), col("n_orders"), col("total_price"))
+    v1.unionByName(v2).orderBy("snapshot")
+  }
+  private val s20Sql =
+    """SELECT 'v1' AS snapshot, COUNT(*) AS n_orders,
+      |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+      |  AS total_price
+      |FROM orders WHERE year(o_orderdate) < 1997
+      |UNION ALL
+      |SELECT 'v2', COUNT(*),
+      |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+      |FROM orders ORDER BY snapshot""".stripMargin
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, QFn] = Map(
@@ -2118,7 +2175,8 @@ object ExtendedQueries {
     "ev_max_concurrent" -> evMaxConcurrent,
     "j18_tiered_match" -> j18TieredMatch,
     "g_bfs_layers" -> gBfsLayers,
-    "a23_winsorized_mean" -> a23Winsorized)
+    "a23_winsorized_mean" -> a23Winsorized,
+    "s20_manifest_time_travel" -> s20Manifest)
 
   val oracleSql: Map[String, String] = Map(
     "j14_null_safe_join" -> j14Sql,
@@ -2168,5 +2226,6 @@ object ExtendedQueries {
     "ev_max_concurrent" -> evMaxConcurrentSql,
     "j18_tiered_match" -> j18Sql,
     "g_bfs_layers" -> gBfsSql,
-    "a23_winsorized_mean" -> a23Sql)
+    "a23_winsorized_mean" -> a23Sql,
+    "s20_manifest_time_travel" -> s20Sql)
 }

@@ -655,6 +655,16 @@ class ExtendedQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("s20 manifest snapshots: v1 is isolated from the v2 append") {
+    val rows = ExtendedQueries.queries("s20_manifest_time_travel")(spark, sf)
+      .select(col("snapshot"), col("n_orders"))
+      .as[(String, Long)].collect().toMap
+    val o = graft.Tables.load(spark, sf, "orders")
+    assert(rows("v1") === o.filter(year(col("o_orderdate")) < 1997).count())
+    assert(rows("v2") === o.count())
+    assert(rows("v1") < rows("v2"))
+  }
+
   test("a18 HLL estimates stay inside the 5% corridor") {
     val rows = ExtendedQueries.queries("a18_hll_merge")(spark, sf)
       .select(col("approx_ok")).as[Boolean].collect()
