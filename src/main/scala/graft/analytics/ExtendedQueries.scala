@@ -2125,6 +2125,82 @@ object ExtendedQueries {
       |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
       |FROM orders ORDER BY snapshot""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q26_abc_xyz — the 2-D inventory classification: ABC by cumulative
+  // revenue share (global rank via PrefixSum over the aggregated part
+  // table — the q21 recipe) crossed with XYZ by demand variability
+  // (coefficient of variation of monthly quantities from exact integer
+  // moments; identical one-shot double formula on both engines, so the
+  // class boundaries cut identically). Emits the 2-D matrix with part
+  // counts and revenue share per cell.
+  // ------------------------------------------------------------------
+  private val q26AbcXyz: QFn = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("mon"),
+        col("l_quantity").cast("long").as("q"),
+        col("l_extendedprice").cast(DecimalType(18, 2)).as("r"))
+    val monthly = li.groupBy(col("l_partkey"), col("mon"))
+      .agg(sum(col("q")).as("mq"), sum(col("r")).as("mr"))
+    val per = monthly.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("mq")).cast(DecimalType(38, 0)).as("s1"),
+           sum(col("mq") * col("mq")).cast(DecimalType(38, 0)).as("s2"),
+           sum(col("mr")).as("rev"))
+    val ranked = graft.operators.PrefixSum.withRunningSum(per,
+      Seq(col("rev").desc, col("l_partkey")), col("rev"), "cumrev")
+    val tot = per.agg(sum(col("rev")).as("tot"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("abc",
+        when(col("cumrev") * 10 <= col("tot") * 7, "A")
+          .when(col("cumrev") * 10 <= col("tot") * 9, "B").otherwise("C"))
+      .withColumn("cv",
+        sqrt(col("n").cast("double") * col("s2").cast("double")
+          - col("s1").cast("double") * col("s1").cast("double"))
+          / col("s1").cast("double"))
+      .withColumn("xyz",
+        when(col("cv") < 0.5, "X").when(col("cv") < 1.0, "Y").otherwise("Z"))
+      .groupBy("abc", "xyz")
+      .agg(count(lit(1)).as("n_parts"),
+        round(sum(col("rev")).cast("double") / max(col("tot")).cast("double")
+          * 100, 6).as("rev_share_r"))
+      .orderBy("abc", "xyz")
+  }
+  private val q26Sql =
+    """WITH li AS (SELECT l_partkey,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+      |      AS mon,
+      |    CAST(l_quantity AS BIGINT) AS q,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS r
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |monthly AS (SELECT l_partkey, mon, SUM(q) AS mq, SUM(r) AS mr
+      |  FROM li GROUP BY 1, 2),
+      |per AS (SELECT l_partkey, COUNT(*) AS n,
+      |    CAST(SUM(mq) AS DECIMAL(38,0)) AS s1,
+      |    CAST(SUM(mq * mq) AS DECIMAL(38,0)) AS s2,
+      |    SUM(mr) AS rev
+      |  FROM monthly GROUP BY 1),
+      |ranked AS (SELECT *,
+      |    SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+      |      ROWS UNBOUNDED PRECEDING) AS cumrev,
+      |    SUM(rev) OVER () AS tot FROM per),
+      |cls AS (SELECT rev, tot,
+      |    CASE WHEN cumrev * 10 <= tot * 7 THEN 'A'
+      |         WHEN cumrev * 10 <= tot * 9 THEN 'B' ELSE 'C' END AS abc,
+      |    CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      |           / CAST(s1 AS DOUBLE) < 0.5 THEN 'X'
+      |         WHEN sqrt(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      |           / CAST(s1 AS DOUBLE) < 1.0 THEN 'Y' ELSE 'Z' END AS xyz
+      |  FROM ranked)
+      |SELECT abc, xyz, COUNT(*) AS n_parts,
+      |round(CAST(SUM(rev) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE) * 100, 6)
+      |  AS rev_share_r
+      |FROM cls GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, QFn] = Map(
@@ -2176,7 +2252,8 @@ object ExtendedQueries {
     "j18_tiered_match" -> j18TieredMatch,
     "g_bfs_layers" -> gBfsLayers,
     "a23_winsorized_mean" -> a23Winsorized,
-    "s20_manifest_time_travel" -> s20Manifest)
+    "s20_manifest_time_travel" -> s20Manifest,
+    "q26_abc_xyz" -> q26AbcXyz)
 
   val oracleSql: Map[String, String] = Map(
     "j14_null_safe_join" -> j14Sql,
@@ -2227,5 +2304,6 @@ object ExtendedQueries {
     "j18_tiered_match" -> j18Sql,
     "g_bfs_layers" -> gBfsSql,
     "a23_winsorized_mean" -> a23Sql,
-    "s20_manifest_time_travel" -> s20Sql)
+    "s20_manifest_time_travel" -> s20Sql,
+    "q26_abc_xyz" -> q26Sql)
 }

@@ -665,6 +665,18 @@ class ExtendedQueriesSpec extends AnyFunSuite {
     assert(rows("v1") < rows("v2"))
   }
 
+  test("q26 ABC/XYZ: shares sum to 100 and every part classifies once") {
+    val rows = ExtendedQueries.queries("q26_abc_xyz")(spark, sf)
+      .select(col("abc"), col("xyz"), col("n_parts"), col("rev_share_r"))
+      .as[(String, String, Long, Double)].collect()
+    assert(math.abs(rows.map(_._4).sum - 100.0) < 1e-3)
+    val nParts = graft.Tables.load(spark, sf, "lineitem")
+      .select("l_partkey").distinct().count()
+    assert(rows.map(_._3).sum === nParts)
+    assert(rows.forall(r => Set("A", "B", "C")(r._1)
+      && Set("X", "Y", "Z")(r._2)))
+  }
+
   test("a18 HLL estimates stay inside the 5% corridor") {
     val rows = ExtendedQueries.queries("a18_hll_merge")(spark, sf)
       .select(col("approx_ok")).as[Boolean].collect()
