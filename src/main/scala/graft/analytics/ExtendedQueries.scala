@@ -2201,6 +2201,64 @@ object ExtendedQueries {
       |  AS rev_share_r
       |FROM cls GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------------
+  // p_leakage_safe_split — train/test splitting that cannot leak
+  // through duplicates: documents split by their DUP-CLUSTER
+  // representative, not their own id, so every copy of the same
+  // content lands on the same side (the train/test-contamination
+  // guard a naive per-doc split lacks). Clusters come from the exact
+  // content fingerprint over the mirror-fed corpus (the d_survivorship
+  // staging); the entry emits per-split tallies plus the count of
+  // clusters spanning both splits — which the math forces to ZERO, and
+  // the oracle hash-checks that zero.
+  // ------------------------------------------------------------------
+  private val pLeakageSafeSplit: QFn = (s, dir) => {
+    val docs0 = t(s, dir, "documents")
+    val corpus = docs0.select(col("doc_id"), col("text"))
+      .unionByName(docs0.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+    val withCluster = corpus
+      .withColumn("content_hash",
+        graft.textops.TextFunctions.fingerprint(col("text")))
+    val reps = withCluster.groupBy("content_hash")
+      .agg(min(col("doc_id")).as("rep"))
+    val split = withCluster.join(reps, "content_hash")
+      .withColumn("split",
+        when(col("rep") % 10 < 8, "train").otherwise("test"))
+    val tallies = split.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("content_hash")).as("n_clusters"))
+    val violations = split.groupBy("content_hash")
+      .agg(countDistinct(col("split")).as("n_sides"))
+      .filter(col("n_sides") > 1)
+      .agg(count(lit(1)).as("v"))
+    tallies.crossJoin(broadcast(violations))
+      .select(col("split"), col("n_docs"), col("n_clusters"),
+              col("v").as("cross_split_clusters"))
+      .orderBy("split")
+  }
+  private val pLeakageSafeSplitSql = {
+    val fp = graft.textops.TextFunctions.fingerprintSql("text")
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 10000000, text FROM documents
+       |  WHERE doc_id % 7 = 0),
+       |wc AS (SELECT doc_id, $fp AS content_hash FROM corpus),
+       |reps AS (SELECT content_hash, MIN(doc_id) AS rep FROM wc
+       |  GROUP BY 1),
+       |sp AS (SELECT wc.doc_id, wc.content_hash,
+       |    CASE WHEN rep % 10 < 8 THEN 'train' ELSE 'test' END AS split
+       |  FROM wc JOIN reps USING (content_hash)),
+       |t AS (SELECT split, COUNT(*) AS n_docs,
+       |    COUNT(DISTINCT content_hash) AS n_clusters
+       |  FROM sp GROUP BY 1),
+       |v AS (SELECT COUNT(*) AS v FROM (
+       |    SELECT content_hash FROM sp GROUP BY 1
+       |    HAVING COUNT(DISTINCT split) > 1))
+       |SELECT split, n_docs, n_clusters,
+       |CAST(v AS BIGINT) AS cross_split_clusters
+       |FROM t, v ORDER BY split""".stripMargin
+  }
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, QFn] = Map(
@@ -2253,7 +2311,8 @@ object ExtendedQueries {
     "g_bfs_layers" -> gBfsLayers,
     "a23_winsorized_mean" -> a23Winsorized,
     "s20_manifest_time_travel" -> s20Manifest,
-    "q26_abc_xyz" -> q26AbcXyz)
+    "q26_abc_xyz" -> q26AbcXyz,
+    "p_leakage_safe_split" -> pLeakageSafeSplit)
 
   val oracleSql: Map[String, String] = Map(
     "j14_null_safe_join" -> j14Sql,
@@ -2305,5 +2364,6 @@ object ExtendedQueries {
     "g_bfs_layers" -> gBfsSql,
     "a23_winsorized_mean" -> a23Sql,
     "s20_manifest_time_travel" -> s20Sql,
-    "q26_abc_xyz" -> q26Sql)
+    "q26_abc_xyz" -> q26Sql,
+    "p_leakage_safe_split" -> pLeakageSafeSplitSql)
 }

@@ -677,6 +677,17 @@ class ExtendedQueriesSpec extends AnyFunSuite {
       && Set("X", "Y", "Z")(r._2)))
   }
 
+  test("leakage-safe split keeps mirrored duplicates on one side, zero violations") {
+    val rows = ExtendedQueries.queries("p_leakage_safe_split")(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.map(_._1).sorted.toSeq === Seq("test", "train"))
+    rows.foreach { case (_, _, _, viol) => assert(viol === 0L) }
+    val nDocs = graft.Tables.load(spark, sf, "documents").count()
+    val nMirrors = graft.Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 7 === 0).count()
+    assert(rows.map(_._2).sum === nDocs + nMirrors)
+  }
+
   test("a18 HLL estimates stay inside the 5% corridor") {
     val rows = ExtendedQueries.queries("a18_hll_merge")(spark, sf)
       .select(col("approx_ok")).as[Boolean].collect()
