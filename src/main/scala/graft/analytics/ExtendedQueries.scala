@@ -2259,6 +2259,46 @@ object ExtendedQueries {
        |FROM t, v ORDER BY split""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // a24_revenue_gini — economic concentration: the Gini coefficient of
+  // per-part revenue via the discrete Lorenz formula
+  // G = 2·Σ i·xᵢ / (n·S) − (n+1)/n over ascending-revenue ranks. The
+  // global rank is a PrefixSum of 1s over the (rev, partkey) order (no
+  // single-task window); Σ i·xᵢ and S stay exact decimal; one final
+  // double formula. Complements a15's categorical Gini with the
+  // continuous-distribution form.
+  // ------------------------------------------------------------------
+  private val a24RevenueGini: QFn = (s, dir) => {
+    val per = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("rev"))
+    val ranked = graft.operators.PrefixSum.withRunningSum(per,
+      Seq(col("rev"), col("l_partkey")),
+      lit(1).cast(DecimalType(20, 0)), "rank")
+    val m = ranked.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("rev")).as("s"),
+      sum(col("rank") * col("rev")).as("irx"))
+    m.select(col("n"),
+        round(lit(2.0) * col("irx").cast("double")
+            / (col("n").cast("double") * col("s").cast("double"))
+          - (col("n").cast("double") + 1.0) / col("n").cast("double"), 6)
+          .as("gini_r"))
+  }
+  private val a24Sql =
+    """WITH per AS (SELECT l_partkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |r AS (SELECT rev, CAST(row_number() OVER (ORDER BY rev, l_partkey)
+      |    AS DECIMAL(20,0)) AS rank FROM per),
+      |m AS (SELECT COUNT(*) AS n, SUM(rev) AS s,
+      |    SUM(rank * rev) AS irx FROM r)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |round(2.0 * CAST(irx AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+      |  - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini_r
+      |FROM m""".stripMargin
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, QFn] = Map(
@@ -2312,7 +2352,8 @@ object ExtendedQueries {
     "a23_winsorized_mean" -> a23Winsorized,
     "s20_manifest_time_travel" -> s20Manifest,
     "q26_abc_xyz" -> q26AbcXyz,
-    "p_leakage_safe_split" -> pLeakageSafeSplit)
+    "p_leakage_safe_split" -> pLeakageSafeSplit,
+    "a24_revenue_gini" -> a24RevenueGini)
 
   val oracleSql: Map[String, String] = Map(
     "j14_null_safe_join" -> j14Sql,
@@ -2365,5 +2406,6 @@ object ExtendedQueries {
     "a23_winsorized_mean" -> a23Sql,
     "s20_manifest_time_travel" -> s20Sql,
     "q26_abc_xyz" -> q26Sql,
-    "p_leakage_safe_split" -> pLeakageSafeSplitSql)
+    "p_leakage_safe_split" -> pLeakageSafeSplitSql,
+    "a24_revenue_gini" -> a24Sql)
 }

@@ -688,6 +688,22 @@ class ExtendedQueriesSpec extends AnyFunSuite {
     assert(rows.map(_._2).sum === nDocs + nMirrors)
   }
 
+  test("a24 revenue Gini matches a driver-side Lorenz computation") {
+    val (_, gini) = ExtendedQueries.queries("a24_revenue_gini")(spark, sf)
+      .as[(Long, Double)].head()
+    val revs = graft.Tables.load(spark, sf, "lineitem")
+      .groupBy("l_partkey")
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double").as("rev"))
+      .select("rev").as[Double].collect().sorted
+    val n = revs.length.toDouble
+    val s2 = revs.sum
+    val irx = revs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val want = 2.0 * irx / (n * s2) - (n + 1.0) / n
+    assert(math.abs(gini - want) < 1e-5)
+    assert(gini > 0.0 && gini < 1.0)
+  }
+
   test("a18 HLL estimates stay inside the 5% corridor") {
     val rows = ExtendedQueries.queries("a18_hll_merge")(spark, sf)
       .select(col("approx_ok")).as[Boolean].collect()
