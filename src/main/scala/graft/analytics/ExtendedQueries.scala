@@ -2299,6 +2299,71 @@ object ExtendedQueries {
       |  - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini_r
       |FROM m""".stripMargin
 
+  // ------------------------------------------------------------------
+  // j19_nearest_value_join — nearest-neighbor join on a VALUE axis
+  // (each customer ↔ the same-nation supplier with the closest account
+  // balance): the backward as-of over balance-cents gives the closest
+  // at-or-below, the same operator over NEGATED values gives the
+  // closest above, and a least-absolute-difference pick merges them —
+  // the j17 trick generalized from time to any ordered domain, still
+  // one union-and-sweep per direction, keyed on nation. Ties resolve
+  // to the at-or-below side.
+  // ------------------------------------------------------------------
+  private val j19NearestValue: QFn = (s, dir) => {
+    val c = t(s, dir, "customer").select(col("c_custkey"),
+      col("c_nationkey").as("nk"),
+      (col("c_acctbal").cast(DecimalType(18, 2)) * 100).cast("long")
+        .as("cb"))
+    val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nk"),
+      (col("s_acctbal").cast(DecimalType(18, 2)) * 100).cast("long")
+        .as("sb"))
+    val below = graft.operators.AsOfJoin.asOf(
+      c.withColumn("axis", col("cb")),
+      sup.select(col("nk"), col("sb").as("axis"), col("sb").as("below_sb")),
+      "nk", "axis").select(col("c_custkey"), col("cb"), col("nk"),
+        col("below_sb"))
+    val above = graft.operators.AsOfJoin.asOf(
+      c.select(col("c_custkey"), col("nk"), (-col("cb")).as("axis")),
+      sup.select(col("nk"), (-col("sb")).as("axis"),
+                 col("sb").as("above_sb")),
+      "nk", "axis").select(col("c_custkey").as("ck2"), col("above_sb"))
+    below.join(above, col("c_custkey") === col("ck2"))
+      .withColumn("nearest_sb",
+        when(col("below_sb").isNull, col("above_sb"))
+          .when(col("above_sb").isNull, col("below_sb"))
+          .when(col("cb") - col("below_sb") <= col("above_sb") - col("cb"),
+                col("below_sb"))
+          .otherwise(col("above_sb")))
+      .filter(col("nearest_sb").isNotNull)
+      .groupBy(col("nk").as("c_nationkey"))
+      .agg(count(lit(1)).as("n_matched"),
+        round(sum(abs(col("cb") - col("nearest_sb"))).cast("double")
+          / count(lit(1)).cast("double") / 100.0, 6).as("avg_abs_gap_r"))
+      .orderBy("c_nationkey")
+  }
+  private val j19Sql =
+    """WITH c AS (SELECT c_custkey, c_nationkey AS nk,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cb
+      |  FROM customer),
+      |s AS (SELECT s_nationkey AS nk,
+      |    CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS sb
+      |  FROM supplier),
+      |below AS (SELECT c_custkey, cb, c.nk, s.sb AS below_sb
+      |  FROM c ASOF LEFT JOIN s ON c.nk = s.nk AND c.cb >= s.sb),
+      |above AS (SELECT c_custkey, s.sb AS above_sb
+      |  FROM c ASOF LEFT JOIN s ON c.nk = s.nk AND -c.cb >= -s.sb),
+      |m AS (SELECT below.c_custkey, cb, nk,
+      |    CASE WHEN below_sb IS NULL THEN above_sb
+      |         WHEN above_sb IS NULL THEN below_sb
+      |         WHEN cb - below_sb <= above_sb - cb THEN below_sb
+      |         ELSE above_sb END AS nearest_sb
+      |  FROM below JOIN above USING (c_custkey))
+      |SELECT nk AS c_nationkey, COUNT(*) AS n_matched,
+      |round(CAST(SUM(abs(cb - nearest_sb)) AS DOUBLE)
+      |  / CAST(COUNT(*) AS DOUBLE) / 100.0, 6) AS avg_abs_gap_r
+      |FROM m WHERE nearest_sb IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, QFn] = Map(
@@ -2353,7 +2418,8 @@ object ExtendedQueries {
     "s20_manifest_time_travel" -> s20Manifest,
     "q26_abc_xyz" -> q26AbcXyz,
     "p_leakage_safe_split" -> pLeakageSafeSplit,
-    "a24_revenue_gini" -> a24RevenueGini)
+    "a24_revenue_gini" -> a24RevenueGini,
+    "j19_nearest_value_join" -> j19NearestValue)
 
   val oracleSql: Map[String, String] = Map(
     "j14_null_safe_join" -> j14Sql,
@@ -2407,5 +2473,6 @@ object ExtendedQueries {
     "s20_manifest_time_travel" -> s20Sql,
     "q26_abc_xyz" -> q26Sql,
     "p_leakage_safe_split" -> pLeakageSafeSplitSql,
-    "a24_revenue_gini" -> a24Sql)
+    "a24_revenue_gini" -> a24Sql,
+    "j19_nearest_value_join" -> j19Sql)
 }

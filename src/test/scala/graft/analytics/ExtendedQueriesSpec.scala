@@ -704,6 +704,27 @@ class ExtendedQueriesSpec extends AnyFunSuite {
     assert(gini > 0.0 && gini < 1.0)
   }
 
+  test("j19 nearest-value join picks the truly closest same-nation supplier") {
+    // brute-force the nearest neighbor and compare the per-nation gaps
+    val c = graft.Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_nationkey").as("nk"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("cb"))
+    val s2 = graft.Tables.load(spark, sf, "supplier")
+      .select(col("s_nationkey").as("snk"),
+        (col("s_acctbal").cast("decimal(18,2)") * 100).cast("long").as("sb"))
+    val brute = c.join(s2, col("nk") === col("snk"))
+      .groupBy("c_custkey", "nk")
+      .agg(min(abs(col("cb") - col("sb"))).as("gap"))
+      .groupBy(col("nk").as("c_nationkey"))
+      .agg(count(lit(1)).as("n_matched"),
+        round(sum(col("gap")).cast("double")
+          / count(lit(1)).cast("double") / 100.0, 6).as("avg_abs_gap_r"))
+      .as[(Int, Long, Double)].collect().toSet
+    val got = ExtendedQueries.queries("j19_nearest_value_join")(spark, sf)
+      .as[(Int, Long, Double)].collect().toSet
+    assert(got === brute)
+  }
+
   test("a18 HLL estimates stay inside the 5% corridor") {
     val rows = ExtendedQueries.queries("a18_hll_merge")(spark, sf)
       .select(col("approx_ok")).as[Boolean].collect()
