@@ -2364,6 +2364,38 @@ object ExtendedQueries {
       |FROM m WHERE nearest_sb IS NOT NULL
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // mm_blob_dedup — exact dedup on the BINARY modality: sha2-256 over
+  // the raw blob bytes (no text assumptions — this is what dedups
+  // images/audio), mirror-fed like d_survivorship so clusters exist at
+  // every SF. One hash-groupBy shuffle; keeper = lowest media id. The
+  // oracle hashes the same bytes in DuckDB.
+  // ------------------------------------------------------------------
+  private val mmBlobDedup: QFn = (s, dir) => {
+    val docs0 = t(s, dir, "documents")
+    val corpus = docs0.select(col("doc_id"), col("text"), col("source"))
+      .unionByName(docs0.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
+                concat(col("source"), lit("-mirror")).as("source")))
+    val media = graft.textops.Multimodal.asMediaTable(
+      corpus, "doc_id", "text", "source")
+    media.groupBy(sha2(col("blob"), 256).as("blob_sha"))
+      .agg(count(lit(1)).as("n_copies"),
+           min(col("media_id")).as("keep_id"),
+           sum(col("meta.n_bytes")).cast("long").as("total_bytes"))
+      .filter(col("n_copies") >= 2)
+      .orderBy("blob_sha")
+  }
+  private val mmBlobDedupSql =
+    """WITH corpus AS (SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 10000000, text FROM documents
+      |  WHERE doc_id % 7 = 0)
+      |SELECT sha256(text) AS blob_sha, COUNT(*) AS n_copies,
+      |CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+      |CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+      |FROM corpus GROUP BY 1 HAVING COUNT(*) >= 2
+      |ORDER BY blob_sha""".stripMargin
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, QFn] = Map(
@@ -2419,7 +2451,8 @@ object ExtendedQueries {
     "q26_abc_xyz" -> q26AbcXyz,
     "p_leakage_safe_split" -> pLeakageSafeSplit,
     "a24_revenue_gini" -> a24RevenueGini,
-    "j19_nearest_value_join" -> j19NearestValue)
+    "j19_nearest_value_join" -> j19NearestValue,
+    "mm_blob_dedup" -> mmBlobDedup)
 
   val oracleSql: Map[String, String] = Map(
     "j14_null_safe_join" -> j14Sql,
@@ -2474,5 +2507,6 @@ object ExtendedQueries {
     "q26_abc_xyz" -> q26Sql,
     "p_leakage_safe_split" -> pLeakageSafeSplitSql,
     "a24_revenue_gini" -> a24Sql,
-    "j19_nearest_value_join" -> j19Sql)
+    "j19_nearest_value_join" -> j19Sql,
+    "mm_blob_dedup" -> mmBlobDedupSql)
 }
