@@ -2396,6 +2396,134 @@ object ExtendedQueries {
       |FROM corpus GROUP BY 1 HAVING COUNT(*) >= 2
       |ORDER BY blob_sha""".stripMargin
 
+  // ------------------------------------------------------------------
+  // p_domain_cap — host-level document caps, the web-crawl curation
+  // primitive (cap each domain's contribution so megasites don't
+  // dominate the training mix). Keep is deterministic: first 10 docs
+  // per domain ordered by (content md5, doc_id). The cap runs on the
+  // NATIVE per-group top-k operator (plans/TopKPerGroup): a k-bounded
+  // heap per input partition, so the exchange moves ≤ k·partitions
+  // rows per domain — a hot domain with 10⁸ pages shuffles 320 rows,
+  // not 10⁸ (the row_number window form would sort the whole domain).
+  // ------------------------------------------------------------------
+  private val pDomainCap: QFn = (s, dir) => {
+    val d = t(s, dir, "documents").select(
+      concat(col("source"), lit("/d"),
+             (col("doc_id") % 2).cast("string")).as("domain"),
+      col("doc_id"), md5(col("text")).as("fp"))
+    graft.plans.TopKPerGroup.topK(
+        d, Seq("domain"), Seq(("fp", false), ("doc_id", false)), k = 10)
+      .select(col("domain"), col("doc_id"))
+      .orderBy("domain", "doc_id")
+  }
+  private val pDomainCapSql =
+    """WITH d AS (SELECT source || '/d' || CAST(doc_id % 2 AS VARCHAR) AS domain,
+      |  doc_id, md5(text) AS fp FROM documents)
+      |SELECT domain, doc_id FROM d
+      |QUALIFY row_number() OVER (PARTITION BY domain ORDER BY fp, doc_id) <= 10
+      |ORDER BY domain, doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // p_sequence_packing — concat-and-chop packing to a fixed context
+  // window, the actual LLM-pretraining batching op: documents are
+  // concatenated in deterministic doc_id order and chopped every 512
+  // tokens; a doc whose token span crosses a boundary is split across
+  // sequences. first_seq/last_seq fall out of the exclusive/inclusive
+  // prefix sums in closed form — the global running sum is
+  // operators/PrefixSum (range partition + broadcast offsets), never a
+  // single-task window, so the plan survives a 10¹⁰-doc corpus. All
+  // arithmetic is integral (BPE-estimate token counts) — hash-exact.
+  // ------------------------------------------------------------------
+  private val pSeqPacking: QFn = (s, dir) => {
+    val ctx = 512L
+    val toks = t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.textops.TextFunctions.bpeTokenEstimate(col("text")).as("tk"))
+      .filter(col("tk") > 0)
+      .withColumn("tkd", col("tk").cast(DecimalType(38, 0)))
+    val cum = graft.operators.PrefixSum
+      .withRunningSum(toks, Seq(col("doc_id")), col("tkd"), "cumd")
+      .withColumn("cum", col("cumd").cast("long"))
+      .withColumn("first_seq", expr(s"(cum - tk) div $ctx"))
+      .withColumn("last_seq", expr(s"(cum - 1) div $ctx"))
+    cum.agg(
+        count(lit(1)).as("n_docs"),
+        max(col("cum")).as("total_tokens"),
+        sum(when(col("last_seq") > col("first_seq"), 1L).otherwise(0L))
+          .as("n_split_docs"),
+        max(col("last_seq") - col("first_seq") + 1).as("max_span"))
+      .select(
+        col("n_docs"),
+        col("total_tokens"),
+        (expr(s"(total_tokens - 1) div $ctx") + 1L).as("n_sequences"),
+        col("n_split_docs"),
+        col("max_span"),
+        (col("total_tokens") - expr(s"(total_tokens - 1) div $ctx") * ctx)
+          .as("last_fill_tokens"))
+      .orderBy("n_docs")
+  }
+  private val pSeqPackingSql = {
+    val tk = graft.textops.TextFunctions.bpeTokenEstimateSql("text")
+    s"""WITH tok AS (SELECT doc_id, $tk AS tk FROM documents),
+       |t AS (SELECT tk, SUM(tk) OVER (ORDER BY doc_id
+       |        ROWS UNBOUNDED PRECEDING) AS cum FROM tok WHERE tk > 0),
+       |d AS (SELECT tk, cum, (cum - tk) // 512 AS first_seq,
+       |        (cum - 1) // 512 AS last_seq FROM t),
+       |s AS (SELECT COUNT(*) AS n_docs, MAX(cum) AS total_tokens,
+       |        SUM(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END) AS n_split,
+       |        MAX(last_seq - first_seq + 1) AS max_span FROM d)
+       |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       |CAST(total_tokens AS BIGINT) AS total_tokens,
+       |CAST((total_tokens - 1) // 512 + 1 AS BIGINT) AS n_sequences,
+       |CAST(n_split AS BIGINT) AS n_split_docs,
+       |CAST(max_span AS BIGINT) AS max_span,
+       |CAST(total_tokens - ((total_tokens - 1) // 512) * 512 AS BIGINT)
+       |  AS last_fill_tokens
+       |FROM s ORDER BY n_docs""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // dq_psi_drift — population-stability-index drift monitor between
+  // the first and second half of the event month: 10 fixed-width value
+  // buckets, add-one smoothed shares, per-bucket PSI term
+  // (p−q)·ln(p/q). Counts are exact integers; each bucket's term is ONE
+  // final double expression rounded to 6 — per-bucket rows, so the
+  // deliverable never sums unordered doubles. One groupBy shuffle over
+  // the bucket key plus a 1-row broadcast of the totals.
+  // ------------------------------------------------------------------
+  private val dqPsiDrift: QFn = (s, dir) => {
+    val splitDay = 19738L // 2024-01-16
+    val e = t(s, dir, "events").select(
+      expr("(ts div 1000000000) div 86400").as("day"),
+      least(floor(col("value") / 50.0), lit(9.0)).cast("long").as("bucket"))
+    val agg = e.groupBy("bucket").agg(
+      sum(when(col("day") < splitDay, 1L).otherwise(0L)).as("n_ref"),
+      sum(when(col("day") >= splitDay, 1L).otherwise(0L)).as("n_cur"))
+    val tot = agg.agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"))
+    val p = (col("n_ref") + 1).cast("double") / (col("t_ref") + 10).cast("double")
+    val q = (col("n_cur") + 1).cast("double") / (col("t_cur") + 10).cast("double")
+    agg.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+              round((p - q) * log(p / q), 6).as("psi_term"))
+      .orderBy("bucket")
+  }
+  private val dqPsiDriftSql =
+    """WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |  CAST(least(floor(value / 50.0), 9) AS BIGINT) AS bucket FROM events),
+      |a AS (SELECT bucket,
+      |  CAST(SUM(CASE WHEN day < 19738 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+      |  CAST(SUM(CASE WHEN day >= 19738 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      |  FROM e GROUP BY 1),
+      |tt AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+      |  CAST(SUM(n_cur) AS BIGINT) AS t_cur FROM a)
+      |SELECT bucket, n_ref, n_cur,
+      |round((CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + 10 AS DOUBLE)
+      |  - CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + 10 AS DOUBLE))
+      |  * ln((CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + 10 AS DOUBLE))
+      |  / (CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + 10 AS DOUBLE))), 6)
+      |  AS psi_term
+      |FROM a, tt ORDER BY bucket""".stripMargin
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, QFn] = Map(
@@ -2452,7 +2580,10 @@ object ExtendedQueries {
     "p_leakage_safe_split" -> pLeakageSafeSplit,
     "a24_revenue_gini" -> a24RevenueGini,
     "j19_nearest_value_join" -> j19NearestValue,
-    "mm_blob_dedup" -> mmBlobDedup)
+    "mm_blob_dedup" -> mmBlobDedup,
+    "p_domain_cap" -> pDomainCap,
+    "p_sequence_packing" -> pSeqPacking,
+    "dq_psi_drift" -> dqPsiDrift)
 
   val oracleSql: Map[String, String] = Map(
     "j14_null_safe_join" -> j14Sql,
@@ -2508,5 +2639,8 @@ object ExtendedQueries {
     "p_leakage_safe_split" -> pLeakageSafeSplitSql,
     "a24_revenue_gini" -> a24Sql,
     "j19_nearest_value_join" -> j19Sql,
-    "mm_blob_dedup" -> mmBlobDedupSql)
+    "mm_blob_dedup" -> mmBlobDedupSql,
+    "p_domain_cap" -> pDomainCapSql,
+    "p_sequence_packing" -> pSeqPackingSql,
+    "dq_psi_drift" -> dqPsiDriftSql)
 }
