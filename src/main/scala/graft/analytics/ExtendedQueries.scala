@@ -2566,6 +2566,214 @@ object ExtendedQueries {
       |MAX(jw) AS max_jw
       |FROM s GROUP BY 1 ORDER BY brand""".stripMargin
 
+  // ------------------------------------------------------------------
+  // p_mixture_sampling — temperature-scaled training-mix weights
+  // (the multilingual/multi-source sampling rule w_i ∝ p_i^α, α = 0.7):
+  // per-source token shares from exact integer sums, p^α rounded to 6
+  // and carried as DECIMAL so the normalizer Z is an EXACT sum (never
+  // an unordered double sum), then one final double division per
+  // output column. `epochs` = w/p is the per-source repeat factor a
+  // sampler would apply. Two 1-row broadcasts; one groupBy shuffle.
+  // ------------------------------------------------------------------
+  private val pMixture: QFn = (s, dir) => {
+    val bySrc = t(s, dir, "documents")
+      .select(col("source"),
+        graft.textops.TextFunctions.bpeTokenEstimate(col("text")).as("tk"))
+      .groupBy("source").agg(sum("tk").as("tokens"))
+    val tot = bySrc.agg(sum("tokens").as("t_tok"))
+    val j = bySrc.crossJoin(broadcast(tot))
+      .withColumn("p", col("tokens").cast("double") / col("t_tok").cast("double"))
+      .withColumn("pa", round(pow(col("p"), 0.7), 6).cast(DecimalType(18, 6)))
+    val z = j.agg(sum(col("pa")).as("z"))
+    val w = col("pa").cast("double") / col("z").cast("double")
+    j.crossJoin(broadcast(z))
+      .select(col("source"), col("tokens"),
+              round(col("p"), 6).as("p_share"),
+              round(w, 6).as("w_sample"),
+              round(w / col("p"), 6).as("epochs"))
+      .orderBy("source")
+  }
+  private val pMixtureSql = {
+    val tk = graft.textops.TextFunctions.bpeTokenEstimateSql("text")
+    s"""WITH s AS (SELECT source, CAST(SUM($tk) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY 1),
+       |t AS (SELECT CAST(SUM(tokens) AS BIGINT) AS t_tok FROM s),
+       |j AS (SELECT source, tokens,
+       |  CAST(tokens AS DOUBLE) / CAST(t_tok AS DOUBLE) AS p,
+       |  CAST(round(pow(CAST(tokens AS DOUBLE) / CAST(t_tok AS DOUBLE), 0.7), 6)
+       |       AS DECIMAL(18,6)) AS pa
+       |  FROM s CROSS JOIN t),
+       |z AS (SELECT SUM(pa) AS z FROM j)
+       |SELECT source, tokens, round(p, 6) AS p_share,
+       |round(CAST(pa AS DOUBLE) / CAST(z AS DOUBLE), 6) AS w_sample,
+       |round((CAST(pa AS DOUBLE) / CAST(z AS DOUBLE)) / p, 6) AS epochs
+       |FROM j CROSS JOIN z ORDER BY source""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // d_source_overlap — corpus-level contamination matrix: 3-word
+  // shingle Jaccard between every source pair (who scraped whom).
+  // Shingles hash to longs (Dedup.md5Hash64) before the distinct, so
+  // the shuffle carries (long, source) not text; the intersection join
+  // fans out per shingle by at most #sources², independent of corpus
+  // size. All 190 pairs emitted (zero-overlap pairs kept via the
+  // sizes frame), jaccard = one final double division, round-6. The
+  // oracle rebuilds the same sets from raw shingle strings — identical
+  // counts up to 2⁻⁶⁴ hash collisions, the house-standard equivalence.
+  // ------------------------------------------------------------------
+  private val dSourceOverlap: QFn = (s, dir) => {
+    val d = t(s, dir, "documents").select(col("source"),
+      split(graft.textops.TextFunctions.normText(col("text")), " ").as("ws"))
+    val sh = d.select(col("source"), col("ws"),
+        posexplode(col("ws")).as(Seq("i", "w")))
+      .filter(col("i") <= size(col("ws")) - 3)
+      .select(col("source"), graft.textops.Dedup.md5Hash64(concat_ws(" ",
+        col("w"), element_at(col("ws"), col("i") + 2),
+        element_at(col("ws"), col("i") + 3))).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("source").as("src_a"), col("sh"))
+      .join(sh.select(col("source").as("src_b"), col("sh")), "sh")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("common"))
+    val frame = sizes.select(col("source").as("src_a"), col("n").as("n_a"))
+      .crossJoin(sizes.select(col("source").as("src_b"), col("n").as("n_b")))
+      .filter(col("src_a") < col("src_b"))
+    frame.join(inter, Seq("src_a", "src_b"), "left")
+      .withColumn("common", coalesce(col("common"), lit(0L)))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("common"),
+        round(col("common").cast("double") /
+              (col("n_a") + col("n_b") - col("common")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+  private val dSourceOverlapSql = {
+    val norm = graft.textops.TextFunctions.normTextSql("text")
+    s"""WITH w AS (SELECT source, string_split($norm, ' ') AS ws FROM documents),
+       |sh AS (SELECT DISTINCT source,
+       |  unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+       |    i -> array_to_string(ws[i:i+2], ' '))) AS shingle FROM w),
+       |sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT x.source AS src_a, y.source AS src_b,
+       |  CAST(COUNT(*) AS BIGINT) AS common
+       |  FROM sh x JOIN sh y USING (shingle)
+       |  WHERE x.source < y.source GROUP BY 1, 2),
+       |frame AS (SELECT a.source AS src_a, b.source AS src_b,
+       |  CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b
+       |  FROM sizes a CROSS JOIN sizes b WHERE a.source < b.source)
+       |SELECT src_a, src_b, n_a, n_b, COALESCE(common, 0) AS common,
+       |round(CAST(COALESCE(common, 0) AS DOUBLE)
+       |  / CAST(n_a + n_b - COALESCE(common, 0) AS DOUBLE), 6) AS jaccard
+       |FROM frame LEFT JOIN inter USING (src_a, src_b)
+       |ORDER BY src_a, src_b""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // a25_welch_ttest — Welch's unequal-variance t-test between two
+  // event populations (purchase vs view value): exact DECIMAL sums and
+  // sums of squares per group (one map-side-combined shuffle over 2
+  // keys), then the t statistic and Welch–Satterthwaite df as single
+  // double expressions with identical structure on both engines,
+  // round-6. The A/B-testing primitive, computed without ever summing
+  // raw doubles.
+  // ------------------------------------------------------------------
+  private val a25Welch: QFn = (s, dir) => {
+    val e = t(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("event_type"),
+              col("value").cast(DecimalType(18, 2)).as("v"))
+    val g = e.groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum(col("v")).as("sv"),
+      sum(col("v") * col("v")).as("svv"))
+    val p = g.filter(col("event_type") === "purchase")
+      .select(col("n").as("n1"), col("sv").as("sv1"), col("svv").as("svv1"))
+    val v = g.filter(col("event_type") === "view")
+      .select(col("n").as("n2"), col("sv").as("sv2"), col("svv").as("svv2"))
+    val j = p.crossJoin(broadcast(v))
+    def d(c: String) = col(c).cast("double")
+    val m1 = d("sv1") / d("n1"); val m2 = d("sv2") / d("n2")
+    val var1 = (d("svv1") - d("sv1") * d("sv1") / d("n1")) / (d("n1") - 1)
+    val var2 = (d("svv2") - d("sv2") * d("sv2") / d("n2")) / (d("n2") - 1)
+    val se1 = var1 / d("n1"); val se2 = var2 / d("n2")
+    val tStat = (m1 - m2) / sqrt(se1 + se2)
+    val df = (se1 + se2) * (se1 + se2) /
+      (se1 * se1 / (d("n1") - 1) + se2 * se2 / (d("n2") - 1))
+    j.select(col("n1"), col("n2"),
+             round(m1, 6).as("mean_1"), round(m2, 6).as("mean_2"),
+             round(tStat, 6).as("t_stat"), round(df, 6).as("welch_df"))
+      .orderBy("n1")
+  }
+  private val a25Sql =
+    """WITH e AS (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events WHERE event_type IN ('purchase', 'view')),
+      |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  SUM(v) AS sv, SUM(v * v) AS svv FROM e GROUP BY 1),
+      |p AS (SELECT n AS n1, sv AS sv1, svv AS svv1 FROM g
+      |      WHERE event_type = 'purchase'),
+      |v AS (SELECT n AS n2, sv AS sv2, svv AS svv2 FROM g
+      |      WHERE event_type = 'view'),
+      |j AS (SELECT *,
+      |  CAST(sv1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+      |  CAST(sv2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+      |  (CAST(svv1 AS DOUBLE) - CAST(sv1 AS DOUBLE) * CAST(sv1 AS DOUBLE)
+      |     / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1) AS var1,
+      |  (CAST(svv2 AS DOUBLE) - CAST(sv2 AS DOUBLE) * CAST(sv2 AS DOUBLE)
+      |     / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1) AS var2
+      |  FROM p CROSS JOIN v)
+      |SELECT n1, n2, round(m1, 6) AS mean_1, round(m2, 6) AS mean_2,
+      |round((m1 - m2) / sqrt(var1 / CAST(n1 AS DOUBLE)
+      |  + var2 / CAST(n2 AS DOUBLE)), 6) AS t_stat,
+      |round((var1 / CAST(n1 AS DOUBLE) + var2 / CAST(n2 AS DOUBLE))
+      |  * (var1 / CAST(n1 AS DOUBLE) + var2 / CAST(n2 AS DOUBLE))
+      |  / ((var1 / CAST(n1 AS DOUBLE)) * (var1 / CAST(n1 AS DOUBLE))
+      |       / (CAST(n1 AS DOUBLE) - 1)
+      |     + (var2 / CAST(n2 AS DOUBLE)) * (var2 / CAST(n2 AS DOUBLE))
+      |       / (CAST(n2 AS DOUBLE) - 1)), 6) AS welch_df
+      |FROM j ORDER BY n1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // x6_k_anonymity — k-anonymity suppression over the quasi-identifier
+  // (nation, segment, balance band): cells with fewer than k = 5
+  // members are generalized to '*' and merged into one suppressed
+  // bucket, so no published row describes fewer than 5 people. Two
+  // groupBy shuffles (cell count, then display re-group) — the same
+  // shape at any scale; the privacy guarantee is structural, not
+  // sampled. Completes §2.10 with the disclosure-control operator the
+  // security pack lacked.
+  // ------------------------------------------------------------------
+  private val x6KAnon: QFn = (s, dir) => {
+    val cells = t(s, dir, "customer").select(
+        col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"),
+        (floor(col("c_acctbal") / 2000.0).cast("long") * 2000L).as("bal_band"))
+      .groupBy("nation", "segment", "bal_band")
+      .agg(count(lit(1)).as("n"))
+    val masked = cells.select(
+      when(col("n") >= 5, col("nation").cast("string")).otherwise("*")
+        .as("nation_d"),
+      when(col("n") >= 5, col("segment")).otherwise("*").as("segment_d"),
+      when(col("n") >= 5, col("bal_band").cast("string")).otherwise("*")
+        .as("band_d"),
+      col("n"))
+    masked.groupBy("nation_d", "segment_d", "band_d")
+      .agg(sum(col("n")).as("n_customers"), count(lit(1)).as("n_cells"))
+      .orderBy("nation_d", "segment_d", "band_d")
+  }
+  private val x6Sql =
+    """WITH cells AS (SELECT c_nationkey AS nation, c_mktsegment AS segment,
+      |  CAST(floor(c_acctbal / 2000.0) AS BIGINT) * 2000 AS bal_band,
+      |  COUNT(*) AS n
+      |  FROM customer GROUP BY 1, 2, 3),
+      |m AS (SELECT
+      |  CASE WHEN n >= 5 THEN CAST(nation AS VARCHAR) ELSE '*' END AS nation_d,
+      |  CASE WHEN n >= 5 THEN segment ELSE '*' END AS segment_d,
+      |  CASE WHEN n >= 5 THEN CAST(bal_band AS VARCHAR) ELSE '*' END AS band_d,
+      |  n FROM cells)
+      |SELECT nation_d, segment_d, band_d,
+      |CAST(SUM(n) AS BIGINT) AS n_customers,
+      |CAST(COUNT(*) AS BIGINT) AS n_cells
+      |FROM m GROUP BY 1, 2, 3
+      |ORDER BY nation_d, segment_d, band_d""".stripMargin
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, QFn] = Map(
@@ -2626,7 +2834,11 @@ object ExtendedQueries {
     "p_domain_cap" -> pDomainCap,
     "p_sequence_packing" -> pSeqPacking,
     "dq_psi_drift" -> dqPsiDrift,
-    "j20_jaro_winkler" -> j20JaroWinkler)
+    "j20_jaro_winkler" -> j20JaroWinkler,
+    "p_mixture_sampling" -> pMixture,
+    "d_source_overlap" -> dSourceOverlap,
+    "a25_welch_ttest" -> a25Welch,
+    "x6_k_anonymity" -> x6KAnon)
 
   val oracleSql: Map[String, String] = Map(
     "j14_null_safe_join" -> j14Sql,
@@ -2686,5 +2898,9 @@ object ExtendedQueries {
     "p_domain_cap" -> pDomainCapSql,
     "p_sequence_packing" -> pSeqPackingSql,
     "dq_psi_drift" -> dqPsiDriftSql,
-    "j20_jaro_winkler" -> j20Sql)
+    "j20_jaro_winkler" -> j20Sql,
+    "p_mixture_sampling" -> pMixtureSql,
+    "d_source_overlap" -> dSourceOverlapSql,
+    "a25_welch_ttest" -> a25Sql,
+    "x6_k_anonymity" -> x6Sql)
 }
