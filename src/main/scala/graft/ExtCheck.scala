@@ -43,6 +43,17 @@ object ExtCheck {
     assert(plan.toLowerCase.contains("abs("),
       s"LevenshteinPrefilter not active via extensions:\n$plan")
     println("EXTCHECK LevenshteinPrefilter OK")
+
+    val jwPlan = spark.read.parquet(dir)
+      .filter("jaro_winkler(a, b) >= 0.95")
+      .queryExecution.optimizedPlan.toString
+    assert(jwPlan.toLowerCase.contains("least("),
+      s"JaroWinklerPrefilter not active via extensions:\n$jwPlan")
+    val jwVal = spark.sql("SELECT jaro_winkler('MARTHA', 'MARHTA') AS s")
+      .head().getDouble(0)
+    assert(math.abs(jwVal - 0.9611111111111111) < 1e-12,
+      s"jaro_winkler broken: $jwVal")
+    println("EXTCHECK JaroWinklerPrefilter OK")
     spark.stop()
   }
 }

@@ -35,6 +35,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // operator-optimization fixpoint so the injected guard participates
     // in normal predicate pushdown
     e.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
+    e.injectOptimizerRule(_ => graft.plans.JaroWinklerPrefilter)
+    e.injectFunction((
+      new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[graft.functions.JaroWinkler].getName,
+        "jaro_winkler"),
+      exprs => graft.functions.JaroWinkler(exprs(0), exprs(1))))
     // whole-operator extension: plans TopKPerGroupPlan into the
     // partial/final bounded-heap execs (plans/TopKPerGroup.scala)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)

@@ -2774,6 +2774,59 @@ object ExtendedQueries {
       |FROM m GROUP BY 1, 2, 3
       |ORDER BY nation_d, segment_d, band_d""".stripMargin
 
+  // ------------------------------------------------------------------
+  // j21_jw_top_pairs — the fuzzy-dedup deliverable: top-3 highest
+  // Jaro-Winkler pairs per brand above 0.95. Shuffle-hash join on the
+  // (brand, first-word) block key with explicit repartition (the j10
+  // scale shape: no full-side broadcast, no AQE single-partition
+  // collapse), the provable length-ratio guard in front of the scorer
+  // (the same bound JaroWinklerPrefilter injects — written explicitly
+  // here so the driver session needs no extensions), threshold on the
+  // ROUNDED score, and the native partial/final top-k operator for the
+  // per-brand cut — k·partitions rows per brand cross the exchange, not
+  // every matching pair.
+  // ------------------------------------------------------------------
+  private val j21JwTopPairs: QFn = (s, dir) => {
+    val p = t(s, dir, "part").select(
+      col("p_partkey"), col("p_brand"), col("p_name"),
+      split(col("p_name"), " ").getItem(0).as("w1"))
+    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val a = p.select(col("p_brand"), col("w1"), col("p_partkey").as("key_a"),
+                     col("p_name").as("name_a"))
+      .repartition(n, col("p_brand"), col("w1"))
+    val b = p.select(col("p_brand"), col("w1"), col("p_partkey").as("key_b"),
+                     col("p_name").as("name_b"))
+      .repartition(n, col("p_brand"), col("w1"))
+    val guard = least(length(col("name_a")), length(col("name_b")))
+      .cast("double") >=
+      lit(0.749999) * greatest(length(col("name_a")), length(col("name_b")))
+        .cast("double")
+    val pairs = a.hint("shuffle_hash").join(b, Seq("p_brand", "w1"))
+      .filter(col("key_a") < col("key_b"))
+      .filter(guard)
+      .withColumn("jw", round(
+        graft.functions.StrSim.jaro_winkler(col("name_a"), col("name_b")), 6))
+      .filter(col("jw") >= 0.95)
+    graft.plans.TopKPerGroup.topK(pairs, Seq("p_brand"),
+        Seq(("jw", true), ("key_a", false), ("key_b", false)), k = 3)
+      .select(col("p_brand"), col("key_a"), col("key_b"), col("jw"))
+      .orderBy(col("p_brand"), col("jw").desc, col("key_a"), col("key_b"))
+  }
+  private val j21Sql =
+    """WITH p AS (SELECT p_partkey, p_brand, p_name,
+      |  string_split(p_name, ' ')[1] AS w1 FROM part),
+      |s AS (SELECT a.p_brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
+      |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+      |  FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.w1 = b.w1
+      |       AND a.p_partkey < b.p_partkey
+      |  WHERE least(length(a.p_name), length(b.p_name))
+      |        >= 0.749999 * greatest(length(a.p_name), length(b.p_name)))
+      |SELECT p_brand, key_a, key_b, jw FROM s
+      |WHERE jw >= 0.95
+      |QUALIFY row_number() OVER (PARTITION BY p_brand
+      |  ORDER BY jw DESC, key_a, key_b) <= 3
+      |ORDER BY p_brand, jw DESC, key_a, key_b""".stripMargin
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, QFn] = Map(
@@ -2838,7 +2891,8 @@ object ExtendedQueries {
     "p_mixture_sampling" -> pMixture,
     "d_source_overlap" -> dSourceOverlap,
     "a25_welch_ttest" -> a25Welch,
-    "x6_k_anonymity" -> x6KAnon)
+    "x6_k_anonymity" -> x6KAnon,
+    "j21_jw_top_pairs" -> j21JwTopPairs)
 
   val oracleSql: Map[String, String] = Map(
     "j14_null_safe_join" -> j14Sql,
@@ -2902,5 +2956,6 @@ object ExtendedQueries {
     "p_mixture_sampling" -> pMixtureSql,
     "d_source_overlap" -> dSourceOverlapSql,
     "a25_welch_ttest" -> a25Sql,
-    "x6_k_anonymity" -> x6Sql)
+    "x6_k_anonymity" -> x6Sql,
+    "j21_jw_top_pairs" -> j21Sql)
 }
