@@ -2827,6 +2827,59 @@ object ExtendedQueries {
       |  ORDER BY jw DESC, key_a, key_b) <= 3
       |ORDER BY p_brand, jw DESC, key_a, key_b""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q27_stl_decomposition — additive trend/seasonal/residual split of
+  // the daily revenue series (the STL shape with a centered 7-day
+  // moving-average trend and weekday-phase seasonal means). The moving
+  // average is an explode-to-equi-join — each day contributes to its
+  // ±3 neighbors and a groupBy reassembles the window — so there is NO
+  // unpartitioned range window in the plan (the fixed 7× map-side
+  // expansion is the ev_dau_wau pattern). Revenue sums are exact
+  // decimals; detrended values round-6 and re-enter exact decimal sums
+  // for the seasonal means; each output column is one final double
+  // expression, round-6.
+  // ------------------------------------------------------------------
+  private val q27Stl: QFn = (s, dir) => {
+    val rev = t(s, dir, "orders").select(
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("day"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("p"))
+      .groupBy("day").agg(sum("p").as("rev"))
+    val ma = rev.select(explode(expr("sequence(day - 3, day + 3)")).as("cday"),
+                        col("rev"))
+      .groupBy("cday").agg(sum("rev").as("msum"), count(lit(1)).as("mcnt"))
+    val trend0 = col("msum").cast("double") / col("mcnt").cast("double")
+    val trended = rev.join(ma, col("day") === col("cday"))
+      .select(col("day"), col("rev"), trend0.as("trend0"),
+              round(col("rev").cast("double") - trend0, 6).as("detr"))
+    val seas = trended
+      .groupBy((col("day") % 7).as("phase"))
+      .agg((sum(col("detr").cast(DecimalType(28, 6))).cast("double") /
+            count(lit(1)).cast("double")).as("seas0"))
+    trended.join(broadcast(seas), col("day") % 7 === col("phase"))
+      .select(col("day"), col("rev").cast("double").as("revenue"),
+              round(col("trend0"), 6).as("trend"),
+              round(col("seas0"), 6).as("seasonal"),
+              round(col("detr") - col("seas0"), 6).as("residual"))
+      .orderBy("day")
+  }
+  private val q27Sql =
+    """WITH rev AS (SELECT
+      |  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+      |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev FROM orders GROUP BY 1),
+      |c AS (SELECT unnest(range(day - 3, day + 4)) AS cday, rev FROM rev),
+      |ma AS (SELECT cday, SUM(rev) AS msum, COUNT(*) AS mcnt FROM c GROUP BY 1),
+      |tr AS (SELECT day, rev,
+      |  CAST(msum AS DOUBLE) / CAST(mcnt AS DOUBLE) AS trend0,
+      |  round(CAST(rev AS DOUBLE)
+      |    - CAST(msum AS DOUBLE) / CAST(mcnt AS DOUBLE), 6) AS detr
+      |  FROM rev JOIN ma ON day = cday),
+      |se AS (SELECT day % 7 AS phase,
+      |  CAST(SUM(CAST(detr AS DECIMAL(28,6))) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS seas0 FROM tr GROUP BY 1)
+      |SELECT day, CAST(rev AS DOUBLE) AS revenue, round(trend0, 6) AS trend,
+      |round(seas0, 6) AS seasonal, round(detr - seas0, 6) AS residual
+      |FROM tr JOIN se ON day % 7 = phase ORDER BY day""".stripMargin
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, QFn] = Map(
@@ -2892,7 +2945,8 @@ object ExtendedQueries {
     "d_source_overlap" -> dSourceOverlap,
     "a25_welch_ttest" -> a25Welch,
     "x6_k_anonymity" -> x6KAnon,
-    "j21_jw_top_pairs" -> j21JwTopPairs)
+    "j21_jw_top_pairs" -> j21JwTopPairs,
+    "q27_stl_decomposition" -> q27Stl)
 
   val oracleSql: Map[String, String] = Map(
     "j14_null_safe_join" -> j14Sql,
@@ -2957,5 +3011,6 @@ object ExtendedQueries {
     "d_source_overlap" -> dSourceOverlapSql,
     "a25_welch_ttest" -> a25Sql,
     "x6_k_anonymity" -> x6Sql,
-    "j21_jw_top_pairs" -> j21Sql)
+    "j21_jw_top_pairs" -> j21Sql,
+    "q27_stl_decomposition" -> q27Sql)
 }

@@ -424,7 +424,10 @@ object TextQueries {
   // legitimately differ by an ulp — the one non-rational step in the
   // formula.
   private val bm25Query = Seq("data", "query", "spark", "vector")
-  private val tBm25: QFn = (s, dir) => {
+  /** Shared BM25 scorer: (doc_id, n_terms_hit, score_r round-6) for docs
+    * hitting ≥ 2 query terms — the common arm of t_bm25 and the hybrid
+    * RRF fusion entry. */
+  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val words = d.select(col("doc_id"),
         explode(split(TF.normText(col("text")), " ")).as("w"))
@@ -451,12 +454,15 @@ object TextQueries {
            round(sum(col("contrib").cast(org.apache.spark.sql.types.DecimalType(28, 18)))
              .cast("double"), 6).as("score_r"))
       .filter(col("n_terms_hit") >= 2)
-      .orderBy(col("doc_id"))
   }
-  private val tBm25Sql = {
+  private val tBm25: QFn = (s, dir) =>
+    bm25Scored(s, dir).orderBy(col("doc_id"))
+  /** The BM25 CTE chain shared by the t_bm25 and hybrid-search oracles:
+    * ends with `bm AS (doc_id, n_terms_hit, score_r)` (≥ 2 terms hit). */
+  private def bm25CtesSql: String = {
     val norm = TF.normTextSql("text")
     val terms = bm25Query.map(t => s"'$t'").mkString(", ")
-    s"""WITH w AS (SELECT doc_id, unnest(string_split($norm, ' ')) AS w
+    s"""w AS (SELECT doc_id, unnest(string_split($norm, ' ')) AS w
        |  FROM documents),
        |ww AS (SELECT doc_id, w FROM w WHERE length(w) > 0),
        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM ww GROUP BY 1),
@@ -471,12 +477,15 @@ object TextQueries {
        |    / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(total_words AS DOUBLE) / n_docs)))
        |    AS contrib
        |  FROM tf JOIN df USING (w) JOIN dl ON tf.doc_id = dl.doc_id
-       |  CROSS JOIN tot)
-       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+       |  CROSS JOIN tot),
+       |bm AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
        |round(CAST(CAST(SUM(CAST(contrib AS DECIMAL(28,18))) AS VARCHAR) AS DOUBLE), 6) AS score_r
-       |FROM scored GROUP BY 1 HAVING COUNT(*) >= 2
-       |ORDER BY doc_id""".stripMargin
+       |FROM scored GROUP BY 1 HAVING COUNT(*) >= 2)""".stripMargin
   }
+  private val tBm25Sql =
+    s"""WITH $bm25CtesSql
+       |SELECT doc_id, n_terms_hit, score_r FROM bm
+       |ORDER BY doc_id""".stripMargin
 
   // d7 — chunk-level boilerplate dedup: exact dedup at CHUNK granularity
   // across documents. Doc-level dedup misses repeated passages inside
@@ -714,6 +723,67 @@ object TextQueries {
   private def queryVec(s: SparkSession, dir: String): Seq[Double] =
     embs(s, dir).filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+
+  // pipe3 — hybrid retrieval with reciprocal-rank fusion: the lexical
+  // arm is the shared BM25 scorer, the vector arm the native-cosine
+  // brute-force top-k; each arm is cut to its top 100 by a distributed
+  // TakeOrdered (never a global sort), ranks are assigned by a
+  // bounded count-join over the 100 survivors (no unpartitioned
+  // window anywhere in the plan), and RRF = 1/(60+r_lex) + 1/(60+r_vec)
+  // is a fixed two-term double sum, round-6. The standard RAG fusion
+  // step, composed from two independently-oracled arms.
+  private def rrfRank(arm: DataFrame, scCol: String): DataFrame = {
+    val x = arm.select(col("doc_id"), col(scCol).as("sc"))
+    val y = x.select(col("doc_id").as("id2"), col("sc").as("sc2"))
+    x.join(y, col("sc2") > col("sc") ||
+              (col("sc2") === col("sc") && col("id2") < col("doc_id")), "left")
+      .groupBy("doc_id").agg((count(col("id2")) + 1L).as("rank"))
+  }
+  private val pipeHybrid: QFn = (s, dir) => {
+    val lex = bm25Scored(s, dir)
+      .filter(col("doc_id") =!= 0)
+      .select(col("doc_id").cast("long").as("doc_id"), col("score_r"))
+      .orderBy(col("score_r").desc, col("doc_id")).limit(100)
+    val vec = Similarity.bruteForceTopK(
+        embs(s, dir).filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        queryVec(s, dir), k = 100)
+      .select(col("vec_id").cast("long").as("doc_id"),
+              round(col("score"), 6).as("vscore"))
+    val l = rrfRank(lex, "score_r").withColumnRenamed("rank", "r_lex")
+    val v = rrfRank(vec, "vscore").withColumnRenamed("rank", "r_vec")
+    l.join(v, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_lex"), col("r_vec"),
+        round(coalesce(lit(1.0) / (col("r_lex") + 60).cast("double"), lit(0.0)) +
+              coalesce(lit(1.0) / (col("r_vec") + 60).cast("double"), lit(0.0)), 6)
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+      .orderBy(col("rrf").desc, col("doc_id"))
+  }
+  private val pipeHybridSql =
+    s"""WITH $bm25CtesSql,
+       |lex AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, score_r FROM bm
+       |        WHERE doc_id <> 0 ORDER BY score_r DESC, doc_id LIMIT 100),
+       |lexr AS (SELECT doc_id, row_number() OVER (ORDER BY score_r DESC, doc_id)
+       |         AS r_lex FROM lex),
+       |q AS (SELECT unnest(embedding) AS qv, generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings WHERE vec_id = 0),
+       |ve AS (SELECT vec_id, unnest(embedding) AS xv, generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings WHERE vec_id <> 0),
+       |sc AS (SELECT vec_id,
+       |  SUM(CAST(xv AS DOUBLE) * CAST(qv AS DOUBLE)) AS dot,
+       |  sqrt(SUM(CAST(xv AS DOUBLE) * CAST(xv AS DOUBLE))) AS nx,
+       |  sqrt(SUM(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE))) AS nq
+       |  FROM ve JOIN q USING (i) GROUP BY vec_id),
+       |vecarm AS (SELECT CAST(vec_id AS BIGINT) AS doc_id,
+       |  round(dot / NULLIF(nx * nq, 0.0), 6) AS vscore FROM sc
+       |  ORDER BY dot / NULLIF(nx * nq, 0.0) DESC, vec_id LIMIT 100),
+       |vecr AS (SELECT doc_id, row_number() OVER (ORDER BY vscore DESC, doc_id)
+       |         AS r_vec FROM vecarm)
+       |SELECT COALESCE(lexr.doc_id, vecr.doc_id) AS doc_id, r_lex, r_vec,
+       |round(COALESCE(1.0 / (r_lex + 60), 0.0)
+       |    + COALESCE(1.0 / (r_vec + 60), 0.0), 6) AS rrf
+       |FROM lexr FULL JOIN vecr ON lexr.doc_id = vecr.doc_id
+       |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
 
   private val aBrute: QFn = (s, dir) =>
     Similarity.bruteForceTopK(
@@ -1142,6 +1212,7 @@ object TextQueries {
   val queries: Map[String, QFn] = Map(
     "pipe_corpus_curation" -> pipeCuration,
     "pipe_rag_ingest" -> pipeRagIngest,
+    "pipe_hybrid_search" -> pipeHybrid,
     "p_hash_split" -> pSplit,
     "p_stratified_sample" -> pStratified,
     "p_token_shards" -> pShards,
@@ -1180,6 +1251,7 @@ object TextQueries {
   val oracleSql: Map[String, String] = Map(
     "pipe_corpus_curation" -> pipeCurationSql,
     "pipe_rag_ingest" -> pipeRagIngestSql,
+    "pipe_hybrid_search" -> pipeHybridSql,
     "p_hash_split" -> pSplitSql,
     "p_stratified_sample" -> pStratifiedSql,
     "p_token_shards" -> pShardsSql,
