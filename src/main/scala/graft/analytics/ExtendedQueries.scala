@@ -2880,6 +2880,156 @@ object ExtendedQueries {
       |round(seas0, 6) AS seasonal, round(detr - seas0, 6) AS residual
       |FROM tr JOIN se ON day % 7 = phase ORDER BY day""".stripMargin
 
+  // ------------------------------------------------------------------
+  // dq_ks_test — exact two-sample Kolmogorov–Smirnov statistic between
+  // the purchase and view value distributions. The supremum
+  // |F1(x) − F2(x)| is computed WITHOUT any floating point until the
+  // last step: per-value counts, global running sums via
+  // operators/PrefixSum (range partition + broadcast offsets, never a
+  // single-task window), and the cross-multiplied integer form
+  // |cum1·N2 − cum2·N1| — the max and its argmax value are exact; one
+  // final double division, round-6. Drift testing done the
+  // distributed-exact way (vs dq_psi_drift's bucketed smoothed form).
+  // ------------------------------------------------------------------
+  private val dqKsTest: QFn = (s, dir) => {
+    val e = t(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("event_type"), col("value").cast(DecimalType(18, 2)).as("v"))
+    val g = e.groupBy("v").agg(
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c1"),
+      sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c2"))
+      .withColumn("c1d", col("c1").cast(DecimalType(38, 0)))
+      .withColumn("c2d", col("c2").cast(DecimalType(38, 0)))
+    val cum1 = graft.operators.PrefixSum
+      .withRunningSum(g, Seq(col("v")), col("c1d"), "cum1")
+    val cum = graft.operators.PrefixSum
+      .withRunningSum(cum1, Seq(col("v")), col("c2d"), "cum2")
+      .select(col("v"), col("cum1").cast("long").as("f1"),
+              col("cum2").cast("long").as("f2"))
+    val tot = cum.agg(max(col("f1")).as("n1"), max(col("f2")).as("n2"))
+    // argmax without struct-max: values have 2 decimals and sit below
+    // 1000, so (dnum, v) packs into one long — max is exact and ties on
+    // dnum resolve to the larger v identically on both engines
+    val x = cum.crossJoin(broadcast(tot))
+      .withColumn("dnum", abs(col("f1") * col("n2") - col("f2") * col("n1")))
+      .withColumn("combo",
+        col("dnum") * 100000L + (col("v") * 100).cast("long"))
+    x.groupBy("n1", "n2")
+      .agg(max(col("combo")).as("combo"))
+      .select(col("n1"), col("n2"),
+              expr("combo div 100000").as("d_num"),
+              ((col("combo") % 100000L).cast("double") / 100.0).as("d_at_value"),
+              round(expr("combo div 100000").cast("double") /
+                    (col("n1") * col("n2")).cast("double"), 6).as("ks_d"))
+      .orderBy("n1")
+  }
+  private val dqKsSql =
+    """WITH e AS (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events WHERE event_type IN ('purchase', 'view')),
+      |g AS (SELECT v,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      |  FROM e GROUP BY 1),
+      |c AS (SELECT v,
+      |  CAST(SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS f1,
+      |  CAST(SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS f2
+      |  FROM g),
+      |tt AS (SELECT MAX(f1) AS n1, MAX(f2) AS n2 FROM c),
+      |x AS (SELECT abs(f1 * n2 - f2 * n1) * 100000
+      |        + CAST(v * 100 AS BIGINT) AS combo, n1, n2
+      |      FROM c CROSS JOIN tt),
+      |m AS (SELECT n1, n2, MAX(combo) AS combo FROM x GROUP BY 1, 2)
+      |SELECT n1, n2, combo // 100000 AS d_num,
+      |CAST(combo % 100000 AS DOUBLE) / 100.0 AS d_at_value,
+      |round(CAST(combo // 100000 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE), 6) AS ks_d
+      |FROM m ORDER BY n1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // ev_regex_path — row-pattern matching over per-user event journeys
+  // (the MATCH_RECOGNIZE use case): each user's events collapse to an
+  // initials string in (ts, event_id) order — collect_list is made
+  // deterministic by sort_array over the carrying struct — and a regex
+  // classifies the journey (signup…click…purchase in order). The only
+  // shuffle is the per-user groupBy (data-scaled key); path strings are
+  // bounded by per-user activity. Oracle: ordered string_agg + regex.
+  // ------------------------------------------------------------------
+  private val evRegexPath: QFn = (s, dir) => {
+    val e = t(s, dir, "events").select(col("user_id"),
+      struct(col("ts"), col("event_id"),
+             substring(col("event_type"), 1, 1).as("ini")).as("ev"))
+    val paths = e.groupBy("user_id")
+      .agg(array_join(expr("transform(sort_array(collect_list(ev)), x -> x.ini)"),
+                      "").as("path"))
+    paths.select(col("path").rlike("^s.*cp").as("matched"),
+                 length(col("path")).as("path_len"))
+      .groupBy("matched")
+      .agg(count(lit(1)).as("n_users"),
+           sum(col("path_len")).cast("long").as("total_events"))
+      .orderBy("matched")
+  }
+  private val evRegexPathSql =
+    """WITH p AS (SELECT user_id,
+      |  string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id)
+      |    AS path
+      |  FROM events GROUP BY 1)
+      |SELECT regexp_matches(path, '^s.*cp') AS matched,
+      |COUNT(*) AS n_users,
+      |CAST(SUM(length(path)) AS BIGINT) AS total_events
+      |FROM p GROUP BY 1 ORDER BY matched""".stripMargin
+
+  // ------------------------------------------------------------------
+  // t_bigram_lm — bigram language-model scoring (the CCNet-style
+  // quality filter, one order up from t_unigram_logprob): corpus
+  // conditional probabilities P(w2|w1) = c(w1 w2)/c(w1 ·), per-doc mean
+  // log-likelihood of its bigram stream. Bigrams form by an equi-join
+  // of adjacent token positions (no per-doc window), corpus counts are
+  // two groupBy passes, and each distinct bigram's log term is ONE
+  // double expression rounded to 6 and multiplied by its exact
+  // occurrence count as a DECIMAL — the per-doc sum is order-free. Low
+  // scores = improbable token sequences = gibberish candidates.
+  // ------------------------------------------------------------------
+  private val tBigramLm: QFn = (s, dir) => {
+    val TFx = graft.textops.TextFunctions
+    val w = t(s, dir, "documents").select(col("doc_id"),
+        posexplode(split(TFx.normText(col("text")), " ")).as(Seq("i", "w")))
+      .filter(length(col("w")) > 0)
+    val big = w.select(col("doc_id"), col("i"), col("w").as("w1"))
+      .join(w.select(col("doc_id"), (col("i") - 1).as("i"), col("w").as("w2")),
+            Seq("doc_id", "i"))
+    val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+    val docBig = big.groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("m"))
+    val term = round(log(col("c2").cast("double") / col("c1").cast("double")), 6)
+    docBig.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .select(col("doc_id"), col("m"),
+              (term.cast(DecimalType(18, 6)) * col("m")).as("wterm"))
+      .groupBy("doc_id")
+      .agg(sum(col("m")).as("n_bigrams"), sum(col("wterm")).as("ll"))
+      .select(col("doc_id"), col("n_bigrams"),
+              round(col("ll").cast("double") /
+                    col("n_bigrams").cast("double"), 6).as("mean_ll"))
+      .orderBy("doc_id")
+  }
+  private val tBigramLmSql = {
+    val norm = graft.textops.TextFunctions.normTextSql("text")
+    s"""WITH w0 AS (SELECT doc_id, unnest(string_split($norm, ' ')) AS w,
+       |  generate_subscripts(string_split($norm, ' '), 1) AS i FROM documents),
+       |w AS (SELECT doc_id, i, w FROM w0 WHERE length(w) > 0),
+       |big AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+       |  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+       |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
+       |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+       |db AS (SELECT doc_id, w1, w2, COUNT(*) AS m FROM big GROUP BY 1, 2, 3),
+       |j AS (SELECT doc_id, m,
+       |  CAST(round(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)), 6)
+       |       AS DECIMAL(18,6)) * m AS wterm
+       |  FROM db JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+       |SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+       |round(CAST(SUM(wterm) AS DOUBLE) / CAST(SUM(m) AS DOUBLE), 6) AS mean_ll
+       |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, QFn] = Map(
@@ -2946,7 +3096,10 @@ object ExtendedQueries {
     "a25_welch_ttest" -> a25Welch,
     "x6_k_anonymity" -> x6KAnon,
     "j21_jw_top_pairs" -> j21JwTopPairs,
-    "q27_stl_decomposition" -> q27Stl)
+    "q27_stl_decomposition" -> q27Stl,
+    "dq_ks_test" -> dqKsTest,
+    "ev_regex_path" -> evRegexPath,
+    "t_bigram_lm" -> tBigramLm)
 
   val oracleSql: Map[String, String] = Map(
     "j14_null_safe_join" -> j14Sql,
@@ -3012,5 +3165,8 @@ object ExtendedQueries {
     "a25_welch_ttest" -> a25Sql,
     "x6_k_anonymity" -> x6Sql,
     "j21_jw_top_pairs" -> j21Sql,
-    "q27_stl_decomposition" -> q27Sql)
+    "q27_stl_decomposition" -> q27Sql,
+    "dq_ks_test" -> dqKsSql,
+    "ev_regex_path" -> evRegexPathSql,
+    "t_bigram_lm" -> tBigramLmSql)
 }
