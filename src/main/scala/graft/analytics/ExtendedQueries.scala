@@ -3030,6 +3030,107 @@ object ExtendedQueries {
        |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // ev_uplift_did — difference-in-differences estimate of a (pseudo-)
+  // treatment effect on purchase value: deterministic hash assignment
+  // (user_id parity stands in for the experiment flag), pre/post split
+  // at mid-month, four cell means from exact decimal sums, effect =
+  // (post_t − pre_t) − (post_c − pre_c) as one double expression,
+  // round-6. The causal-analytics primitive on top of the Welch
+  // machinery; one groupBy over 4 keys plus a 1-row pivot.
+  // ------------------------------------------------------------------
+  private val evUpliftDid: QFn = (s, dir) => {
+    val splitDay = 19738L
+    val e = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2 === 0).as("treated"),
+              (expr("(ts div 1000000000) div 86400") >= splitDay).as("post"),
+              col("value").cast(DecimalType(18, 2)).as("v"))
+    val g = e.groupBy("treated", "post")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .withColumn("m", col("sv").cast("double") / col("n").cast("double"))
+    def cell(tr: Boolean, po: Boolean, nm: String) =
+      g.filter(col("treated") === tr && col("post") === po)
+        .select(col("n").as(s"n_$nm"), col("m").as(s"m_$nm"))
+    val j = cell(true, false, "t_pre").crossJoin(broadcast(cell(true, true, "t_post")))
+      .crossJoin(broadcast(cell(false, false, "c_pre")))
+      .crossJoin(broadcast(cell(false, true, "c_post")))
+    j.select(col("n_t_pre"), col("n_t_post"), col("n_c_pre"), col("n_c_post"),
+             round(col("m_t_pre"), 6).as("mean_t_pre"),
+             round(col("m_t_post"), 6).as("mean_t_post"),
+             round(col("m_c_pre"), 6).as("mean_c_pre"),
+             round(col("m_c_post"), 6).as("mean_c_post"),
+             round((col("m_t_post") - col("m_t_pre")) -
+                   (col("m_c_post") - col("m_c_pre")), 6).as("did_effect"))
+      .orderBy("n_t_pre")
+  }
+  private val evUpliftDidSql =
+    """WITH e AS (SELECT (user_id % 2 = 0) AS treated,
+      |  (CAST(floor(epoch(ts)) AS BIGINT) // 86400 >= 19738) AS post,
+      |  CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events WHERE event_type = 'purchase'),
+      |g AS (SELECT treated, post, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m
+      |  FROM e GROUP BY 1, 2),
+      |tp AS (SELECT n AS n_t_pre, m AS m_t_pre FROM g WHERE treated AND NOT post),
+      |tq AS (SELECT n AS n_t_post, m AS m_t_post FROM g WHERE treated AND post),
+      |cp AS (SELECT n AS n_c_pre, m AS m_c_pre FROM g WHERE NOT treated AND NOT post),
+      |cq AS (SELECT n AS n_c_post, m AS m_c_post FROM g WHERE NOT treated AND post)
+      |SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+      |round(m_t_pre, 6) AS mean_t_pre, round(m_t_post, 6) AS mean_t_post,
+      |round(m_c_pre, 6) AS mean_c_pre, round(m_c_post, 6) AS mean_c_post,
+      |round((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6) AS did_effect
+      |FROM tp CROSS JOIN tq CROSS JOIN cp CROSS JOIN cq
+      |ORDER BY n_t_pre""".stripMargin
+
+  // ------------------------------------------------------------------
+  // d_phrase_mining — collocation extraction by pointwise mutual
+  // information: bigrams with count ≥ 5 scored by
+  // PMI = ln(N·c12 / (c1·c2)) over exact corpus counts (c1/c2 are
+  // UNIGRAM totals, N the token count), top-20 by (round-6 PMI,
+  // bigram). The phrase-detection pass a tokenizer-training pipeline
+  // runs before merging multiword units. Adjacency again via the
+  // position equi-join; the final cut is a distributed TakeOrdered.
+  // ------------------------------------------------------------------
+  private val dPhraseMining: QFn = (s, dir) => {
+    val TFx = graft.textops.TextFunctions
+    val w = t(s, dir, "documents").select(col("doc_id"),
+        posexplode(split(TFx.normText(col("text")), " ")).as(Seq("i", "w")))
+      .filter(length(col("w")) > 0)
+    val uni = w.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum("c").as("n_tokens"))
+    val big = w.select(col("doc_id"), col("i"), col("w").as("w1"))
+      .join(w.select(col("doc_id"), (col("i") - 1).as("i"), col("w").as("w2")),
+            Seq("doc_id", "i"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= 5)
+    big.join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        round(log((col("n_tokens") * col("c12")).cast("double") /
+                  (col("c1") * col("c2")).cast("double")), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(20)
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+  }
+  private val dPhraseMiningSql = {
+    val norm = graft.textops.TextFunctions.normTextSql("text")
+    s"""WITH w0 AS (SELECT doc_id, unnest(string_split($norm, ' ')) AS w,
+       |  generate_subscripts(string_split($norm, ' '), 1) AS i FROM documents),
+       |w AS (SELECT doc_id, i, w FROM w0 WHERE length(w) > 0),
+       |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY 1),
+       |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM uni),
+       |big AS (SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+       |  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+       |SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+       |round(ln(CAST(n_tokens * c12 AS DOUBLE)
+       |  / CAST(u1.c * u2.c AS DOUBLE)), 6) AS pmi
+       |FROM big JOIN uni u1 ON big.w1 = u1.w JOIN uni u2 ON big.w2 = u2.w
+       |CROSS JOIN n
+       |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
+  }
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, QFn] = Map(
@@ -3099,7 +3200,9 @@ object ExtendedQueries {
     "q27_stl_decomposition" -> q27Stl,
     "dq_ks_test" -> dqKsTest,
     "ev_regex_path" -> evRegexPath,
-    "t_bigram_lm" -> tBigramLm)
+    "t_bigram_lm" -> tBigramLm,
+    "ev_uplift_did" -> evUpliftDid,
+    "d_phrase_mining" -> dPhraseMining)
 
   val oracleSql: Map[String, String] = Map(
     "j14_null_safe_join" -> j14Sql,
@@ -3168,5 +3271,7 @@ object ExtendedQueries {
     "q27_stl_decomposition" -> q27Sql,
     "dq_ks_test" -> dqKsSql,
     "ev_regex_path" -> evRegexPathSql,
-    "t_bigram_lm" -> tBigramLmSql)
+    "t_bigram_lm" -> tBigramLmSql,
+    "ev_uplift_did" -> evUpliftDidSql,
+    "d_phrase_mining" -> dPhraseMiningSql)
 }
