@@ -29,8 +29,16 @@ object TextFunctions {
 
   /** BPE-ish token estimate: alpha runs count ~len/4 pieces each (ceil),
     * digits and punctuation are one token per char. A cheap, deterministic
-    * stand-in for a real tokenizer's budget accounting. */
-  def bpeTokenEstimate(c: Column): Column = {
+    * stand-in for a real tokenizer's budget accounting. Runs on the
+    * native one-pass expression (functions/TextExpressions) — the
+    * composable three-regex twin below is the reference it is
+    * spec-proven against (and what the DuckDB oracle mirrors). */
+  def bpeTokenEstimate(c: Column): Column =
+    graft.functions.BpeTokenCountHelper.bpe_token_count(c)
+
+  /** The built-ins-only twin of [[bpeTokenEstimate]] — three regex
+    * rewrites; kept as the reference implementation. */
+  def bpeTokenEstimateComposable(c: Column): Column = {
     val alphaChars = length(regexp_replace(c, "[^A-Za-z]", ""))
     val digits = length(regexp_replace(c, "[^0-9]", ""))
     val punct = length(regexp_replace(c, "[A-Za-z0-9\\s]", ""))
