@@ -330,6 +330,66 @@ object ScaleProbe {
           .count()
       }
     }
+
+    if (families("strsim")) {
+      // 10x parts (200k names) through the blocked Jaro-Winkler match:
+      // the (brand, first-word) block key caps candidate pairs per task,
+      // the length-ratio guard prunes before the scorer, and the native
+      // top-k bounds the exchange — the j20/j21 shapes at 10x.
+      val p0 = spark.read.parquet("/root/testdata/sf0.1/part.parquet")
+      val p = (0 until 10).map(i =>
+        p0.select((col("p_partkey") + lit(i * 10000000L)).as("p_partkey"),
+                  col("p_brand"), col("p_name")))
+        .reduce(_ unionByName _)
+        .withColumn("w1", split(col("p_name"), " ").getItem(0))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"parts: ${p.count()}")
+      val a = p.select(col("p_brand"), col("w1"),
+        col("p_partkey").as("ka"), col("p_name").as("na"))
+        .repartition(64, col("p_brand"), col("w1"))
+      val b = p.select(col("p_brand"), col("w1"),
+        col("p_partkey").as("kb"), col("p_name").as("nb"))
+        .repartition(64, col("p_brand"), col("w1"))
+      val guard = least(length(col("na")), length(col("nb"))).cast("double") >=
+        lit(0.749999) * greatest(length(col("na")), length(col("nb"))).cast("double")
+      time("jw_blocked_10x") {
+        val pairs = a.hint("shuffle_hash").join(b, Seq("p_brand", "w1"))
+          .filter(col("ka") < col("kb")).filter(guard)
+          .withColumn("jw", round(graft.functions.StrSim
+            .jaro_winkler(col("na"), col("nb")), 6))
+          .filter(col("jw") >= 0.95)
+        graft.plans.TopKPerGroup.topK(pairs, Seq("p_brand"),
+          Seq(("jw", true), ("ka", false), ("kb", false)), k = 3).count()
+      }
+    }
+
+    if (families("packing")) {
+      // 50k docs through the PrefixSum concat-and-chop packer: the
+      // global running sum is the only coordination point and it is
+      // range-partitioned — no single-task window at any corpus size.
+      val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val big = (0 until 10).map(i =>
+        base.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+        .reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"docs: ${big.count()}")
+      time("seq_packing_10x") {
+        val toks = big.select(col("doc_id"),
+            graft.textops.TextFunctions.bpeTokenEstimate(col("text")).as("tk"))
+          .filter(col("tk") > 0)
+          .withColumn("tkd", col("tk").cast(
+            org.apache.spark.sql.types.DecimalType(38, 0)))
+        graft.operators.PrefixSum
+          .withRunningSum(toks, Seq(col("doc_id")), col("tkd"), "cumd",
+            partitions = 64)
+          .withColumn("cum", col("cumd").cast("long"))
+          .withColumn("first_seq", expr("(cum - tk) div 512"))
+          .withColumn("last_seq", expr("(cum - 1) div 512"))
+          .agg(count(lit(1)).as("n"),
+               sum(when(col("last_seq") > col("first_seq"), 1L).otherwise(0L)))
+          .count()
+      }
+    }
     spark.stop()
   }
 }
