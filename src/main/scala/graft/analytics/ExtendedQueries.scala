@@ -3131,6 +3131,139 @@ object ExtendedQueries {
        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // dq_rule_profiling — an expectation-suite evaluation (the
+  // great-expectations pattern): five declarative rules over customer
+  // (null check, range check, format regex, key uniqueness, value
+  // domain) evaluated in ONE scan — conditional sums plus one distinct
+  // count — then unpivoted to a per-rule report row with pass/fail.
+  // Adding a rule is adding a column expression, not a pass; at 100 TB
+  // the suite still costs one scan.
+  // ------------------------------------------------------------------
+  private val dqRuleProfiling: QFn = (s, dir) => {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+                   "MACHINERY")
+    val agg = t(s, dir, "customer").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("c_name").isNull, 1L).otherwise(0L)).as("v1"),
+      sum(when(col("c_acctbal") < -1000.0 || col("c_acctbal") > 10000.0, 1L)
+        .otherwise(0L)).as("v2"),
+      sum(when(!col("c_name").rlike("^Customer#[0-9]{9}$"), 1L)
+        .otherwise(0L)).as("v3"),
+      (count(lit(1)) - countDistinct(col("c_custkey"))).as("v4"),
+      sum(when(!col("c_mktsegment").isin(segs: _*), 1L).otherwise(0L)).as("v5"))
+    agg.select(expr(
+        """stack(5,
+          | 'c_name_not_null', v1,
+          | 'c_acctbal_range', v2,
+          | 'c_name_format', v3,
+          | 'c_custkey_unique', v4,
+          | 'c_mktsegment_domain', v5) AS (rule, n_violations)""".stripMargin),
+        col("n").as("n_rows"))
+      .select(col("rule"), col("n_rows"), col("n_violations"),
+              (col("n_violations") === 0L).as("passed"))
+      .orderBy("rule")
+  }
+  private val dqRuleProfilingSql =
+    """WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+      |  CAST(SUM(CASE WHEN c_acctbal < -1000.0 OR c_acctbal > 10000.0
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+      |  CAST(SUM(CASE WHEN NOT regexp_matches(c_name,
+      |           '^Customer#[0-9]{9}$') THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+      |  CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) AS v4,
+      |  CAST(SUM(CASE WHEN c_mktsegment NOT IN ('AUTOMOBILE', 'BUILDING',
+      |           'FURNITURE', 'HOUSEHOLD', 'MACHINERY')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS v5
+      |  FROM customer)
+      |SELECT 'c_name_not_null' AS rule, n AS n_rows, v1 AS n_violations,
+      |       v1 = 0 AS passed FROM a
+      |UNION ALL SELECT 'c_acctbal_range', n, v2, v2 = 0 FROM a
+      |UNION ALL SELECT 'c_name_format', n, v3, v3 = 0 FROM a
+      |UNION ALL SELECT 'c_custkey_unique', n, v4, v4 = 0 FROM a
+      |UNION ALL SELECT 'c_mktsegment_domain', n, v5, v5 = 0 FROM a
+      |ORDER BY rule""".stripMargin
+
+  // ------------------------------------------------------------------
+  // ev_frequency_capping — per-(user, day) delivery caps (the ad-tech
+  // pacing primitive): events beyond the 5th for a user-day are
+  // suppressed; daily report of delivered/suppressed volumes and how
+  // many users hit their cap. The row_number window is partitioned by
+  // (user_id, day) — the data-scaled key — with a (ts, event_id) total
+  // order; everything after it is one groupBy.
+  // ------------------------------------------------------------------
+  private val evFreqCapping: QFn = (s, dir) => {
+    val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+      col("ts"), expr("(ts div 1000000000) div 86400").as("day"))
+    val w = Window.partitionBy("user_id", "day")
+      .orderBy(col("ts"), col("event_id"))
+    val flagged = e.withColumn("rn", row_number().over(w))
+    flagged.groupBy("day")
+      .agg(sum(when(col("rn") <= 5, 1L).otherwise(0L)).as("n_delivered"),
+           sum(when(col("rn") > 5, 1L).otherwise(0L)).as("n_suppressed"),
+           sum(when(col("rn") === 6, 1L).otherwise(0L)).as("n_capped_users"))
+      .orderBy("day")
+  }
+  private val evFreqCappingSql =
+    """WITH e AS (SELECT user_id, event_id,
+      |  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |  row_number() OVER (PARTITION BY user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400
+      |    ORDER BY ts, event_id) AS rn
+      |  FROM events)
+      |SELECT day,
+      |CAST(SUM(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_delivered,
+      |CAST(SUM(CASE WHEN rn > 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppressed,
+      |CAST(SUM(CASE WHEN rn = 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_capped_users
+      |FROM e GROUP BY 1 ORDER BY day""".stripMargin
+
+  // ------------------------------------------------------------------
+  // t_readability — Flesch-style readability scoring: words from the
+  // normalized tokenizer, sentences from terminator counts, a
+  // vowel-group syllable proxy; the score is one double expression
+  // with identical structure on both engines, round-6. The classic
+  // document-quality feature alongside t_quality_score — pure Column
+  // regex arithmetic, no UDFs, codegen end-to-end.
+  // ------------------------------------------------------------------
+  private val tReadability: QFn = (s, dir) => {
+    val TFx = graft.textops.TextFunctions
+    val words = TFx.wsTokenCount(col("text")).cast("long")
+    val sents = greatest(
+      length(regexp_replace(col("text"), "[^.!?]", "")).cast("long"), lit(1L))
+    val vgroups = length(regexp_replace(
+      regexp_replace(lower(col("text")), "[aeiou]+", "V"), "[^V]", ""))
+      .cast("long")
+    t(s, dir, "documents")
+      .select(col("doc_id"), words.as("n_words"), sents.as("n_sentences"),
+              vgroups.as("n_vowel_groups"))
+      .filter(col("n_words") > 0)
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_vowel_groups"),
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") /
+                          col("n_sentences").cast("double"))
+          - lit(84.6) * (col("n_vowel_groups").cast("double") /
+                         col("n_words").cast("double")), 6).as("flesch_r"))
+      .orderBy("doc_id")
+  }
+  private val tReadabilitySql = {
+    val norm = graft.textops.TextFunctions.normTextSql("text")
+    s"""WITH b AS (SELECT doc_id,
+       |  CAST(len(string_split($norm, ' ')) AS BIGINT) AS n_words,
+       |  greatest(CAST(length(regexp_replace(text, '[^.!?]', '', 'g'))
+       |    AS BIGINT), 1) AS n_sentences,
+       |  CAST(length(regexp_replace(regexp_replace(lower(text),
+       |    '[aeiou]+', 'V', 'g'), '[^V]', '', 'g')) AS BIGINT)
+       |    AS n_vowel_groups
+       |  FROM documents)
+       |SELECT doc_id, n_words, n_sentences, n_vowel_groups,
+       |round(206.835
+       |  - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+       |  - 84.6 * (CAST(n_vowel_groups AS DOUBLE) / CAST(n_words AS DOUBLE)), 6)
+       |  AS flesch_r
+       |FROM b WHERE n_words > 0 ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, QFn] = Map(
@@ -3202,7 +3335,10 @@ object ExtendedQueries {
     "ev_regex_path" -> evRegexPath,
     "t_bigram_lm" -> tBigramLm,
     "ev_uplift_did" -> evUpliftDid,
-    "d_phrase_mining" -> dPhraseMining)
+    "d_phrase_mining" -> dPhraseMining,
+    "dq_rule_profiling" -> dqRuleProfiling,
+    "ev_frequency_capping" -> evFreqCapping,
+    "t_readability" -> tReadability)
 
   val oracleSql: Map[String, String] = Map(
     "j14_null_safe_join" -> j14Sql,
@@ -3273,5 +3409,8 @@ object ExtendedQueries {
     "ev_regex_path" -> evRegexPathSql,
     "t_bigram_lm" -> tBigramLmSql,
     "ev_uplift_did" -> evUpliftDidSql,
-    "d_phrase_mining" -> dPhraseMiningSql)
+    "d_phrase_mining" -> dPhraseMiningSql,
+    "dq_rule_profiling" -> dqRuleProfilingSql,
+    "ev_frequency_capping" -> evFreqCappingSql,
+    "t_readability" -> tReadabilitySql)
 }
