@@ -3264,6 +3264,35 @@ object ExtendedQueries {
        |FROM b WHERE n_words > 0 ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // s21_range_source — the custom DataSourceV2 connector end-to-end
+  // (sources/SeqSource): a pushdown-capable sequence table scanned
+  // with a range predicate that CLAMPS generation at the source (rows
+  // outside [250k, 750k) are never produced — SeqSourceSpec asserts
+  // the clamped bounds in the BatchScan) and a residual bucket
+  // predicate Spark evaluates post-scan. The oracle replays the same
+  // arithmetic over DuckDB's range() table function.
+  // ------------------------------------------------------------------
+  private val s21RangeSource: QFn = (s, dir) => {
+    s.read.format("graft.sources.SeqSource")
+      .option("start", "0").option("end", "1000000").option("slices", "8")
+      .load()
+      .filter(col("id") >= 250000L && col("id") < 750000L)
+      .filter(col("bucket") % 7 === 0)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"),
+           min(col("payload")).as("first_payload"))
+      .orderBy("bucket")
+  }
+  private val s21Sql =
+    """WITH t AS (SELECT range AS id, range % 97 AS bucket,
+      |  'row-' || CAST(range AS VARCHAR) AS payload
+      |  FROM range(250000, 750000))
+      |SELECT bucket, COUNT(*) AS n, CAST(SUM(id) AS BIGINT) AS id_sum,
+      |MIN(payload) AS first_payload
+      |FROM t WHERE bucket % 7 = 0
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, QFn] = Map(
@@ -3338,7 +3367,8 @@ object ExtendedQueries {
     "d_phrase_mining" -> dPhraseMining,
     "dq_rule_profiling" -> dqRuleProfiling,
     "ev_frequency_capping" -> evFreqCapping,
-    "t_readability" -> tReadability)
+    "t_readability" -> tReadability,
+    "s21_range_source" -> s21RangeSource)
 
   val oracleSql: Map[String, String] = Map(
     "j14_null_safe_join" -> j14Sql,
@@ -3412,5 +3442,6 @@ object ExtendedQueries {
     "d_phrase_mining" -> dPhraseMiningSql,
     "dq_rule_profiling" -> dqRuleProfilingSql,
     "ev_frequency_capping" -> evFreqCappingSql,
-    "t_readability" -> tReadabilitySql)
+    "t_readability" -> tReadabilitySql,
+    "s21_range_source" -> s21Sql)
 }
