@@ -3293,6 +3293,105 @@ object ExtendedQueries {
       |FROM t WHERE bucket % 7 = 0
       |GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // ------------------------------------------------------------------
+  // p_curriculum_ordering — curriculum-learning data prep: order docs
+  // easiest-first by readability, then cut the stream into 3 phases of
+  // EQUAL TOKEN MASS (not equal doc count — the budget that matters to
+  // a trainer). Phase boundaries fall out of the global token prefix
+  // sum (operators/PrefixSum) compared against thirds of the exact
+  // total in INTEGER form (cum·3 vs total) — no percentile
+  // approximation, no unpartitioned window. Per-phase report of doc/
+  // token volumes and the score range.
+  // ------------------------------------------------------------------
+  private val pCurriculum: QFn = (s, dir) => {
+    val TFx = graft.textops.TextFunctions
+    val words = TFx.wsTokenCount(col("text")).cast("long")
+    val sents = greatest(
+      length(regexp_replace(col("text"), "[^.!?]", "")).cast("long"), lit(1L))
+    val vgroups = length(regexp_replace(
+      regexp_replace(lower(col("text")), "[aeiou]+", "V"), "[^V]", ""))
+      .cast("long")
+    val base = t(s, dir, "documents").select(col("doc_id"),
+        TFx.bpeTokenEstimate(col("text")).as("tk"),
+        words.as("w"), sents.as("sn"), vgroups.as("vg"))
+      .filter(col("w") > 0 && col("tk") > 0)
+      .select(col("doc_id"), col("tk"),
+        col("tk").cast(DecimalType(38, 0)).as("tkd"),
+        round(lit(206.835)
+          - lit(1.015) * (col("w").cast("double") / col("sn").cast("double"))
+          - lit(84.6) * (col("vg").cast("double") / col("w").cast("double")), 6)
+          .as("score"))
+    val cum = graft.operators.PrefixSum.withRunningSum(base,
+        Seq(col("score").desc, col("doc_id")), col("tkd"), "cumd")
+      .withColumn("cum", col("cumd").cast("long"))
+    val tot = base.agg(sum("tk").as("tot"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("phase",
+        when(col("cum") * 3 <= col("tot"), 0L)
+          .when(col("cum") * 3 <= col("tot") * 2, 1L).otherwise(2L))
+      .groupBy("phase")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("n_tokens"),
+           min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+      .orderBy("phase")
+  }
+  private val pCurriculumSql = {
+    val TFx = graft.textops.TextFunctions
+    val norm = TFx.normTextSql("text")
+    val tk = TFx.bpeTokenEstimateSql("text")
+    s"""WITH b0 AS (SELECT doc_id, $tk AS tk,
+       |  CAST(len(string_split($norm, ' ')) AS BIGINT) AS w,
+       |  greatest(CAST(length(regexp_replace(text, '[^.!?]', '', 'g'))
+       |    AS BIGINT), 1) AS sn,
+       |  CAST(length(regexp_replace(regexp_replace(lower(text),
+       |    '[aeiou]+', 'V', 'g'), '[^V]', '', 'g')) AS BIGINT) AS vg
+       |  FROM documents),
+       |b AS (SELECT doc_id, tk,
+       |  round(206.835
+       |    - 1.015 * (CAST(w AS DOUBLE) / CAST(sn AS DOUBLE))
+       |    - 84.6 * (CAST(vg AS DOUBLE) / CAST(w AS DOUBLE)), 6) AS score
+       |  FROM b0 WHERE w > 0 AND tk > 0),
+       |c AS (SELECT doc_id, tk, score,
+       |  SUM(tk) OVER (ORDER BY score DESC, doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS cum FROM b),
+       |tt AS (SELECT CAST(SUM(tk) AS BIGINT) AS tot FROM b)
+       |SELECT CASE WHEN cum * 3 <= tot THEN 0
+       |  WHEN cum * 3 <= tot * 2 THEN 1 ELSE 2 END AS phase,
+       |COUNT(*) AS n_docs, CAST(SUM(tk) AS BIGINT) AS n_tokens,
+       |MIN(score) AS min_score, MAX(score) AS max_score
+       |FROM c CROSS JOIN tt GROUP BY 1 ORDER BY phase""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // ann_filtered_search — filtered vector search (the metadata-
+  // predicate ANN every vector store advertises): top-10 cosine among
+  // embeddings whose label passes the filter. The predicate applies
+  // BEFORE scoring — it reaches the parquet scan as a pushed filter, so
+  // at 100 TB the similarity loop runs over the filtered stripe only;
+  // the cut is the distributed TakeOrdered of the brute-force arm.
+  // ------------------------------------------------------------------
+  private val annFiltered: QFn = (s, dir) => {
+    val q = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    graft.textops.Similarity.bruteForceTopK(
+        t(s, dir, "embeddings")
+          .filter(col("vec_id") =!= 0 && col("label").isin(2, 5, 7)),
+        "vec_id", "embedding", q, k = 10)
+      .select(col("vec_id"), round(col("score"), 6).as("score_r"))
+      .orderBy(col("score_r").desc, col("vec_id"))
+  }
+  private val annFilteredSql =
+    """WITH q AS (SELECT unnest(embedding) AS qv, generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings WHERE vec_id = 0),
+      |v AS (SELECT vec_id, unnest(embedding) AS xv, generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings WHERE vec_id <> 0 AND label IN (2, 5, 7)),
+      |s AS (SELECT vec_id,
+      |  SUM(CAST(xv AS DOUBLE) * CAST(qv AS DOUBLE)) AS dot,
+      |  sqrt(SUM(CAST(xv AS DOUBLE) * CAST(xv AS DOUBLE))) AS nx,
+      |  sqrt(SUM(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE))) AS nq
+      |  FROM v JOIN q USING (i) GROUP BY vec_id)
+      |SELECT vec_id, round(dot / NULLIF(nx * nq, 0.0), 6) AS score_r
+      |FROM s ORDER BY score_r DESC, vec_id LIMIT 10""".stripMargin
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, QFn] = Map(
@@ -3368,7 +3467,9 @@ object ExtendedQueries {
     "dq_rule_profiling" -> dqRuleProfiling,
     "ev_frequency_capping" -> evFreqCapping,
     "t_readability" -> tReadability,
-    "s21_range_source" -> s21RangeSource)
+    "s21_range_source" -> s21RangeSource,
+    "p_curriculum_ordering" -> pCurriculum,
+    "ann_filtered_search" -> annFiltered)
 
   val oracleSql: Map[String, String] = Map(
     "j14_null_safe_join" -> j14Sql,
@@ -3443,5 +3544,7 @@ object ExtendedQueries {
     "dq_rule_profiling" -> dqRuleProfilingSql,
     "ev_frequency_capping" -> evFreqCappingSql,
     "t_readability" -> tReadabilitySql,
-    "s21_range_source" -> s21Sql)
+    "s21_range_source" -> s21Sql,
+    "p_curriculum_ordering" -> pCurriculumSql,
+    "ann_filtered_search" -> annFilteredSql)
 }
