@@ -3392,6 +3392,110 @@ object ExtendedQueries {
       |SELECT vec_id, round(dot / NULLIF(nx * nq, 0.0), 6) AS score_r
       |FROM s ORDER BY score_r DESC, vec_id LIMIT 10""".stripMargin
 
+  // ------------------------------------------------------------------
+  // j22_interval_union — merge-overlapping-intervals (the temporal
+  // union operator gaps-islands doesn't cover: arbitrary [start, end)
+  // spans, not unit days): per user, events open an interval of
+  // `value` seconds; overlapping spans merge into islands via the
+  // classic running-max-end sweep — island starts where start ≥ the
+  // exclusive running max of prior ends. Both windows are partitioned
+  // by user_id (the data-scaled key). Durations go double→µs through
+  // DECIMAL (value·1e6 in IEEE can land a half-ulp below the integer
+  // and truncate differently across engines — the decimal route is
+  // exact). Total covered time ≠ sum of durations exactly when spans
+  // overlap, which is the point.
+  // ------------------------------------------------------------------
+  private val j22IntervalUnion: QFn = (s, dir) => {
+    val e = t(s, dir, "events").select(col("user_id"),
+        col("event_id"), expr("ts div 1000").as("start_us"),
+        (col("value").cast(DecimalType(18, 2)) * 1000000)
+          .cast("long").as("dur_us"))
+      .withColumn("end_us", col("start_us") + col("dur_us"))
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("start_us"), col("event_id"))
+    val prevMax = max(col("end_us"))
+      .over(byUser.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = e.withColumn("new_island",
+      when(prevMax.isNull || col("start_us") >= prevMax, 1L).otherwise(0L))
+    val islands = flagged
+      .withColumn("island", sum(col("new_island")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "island")
+      .agg(min(col("start_us")).as("i_start"), max(col("end_us")).as("i_end"))
+    islands.groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+           sum(col("i_end") - col("i_start")).cast("long").as("union_us"))
+      .orderBy("user_id")
+  }
+  private val j22Sql =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS start_us,
+      |  CAST(CAST(value AS DECIMAL(18,2)) * 1000000 AS BIGINT) AS dur_us,
+      |  epoch_us(ts) + CAST(CAST(value AS DECIMAL(18,2)) * 1000000 AS BIGINT)
+      |    AS end_us
+      |  FROM events),
+      |f AS (SELECT user_id, start_us, end_us,
+      |  CASE WHEN MAX(end_us) OVER (PARTITION BY user_id
+      |         ORDER BY start_us, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |       OR start_us >= MAX(end_us) OVER (PARTITION BY user_id
+      |         ORDER BY start_us, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |  THEN 1 ELSE 0 END AS new_island,
+      |  event_id FROM e),
+      |g AS (SELECT user_id, start_us, end_us,
+      |  SUM(new_island) OVER (PARTITION BY user_id
+      |    ORDER BY start_us, event_id ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM f),
+      |i AS (SELECT user_id, island, MIN(start_us) AS i_start,
+      |      MAX(end_us) AS i_end FROM g GROUP BY 1, 2)
+      |SELECT user_id, COUNT(*) AS n_islands,
+      |CAST(SUM(i_end - i_start) AS BIGINT) AS union_us
+      |FROM i GROUP BY 1 ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // i22_backfill_planner — the partition-reconciliation step an
+  // orchestrator runs before a backfill: compare the source's day
+  // partitions against the built manifest (simulated here: every 9th
+  // day missing, another 9th stale with a short row count) and emit
+  // the work list — MISSING days to build, STALE days to rebuild —
+  // with expected row counts. One day-grain aggregate on each side and
+  // a full outer join on the partition key; at 100 TB the comparison
+  // touches day COUNTS, never rows.
+  // ------------------------------------------------------------------
+  private val i22Backfill: QFn = (s, dir) => {
+    val src = t(s, dir, "events")
+      .groupBy(expr("(ts div 1000000000) div 86400").as("day"))
+      .agg(count(lit(1)).as("src_rows"))
+    val manifest = src.filter(col("day") % 9 =!= 3)
+      .select(col("day").as("m_day"),
+        when(col("day") % 9 === 6, col("src_rows") - 10)
+          .otherwise(col("src_rows")).as("built_rows"))
+    src.join(manifest, col("day") === col("m_day"), "full_outer")
+      .select(coalesce(col("day"), col("m_day")).as("day"),
+        col("src_rows"), col("built_rows"),
+        when(col("m_day").isNull, "MISSING")
+          .when(col("src_rows") =!= col("built_rows"), "STALE")
+          .otherwise("OK").as("status"))
+      .filter(col("status") =!= "OK")
+      .orderBy("day")
+  }
+  private val i22Sql =
+    """WITH src AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |  COUNT(*) AS src_rows FROM events GROUP BY 1),
+      |m AS (SELECT day AS m_day,
+      |  CASE WHEN day % 9 = 6 THEN src_rows - 10 ELSE src_rows END
+      |    AS built_rows
+      |  FROM src WHERE day % 9 <> 3)
+      |SELECT COALESCE(day, m_day) AS day, src_rows, built_rows,
+      |CASE WHEN m_day IS NULL THEN 'MISSING'
+      |     WHEN src_rows <> built_rows THEN 'STALE'
+      |     ELSE 'OK' END AS status
+      |FROM src FULL JOIN m ON day = m_day
+      |WHERE (CASE WHEN m_day IS NULL THEN 'MISSING'
+      |       WHEN src_rows <> built_rows THEN 'STALE'
+      |       ELSE 'OK' END) <> 'OK'
+      |ORDER BY day""".stripMargin
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, QFn] = Map(
@@ -3469,7 +3573,9 @@ object ExtendedQueries {
     "t_readability" -> tReadability,
     "s21_range_source" -> s21RangeSource,
     "p_curriculum_ordering" -> pCurriculum,
-    "ann_filtered_search" -> annFiltered)
+    "ann_filtered_search" -> annFiltered,
+    "j22_interval_union" -> j22IntervalUnion,
+    "i22_backfill_planner" -> i22Backfill)
 
   val oracleSql: Map[String, String] = Map(
     "j14_null_safe_join" -> j14Sql,
@@ -3546,5 +3652,7 @@ object ExtendedQueries {
     "t_readability" -> tReadabilitySql,
     "s21_range_source" -> s21Sql,
     "p_curriculum_ordering" -> pCurriculumSql,
-    "ann_filtered_search" -> annFilteredSql)
+    "ann_filtered_search" -> annFilteredSql,
+    "j22_interval_union" -> j22Sql,
+    "i22_backfill_planner" -> i22Sql)
 }
