@@ -7,8 +7,9 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -16,11 +17,12 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** A full DataSourceV2 connector (the §2.1 source tier Spark's file
   * formats hide): a deterministic integer-sequence table
-  * `(id LONG, bucket LONG = id % 97, payload STRING)` over
-  * `[start, end)`, split into `slices` input partitions.
+  * `(id LONG, bucket LONG = id % 97, slice LONG = id % slices,
+  * payload STRING)` over `[start, end)`, split into `slices` input
+  * partitions.
   *
-  * The point is the PUSHDOWN plumbing, implemented the way a real
-  * warehouse connector does it:
+  * The point is the PUSHDOWN + LAYOUT plumbing, implemented the way a
+  * real warehouse connector does it:
   *  - `SupportsPushDownFilters`: range predicates on `id` CLAMP the
   *    generation bounds — pushed rows are never produced, not produced
   *    and discarded (at 100 TB that is the difference between a scan
@@ -30,6 +32,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    the pruned schema — `payload` costs a string allocation per row,
   *    so pruning it is measurable, exactly like column pruning on a
   *    wide parquet table.
+  *  - `SupportsReportPartitioning` (`.option("clustered", "true")`):
+  *    each input partition holds exactly one `slice` residue class and
+  *    declares it via `HasPartitionKey`, so with
+  *    `spark.sql.sources.v2.bucketing.enabled` a `GROUP BY slice`
+  *    aggregates WITHOUT an exchange — the storage-partitioned
+  *    execution path bucketed tables get, proven shuffle-free in
+  *    SeqSourceSpec.
   *  - `Scan.description()` exposes the clamped bounds and kept columns,
   *    so plan-shape specs can assert pushdown happened (it shows in
   *    `.explain` under BatchScan).
@@ -47,7 +56,8 @@ class SeqSource extends TableProvider {
 
 object SeqSource {
   val fullSchema: StructType = new StructType()
-    .add("id", LongType).add("bucket", LongType).add("payload", StringType)
+    .add("id", LongType).add("bucket", LongType).add("slice", LongType)
+    .add("payload", StringType)
 }
 
 private[sources] class SeqTable extends Table with SupportsRead {
@@ -59,10 +69,12 @@ private[sources] class SeqTable extends Table with SupportsRead {
     new SeqScanBuilder(
       options.getLong("start", 0L),
       options.getLong("end", 1000L),
-      options.getInt("slices", 4))
+      options.getInt("slices", 4),
+      options.getBoolean("clustered", false))
 }
 
-private[sources] class SeqScanBuilder(start: Long, end: Long, slices: Int)
+private[sources] class SeqScanBuilder(start: Long, end: Long, slices: Int,
+                                      clustered: Boolean)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -97,41 +109,71 @@ private[sources] class SeqScanBuilder(start: Long, end: Long, slices: Int)
     required = requiredSchema
 
   override def build(): Scan = new SeqScan(lo, math.max(lo, hi), slices,
-    required.fieldNames)
+    clustered, required.fieldNames)
 }
 
 private[sources] class SeqScan(lo: Long, hi: Long, slices: Int,
-                               cols: Array[String]) extends Scan with Batch {
+                               clustered: Boolean, cols: Array[String])
+    extends Scan with Batch with SupportsReportPartitioning {
   override def readSchema(): StructType =
     StructType(cols.flatMap(c => SeqSource.fullSchema.fields.find(_.name == c)))
   override def description(): String =
-    s"SeqScan(lo=$lo, hi=$hi, cols=${cols.mkString(",")})"
+    s"SeqScan(lo=$lo, hi=$hi, clustered=$clustered, cols=${cols.mkString(",")})"
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(1, slices)
-    val span = hi - lo
-    (0 until n).map { i =>
-      SeqPartition(lo + span * i / n, lo + span * (i + 1) / n, cols)
-    }.filter(p => p.hi > p.lo).toArray[InputPartition]
-  }
-  override def createReaderFactory(): PartitionReaderFactory = SeqReaderFactory
+  private val n = math.max(1, slices)
+
+  override def outputPartitioning(): Partitioning =
+    if (clustered)
+      new KeyGroupedPartitioning(Array(Expressions.identity("slice")), n)
+    else new UnknownPartitioning(n)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    if (clustered) {
+      // one residue class of `slice` per partition: first id ≥ lo with
+      // id % n == r, then stride n — the partition IS its key group
+      (0 until n).map { r =>
+        val first = lo + java.lang.Math.floorMod(r - lo, n.toLong)
+        SeqResiduePartition(first, hi, n.toLong, r.toLong, cols)
+      }.filter(p => p.first < p.hi).toArray[InputPartition]
+    } else {
+      val span = hi - lo
+      (0 until n).map { i =>
+        SeqRangePartition(lo + span * i / n, lo + span * (i + 1) / n, cols)
+      }.filter(p => p.lo < p.hi).toArray[InputPartition]
+    }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeqReaderFactory(n.toLong)
 }
 
-private[sources] case class SeqPartition(lo: Long, hi: Long,
-                                         cols: Array[String])
+private[sources] case class SeqRangePartition(lo: Long, hi: Long,
+                                              cols: Array[String])
     extends InputPartition
 
-private[sources] object SeqReaderFactory extends PartitionReaderFactory {
+private[sources] case class SeqResiduePartition(first: Long, hi: Long,
+                                                step: Long, residue: Long,
+                                                cols: Array[String])
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = new GenericInternalRow(
+    Array[Any](residue))
+}
+
+private[sources] class SeqReaderFactory(slices: Long)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[SeqPartition]
+    val (start, hi, step, cols) = partition match {
+      case SeqRangePartition(lo, h, c) => (lo, h, 1L, c)
+      case SeqResiduePartition(f, h, s, _, c) => (f, h, s, c)
+    }
+    val slicesB = slices
     new PartitionReader[InternalRow] {
-      private var cur = p.lo - 1
-      override def next(): Boolean = { cur += 1; cur < p.hi }
+      private var cur = start - step
+      override def next(): Boolean = { cur += step; cur < hi }
       override def get(): InternalRow =
-        new GenericInternalRow(p.cols.map {
+        new GenericInternalRow(cols.map {
           case "id" => cur
           case "bucket" => cur % 97L
+          case "slice" => cur % slicesB
           case "payload" => UTF8String.fromString(s"row-$cur")
         }.asInstanceOf[Array[Any]])
       override def close(): Unit = ()

@@ -51,4 +51,23 @@ class SeqSourceSpec extends AnyFunSuite {
   test("empty clamp yields zero rows, not an error") {
     assert(read(0, 100).filter(col("id") >= 500L).count() === 0)
   }
+
+  test("clustered scan reports key-grouped layout: groupBy slice has no exchange") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val df = spark.read.format("graft.sources.SeqSource")
+        .option("start", "0").option("end", "100000")
+        .option("slices", "8").option("clustered", "true").load()
+        .groupBy("slice").agg(count(lit(1)).as("n"), sum("id").as("s"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"storage-partitioned aggregate still shuffles:\n$plan")
+      // identical results to the unclustered path (which does shuffle)
+      val flat = spark.read.format("graft.sources.SeqSource")
+        .option("start", "0").option("end", "100000")
+        .option("slices", "8").load()
+        .groupBy("slice").agg(count(lit(1)).as("n"), sum("id").as("s"))
+      assert(df.collect().toSet === flat.collect().toSet)
+    } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+  }
 }
