@@ -70,4 +70,27 @@ class SeqSourceSpec extends AnyFunSuite {
       assert(df.collect().toSet === flat.collect().toSet)
     } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
   }
+
+  test("storage-partitioned join: two clustered scans join without exchange") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def clustered(end: Long) = spark.read
+        .format("graft.sources.SeqSource")
+        .option("start", "0").option("end", end.toString)
+        .option("slices", "8").option("clustered", "true").load()
+      val a = clustered(50000).groupBy("slice")
+        .agg(count(lit(1)).as("na"))
+      val b = clustered(30000).groupBy("slice")
+        .agg(sum("id").as("sb"))
+      val j = a.join(b, "slice")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"storage-partitioned join still shuffles:\n$plan")
+      assert(j.count() === 8)
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
