@@ -3496,6 +3496,92 @@ object ExtendedQueries {
       |       ELSE 'OK' END) <> 'OK'
       |ORDER BY day""".stripMargin
 
+  // ------------------------------------------------------------------
+  // x7_pseudonymization — joinable tokenization (the privacy step
+  // masking can't do): keys and names are replaced by deterministic
+  // sha2 tokens, so the pseudonymized fact still joins to the
+  // pseudonymized dim — referential integrity survives the transform,
+  // PII does not. The proof IS the query: orders joined to customers
+  // entirely through tokens reproduce the per-segment volumes of the
+  // raw join (which is what the oracle computes through its own
+  // tokens). Broadcast dim join; one shuffle for the aggregate.
+  // ------------------------------------------------------------------
+  private val x7Pseudo: QFn = (s, dir) => {
+    val dim = t(s, dir, "customer").select(
+      sha2(concat(lit("cust:"), col("c_custkey").cast("string")), 256)
+        .as("cust_token"),
+      sha2(col("c_name"), 256).as("name_token"),
+      col("c_mktsegment"))
+    val fact = t(s, dir, "orders").select(
+      sha2(concat(lit("cust:"), col("o_custkey").cast("string")), 256)
+        .as("cust_token"),
+      col("o_totalprice").cast(DecimalType(18, 2)).as("p"))
+    fact.join(broadcast(dim), "cust_token")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+           countDistinct(col("cust_token")).as("n_tokens"),
+           countDistinct(col("name_token")).as("n_name_tokens"),
+           sum("p").cast("double").as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+  private val x7Sql =
+    """WITH dim AS (SELECT sha256('cust:' || CAST(c_custkey AS VARCHAR))
+      |    AS cust_token, sha256(c_name) AS name_token, c_mktsegment
+      |  FROM customer),
+      |fact AS (SELECT sha256('cust:' || CAST(o_custkey AS VARCHAR))
+      |    AS cust_token, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      |  FROM orders)
+      |SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |COUNT(DISTINCT cust_token) AS n_tokens,
+      |COUNT(DISTINCT name_token) AS n_name_tokens,
+      |CAST(SUM(p) AS DOUBLE) AS revenue
+      |FROM fact JOIN dim USING (cust_token)
+      |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+
+  // ------------------------------------------------------------------
+  // a26_hhi — Herfindahl–Hirschman market-concentration index: squared
+  // nation revenue shares within each region. Revenue sums are exact
+  // decimals; each nation's squared share is ONE double expression
+  // rounded to 6 and re-summed as DECIMAL, so the regional index is
+  // order-free. The antitrust-screen companion to a24's Gini.
+  // ------------------------------------------------------------------
+  private val a26Hhi: QFn = (s, dir) => {
+    val rev = t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+    val regTot = rev.groupBy(col("r_name").as("rr"))
+      .agg(sum(col("rev")).as("tot"))
+    val share = col("rev").cast("double") / col("tot").cast("double")
+    rev.join(broadcast(regTot), col("r_name") === col("rr"))
+      .select(col("r_name"),
+        round(share * share * 10000, 6).cast(DecimalType(18, 6)).as("term"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_nations"),
+           sum(col("term")).cast("double").as("hhi"))
+      .orderBy("r_name")
+  }
+  private val a26Sql =
+    """WITH rev AS (SELECT r_name, n_name,
+      |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2),
+      |t AS (SELECT r_name AS rr, SUM(rev) AS tot FROM rev GROUP BY 1),
+      |s AS (SELECT r_name,
+      |  CAST(round((CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE))
+      |    * (CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE)) * 10000, 6)
+      |    AS DECIMAL(18,6)) AS term
+      |  FROM rev JOIN t ON r_name = rr)
+      |SELECT r_name, COUNT(*) AS n_nations,
+      |CAST(SUM(term) AS DOUBLE) AS hhi
+      |FROM s GROUP BY 1 ORDER BY r_name""".stripMargin
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, QFn] = Map(
@@ -3575,7 +3661,9 @@ object ExtendedQueries {
     "p_curriculum_ordering" -> pCurriculum,
     "ann_filtered_search" -> annFiltered,
     "j22_interval_union" -> j22IntervalUnion,
-    "i22_backfill_planner" -> i22Backfill)
+    "i22_backfill_planner" -> i22Backfill,
+    "x7_pseudonymization" -> x7Pseudo,
+    "a26_hhi" -> a26Hhi)
 
   val oracleSql: Map[String, String] = Map(
     "j14_null_safe_join" -> j14Sql,
@@ -3654,5 +3742,7 @@ object ExtendedQueries {
     "p_curriculum_ordering" -> pCurriculumSql,
     "ann_filtered_search" -> annFilteredSql,
     "j22_interval_union" -> j22Sql,
-    "i22_backfill_planner" -> i22Sql)
+    "i22_backfill_planner" -> i22Sql,
+    "x7_pseudonymization" -> x7Sql,
+    "a26_hhi" -> a26Sql)
 }
