@@ -3582,6 +3582,37 @@ object ExtendedQueries {
       |CAST(SUM(term) AS DOUBLE) AS hhi
       |FROM s GROUP BY 1 ORDER BY r_name""".stripMargin
 
+  // ------------------------------------------------------------------
+  // f_month_end_pack — the calendar edge cases warehouse date math
+  // lives or dies on: month-end resolution (last_day), month-add WITH
+  // end-of-month clamping (Jan 31 + 1 month = Feb 29 on both engines —
+  // verified, not assumed), anniversary rollover across a leap
+  // boundary, Monday-based week truncation, and ISO week numbers.
+  // Evaluated over every distinct order date. (dayofweek is
+  // deliberately absent: Spark numbers Sunday=1, DuckDB Sunday=0 — a
+  // genuine cross-engine semantic difference this pack documents by
+  // exclusion.)
+  // ------------------------------------------------------------------
+  private val fMonthEnd: QFn = (s, dir) => {
+    val d = t(s, dir, "orders").select(col("o_orderdate").cast("date").as("d"))
+      .distinct()
+    d.select(col("d"),
+        last_day(col("d")).as("eom"),
+        add_months(col("d"), 1).as("plus_month"),
+        add_months(col("d"), 12).as("anniversary"),
+        date_trunc("week", col("d")).cast("date").as("week_start"),
+        weekofyear(col("d")).as("iso_week"))
+      .orderBy("d")
+  }
+  private val fMonthEndSql =
+    """SELECT d, CAST(last_day(d) AS DATE) AS eom,
+      |CAST(d + INTERVAL 1 MONTH AS DATE) AS plus_month,
+      |CAST(d + INTERVAL 12 MONTH AS DATE) AS anniversary,
+      |CAST(date_trunc('week', d) AS DATE) AS week_start,
+      |CAST(weekofyear(d) AS INT) AS iso_week
+      |FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
+      |ORDER BY d""".stripMargin
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, QFn] = Map(
@@ -3663,7 +3694,8 @@ object ExtendedQueries {
     "j22_interval_union" -> j22IntervalUnion,
     "i22_backfill_planner" -> i22Backfill,
     "x7_pseudonymization" -> x7Pseudo,
-    "a26_hhi" -> a26Hhi)
+    "a26_hhi" -> a26Hhi,
+    "f_month_end_pack" -> fMonthEnd)
 
   val oracleSql: Map[String, String] = Map(
     "j14_null_safe_join" -> j14Sql,
@@ -3744,5 +3776,6 @@ object ExtendedQueries {
     "j22_interval_union" -> j22Sql,
     "i22_backfill_planner" -> i22Sql,
     "x7_pseudonymization" -> x7Sql,
-    "a26_hhi" -> a26Sql)
+    "a26_hhi" -> a26Sql,
+    "f_month_end_pack" -> fMonthEndSql)
 }
