@@ -3613,6 +3613,55 @@ object ExtendedQueries {
       |FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
       |ORDER BY d""".stripMargin
 
+  // ------------------------------------------------------------------
+  // a27_autocorrelation — lag-7 autocorrelation of the daily revenue
+  // series (the weekly-seasonality diagnostic that motivates q27's
+  // 7-phase seasonal split): Pearson correlation between (r_d, r_{d+7})
+  // pairs formed by a self equi-join on the day key. All five moments
+  // are exact decimal sums; the correlation is one double expression,
+  // round-6. Day pairing is an equi-join, never a window.
+  // ------------------------------------------------------------------
+  private val a27Autocorr: QFn = (s, dir) => {
+    val rev = t(s, dir, "orders").select(
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("day"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("p"))
+      .groupBy("day")
+      .agg(sum("p").cast(DecimalType(18, 2)).as("r"))
+    val pairs = rev.select(col("day"), col("r").as("x"))
+      .join(rev.select((col("day") - 7).as("day"), col("r").as("y")), "day")
+    val m = pairs.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    def d(c: String) = col(c).cast("double")
+    val nd = d("n")
+    val cov = nd * d("sxy") - d("sx") * d("sy")
+    val vx = nd * d("sxx") - d("sx") * d("sx")
+    val vy = nd * d("syy") - d("sy") * d("sy")
+    m.select(lit(7L).as("lag"), col("n").as("n_pairs"),
+             round(cov / sqrt(vx * vy), 6).as("acf_r"))
+      .orderBy("lag")
+  }
+  private val a27Sql =
+    """WITH rev AS (SELECT
+      |  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS r
+      |  FROM orders GROUP BY 1),
+      |p AS (SELECT CAST(a.r AS DECIMAL(28,2)) AS x,
+      |      CAST(b.r AS DECIMAL(28,2)) AS y FROM rev a
+      |      JOIN rev b ON b.day - 7 = a.day),
+      |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |  SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy FROM p)
+      |SELECT CAST(7 AS BIGINT) AS lag, n AS n_pairs,
+      |round((CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+      |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |  / sqrt((CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    * (CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf_r
+      |FROM m ORDER BY lag""".stripMargin
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, QFn] = Map(
@@ -3695,7 +3744,8 @@ object ExtendedQueries {
     "i22_backfill_planner" -> i22Backfill,
     "x7_pseudonymization" -> x7Pseudo,
     "a26_hhi" -> a26Hhi,
-    "f_month_end_pack" -> fMonthEnd)
+    "f_month_end_pack" -> fMonthEnd,
+    "a27_autocorrelation" -> a27Autocorr)
 
   val oracleSql: Map[String, String] = Map(
     "j14_null_safe_join" -> j14Sql,
@@ -3777,5 +3827,6 @@ object ExtendedQueries {
     "i22_backfill_planner" -> i22Sql,
     "x7_pseudonymization" -> x7Sql,
     "a26_hhi" -> a26Sql,
-    "f_month_end_pack" -> fMonthEndSql)
+    "f_month_end_pack" -> fMonthEndSql,
+    "a27_autocorrelation" -> a27Sql)
 }

@@ -200,6 +200,33 @@ object StreamingQueries {
              .cast("double").as("value_sum"))
       .orderBy("event_type")
   }
+  // ST7 — streaming frequency capping: the flatMapGroupsWithState
+  // token-count state machine (EventStream.cappedDeliveries) over the
+  // bounded replay; the oracle is the batch closed form (row_number ≤ 5
+  // per user-day) — stream ≡ batch for the SAME operator the batch
+  // entry ev_frequency_capping ships, proving the capper's state logic
+  // rather than restating it.
+  private val stFreqCap: QFn = (s, dir) => {
+    val ev = EventStream.readEvents(s, eventsDir(dir), maxFilesPerTrigger = 1)
+    val capped = EventStream.cappedDeliveries(s, ev).toDF()
+    drain(s, capped, "st_cap_", OutputMode.Append())
+      .groupBy("day")
+      .agg(sum(when(col("delivered"), 1L).otherwise(0L)).as("n_delivered"),
+           sum(when(!col("delivered"), 1L).otherwise(0L)).as("n_suppressed"))
+      .orderBy("day")
+  }
+  private val stFreqCapSql =
+    """WITH e AS (SELECT user_id,
+      |  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |  row_number() OVER (PARTITION BY user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400
+      |    ORDER BY ts, event_id) AS rn
+      |  FROM events)
+      |SELECT day,
+      |CAST(SUM(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_delivered,
+      |CAST(SUM(CASE WHEN rn > 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppressed
+      |FROM e GROUP BY 1 ORDER BY day""".stripMargin
+
   private val stDedupSql =
     """SELECT event_type, COUNT(*) AS n_events,
       |CAST(SUM(event_id) AS BIGINT) AS id_sum,
@@ -301,6 +328,7 @@ object StreamingQueries {
   val queries: Map[String, QFn] = Map(
     "st_late_drop" -> stLateDrop,
     "st_dedup_stream" -> stDedupStream,
+    "st_freq_cap" -> stFreqCap,
     "st_windowed_counts" -> stWindowedCounts,
     "st_session_counts" -> stSessionCounts,
     "st_stream_join" -> stStreamJoin,
@@ -309,6 +337,7 @@ object StreamingQueries {
   val oracleSql: Map[String, String] = Map(
     "st_late_drop" -> stLateDropSql,
     "st_dedup_stream" -> stDedupSql,
+    "st_freq_cap" -> stFreqCapSql,
     "st_windowed_counts" -> stWindowedSql,
     "st_session_counts" -> stSessionSql,
     "st_stream_join" -> stStreamJoinSql,

@@ -22,6 +22,9 @@ final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
   * of stages completed and when the latest one was reached (epoch ms). */
 final case class FunnelState(stage: Int, stage_ms: Long)
 
+final case class CapState(n: Long)
+final case class CapOut(user_id: Long, day: Long, delivered: Boolean)
+
 /** A stage advance emitted by [[EventStream.funnelProgress]]. */
 final case class FunnelHit(user_id: Long, stage: Int, stage_name: String,
                            lag_s: Long)
@@ -249,6 +252,31 @@ object EventStream {
               else state.remove()
             }
             hits.reverseIterator
+          }
+      }
+  }
+
+  /** Streaming frequency capping — the stream twin of the batch
+    * ev_frequency_capping entry: per-(user, day) delivery state counts
+    * across micro-batches; events beyond `cap` emit suppressed. Each
+    * invocation sorts its in-batch slice by (event_time, event_id) so a
+    * bounded replay reproduces the batch row_number semantics exactly
+    * (the same in-batch-sort discipline as the sessionizer above). */
+  def cappedDeliveries(spark: SparkSession, events: DataFrame,
+                       cap: Int = 5): Dataset[CapOut] = {
+    import spark.implicits._
+    events.as[Event]
+      .groupByKey(e => (e.user_id, e.event_time.getTime / 86400000L))
+      .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.NoTimeout()) {
+        (key: (Long, Long), batch: Iterator[Event],
+         state: GroupState[CapState]) =>
+          val sorted = batch.toVector.sortBy(e => (e.event_time.getTime,
+            e.event_id))
+          val prior = state.getOption.map(_.n).getOrElse(0L)
+          state.update(CapState(prior + sorted.size))
+          sorted.iterator.zipWithIndex.map { case (e, i) =>
+            CapOut(key._1, key._2, prior + i + 1 <= cap)
           }
       }
   }
