@@ -3662,6 +3662,50 @@ object ExtendedQueries {
       |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf_r
       |FROM m ORDER BY lag""".stripMargin
 
+  // ------------------------------------------------------------------
+  // d_incremental_dedup — dedup an INCOMING batch against the EXISTING
+  // corpus (the daily-ingest shape: the corpus is 100 TB, the batch is
+  // not): a Bloom filter built over the corpus's content hashes
+  // prefilters the batch — only might-contain survivors reach the
+  // exact semi join, so the join's corpus side is runtime-filtered the
+  // same way (the j15 pattern applied to dedup). Bloom admits ~1%
+  // false positives and NO false negatives, so the result is
+  // byte-identical to the plain semi join the oracle runs — the
+  // prefilter must be invisible, and the hash-match proves it.
+  // ------------------------------------------------------------------
+  private val dIncrementalDedup: QFn = (s, dir) => {
+    val docs0 = t(s, dir, "documents")
+    // existing corpus = all docs; incoming batch = every 3rd doc
+    // re-ingested under a new id — half verbatim (true dups the
+    // pipeline must catch), half edited (near-misses it must pass)
+    val existing = docs0.select(sha2(col("text"), 256).as("fp"))
+    val batch = docs0.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        sha2(when(col("doc_id") % 6 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" v2"))), 256).as("fp"))
+    val bloom = existing.stat.bloomFilter("fp", 100000L, 0.01)
+    val mightContain = udf((fp: String) => bloom.mightContainString(fp))
+    val candidates = batch.filter(mightContain(col("fp")))
+    candidates.join(existing.select(col("fp")), Seq("fp"), "left_semi")
+      .agg(count(lit(1)).as("n_dup_docs"),
+           countDistinct(col("fp")).as("n_dup_contents"),
+           coalesce(min(col("doc_id")), lit(-1L)).cast("long")
+             .as("first_dup_id"))
+      .orderBy("n_dup_docs")
+  }
+  private val dIncrementalDedupSql =
+    """WITH existing AS (SELECT sha256(text) AS fp FROM documents),
+      |batch AS (SELECT doc_id + 10000000 AS doc_id,
+      |  sha256(CASE WHEN doc_id % 6 = 0 THEN text
+      |         ELSE text || ' v2' END) AS fp
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |dups AS (SELECT doc_id, fp FROM batch
+      |         WHERE fp IN (SELECT fp FROM existing))
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_docs,
+      |CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_dup_contents,
+      |CAST(COALESCE(MIN(doc_id), -1) AS BIGINT) AS first_dup_id
+      |FROM dups ORDER BY n_dup_docs""".stripMargin
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, QFn] = Map(
@@ -3745,7 +3789,8 @@ object ExtendedQueries {
     "x7_pseudonymization" -> x7Pseudo,
     "a26_hhi" -> a26Hhi,
     "f_month_end_pack" -> fMonthEnd,
-    "a27_autocorrelation" -> a27Autocorr)
+    "a27_autocorrelation" -> a27Autocorr,
+    "d_incremental_dedup" -> dIncrementalDedup)
 
   val oracleSql: Map[String, String] = Map(
     "j14_null_safe_join" -> j14Sql,
@@ -3828,5 +3873,6 @@ object ExtendedQueries {
     "x7_pseudonymization" -> x7Sql,
     "a26_hhi" -> a26Sql,
     "f_month_end_pack" -> fMonthEndSql,
-    "a27_autocorrelation" -> a27Sql)
+    "a27_autocorrelation" -> a27Sql,
+    "d_incremental_dedup" -> dIncrementalDedupSql)
 }
