@@ -20,11 +20,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     analytics.CoreQueries.queries ++ analytics.OperatorQueries.queries ++
       analytics.TextQueries.queries ++ analytics.BehaviorQueries.queries ++
-      analytics.StreamingQueries.queries ++ analytics.ExtendedQueries.queries
+      analytics.StreamingQueries.queries ++
+      analytics.ExtendedQueries.queries ++ analytics.FrontierQueries.queries
 
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql ++
       analytics.TextQueries.oracleSql ++ analytics.BehaviorQueries.oracleSql ++
       analytics.StreamingQueries.oracleSql ++
-      analytics.ExtendedQueries.oracleSql
+      analytics.ExtendedQueries.oracleSql ++
+      analytics.FrontierQueries.oracleSql
 }
