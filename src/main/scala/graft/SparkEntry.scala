@@ -21,12 +21,13 @@ object SparkEntry {
     analytics.CoreQueries.queries ++ analytics.OperatorQueries.queries ++
       analytics.TextQueries.queries ++ analytics.BehaviorQueries.queries ++
       analytics.StreamingQueries.queries ++
-      analytics.ExtendedQueries.queries ++ analytics.FrontierQueries.queries
+      analytics.ExtendedQueries.queries ++ analytics.FrontierQueries.queries ++
+      analytics.Frontier2Queries.queries
 
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql ++
       analytics.TextQueries.oracleSql ++ analytics.BehaviorQueries.oracleSql ++
       analytics.StreamingQueries.oracleSql ++
       analytics.ExtendedQueries.oracleSql ++
-      analytics.FrontierQueries.oracleSql
+      analytics.FrontierQueries.oracleSql ++ analytics.Frontier2Queries.oracleSql
 }

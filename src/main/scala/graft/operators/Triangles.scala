@@ -54,6 +54,31 @@ object Triangles {
       .select(col("s").as("v1"), col("t1").as("v2"), col("t2").as("v3"))
   }
 
+  /** Per-node local clustering coefficient cc(v) = 2·tri(v) /
+    * (deg(v)·(deg(v)−1)) over nodes with deg ≥ 2. Triangle membership
+    * comes from the oriented enumeration above (each triangle emitted
+    * once, then exploded to its three corners), so the per-node tally
+    * is one groupBy over 3·|triangles| rows — never a neighborhood
+    * self-join per node. Degrees are counted on the canonical edge
+    * list; the two aggregates shuffle on the node key only.
+    */
+  def localClustering(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val canon = canonical(edges, aCol, bCol)
+    val deg = canon.select(col("ea").as("node"))
+      .unionAll(canon.select(col("eb").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val nodeTri = triangles(canon, "ea", "eb")
+      .select(explode(array(col("v1"), col("v2"), col("v3"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri_n"))
+    deg.join(nodeTri, Seq("node"), "left")
+      .na.fill(0L, Seq("tri_n"))
+      .filter(col("deg") >= 2)
+      .select(col("node"), col("deg"), col("tri_n"),
+        round((lit(2.0) * col("tri_n").cast("double")) /
+          (col("deg").cast("double") * (col("deg") - 1).cast("double")), 6)
+          .as("cc_r"))
+  }
+
   /** One-row graph summary: node / edge / triangle counts. */
   def stats(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
     val canon = canonical(edges, aCol, bCol)
