@@ -22,12 +22,13 @@ object SparkEntry {
       analytics.TextQueries.queries ++ analytics.BehaviorQueries.queries ++
       analytics.StreamingQueries.queries ++
       analytics.ExtendedQueries.queries ++ analytics.FrontierQueries.queries ++
-      analytics.Frontier2Queries.queries
+      analytics.Frontier2Queries.queries ++ analytics.Frontier3Queries.queries
 
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql ++
       analytics.TextQueries.oracleSql ++ analytics.BehaviorQueries.oracleSql ++
       analytics.StreamingQueries.oracleSql ++
       analytics.ExtendedQueries.oracleSql ++
-      analytics.FrontierQueries.oracleSql ++ analytics.Frontier2Queries.oracleSql
+      analytics.FrontierQueries.oracleSql ++
+      analytics.Frontier2Queries.oracleSql ++ analytics.Frontier3Queries.oracleSql
 }
