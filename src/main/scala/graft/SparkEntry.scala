@@ -22,7 +22,8 @@ object SparkEntry {
       analytics.TextQueries.queries ++ analytics.BehaviorQueries.queries ++
       analytics.StreamingQueries.queries ++
       analytics.ExtendedQueries.queries ++ analytics.FrontierQueries.queries ++
-      analytics.Frontier2Queries.queries ++ analytics.Frontier3Queries.queries
+      analytics.Frontier2Queries.queries ++
+      analytics.Frontier3Queries.queries ++ analytics.Frontier4Queries.queries
 
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql ++
@@ -30,5 +31,6 @@ object SparkEntry {
       analytics.StreamingQueries.oracleSql ++
       analytics.ExtendedQueries.oracleSql ++
       analytics.FrontierQueries.oracleSql ++
-      analytics.Frontier2Queries.oracleSql ++ analytics.Frontier3Queries.oracleSql
+      analytics.Frontier2Queries.oracleSql ++
+      analytics.Frontier3Queries.oracleSql ++ analytics.Frontier4Queries.oracleSql
 }
