@@ -23,7 +23,8 @@ object SparkEntry {
       analytics.StreamingQueries.queries ++
       analytics.ExtendedQueries.queries ++ analytics.FrontierQueries.queries ++
       analytics.Frontier2Queries.queries ++
-      analytics.Frontier3Queries.queries ++ analytics.Frontier4Queries.queries
+      analytics.Frontier3Queries.queries ++ analytics.Frontier4Queries.queries ++
+      analytics.Frontier5Queries.queries
 
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql ++
@@ -32,5 +33,6 @@ object SparkEntry {
       analytics.ExtendedQueries.oracleSql ++
       analytics.FrontierQueries.oracleSql ++
       analytics.Frontier2Queries.oracleSql ++
-      analytics.Frontier3Queries.oracleSql ++ analytics.Frontier4Queries.oracleSql
+      analytics.Frontier3Queries.oracleSql ++ analytics.Frontier4Queries.oracleSql ++
+      analytics.Frontier5Queries.oracleSql
 }
