@@ -363,6 +363,66 @@ object ScaleProbe {
       }
     }
 
+    if (families("ml")) {
+      // 10x embeddings (50k vecs = 3.2M long-layout rows) through the
+      // k-means / PCA kernels, and 10x docs through the NB scorer. The
+      // iteration loops run on domain-bounded state (512-row centroids,
+      // 4096-cell covariance, |vocab|x5 model), so the only things that
+      // grow with the corpus are these three kernels.
+      import org.apache.spark.sql.types.DecimalType
+      val base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val big = (0 until 10).map(i =>
+        base.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+          col("embedding")))
+        .reduce(_ unionByName _)
+      val pts = big
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("vec_id"), col("dim"),
+          round(col("v").cast("double"), 6).cast(DecimalType(18, 6)).as("vd"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"ml points: ${pts.count()}")
+      val cent = pts.filter(col("vec_id") < 8)
+        .select((col("vec_id") + 1).cast("int").as("cid"), col("dim"),
+          col("vd").as("cd"))
+      time("kmeans_assign_10x") {
+        val sq = (col("vd") - col("cd")).cast(DecimalType(12, 6))
+        import org.apache.spark.sql.expressions.Window
+        pts.join(broadcast(cent), "dim")
+          .withColumn("sq", sq * sq)
+          .groupBy("vec_id", "cid").agg(sum(col("sq")).as("d2"))
+          .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+            .orderBy(col("d2").asc, col("cid").asc)))
+          .filter(col("rn") === 1).count()
+      }
+      time("pca_cov_10x") {
+        val a = pts.select(col("vec_id"), col("dim").as("i"), col("vd").as("vi"))
+        val b = pts.select(col("vec_id"), col("dim").as("j"), col("vd").as("vj"))
+        a.join(b, "vec_id")
+          .groupBy("i", "j").agg(sum(col("vi") * col("vj")).as("sij"))
+          .count()
+      }
+      pts.unpersist()
+      val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val docsBig = (0 until 10).map(i =>
+        docs0.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          col("lang"), col("text")))
+        .reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"ml docs: ${docsBig.count()}")
+      time("nb_train_score_10x") {
+        val toks = docsBig.select(col("doc_id"), col("lang"),
+          explode(split(graft.textops.TextFunctions.normText(col("text")),
+            " ")).as("term")).filter(length(col("term")) > 0)
+        val model = toks.groupBy("lang", "term").agg(count(lit(1)).as("tc"))
+        val classes = toks.groupBy("lang").agg(count(lit(1)).as("tot"))
+        val scored = toks.select(col("doc_id"), col("term"))
+          .join(model.withColumnRenamed("lang", "c"), "term")
+          .groupBy("doc_id", "c").agg(sum(log(col("tc") + 1)).as("s"))
+        scored.count()
+      }
+      docsBig.unpersist()
+    }
+
     if (families("packing")) {
       // 50k docs through the PrefixSum concat-and-chop packer: the
       // global running sum is the only coordination point and it is

@@ -24,7 +24,8 @@ object SparkEntry {
       analytics.ExtendedQueries.queries ++ analytics.FrontierQueries.queries ++
       analytics.Frontier2Queries.queries ++
       analytics.Frontier3Queries.queries ++ analytics.Frontier4Queries.queries ++
-      analytics.Frontier5Queries.queries
+      analytics.Frontier5Queries.queries ++
+      analytics.Frontier6Queries.queries
 
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql ++
@@ -34,5 +35,6 @@ object SparkEntry {
       analytics.FrontierQueries.oracleSql ++
       analytics.Frontier2Queries.oracleSql ++
       analytics.Frontier3Queries.oracleSql ++ analytics.Frontier4Queries.oracleSql ++
-      analytics.Frontier5Queries.oracleSql
+      analytics.Frontier5Queries.oracleSql ++
+      analytics.Frontier6Queries.oracleSql
 }
