@@ -25,7 +25,8 @@ object SparkEntry {
       analytics.Frontier2Queries.queries ++
       analytics.Frontier3Queries.queries ++ analytics.Frontier4Queries.queries ++
       analytics.Frontier5Queries.queries ++
-      analytics.Frontier6Queries.queries
+      analytics.Frontier6Queries.queries ++
+      analytics.Frontier7Queries.queries
 
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql ++
@@ -36,5 +37,6 @@ object SparkEntry {
       analytics.Frontier2Queries.oracleSql ++
       analytics.Frontier3Queries.oracleSql ++ analytics.Frontier4Queries.oracleSql ++
       analytics.Frontier5Queries.oracleSql ++
-      analytics.Frontier6Queries.oracleSql
+      analytics.Frontier6Queries.oracleSql ++
+      analytics.Frontier7Queries.oracleSql
 }
