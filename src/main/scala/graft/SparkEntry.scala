@@ -26,7 +26,8 @@ object SparkEntry {
       analytics.Frontier3Queries.queries ++ analytics.Frontier4Queries.queries ++
       analytics.Frontier5Queries.queries ++
       analytics.Frontier6Queries.queries ++
-      analytics.Frontier7Queries.queries
+      analytics.Frontier7Queries.queries ++
+      analytics.Frontier8Queries.queries
 
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql ++
@@ -38,5 +39,6 @@ object SparkEntry {
       analytics.Frontier3Queries.oracleSql ++ analytics.Frontier4Queries.oracleSql ++
       analytics.Frontier5Queries.oracleSql ++
       analytics.Frontier6Queries.oracleSql ++
-      analytics.Frontier7Queries.oracleSql
+      analytics.Frontier7Queries.oracleSql ++
+      analytics.Frontier8Queries.oracleSql
 }
