@@ -27,7 +27,8 @@ object SparkEntry {
       analytics.Frontier5Queries.queries ++
       analytics.Frontier6Queries.queries ++
       analytics.Frontier7Queries.queries ++
-      analytics.Frontier8Queries.queries
+      analytics.Frontier8Queries.queries ++
+      analytics.Frontier9Queries.queries
 
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql ++
@@ -40,5 +41,6 @@ object SparkEntry {
       analytics.Frontier5Queries.oracleSql ++
       analytics.Frontier6Queries.oracleSql ++
       analytics.Frontier7Queries.oracleSql ++
-      analytics.Frontier8Queries.oracleSql
+      analytics.Frontier8Queries.oracleSql ++
+      analytics.Frontier9Queries.oracleSql
 }
