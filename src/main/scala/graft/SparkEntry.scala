@@ -28,7 +28,8 @@ object SparkEntry {
       analytics.Frontier6Queries.queries ++
       analytics.Frontier7Queries.queries ++
       analytics.Frontier8Queries.queries ++
-      analytics.Frontier9Queries.queries
+      analytics.Frontier9Queries.queries ++
+      analytics.Frontier10Queries.queries
 
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql ++
@@ -42,5 +43,6 @@ object SparkEntry {
       analytics.Frontier6Queries.oracleSql ++
       analytics.Frontier7Queries.oracleSql ++
       analytics.Frontier8Queries.oracleSql ++
-      analytics.Frontier9Queries.oracleSql
+      analytics.Frontier9Queries.oracleSql ++
+      analytics.Frontier10Queries.oracleSql
 }

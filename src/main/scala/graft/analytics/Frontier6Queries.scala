@@ -46,42 +46,8 @@ object Frontier6Queries {
         .otherwise(0L).as("y"),
       round(log(col("o_totalprice")), 6).cast(DecimalType(9, 6)).as("x"))
     val d = d0.localCheckpoint(true)
-    def step(b0: java.math.BigDecimal, b1: java.math.BigDecimal)
-        : (java.math.BigDecimal, java.math.BigDecimal) = {
-      val tlin = lit(b0).cast(DecimalType(18, 6)) +
-        lit(b1).cast(DecimalType(18, 6)) * col("x")
-      val p = round(lit(1.0) /
-        (lit(1.0) + exp(negate(tlin.cast("double")))), 6)
-        .cast(DecimalType(8, 6))
-      val w = p * (lit(1).cast(DecimalType(8, 6)) - p)
-      val r = d.select(col("y"), col("x"), p.as("p"), w.as("w"))
-        .agg(
-          sum(col("w")).as("sw"),
-          sum(col("w") * col("x")).as("swx"),
-          sum(col("w") * col("x") * col("x")).as("swxx"),
-          sum(col("y").cast(DecimalType(8, 6)) - col("p")).as("g0"),
-          sum(col("x") * (col("y").cast(DecimalType(8, 6)) - col("p")))
-            .as("g1"))
-        .select(col("sw").cast("double"), col("swx").cast("double"),
-          col("swxx").cast("double"), col("g0").cast("double"),
-          col("g1").cast("double"))
-        .head()
-      val (sw, swx, swxx, g0, g1) =
-        (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
-          r.getDouble(4))
-      val det = sw * swxx - swx * swx
-      def r6(v: Double) = new java.math.BigDecimal(v)
-        .setScale(6, java.math.RoundingMode.HALF_UP)
-      (r6(b0.doubleValue() + (swxx * g0 - swx * g1) / det),
-        r6(b1.doubleValue() + (sw * g1 - swx * g0) / det))
-    }
-    val zero = java.math.BigDecimal.ZERO.setScale(6)
-    val (b0a, b1a) = step(zero, zero)
-    val (b0b, b1b) = step(b0a, b1a)
-    val tlin = lit(b0b).cast(DecimalType(18, 6)) +
-      lit(b1b).cast(DecimalType(18, 6)) * col("x")
-    val p = round(lit(1.0) / (lit(1.0) + exp(negate(tlin.cast("double")))), 6)
-      .cast(DecimalType(8, 6))
+    val (b0b, b1b) = graft.ml.LogReg.fit(d, iters = 2)
+    val p = graft.ml.LogReg.sigmoid(b0b, b1b, col("x"))
     d.select(col("y"), p.as("p"))
       .agg(count(lit(1)).as("n"),
         sum(when((col("p") > lit(0.5).cast(DecimalType(8, 6))) ===
@@ -96,44 +62,12 @@ object Frontier6Queries {
     * oracle is self-contained (no values smuggled from the Scala side).
     */
   private val mlLogregNewtonSql = {
-    // one Newton step: given CTE `bp` holding (b0, b1) as DECIMAL(18,6),
-    // emit CTE `bn` with the updated pair
-    def step(bp: String, bn: String) =
-      s"""${bn}_p AS (SELECT d.y, d.x,
-         |    CAST(round(1.0 / (1.0 + exp(-CAST(CAST($bp.b0 + $bp.b1 * d.x
-         |      AS VARCHAR) AS DOUBLE))), 6) AS DECIMAL(8,6)) AS p
-         |  FROM d CROSS JOIN $bp),
-         |${bn}_m AS (SELECT
-         |    CAST(CAST(SUM(p * (CAST(1 AS DECIMAL(8,6)) - p)) AS VARCHAR)
-         |      AS DOUBLE) AS sw,
-         |    CAST(CAST(SUM(p * (CAST(1 AS DECIMAL(8,6)) - p) * x)
-         |      AS VARCHAR) AS DOUBLE) AS swx,
-         |    CAST(CAST(SUM(p * (CAST(1 AS DECIMAL(8,6)) - p) * x * x)
-         |      AS VARCHAR) AS DOUBLE) AS swxx,
-         |    CAST(CAST(SUM(CAST(y AS DECIMAL(8,6)) - p) AS VARCHAR)
-         |      AS DOUBLE) AS g0,
-         |    CAST(CAST(SUM(x * (CAST(y AS DECIMAL(8,6)) - p)) AS VARCHAR)
-         |      AS DOUBLE) AS g1
-         |  FROM ${bn}_p),
-         |$bn AS (SELECT
-         |    CAST(round(CAST(CAST(b.b0 AS VARCHAR) AS DOUBLE)
-         |      + (m.swxx * m.g0 - m.swx * m.g1)
-         |        / (m.sw * m.swxx - m.swx * m.swx), 6) AS DECIMAL(18,6))
-         |      AS b0,
-         |    CAST(round(CAST(CAST(b.b1 AS VARCHAR) AS DOUBLE)
-         |      + (m.sw * m.g1 - m.swx * m.g0)
-         |        / (m.sw * m.swxx - m.swx * m.swx), 6) AS DECIMAL(18,6))
-         |      AS b1
-         |  FROM ${bn}_m m CROSS JOIN $bp b)""".stripMargin
     s"""WITH d AS (SELECT
        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
        |      THEN 1 ELSE 0 END AS y,
        |    CAST(round(ln(o_totalprice), 6) AS DECIMAL(9,6)) AS x
        |  FROM orders),
-       |bz AS (SELECT CAST(0 AS DECIMAL(18,6)) AS b0,
-       |              CAST(0 AS DECIMAL(18,6)) AS b1),
-       |${step("bz", "ba")},
-       |${step("ba", "bb")},
+       |${graft.ml.LogReg.sqlSteps(2)},
        |fp AS (SELECT d.y,
        |    CAST(round(1.0 / (1.0 + exp(-CAST(CAST(bb.b0 + bb.b1 * d.x
        |      AS VARCHAR) AS DOUBLE))), 6) AS DECIMAL(8,6)) AS p,
