@@ -29,7 +29,8 @@ object SparkEntry {
       analytics.Frontier7Queries.queries ++
       analytics.Frontier8Queries.queries ++
       analytics.Frontier9Queries.queries ++
-      analytics.Frontier10Queries.queries
+      analytics.Frontier10Queries.queries ++
+      analytics.Frontier11Queries.queries
 
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql ++
@@ -44,5 +45,6 @@ object SparkEntry {
       analytics.Frontier7Queries.oracleSql ++
       analytics.Frontier8Queries.oracleSql ++
       analytics.Frontier9Queries.oracleSql ++
-      analytics.Frontier10Queries.oracleSql
+      analytics.Frontier10Queries.oracleSql ++
+      analytics.Frontier11Queries.oracleSql
 }

@@ -50,38 +50,9 @@ object Frontier4Queries {
   // ------------------------------------------------------------------
   private val mlKmeansEmbed: QFn = (s, dir) => {
     val emb = t(s, dir, "embeddings")
-    val pts = emb
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
-      .select(col("vec_id"), col("dim"),
-        round(col("v").cast("double"), 6).cast(DecimalType(18, 6)).as("vd"))
-      .localCheckpoint(true)
-    val seeds = graft.operators.TopK.rankTopK(
-        emb.select(col("vec_id"),
-          md5(concat(lit("km:"), col("vec_id").cast("string"))).as("h")),
-        8, Seq(col("h").asc, col("vec_id").asc), "cid")
-      .select(col("vec_id"), col("cid").cast("int").as("cid"))
-    var cent = pts.join(broadcast(seeds), "vec_id")
-      .select(col("cid"), col("dim"), col("vd").as("cd"))
-      .localCheckpoint(true)
-    def assign(c: DataFrame): DataFrame = {
-      val sq = (col("vd") - col("cd")).cast(DecimalType(12, 6))
-      pts.join(broadcast(c), "dim")
-        .withColumn("sq", sq * sq)
-        .groupBy("vec_id", "cid").agg(sum(col("sq")).as("d2"))
-        .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
-          .orderBy(col("d2").asc, col("cid").asc)))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"), col("d2"))
-    }
-    (1 to 3).foreach { _ =>
-      val asg = assign(cent)
-      cent = pts.join(asg.select("vec_id", "cid"), "vec_id")
-        .groupBy("cid", "dim")
-        .agg(round(sum(col("vd")).cast("double") / count(lit(1)), 6)
-          .cast(DecimalType(18, 6)).as("cd"))
-        .localCheckpoint(true)
-    }
-    val finalAsg = assign(cent)
+    val pts = graft.ml.KMeans.pointsLong(emb).localCheckpoint(true)
+    val cent = graft.ml.KMeans.fit(emb, pts, k = 8, iters = 3)
+    val finalAsg = graft.ml.KMeans.assign(pts, cent)
     val cnorm = cent
       .withColumn("c6", col("cd").cast(DecimalType(12, 6)))
       .groupBy("cid").agg(sum(col("c6") * col("c6")).as("nrm"))
@@ -94,36 +65,7 @@ object Frontier4Queries {
       .orderBy("cid")
   }
   private val mlKmeansEmbedSql = {
-    def distAssign(centCte: String, n: Int) =
-      s"""dd$n AS (SELECT p.vec_id, c.cid,
-         |    SUM(CAST(p.vd - c.cd AS DECIMAL(12,6))
-         |      * CAST(p.vd - c.cd AS DECIMAL(12,6))) AS d2
-         |  FROM pts p JOIN $centCte c USING (dim) GROUP BY 1, 2),
-         |a$n AS (SELECT vec_id, cid, d2 FROM dd$n
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY d2, cid) = 1)""".stripMargin
-    def update(n: Int) =
-      s"""c$n AS (SELECT a.cid, p.dim,
-         |    CAST(round(CAST(CAST(SUM(p.vd) AS VARCHAR) AS DOUBLE)
-         |      / COUNT(*), 6) AS DECIMAL(18,6)) AS cd
-         |  FROM pts p JOIN a$n a USING (vec_id) GROUP BY 1, 2)""".stripMargin
-    s"""WITH pts AS (SELECT vec_id, r.i AS dim,
-       |    CAST(round(CAST(embedding[r.i + 1] AS DOUBLE), 6)
-       |      AS DECIMAL(18,6)) AS vd
-       |  FROM embeddings CROSS JOIN range(0, 64) r(i)),
-       |sd AS (SELECT vec_id, CAST(row_number() OVER (
-       |    ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)), vec_id) AS INT)
-       |    AS cid
-       |  FROM embeddings QUALIFY cid <= 8),
-       |c0 AS (SELECT sd.cid, p.dim, p.vd AS cd
-       |       FROM pts p JOIN sd USING (vec_id)),
-       |${distAssign("c0", 1)},
-       |${update(1)},
-       |${distAssign("c1", 2)},
-       |${update(2)},
-       |${distAssign("c2", 3)},
-       |${update(3)},
-       |${distAssign("c3", 4)},
+    s"""WITH ${graft.ml.KMeans.sqlCtes(dim = 64, k = 8, iters = 3)},
        |cn AS (SELECT cid,
        |    round(CAST(CAST(SUM(CAST(cd AS DECIMAL(12,6))
        |      * CAST(cd AS DECIMAL(12,6))) AS VARCHAR) AS DOUBLE), 6)
