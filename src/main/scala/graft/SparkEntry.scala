@@ -30,7 +30,8 @@ object SparkEntry {
       analytics.Frontier8Queries.queries ++
       analytics.Frontier9Queries.queries ++
       analytics.Frontier10Queries.queries ++
-      analytics.Frontier11Queries.queries
+      analytics.Frontier11Queries.queries ++
+      analytics.Frontier12Queries.queries
 
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql ++
@@ -46,5 +47,6 @@ object SparkEntry {
       analytics.Frontier8Queries.oracleSql ++
       analytics.Frontier9Queries.oracleSql ++
       analytics.Frontier10Queries.oracleSql ++
-      analytics.Frontier11Queries.oracleSql
+      analytics.Frontier11Queries.oracleSql ++
+      analytics.Frontier12Queries.oracleSql
 }
