@@ -31,7 +31,9 @@ object SparkEntry {
       analytics.Frontier9Queries.queries ++
       analytics.Frontier10Queries.queries ++
       analytics.Frontier11Queries.queries ++
-      analytics.Frontier12Queries.queries
+      analytics.Frontier12Queries.queries ++
+      analytics.Frontier13Queries.queries ++
+      analytics.Frontier14Queries.queries
 
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql ++
@@ -48,5 +50,7 @@ object SparkEntry {
       analytics.Frontier9Queries.oracleSql ++
       analytics.Frontier10Queries.oracleSql ++
       analytics.Frontier11Queries.oracleSql ++
-      analytics.Frontier12Queries.oracleSql
+      analytics.Frontier12Queries.oracleSql ++
+      analytics.Frontier13Queries.oracleSql ++
+      analytics.Frontier14Queries.oracleSql
 }
