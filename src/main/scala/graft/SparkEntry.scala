@@ -33,7 +33,8 @@ object SparkEntry {
       analytics.Frontier11Queries.queries ++
       analytics.Frontier12Queries.queries ++
       analytics.Frontier13Queries.queries ++
-      analytics.Frontier14Queries.queries
+      analytics.Frontier14Queries.queries ++
+      analytics.Frontier15Queries.queries
 
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql ++
@@ -52,5 +53,6 @@ object SparkEntry {
       analytics.Frontier11Queries.oracleSql ++
       analytics.Frontier12Queries.oracleSql ++
       analytics.Frontier13Queries.oracleSql ++
-      analytics.Frontier14Queries.oracleSql
+      analytics.Frontier14Queries.oracleSql ++
+      analytics.Frontier15Queries.oracleSql
 }

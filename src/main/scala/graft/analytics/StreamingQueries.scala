@@ -4,6 +4,7 @@ import java.util.UUID
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.DecimalType
@@ -325,7 +326,44 @@ object StreamingQueries {
        |FROM accepted, consts WHERE we <= wm_final
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ST8 — streaming top-k serving: a streaming tumbling-window count
+  // feeds a batch rank over the drained sink — the lambda-free serving
+  // pattern (stream maintains the aggregate, the top-k read is a
+  // query-time transform on the materialized state, so k can change
+  // without reprocessing). Complete mode for bounded-replay parity;
+  // rank (not row_number) keeps tie semantics deterministic, with a
+  // total (window, type) tie-break inside the rank ordering so equal
+  // counts rank identically in both engines.
+  private val stTopkWindowed: QFn = (s, dir) => {
+    val ev = EventStream.readEvents(s, eventsDir(dir))
+    val agg = ev
+      .groupBy(window(col("event_time"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("day_window"), col("event_type"),
+        col("n_events"))
+    val sunk = drain(s, agg, "st_topk_", OutputMode.Complete())
+    val w = Window.partitionBy("day_window")
+      .orderBy(col("n_events").desc, col("event_type").asc)
+    sunk.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 2)
+      .select(col("day_window"), col("rnk"), col("event_type"),
+        col("n_events"))
+      .orderBy("day_window", "rnk")
+  }
+  private val stTopkWindowedSql =
+    """WITH c AS (SELECT date_trunc('day', ts) AS day_window, event_type,
+      |    COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2)
+      |SELECT day_window,
+      |  CAST(row_number() OVER (PARTITION BY day_window
+      |    ORDER BY n_events DESC, event_type) AS INT) AS rnk,
+      |  event_type, n_events
+      |FROM c
+      |QUALIFY rnk <= 2
+      |ORDER BY day_window, rnk""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "st_topk_windowed" -> stTopkWindowed,
     "st_late_drop" -> stLateDrop,
     "st_dedup_stream" -> stDedupStream,
     "st_freq_cap" -> stFreqCap,
@@ -335,6 +373,7 @@ object StreamingQueries {
     "st_exactly_once_sink" -> stExactlyOnce)
 
   val oracleSql: Map[String, String] = Map(
+    "st_topk_windowed" -> stTopkWindowedSql,
     "st_late_drop" -> stLateDropSql,
     "st_dedup_stream" -> stDedupSql,
     "st_freq_cap" -> stFreqCapSql,
