@@ -34,7 +34,8 @@ object SparkEntry {
       analytics.Frontier12Queries.queries ++
       analytics.Frontier13Queries.queries ++
       analytics.Frontier14Queries.queries ++
-      analytics.Frontier15Queries.queries
+      analytics.Frontier15Queries.queries ++
+      analytics.Frontier16Queries.queries
 
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql ++
@@ -54,5 +55,6 @@ object SparkEntry {
       analytics.Frontier12Queries.oracleSql ++
       analytics.Frontier13Queries.oracleSql ++
       analytics.Frontier14Queries.oracleSql ++
-      analytics.Frontier15Queries.oracleSql
+      analytics.Frontier15Queries.oracleSql ++
+      analytics.Frontier16Queries.oracleSql
 }
