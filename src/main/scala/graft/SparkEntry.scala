@@ -35,7 +35,8 @@ object SparkEntry {
       analytics.Frontier13Queries.queries ++
       analytics.Frontier14Queries.queries ++
       analytics.Frontier15Queries.queries ++
-      analytics.Frontier16Queries.queries
+      analytics.Frontier16Queries.queries ++
+      analytics.Frontier17Queries.queries
 
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql ++
@@ -56,5 +57,6 @@ object SparkEntry {
       analytics.Frontier13Queries.oracleSql ++
       analytics.Frontier14Queries.oracleSql ++
       analytics.Frontier15Queries.oracleSql ++
-      analytics.Frontier16Queries.oracleSql
+      analytics.Frontier16Queries.oracleSql ++
+      analytics.Frontier17Queries.oracleSql
 }
