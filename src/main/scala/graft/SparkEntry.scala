@@ -36,7 +36,8 @@ object SparkEntry {
       analytics.Frontier14Queries.queries ++
       analytics.Frontier15Queries.queries ++
       analytics.Frontier16Queries.queries ++
-      analytics.Frontier17Queries.queries
+      analytics.Frontier17Queries.queries ++
+      analytics.Frontier18Queries.queries
 
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql ++
@@ -58,5 +59,6 @@ object SparkEntry {
       analytics.Frontier14Queries.oracleSql ++
       analytics.Frontier15Queries.oracleSql ++
       analytics.Frontier16Queries.oracleSql ++
-      analytics.Frontier17Queries.oracleSql
+      analytics.Frontier17Queries.oracleSql ++
+      analytics.Frontier18Queries.oracleSql
 }
