@@ -37,7 +37,8 @@ object SparkEntry {
       analytics.Frontier15Queries.queries ++
       analytics.Frontier16Queries.queries ++
       analytics.Frontier17Queries.queries ++
-      analytics.Frontier18Queries.queries
+      analytics.Frontier18Queries.queries ++
+      analytics.Frontier19Queries.queries
 
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql ++
@@ -60,5 +61,6 @@ object SparkEntry {
       analytics.Frontier15Queries.oracleSql ++
       analytics.Frontier16Queries.oracleSql ++
       analytics.Frontier17Queries.oracleSql ++
-      analytics.Frontier18Queries.oracleSql
+      analytics.Frontier18Queries.oracleSql ++
+      analytics.Frontier19Queries.oracleSql
 }
