@@ -38,7 +38,8 @@ object SparkEntry {
       analytics.Frontier16Queries.queries ++
       analytics.Frontier17Queries.queries ++
       analytics.Frontier18Queries.queries ++
-      analytics.Frontier19Queries.queries
+      analytics.Frontier19Queries.queries ++
+      analytics.Frontier20Queries.queries
 
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql ++
@@ -62,5 +63,6 @@ object SparkEntry {
       analytics.Frontier16Queries.oracleSql ++
       analytics.Frontier17Queries.oracleSql ++
       analytics.Frontier18Queries.oracleSql ++
-      analytics.Frontier19Queries.oracleSql
+      analytics.Frontier19Queries.oracleSql ++
+      analytics.Frontier20Queries.oracleSql
 }
