@@ -39,7 +39,8 @@ object SparkEntry {
       analytics.Frontier17Queries.queries ++
       analytics.Frontier18Queries.queries ++
       analytics.Frontier19Queries.queries ++
-      analytics.Frontier20Queries.queries
+      analytics.Frontier20Queries.queries ++
+      analytics.Frontier21Queries.queries
 
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql ++
@@ -64,5 +65,6 @@ object SparkEntry {
       analytics.Frontier17Queries.oracleSql ++
       analytics.Frontier18Queries.oracleSql ++
       analytics.Frontier19Queries.oracleSql ++
-      analytics.Frontier20Queries.oracleSql
+      analytics.Frontier20Queries.oracleSql ++
+      analytics.Frontier21Queries.oracleSql
 }
