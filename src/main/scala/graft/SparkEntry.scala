@@ -40,7 +40,8 @@ object SparkEntry {
       analytics.Frontier18Queries.queries ++
       analytics.Frontier19Queries.queries ++
       analytics.Frontier20Queries.queries ++
-      analytics.Frontier21Queries.queries
+      analytics.Frontier21Queries.queries ++
+      analytics.Frontier22Queries.queries
 
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql ++
@@ -66,5 +67,6 @@ object SparkEntry {
       analytics.Frontier18Queries.oracleSql ++
       analytics.Frontier19Queries.oracleSql ++
       analytics.Frontier20Queries.oracleSql ++
-      analytics.Frontier21Queries.oracleSql
+      analytics.Frontier21Queries.oracleSql ++
+      analytics.Frontier22Queries.oracleSql
 }

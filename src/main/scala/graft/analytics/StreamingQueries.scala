@@ -362,8 +362,44 @@ object StreamingQueries {
       |QUALIFY rnk <= 2
       |ORDER BY day_window, rnk""".stripMargin
 
+  // ST9 — STREAM-STATIC enrichment join: the live stream joins a
+  // batch-computed per-user baseline (historical mean event value,
+  // frozen decimal) — the dimension-lookup topology where the static
+  // side is planned once per micro-batch and broadcast, no state
+  // store involved (unlike stream-stream joins). The enriched stream
+  // then counts above-baseline events per day window. Batch parity:
+  // the oracle recomputes baseline and comparison in closed form.
+  private val stStaticEnrich: QFn = (s, dir) => {
+    val baseline = graft.Tables.load(s, dir, "events")
+      .groupBy("user_id")
+      .agg(round(sum(col("value").cast(DecimalType(18, 4)))
+          .cast("double") / count(lit(1)).cast("double"), 6)
+        .cast(DecimalType(18, 6)).as("mean_v"))
+    val ev = EventStream.readEvents(s, eventsDir(dir))
+    val agg = ev.join(broadcast(baseline), "user_id")
+      .groupBy(window(col("event_time"), "1 day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("value").cast(DecimalType(18, 4)) > col("mean_v"),
+          1L).otherwise(0L)).as("n_above_baseline"))
+      .select(col("window.start").as("day_window"), col("n_events"),
+        col("n_above_baseline"))
+    drain(s, agg, "st_enrich_", OutputMode.Complete())
+      .orderBy("day_window")
+  }
+  private val stStaticEnrichSql =
+    """WITH b AS (SELECT user_id,
+      |    CAST(round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE), 6) AS DECIMAL(18,6)) AS mean_v
+      |  FROM events GROUP BY 1)
+      |SELECT date_trunc('day', ts) AS day_window, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN CAST(value AS DECIMAL(18,4)) > b.mean_v
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_above_baseline
+      |FROM events JOIN b USING (user_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "st_topk_windowed" -> stTopkWindowed,
+    "st_static_enrich" -> stStaticEnrich,
     "st_late_drop" -> stLateDrop,
     "st_dedup_stream" -> stDedupStream,
     "st_freq_cap" -> stFreqCap,
@@ -374,6 +410,7 @@ object StreamingQueries {
 
   val oracleSql: Map[String, String] = Map(
     "st_topk_windowed" -> stTopkWindowedSql,
+    "st_static_enrich" -> stStaticEnrichSql,
     "st_late_drop" -> stLateDropSql,
     "st_dedup_stream" -> stDedupSql,
     "st_freq_cap" -> stFreqCapSql,
