@@ -41,7 +41,8 @@ object SparkEntry {
       analytics.Frontier19Queries.queries ++
       analytics.Frontier20Queries.queries ++
       analytics.Frontier21Queries.queries ++
-      analytics.Frontier22Queries.queries
+      analytics.Frontier22Queries.queries ++
+      analytics.Frontier23Queries.queries
 
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql ++
@@ -68,5 +69,6 @@ object SparkEntry {
       analytics.Frontier19Queries.oracleSql ++
       analytics.Frontier20Queries.oracleSql ++
       analytics.Frontier21Queries.oracleSql ++
-      analytics.Frontier22Queries.oracleSql
+      analytics.Frontier22Queries.oracleSql ++
+      analytics.Frontier23Queries.oracleSql
 }
