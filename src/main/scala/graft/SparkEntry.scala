@@ -42,7 +42,8 @@ object SparkEntry {
       analytics.Frontier20Queries.queries ++
       analytics.Frontier21Queries.queries ++
       analytics.Frontier22Queries.queries ++
-      analytics.Frontier23Queries.queries
+      analytics.Frontier23Queries.queries ++
+      analytics.Frontier24Queries.queries
 
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql ++
@@ -70,5 +71,6 @@ object SparkEntry {
       analytics.Frontier20Queries.oracleSql ++
       analytics.Frontier21Queries.oracleSql ++
       analytics.Frontier22Queries.oracleSql ++
-      analytics.Frontier23Queries.oracleSql
+      analytics.Frontier23Queries.oracleSql ++
+      analytics.Frontier24Queries.oracleSql
 }

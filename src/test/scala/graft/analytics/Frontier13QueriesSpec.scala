@@ -120,7 +120,9 @@ class Frontier13QueriesSpec extends AnyFunSuite {
       val ps = rows.map(_._2).distinct.sorted
       for (i <- ps.indices; j <- i + 1 until ps.length)
         yield (ps(i), ps(j))
-    }.groupBy(identity).collect { case (e, xs) if xs.size >= 2 => e }.toSet
+    }.groupBy(identity).filter(_._2.size >= 2).keySet
+    // (collect{...=> e} on a Map would rebuild a Map keyed by e._1 and
+    //  silently dedupe — filter+keySet keeps every qualifying pair)
     got.foreach { case (_, pa, pb, _, _) =>
       assert(!edges.contains((pa, pb)), s"($pa,$pb) already linked")
     }
