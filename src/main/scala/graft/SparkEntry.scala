@@ -43,7 +43,8 @@ object SparkEntry {
       analytics.Frontier21Queries.queries ++
       analytics.Frontier22Queries.queries ++
       analytics.Frontier23Queries.queries ++
-      analytics.Frontier24Queries.queries
+      analytics.Frontier24Queries.queries ++
+      analytics.Frontier25Queries.queries
 
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql ++
@@ -72,5 +73,6 @@ object SparkEntry {
       analytics.Frontier21Queries.oracleSql ++
       analytics.Frontier22Queries.oracleSql ++
       analytics.Frontier23Queries.oracleSql ++
-      analytics.Frontier24Queries.oracleSql
+      analytics.Frontier24Queries.oracleSql ++
+      analytics.Frontier25Queries.oracleSql
 }
