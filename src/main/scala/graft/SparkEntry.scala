@@ -44,7 +44,8 @@ object SparkEntry {
       analytics.Frontier22Queries.queries ++
       analytics.Frontier23Queries.queries ++
       analytics.Frontier24Queries.queries ++
-      analytics.Frontier25Queries.queries
+      analytics.Frontier25Queries.queries ++
+      analytics.Frontier26Queries.queries
 
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql ++
@@ -74,5 +75,6 @@ object SparkEntry {
       analytics.Frontier22Queries.oracleSql ++
       analytics.Frontier23Queries.oracleSql ++
       analytics.Frontier24Queries.oracleSql ++
-      analytics.Frontier25Queries.oracleSql
+      analytics.Frontier25Queries.oracleSql ++
+      analytics.Frontier26Queries.oracleSql
 }
