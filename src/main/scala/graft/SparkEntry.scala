@@ -45,7 +45,8 @@ object SparkEntry {
       analytics.Frontier23Queries.queries ++
       analytics.Frontier24Queries.queries ++
       analytics.Frontier25Queries.queries ++
-      analytics.Frontier26Queries.queries
+      analytics.Frontier26Queries.queries ++
+      analytics.Frontier27Queries.queries
 
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql ++
@@ -76,5 +77,6 @@ object SparkEntry {
       analytics.Frontier23Queries.oracleSql ++
       analytics.Frontier24Queries.oracleSql ++
       analytics.Frontier25Queries.oracleSql ++
-      analytics.Frontier26Queries.oracleSql
+      analytics.Frontier26Queries.oracleSql ++
+      analytics.Frontier27Queries.oracleSql
 }
