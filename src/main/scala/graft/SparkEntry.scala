@@ -46,7 +46,8 @@ object SparkEntry {
       analytics.Frontier24Queries.queries ++
       analytics.Frontier25Queries.queries ++
       analytics.Frontier26Queries.queries ++
-      analytics.Frontier27Queries.queries
+      analytics.Frontier27Queries.queries ++
+      analytics.Frontier28Queries.queries
 
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql ++
@@ -78,5 +79,6 @@ object SparkEntry {
       analytics.Frontier24Queries.oracleSql ++
       analytics.Frontier25Queries.oracleSql ++
       analytics.Frontier26Queries.oracleSql ++
-      analytics.Frontier27Queries.oracleSql
+      analytics.Frontier27Queries.oracleSql ++
+      analytics.Frontier28Queries.oracleSql
 }
