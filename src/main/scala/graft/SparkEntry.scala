@@ -47,7 +47,8 @@ object SparkEntry {
       analytics.Frontier25Queries.queries ++
       analytics.Frontier26Queries.queries ++
       analytics.Frontier27Queries.queries ++
-      analytics.Frontier28Queries.queries
+      analytics.Frontier28Queries.queries ++
+      analytics.Frontier29Queries.queries
 
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql ++
@@ -80,5 +81,6 @@ object SparkEntry {
       analytics.Frontier25Queries.oracleSql ++
       analytics.Frontier26Queries.oracleSql ++
       analytics.Frontier27Queries.oracleSql ++
-      analytics.Frontier28Queries.oracleSql
+      analytics.Frontier28Queries.oracleSql ++
+      analytics.Frontier29Queries.oracleSql
 }
