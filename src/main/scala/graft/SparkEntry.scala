@@ -48,7 +48,8 @@ object SparkEntry {
       analytics.Frontier26Queries.queries ++
       analytics.Frontier27Queries.queries ++
       analytics.Frontier28Queries.queries ++
-      analytics.Frontier29Queries.queries
+      analytics.Frontier29Queries.queries ++
+      analytics.Frontier30Queries.queries
 
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql ++
@@ -82,5 +83,6 @@ object SparkEntry {
       analytics.Frontier26Queries.oracleSql ++
       analytics.Frontier27Queries.oracleSql ++
       analytics.Frontier28Queries.oracleSql ++
-      analytics.Frontier29Queries.oracleSql
+      analytics.Frontier29Queries.oracleSql ++
+      analytics.Frontier30Queries.oracleSql
 }
