@@ -49,7 +49,8 @@ object SparkEntry {
       analytics.Frontier27Queries.queries ++
       analytics.Frontier28Queries.queries ++
       analytics.Frontier29Queries.queries ++
-      analytics.Frontier30Queries.queries
+      analytics.Frontier30Queries.queries ++
+      analytics.Frontier31Queries.queries
 
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql ++
@@ -84,5 +85,6 @@ object SparkEntry {
       analytics.Frontier27Queries.oracleSql ++
       analytics.Frontier28Queries.oracleSql ++
       analytics.Frontier29Queries.oracleSql ++
-      analytics.Frontier30Queries.oracleSql
+      analytics.Frontier30Queries.oracleSql ++
+      analytics.Frontier31Queries.oracleSql
 }
