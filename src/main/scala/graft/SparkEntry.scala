@@ -50,7 +50,8 @@ object SparkEntry {
       analytics.Frontier28Queries.queries ++
       analytics.Frontier29Queries.queries ++
       analytics.Frontier30Queries.queries ++
-      analytics.Frontier31Queries.queries
+      analytics.Frontier31Queries.queries ++
+      analytics.Frontier32Queries.queries
 
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql ++
@@ -86,5 +87,6 @@ object SparkEntry {
       analytics.Frontier28Queries.oracleSql ++
       analytics.Frontier29Queries.oracleSql ++
       analytics.Frontier30Queries.oracleSql ++
-      analytics.Frontier31Queries.oracleSql
+      analytics.Frontier31Queries.oracleSql ++
+      analytics.Frontier32Queries.oracleSql
 }
