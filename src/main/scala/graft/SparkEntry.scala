@@ -51,7 +51,8 @@ object SparkEntry {
       analytics.Frontier29Queries.queries ++
       analytics.Frontier30Queries.queries ++
       analytics.Frontier31Queries.queries ++
-      analytics.Frontier32Queries.queries
+      analytics.Frontier32Queries.queries ++
+      analytics.Frontier33Queries.queries
 
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql ++
@@ -88,5 +89,6 @@ object SparkEntry {
       analytics.Frontier29Queries.oracleSql ++
       analytics.Frontier30Queries.oracleSql ++
       analytics.Frontier31Queries.oracleSql ++
-      analytics.Frontier32Queries.oracleSql
+      analytics.Frontier32Queries.oracleSql ++
+      analytics.Frontier33Queries.oracleSql
 }
