@@ -52,7 +52,8 @@ object SparkEntry {
       analytics.Frontier30Queries.queries ++
       analytics.Frontier31Queries.queries ++
       analytics.Frontier32Queries.queries ++
-      analytics.Frontier33Queries.queries
+      analytics.Frontier33Queries.queries ++
+      analytics.Frontier34Queries.queries
 
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql ++
@@ -90,5 +91,6 @@ object SparkEntry {
       analytics.Frontier30Queries.oracleSql ++
       analytics.Frontier31Queries.oracleSql ++
       analytics.Frontier32Queries.oracleSql ++
-      analytics.Frontier33Queries.oracleSql
+      analytics.Frontier33Queries.oracleSql ++
+      analytics.Frontier34Queries.oracleSql
 }
