@@ -53,7 +53,8 @@ object SparkEntry {
       analytics.Frontier31Queries.queries ++
       analytics.Frontier32Queries.queries ++
       analytics.Frontier33Queries.queries ++
-      analytics.Frontier34Queries.queries
+      analytics.Frontier34Queries.queries ++
+      analytics.Frontier35Queries.queries
 
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql ++
@@ -92,5 +93,6 @@ object SparkEntry {
       analytics.Frontier31Queries.oracleSql ++
       analytics.Frontier32Queries.oracleSql ++
       analytics.Frontier33Queries.oracleSql ++
-      analytics.Frontier34Queries.oracleSql
+      analytics.Frontier34Queries.oracleSql ++
+      analytics.Frontier35Queries.oracleSql
 }
