@@ -54,7 +54,8 @@ object SparkEntry {
       analytics.Frontier32Queries.queries ++
       analytics.Frontier33Queries.queries ++
       analytics.Frontier34Queries.queries ++
-      analytics.Frontier35Queries.queries
+      analytics.Frontier35Queries.queries ++
+      analytics.Frontier36Queries.queries
 
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql ++
@@ -94,5 +95,6 @@ object SparkEntry {
       analytics.Frontier32Queries.oracleSql ++
       analytics.Frontier33Queries.oracleSql ++
       analytics.Frontier34Queries.oracleSql ++
-      analytics.Frontier35Queries.oracleSql
+      analytics.Frontier35Queries.oracleSql ++
+      analytics.Frontier36Queries.oracleSql
 }
