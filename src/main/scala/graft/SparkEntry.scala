@@ -55,7 +55,8 @@ object SparkEntry {
       analytics.Frontier33Queries.queries ++
       analytics.Frontier34Queries.queries ++
       analytics.Frontier35Queries.queries ++
-      analytics.Frontier36Queries.queries
+      analytics.Frontier36Queries.queries ++
+      analytics.Frontier37Queries.queries
 
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql ++
@@ -96,5 +97,6 @@ object SparkEntry {
       analytics.Frontier33Queries.oracleSql ++
       analytics.Frontier34Queries.oracleSql ++
       analytics.Frontier35Queries.oracleSql ++
-      analytics.Frontier36Queries.oracleSql
+      analytics.Frontier36Queries.oracleSql ++
+      analytics.Frontier37Queries.oracleSql
 }
