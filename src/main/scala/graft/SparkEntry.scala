@@ -56,7 +56,8 @@ object SparkEntry {
       analytics.Frontier34Queries.queries ++
       analytics.Frontier35Queries.queries ++
       analytics.Frontier36Queries.queries ++
-      analytics.Frontier37Queries.queries
+      analytics.Frontier37Queries.queries ++
+      analytics.Frontier38Queries.queries
 
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql ++
@@ -98,5 +99,6 @@ object SparkEntry {
       analytics.Frontier34Queries.oracleSql ++
       analytics.Frontier35Queries.oracleSql ++
       analytics.Frontier36Queries.oracleSql ++
-      analytics.Frontier37Queries.oracleSql
+      analytics.Frontier37Queries.oracleSql ++
+      analytics.Frontier38Queries.oracleSql
 }
