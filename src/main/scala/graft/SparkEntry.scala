@@ -57,7 +57,8 @@ object SparkEntry {
       analytics.Frontier35Queries.queries ++
       analytics.Frontier36Queries.queries ++
       analytics.Frontier37Queries.queries ++
-      analytics.Frontier38Queries.queries
+      analytics.Frontier38Queries.queries ++
+      analytics.Frontier39Queries.queries
 
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql ++
@@ -100,5 +101,6 @@ object SparkEntry {
       analytics.Frontier35Queries.oracleSql ++
       analytics.Frontier36Queries.oracleSql ++
       analytics.Frontier37Queries.oracleSql ++
-      analytics.Frontier38Queries.oracleSql
+      analytics.Frontier38Queries.oracleSql ++
+      analytics.Frontier39Queries.oracleSql
 }
