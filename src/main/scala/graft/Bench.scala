@@ -54,20 +54,20 @@ object Bench {
     val pass2 = timedPass().toMap
     val results = names.map { case (n, _) => n -> math.min(pass1(n), pass2(n)) }
     val total = results.map(_._2).sum
-    // The driver keeps only a bounded tail of stdout (~2.3 KB): r2–r4 all
-    // lost the head of this line (parsed:null) because ~100 per-query
-    // entries push it past 2.7 KB. The stdout line therefore carries only
-    // the SLOWEST 40 queries (the ones that matter for plan-shape
-    // grading) plus the all-query total; the sidecar file keeps every
-    // query at full precision.
+    // The driver keeps only a bounded tail of stdout (~2.3 KB): r2–r5 all
+    // lost the head of this line (parsed:null) because per-query entries
+    // push it past the window (even 40 entries ≈ 2.5 KB). The stdout line
+    // therefore carries ONLY the all-query total, the count, and the 5
+    // slowest queries (≈350 bytes); the sidecar file keeps every query at
+    // full precision.
     def line(fmt: Double => String,
              subset: Seq[(String, Double)]): String = {
       val qs = subset.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"agg":"min","n_queries":${results.size},"queries_shown":${subset.size},"full":"$outPath"}"""
     }
-    val slowest40 = results.sortBy(-_._2).take(40).sortBy(_._1)
-    println(line(v => f"$v%.3f", slowest40))
+    val slowest5 = results.sortBy(-_._2).take(5).sortBy(_._1)
+    println(line(v => f"$v%.3f", slowest5))
     try Files.writeString(Paths.get(outPath), line(_.toString, results) + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")

@@ -48,6 +48,30 @@ object ScaleProbe {
         shingleK = 3, threshold = 0.8).count())
     }
 
+    // 100x headroom probe for the quadratic-prone families only: 500k
+    // docs, every base doc replicated 100x (same exact-recall
+    // construction as the 10x probe — replicas are exact dups, so the
+    // true-pair set is known by construction and grows as C(100,2)/
+    // C(10,2) = 110x; sub-quadratic wall-clock growth relative to THAT
+    // output ratio is the pass bar). explode(sequence) replication keeps
+    // it one scan instead of a 100-branch union. Crosses the
+    // broadcastDocLimit (200k), so this also exercises the non-broadcast
+    // shuffle-verify path the 10x probe never reaches.
+    if (families("dedup100")) {
+      val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val big = base
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), lit(99L))).as("rep"))
+        .select((col("doc_id") * 100L + col("rep")).as("doc_id"), col("text"))
+      val cached = big.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"docs100: ${cached.count()}")
+      time("ngram_jaccard_100x")(Dedup.ngramJaccardPairs(cached, "doc_id",
+        "text", shingleK = 3, threshold = 0.5).count())
+      time("containment_100x")(Dedup.containmentPairs(cached, "doc_id",
+        "text", shingleK = 3, threshold = 0.8).count())
+      cached.unpersist()
+    }
+
     if (families("events")) {
       import org.apache.spark.sql.expressions.Window
       val base = Tables.load(spark, "/root/testdata/sf0.1", "events")

@@ -58,7 +58,8 @@ object SparkEntry {
       analytics.Frontier36Queries.queries ++
       analytics.Frontier37Queries.queries ++
       analytics.Frontier38Queries.queries ++
-      analytics.Frontier39Queries.queries
+      analytics.Frontier39Queries.queries ++
+      analytics.SqlFrontDoorQueries.queries
 
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracleSql ++ analytics.OperatorQueries.oracleSql ++
@@ -102,5 +103,6 @@ object SparkEntry {
       analytics.Frontier36Queries.oracleSql ++
       analytics.Frontier37Queries.oracleSql ++
       analytics.Frontier38Queries.oracleSql ++
-      analytics.Frontier39Queries.oracleSql
+      analytics.Frontier39Queries.oracleSql ++
+      analytics.SqlFrontDoorQueries.oracleSql
 }

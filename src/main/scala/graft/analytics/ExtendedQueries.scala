@@ -60,15 +60,17 @@ object ExtendedQueries {
   // exactly what the oracle runs) — but at 100 TB the fact side entering
   // the shuffle shrinks to ~selectivity of the dim filter, the same
   // trade Spark's own `spark.sql.optimizer.runtime.bloomFilter` makes.
-  // The filter itself is a few hundred KB broadcast in the UDF closure.
+  // Build and probe are NATIVE Catalyst expressions (BloomFilterAggregate
+  // / BloomFilterMightContain via operators/BloomPrefilter) — the probe
+  // stays in whole-stage codegen; no udf in the plan.
   // ------------------------------------------------------------------
   private val j15Bloom: QFn = (s, dir) => {
     val cust = t(s, dir, "customer")
       .filter(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey"))
-    val bf = cust.stat.bloomFilter("c_custkey", 1 << 20, 0.01)
-    val mightContain = udf((k: Long) => bf.mightContain(k))
-    val pre = t(s, dir, "orders").filter(mightContain(col("o_custkey")))
+    val pre = t(s, dir, "orders").filter(
+      graft.operators.BloomPrefilter.mightContain(
+        cust, col("c_custkey"), col("o_custkey"), 1L << 20))
     pre.join(cust, pre("o_custkey") === cust("c_custkey"), "left_semi")
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
@@ -3671,7 +3673,9 @@ object ExtendedQueries {
   // same way (the j15 pattern applied to dedup). Bloom admits ~1%
   // false positives and NO false negatives, so the result is
   // byte-identical to the plain semi join the oracle runs — the
-  // prefilter must be invisible, and the hash-match proves it.
+  // prefilter must be invisible, and the hash-match proves it. The
+  // probe is the native BloomFilterMightContain expression
+  // (operators/BloomPrefilter) — codegen, no udf in the plan.
   // ------------------------------------------------------------------
   private val dIncrementalDedup: QFn = (s, dir) => {
     val docs0 = t(s, dir, "documents")
@@ -3683,9 +3687,9 @@ object ExtendedQueries {
       .select((col("doc_id") + 10000000L).as("doc_id"),
         sha2(when(col("doc_id") % 6 === 0, col("text"))
           .otherwise(concat(col("text"), lit(" v2"))), 256).as("fp"))
-    val bloom = existing.stat.bloomFilter("fp", 100000L, 0.01)
-    val mightContain = udf((fp: String) => bloom.mightContainString(fp))
-    val candidates = batch.filter(mightContain(col("fp")))
+    val candidates = batch.filter(
+      graft.operators.BloomPrefilter.mightContain(
+        existing, col("fp"), col("fp"), 100000L))
     candidates.join(existing.select(col("fp")), Seq("fp"), "left_semi")
       .agg(count(lit(1)).as("n_dup_docs"),
            countDistinct(col("fp")).as("n_dup_contents"),

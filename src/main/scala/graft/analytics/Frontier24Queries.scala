@@ -33,17 +33,14 @@ object Frontier24Queries {
   // the batch max token length; under LENGTH-BUCKETED batching (docs
   // ranked by (token_len, doc_id) — the sort the bucketing shuffle
   // realizes) batch-mates have near-equal lengths and the padding
-  // collapses. Both assignments are rank÷8 expressions over window
-  // ranks — per-batch stats are one groupBy each; the final row
-  // quantifies the saving. The ranking windows are global but over
-  // doc COUNTS (not content), and at scale the identical statistic
-  // computes from range-partitioned rank approximations — the
-  // numbers here pin the exact-semantics baseline. The padding
-  // saved is the serving-cost argument for length bucketing, stated
-  // as data.
+  // collapses. Both assignments are rank÷8 expressions over two-phase
+  // contiguous numberings (etl/SurrogateKeys.scalable: range partition
+  // + zipWithIndex — no global window, no single-partition funnel);
+  // per-batch stats are one groupBy each; the final row quantifies the
+  // saving. The padding saved is the serving-cost argument for length
+  // bucketing, stated as data.
   // ------------------------------------------------------------------
   private val pLengthBatching: QFn = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), TF.wsTokenCount(col("text")).cast("long")
         .as("tok"))
@@ -55,12 +52,11 @@ object Frontier24Queries {
       .agg(count(lit(1)).as("n_batches"),
         sum(col("toks")).cast("long").as("real_tokens"),
         sum(col("mx") * col("n")).cast("long").as("padded_tokens"))
-    val naive = waste(docs.withColumn("batch",
-      ((row_number().over(Window.orderBy("doc_id")) - 1) / 8)
-        .cast("long")))
-    val bucketed = waste(docs.withColumn("batch",
-      ((row_number().over(Window.orderBy(col("tok").asc,
-        col("doc_id").asc)) - 1) / 8).cast("long")))
+    def batched(order: Seq[org.apache.spark.sql.Column]): DataFrame =
+      graft.etl.SurrogateKeys.scalable(docs, "__rn", order)
+        .withColumn("batch", ((col("__rn") - 1) / 8).cast("long"))
+    val naive = waste(batched(Seq(col("doc_id"))))
+    val bucketed = waste(batched(Seq(col("tok").asc, col("doc_id").asc)))
     naive.select(lit("naive").as("strategy"), col("n_batches"),
         col("real_tokens"), col("padded_tokens"))
       .unionByName(bucketed.select(lit("bucketed").as("strategy"),

@@ -1,7 +1,6 @@
 package graft.analytics
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
@@ -31,11 +30,11 @@ object Frontier27Queries {
   // future-buyer label, through the Mann–Whitney identity
   // AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) where R⁺ sums the positives'
   // MIDRANKS (ties share the average rank — the exact tie-corrected
-  // AUC, not an approximation). Midranks come from one rank() + one
-  // count() over the score axis — rank r with t ties has midrank
-  // r + (t−1)/2, an exact half-integer kept in DECIMAL(18,1). The
-  // customer axis is window-ranked (bounded; the two-phase TopK
-  // pattern is the stated 100× path). Emits AUC plus the
+  // AUC, not an approximation). Midranks come from the two-phase
+  // operators/Midrank (per-value tie counts + range-partitioned
+  // prefix sum + join-back — NO global window, so the customer axis
+  // never funnels through one task): rank r with t ties has midrank
+  // r + (t−1)/2, an exact half-integer in DECIMAL. Emits AUC plus the
   // Gini coefficient 2·AUC−1 the credit-scoring world quotes.
   // ------------------------------------------------------------------
   private val mlRocAuc: QFn = (s, dir) => {
@@ -46,15 +45,8 @@ object Frontier27Queries {
         max(when(year(col("o_orderdate")) >= 1998, 1L).otherwise(0L))
           .as("y"))
       .filter(col("score").isNotNull)
-    val w = Window.orderBy("score")
-    val ranked = cust
-      .withColumn("r", rank().over(w))
-      .withColumn("tcnt", count(lit(1)).over(
-        Window.partitionBy("score")))
-      .select(col("y"),
-        // midrank = r + (ties-1)/2, exact at DECIMAL(18,1)
-        (col("r").cast(DecimalType(18, 1)) +
-          (col("tcnt").cast(DecimalType(18, 1)) - 1) / 2).as("mr"))
+    val ranked = graft.operators.Midrank.attach(cust, col("score"), "mr")
+      .select(col("y"), col("mr"))
     val agg = ranked.agg(
       sum(when(col("y") === 1, col("mr"))).as("rpos"),
       sum(col("y")).as("np"),

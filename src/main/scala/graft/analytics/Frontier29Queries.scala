@@ -218,8 +218,9 @@ object Frontier29Queries {
       .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
         .cast("long").as("mon"))
       .agg(sum(col("o_totalprice").cast(DecimalType(18, 4))).as("rev"))
+    // calendar-bounded series (one row per month of data — dozens of
+    // rows at ANY data scale), so the unpartitioned frame is safe
     val w = Window.orderBy("mon").rowsBetween(-6, 6)
-    val wCnt = Window.orderBy("mon")
     // 2x12 centered MA: mean of the 13-window with half-weight ends =
     // (sum(13) - (first+last)/2) / 12; needs a full 13-month frame
     val ma = m

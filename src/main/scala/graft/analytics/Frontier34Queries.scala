@@ -1,7 +1,6 @@
 package graft.analytics
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
@@ -32,22 +31,17 @@ object Frontier34Queries {
   // Σ R²ᵢ/nᵢ − 3(N+1), midranks exact half-integers in DECIMAL
   // (ties share the average rank — with the standard tie correction
   // divisor 1 − Σ(t³−t)/(N³−N)). H ≈ χ²₄ under H₀; H > 9.488 rejects
-  // at 5%. One global rank window over the score axis (two-phase at
-  // 100×, as ml_roc_auc documents) + per-segment exact sums.
+  // at 5%. Midranks come from the two-phase operators/Midrank (keyed
+  // shuffles + range-partitioned prefix sum — NO global window, no
+  // single-partition funnel) + per-segment exact sums.
   // ------------------------------------------------------------------
   private val a54KruskalWallis: QFn = (s, dir) => {
     val rows = t(s, dir, "orders")
       .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment").as("g"),
         col("o_totalprice").cast(DecimalType(18, 4)).as("x"))
-    val w = Window.orderBy("x")
-    val ranked = rows
-      .withColumn("r", rank().over(w))
-      .withColumn("tcnt", count(lit(1)).over(Window.partitionBy("x")))
-      .select(col("g"),
-        (col("r").cast(DecimalType(28, 1)) +
-          (col("tcnt").cast(DecimalType(28, 1)) - 1) / 2).as("mr"),
-        col("tcnt"))
+    val ranked = graft.operators.Midrank.attach(rows, col("x"), "mr")
+      .select(col("g"), col("mr"))
     val per = ranked.groupBy("g")
       .agg(count(lit(1)).cast("long").as("ni"),
         sum(col("mr")).cast(DecimalType(38, 1)).as("ri"))

@@ -1,0 +1,234 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** SQL-front-door coverage sweep: one representative query per SURVEY §2
+  * operator family, executed as a RAW SQL STRING through `spark.sql(...)`
+  * over the registered temp views — and the oracle runs the IDENTICAL
+  * string in DuckDB. This proves the engine's second API surface (a
+  * reference user writes T-SQL-ish text, not DataFrames) end to end:
+  * same catalog, same Catalyst plan quality (views are plain parquet
+  * scans, so pushdown/pruning/broadcast all still apply), same
+  * hash-exact answer, for every family — not just the two entries
+  * (`sql_front_door`, `sql_recursive_cte`) that proved the mechanism.
+  *
+  * Portability rules for the shared texts (both engines must parse AND
+  * produce bit-identical values): exact DECIMAL(18,4) sums before any
+  * CAST AS DOUBLE; md5 (not sha2/sha256 — the names differ); no QUALIFY
+  * (Spark lacks it — window filters go through subqueries); no datediff
+  * (argument orders differ); date_trunc results cast to DATE (DuckDB
+  * keeps DATE, Spark widens to TIMESTAMP); CAST AS STRING (DuckDB
+  * aliases it to VARCHAR; Spark's VARCHAR needs a length); total ORDER
+  * BY on every output.
+  */
+object SqlFrontDoorQueries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def fd(text: String): QFn = (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql(text)
+  }
+
+  // P1/P4 — projection, aliasing, DISTINCT
+  private val fdDistinct =
+    """SELECT DISTINCT c_mktsegment AS segment, c_nationkey AS nation_key
+      |FROM customer
+      |ORDER BY segment, nation_key""".stripMargin
+
+  // P2/P5/P8 — WHERE comparison, searched CASE, BETWEEN
+  private val fdFilterCase =
+    """SELECT CASE WHEN c_acctbal < 0 THEN 'debt'
+      |            WHEN c_acctbal BETWEEN 0 AND 5000 THEN 'mid'
+      |            ELSE 'high' END AS band,
+      |  COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+      |FROM customer
+      |WHERE c_mktsegment IS NOT NULL
+      |GROUP BY 1 ORDER BY band""".stripMargin
+
+  // J1/J2 — fact → dim enrichment joins (left), grouped rollup
+  private val fdStarJoin =
+    """SELECT n_name AS nation, o_orderpriority AS priority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders
+      |LEFT JOIN customer ON o_custkey = c_custkey
+      |LEFT JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'O'
+      |GROUP BY 1, 2 ORDER BY nation, priority""".stripMargin
+
+  // J5/J6 — semi (EXISTS) and anti (NOT EXISTS) in one report
+  private val fdSemiAnti =
+    """SELECT
+      |  (SELECT COUNT(*) FROM customer c
+      |     WHERE EXISTS (SELECT 1 FROM orders o
+      |                   WHERE o.o_custkey = c.c_custkey)) AS n_with_orders,
+      |  (SELECT COUNT(*) FROM customer c
+      |     WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                       WHERE o.o_custkey = c.c_custkey)) AS n_without
+      |ORDER BY n_with_orders""".stripMargin
+
+  // A3/A4/A5 — GROUP BY expression + HAVING threshold
+  private val fdGroupHaving =
+    """SELECT year(o_orderdate) AS order_year, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders
+      |GROUP BY year(o_orderdate)
+      |HAVING COUNT(*) > 10
+      |ORDER BY order_year""".stripMargin
+
+  // A6/A7 — conditional aggregate + NULLIF-guarded division
+  private val fdConditionalAgg =
+    """SELECT l_returnflag AS flag,
+      |  CAST(SUM(CASE WHEN l_discount > 0.05
+      |       THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE)
+      |    AS discounted_rev,
+      |  round(CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / CAST(NULLIF(COUNT(*), 0) AS DOUBLE), 6)
+      |    AS discounted_share
+      |FROM lineitem
+      |GROUP BY 1 ORDER BY flag""".stripMargin
+
+  // A2 — COUNT(DISTINCT)
+  private val fdCountDistinct =
+    """SELECT o_orderpriority AS priority,
+      |  COUNT(DISTINCT o_custkey) AS n_buyers, COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY 1 ORDER BY priority""".stripMargin
+
+  // W4/W5 — partitioned running total (per-customer, unique order key)
+  private val fdWindowRunning =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |    AS DOUBLE) AS running_spend
+      |FROM orders
+      |WHERE o_custkey < 100
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // W7 — LAG month-over-month delta on the monthly revenue series
+  private val fdWindowLag =
+    """WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+      |    AS month,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      |  FROM orders GROUP BY 1)
+      |SELECT month, CAST(rev AS DOUBLE) AS revenue,
+      |  CAST(rev - lag(rev) OVER (ORDER BY month) AS DOUBLE) AS mom_delta
+      |FROM m ORDER BY month""".stripMargin
+
+  // W8 — part-to-whole via the grand-total window
+  private val fdPartToWhole =
+    """SELECT o_orderpriority AS priority,
+      |  COUNT(*) AS n_orders,
+      |  round(CAST(COUNT(*) AS DOUBLE)
+      |    / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS order_share
+      |FROM orders
+      |GROUP BY 1 ORDER BY priority""".stripMargin
+
+  // W3/O3 — top-k per group with row_number in a subquery (no QUALIFY)
+  private val fdTopkPerGroup =
+    """SELECT segment, c_custkey, balance, rn FROM (
+      |  SELECT c_mktsegment AS segment, c_custkey,
+      |    CAST(c_acctbal AS DOUBLE) AS balance,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY c_acctbal DESC, c_custkey) AS rn
+      |  FROM customer) t
+      |WHERE rn <= 3
+      |ORDER BY segment, rn""".stripMargin
+
+  // O1/O2 — ORDER BY multi-key + LIMIT (deterministic: unique tail key)
+  private val fdOrderLimit =
+    """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // U1/A8 — stacked scalar-KPI UNION ALL report
+  private val fdUnionKpi =
+    """SELECT 'n_customers' AS kpi, CAST(COUNT(*) AS DOUBLE) AS value
+      |FROM customer
+      |UNION ALL
+      |SELECT 'n_orders', CAST(COUNT(*) AS DOUBLE) FROM orders
+      |UNION ALL
+      |SELECT 'total_revenue',
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+      |FROM orders
+      |ORDER BY kpi""".stripMargin
+
+  // F-str — TRIM/UPPER/SUBSTRING/REPLACE/LENGTH/CONCAT
+  private val fdStringPack =
+    """SELECT p_partkey,
+      |  upper(trim(p_brand)) AS brand_u,
+      |  substring(p_name, 1, 8) AS name_prefix,
+      |  replace(p_mfgr, 'Manufacturer', 'Mfr') AS mfgr_short,
+      |  length(p_name) AS name_len,
+      |  p_brand || '/' || p_container AS brand_container
+      |FROM part
+      |WHERE p_partkey <= 50
+      |ORDER BY p_partkey""".stripMargin
+
+  // F-date — YEAR/MONTH/date_trunc (cast to DATE for identical types)
+  private val fdDatePack =
+    """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      |  CAST(date_trunc('year', o_orderdate) AS DATE) AS year_start
+      |FROM orders
+      |WHERE o_orderkey <= 200
+      |ORDER BY o_orderkey""".stripMargin
+
+  // F-hash + dedup family — md5 fingerprint exact-dedup rollup
+  private val fdHashDedup =
+    """WITH fp AS (SELECT doc_id, md5(text) AS fingerprint FROM documents)
+      |SELECT fingerprint, COUNT(*) AS n_copies,
+      |  CAST(MIN(doc_id) AS BIGINT) AS keep_id
+      |FROM fp
+      |GROUP BY 1
+      |HAVING COUNT(*) > 1
+      |ORDER BY fingerprint""".stripMargin
+
+  // I2 — watermark delta predicate (incremental-load filter shape)
+  private val fdDeltaFilter =
+    """SELECT COUNT(*) AS n_new,
+      |  CAST(MIN(o_orderkey) AS BIGINT) AS first_key,
+      |  CAST(MAX(o_orderkey) AS BIGINT) AS last_key
+      |FROM orders
+      |WHERE o_orderdate > DATE '1997-06-30'
+      |ORDER BY n_new""".stripMargin
+
+  // X2 — masked projection (role-gated column masking shape)
+  private val fdMasking =
+    """SELECT c_custkey,
+      |  substring(c_name, 1, 9) || '***' AS name_masked,
+      |  CASE WHEN length(c_phone) >= 4
+      |       THEN '***-' || substring(c_phone, length(c_phone) - 3, 4)
+      |       ELSE '***' END AS phone_masked
+      |FROM customer
+      |WHERE c_custkey <= 50
+      |ORDER BY c_custkey""".stripMargin
+
+  private val texts: Map[String, String] = Map(
+    "sqlfd_distinct_projection" -> fdDistinct,
+    "sqlfd_filter_case" -> fdFilterCase,
+    "sqlfd_star_join" -> fdStarJoin,
+    "sqlfd_semi_anti" -> fdSemiAnti,
+    "sqlfd_group_having" -> fdGroupHaving,
+    "sqlfd_conditional_agg" -> fdConditionalAgg,
+    "sqlfd_count_distinct" -> fdCountDistinct,
+    "sqlfd_window_running" -> fdWindowRunning,
+    "sqlfd_window_lag" -> fdWindowLag,
+    "sqlfd_part_to_whole" -> fdPartToWhole,
+    "sqlfd_topk_per_group" -> fdTopkPerGroup,
+    "sqlfd_order_limit" -> fdOrderLimit,
+    "sqlfd_union_kpi" -> fdUnionKpi,
+    "sqlfd_string_pack" -> fdStringPack,
+    "sqlfd_date_pack" -> fdDatePack,
+    "sqlfd_hash_dedup" -> fdHashDedup,
+    "sqlfd_delta_filter" -> fdDeltaFilter,
+    "sqlfd_masking" -> fdMasking)
+
+  val queries: Map[String, QFn] = texts.map { case (n, t) => n -> fd(t) }
+
+  /** The oracle runs the very same strings — shared verbatim. */
+  val oracleSql: Map[String, String] = texts
+}

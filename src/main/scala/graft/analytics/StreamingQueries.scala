@@ -331,9 +331,9 @@ object StreamingQueries {
   // pattern (stream maintains the aggregate, the top-k read is a
   // query-time transform on the materialized state, so k can change
   // without reprocessing). Complete mode for bounded-replay parity;
-  // rank (not row_number) keeps tie semantics deterministic, with a
-  // total (window, type) tie-break inside the rank ordering so equal
-  // counts rank identically in both engines.
+  // row_number over a TOTAL ordering (n_events desc, event_type asc)
+  // keeps the cut deterministic — equal counts break ties identically
+  // in both engines, so exactly k rows survive per window.
   private val stTopkWindowed: QFn = (s, dir) => {
     val ev = EventStream.readEvents(s, eventsDir(dir))
     val agg = ev

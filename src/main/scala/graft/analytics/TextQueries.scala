@@ -1048,27 +1048,45 @@ object TextQueries {
       |sha256(text) AS content_sha, source
       |FROM documents ORDER BY media_id""".stripMargin
 
-  // m2 — stubbed decode + feature extraction over partition batches
-  // (mapPartitions). The stub derives its fake dims/mean from byte
-  // aggregates, so the oracle recomputes them from hex(blob) in SQL and
-  // the whole batch pipeline — schema, partition iteration, decode call
-  // — is hash-verified; only the decode INTERNALS stay a stub.
+  // m2 — REAL image decode over partition batches: per doc, a deterministic
+  // gradient PNG is generated executor-side (javax.imageio writer), then
+  // parsed back with ImageIO.read and measured pixel-by-pixel
+  // (mapPartitions — the mapInPandas batch shape). The generator's pixel
+  // pattern has closed-form channel means (see Multimodal.generatePng), so
+  // the oracle verifies the real decode analytically from doc_id: a wrong
+  // width, height, or any channel mean breaks the hash.
   private val mFeatures: QFn = (s, dir) =>
-    Multimodal.extractFeatures(
-      Multimodal.asMediaTable(docs(s, dir), "doc_id", "text", "source"))
+    Multimodal.extractImageFeatures(
+      Multimodal.imageMediaTable(docs(s, dir), "doc_id"))
       .orderBy("media_id")
   private val mFeaturesSql =
-    """WITH b AS (SELECT doc_id AS media_id, text, encode(text) AS blob FROM documents),
-      |h AS (SELECT media_id, text, octet_length(blob) AS n, hex(blob) AS hx FROM b),
-      |s AS (SELECT media_id, text, n,
-      |  COALESCE(CAST(list_sum(list_transform(range(1, n + 1),
-      |    i -> CAST(('0x' || substr(hx, 2*i-1, 2)) AS INT))) AS BIGINT), 0) AS bsum
-      |  FROM h)
-      |SELECT media_id, CAST(n AS BIGINT) AS n_bytes,
-      |CAST((bsum % 1920) + 1 AS INT) AS fake_width,
-      |CAST(((bsum // 1920) % 1080) + 1 AS INT) AS fake_height,
-      |CASE WHEN n = 0 THEN 0.0 ELSE CAST(bsum AS DOUBLE) / n END AS byte_mean,
-      |sha256(text) AS content_sha
+    """WITH m AS (SELECT doc_id AS media_id,
+      |  16 + (doc_id % 49) AS w, 16 + ((doc_id * 31) % 49) AS h
+      |  FROM documents)
+      |SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |CAST(w * h AS BIGINT) AS n_pixels,
+      |CAST(w - 1 AS DOUBLE) / 2 AS mean_r,
+      |CAST(h - 1 AS DOUBLE) / 2 AS mean_g,
+      |CAST(media_id % 256 AS DOUBLE) AS mean_b
+      |FROM m ORDER BY media_id""".stripMargin
+
+  // m4 — resize geometry on the REAL decoded dimensions: aspect-preserving
+  // scale into a 32×32 box (floor), pure IEEE double arithmetic both sides.
+  private val mResize: QFn = (s, dir) =>
+    Multimodal.resizeMeta(
+      Multimodal.extractImageFeatures(
+        Multimodal.imageMediaTable(docs(s, dir), "doc_id")),
+      maxW = 32, maxH = 32)
+      .orderBy("media_id")
+  private val mResizeSql =
+    """WITH m AS (SELECT doc_id AS media_id,
+      |  16 + (doc_id % 49) AS w, 16 + ((doc_id * 31) % 49) AS h
+      |  FROM documents),
+      |s AS (SELECT media_id, w, h,
+      |  least(32.0 / w, 32.0 / h, 1.0) AS sc FROM m)
+      |SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |CAST(floor(w * sc) AS INT) AS out_width,
+      |CAST(floor(h * sc) AS INT) AS out_height
       |FROM s ORDER BY media_id""".stripMargin
 
   // m3 — frame sampling (1→N expansion per media blob): the frame
@@ -1246,7 +1264,8 @@ object TextQueries {
     "ann_knn_classify" -> aKnn,
     "mm_blob_stats" -> mBlob,
     "mm_frame_sample" -> mFrames,
-    "mm_decode_features" -> mFeatures)
+    "mm_decode_features" -> mFeatures,
+    "mm_image_resize" -> mResize)
 
   val oracleSql: Map[String, String] = Map(
     "pipe_corpus_curation" -> pipeCurationSql,
@@ -1285,5 +1304,6 @@ object TextQueries {
     "ann_knn_classify" -> aKnnSql,
     "mm_blob_stats" -> mBlobSql,
     "mm_frame_sample" -> mFramesSql,
-    "mm_decode_features" -> mFeaturesSql)
+    "mm_decode_features" -> mFeaturesSql,
+    "mm_image_resize" -> mResizeSql)
 }

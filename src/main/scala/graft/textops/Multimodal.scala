@@ -7,15 +7,25 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: media as opaque `binary` columns with typed
   * metadata, batch-shaped decode/feature-extract over partitions.
   *
-  * The Spark-side contract is real — schema, partitioning, batch iteration
-  * — while the actual media decode is STUBBED (no image/audio libraries in
-  * this container): [[decodeStub]] produces deterministic fake features
-  * from the bytes. Swapping in a real decoder means replacing only that
-  * function; everything around it (mapPartitions batching, feature schema,
-  * writer) is production-shaped. This mirrors a `mapInPandas` pipeline:
-  * one iterator of batches per partition, vectorized work inside.
+  * The IMAGE path is fully real: [[generatePng]] encodes deterministic
+  * gradient images through the JDK's `javax.imageio` PNG writer and
+  * [[decodeImage]] parses the compressed bytes back with `ImageIO.read`,
+  * so [[extractImageFeatures]] measures genuine decoded pixels (width,
+  * height, per-channel means). Because the generator's pixel pattern has
+  * closed-form channel statistics, the DuckDB oracle verifies the decode
+  * analytically from the media id — a real codec round-trip, hash-proven.
+  *
+  * Only the VIDEO codec boundary stays a stub ([[sampleFrames]] treats a
+  * blob as fixed-size frames; no video codec ships with the JVM or this
+  * container). The batch shape there — per-partition iteration, 1→N frame
+  * expansion with constant memory — is the production shape a real
+  * keyframe sampler would use behind `mapInPandas`.
   */
 object Multimodal {
+
+  // javax.imageio defaults to a disk-backed stream cache (a temp file per
+  // encode/decode); executor-thread hot loops want the in-memory cache.
+  javax.imageio.ImageIO.setUseCache(false)
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
@@ -37,48 +47,101 @@ object Multimodal {
         octet_length(encode(col(textCol), "UTF-8")).cast(LongType).as("n_bytes"),
         col(sourceCol).as("source")).as("meta"))
 
-  val featureSchema: StructType = StructType(Seq(
-    StructField("media_id", LongType),
-    StructField("n_bytes", LongType),
-    StructField("fake_width", IntegerType),
-    StructField("fake_height", IntegerType),
-    StructField("byte_mean", DoubleType),
-    StructField("content_sha", StringType)))
+  // ---- real image path (javax.imageio PNG round-trip) -------------------
 
-  /** STUB decoder — deterministic fake in place of a real image/audio
-    * decode (`???` boundary). A real implementation would parse the codec
-    * here; the fake dimensions/statistics are derived only from byte
-    * aggregates (length, unsigned byte sum) so they are reproducible
-    * AND re-computable outside the JVM — the DuckDB oracle rebuilds
-    * them from hex(blob), proving the mapPartitions plumbing end to
-    * end even though the decode itself is environment-blocked. */
-  def decodeStub(bytes: Array[Byte]): (Int, Int, Double) = {
-    val n = bytes.length
-    var s = 0L
-    var i = 0
-    while (i < n) { s += (bytes(i) & 0xFF); i += 1 }
-    // byte sums of integers stay exactly representable in a double, so
-    // mean is bit-identical to an integer-sum-then-divide in any engine
-    val mean = if (n == 0) 0.0 else s.toDouble / n
-    (((s % 1920) + 1).toInt, ((s / 1920) % 1080 + 1).toInt, mean)
+  /** Deterministic synthetic image for a media id: dimensions and pixel
+    * pattern are pure functions of the id, and every channel's mean has a
+    * closed form, so an engine that cannot decode PNG (the DuckDB oracle)
+    * can still verify the decoded features analytically:
+    *
+    *   width  w = 16 + (id mod 49)          ∈ [16, 64]
+    *   height h = 16 + ((id * 31) mod 49)   ∈ [16, 64]
+    *   R(x,y) = x   → mean_r = (w-1)/2      (each column weighted equally)
+    *   G(x,y) = y   → mean_g = (h-1)/2
+    *   B(x,y) = id mod 256                  → mean_b = id mod 256
+    *
+    * The gradient makes every pixel distinct (a constant-color fake would
+    * not prove a pixel loop), PNG is lossless RGB so the round-trip is
+    * exact, and all three means are exactly representable doubles. */
+  def generatePng(id: Long): Array[Byte] = {
+    val w = 16 + java.lang.Math.floorMod(id, 49L).toInt
+    val h = 16 + java.lang.Math.floorMod(id * 31L, 49L).toInt
+    val b = java.lang.Math.floorMod(id, 256L).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, (x << 16) | (y << 8) | b); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Media table of real PNG blobs, one per id — generated executor-side
+    * in a per-partition batch loop (never on the driver). */
+  def imageMediaTable(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    val rows = ids.select(col(idCol).cast(LongType)).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val png = generatePng(id)
+        Row(id, png, Row("image/png", png.length.toLong, "synthetic"))
+      }
+    }
+    spark.createDataFrame(rows, mediaSchema)
+  }
+
+  val imageFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_pixels", LongType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType)))
+
+  /** Real PNG/JPEG decode: `ImageIO.read` parses the compressed bytes and
+    * the pixel loop computes per-channel means. Integer channel sums stay
+    * exactly representable in doubles (≤255·w·h), so sum-then-divide is
+    * bit-reproducible across engines. */
+  def decodeImage(bytes: Array[Byte]): (Int, Int, Double, Double, Double) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "undecodable image blob")
+    val w = img.getWidth
+    val h = img.getHeight
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    (w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
   }
 
   /** Feature extraction over media batches: per-partition iteration (the
-    * `mapInPandas` shape — decode amortized across a batch, constant
-    * memory per task). Runs on executors; no driver collection. */
-  def extractFeatures(media: DataFrame): DataFrame = {
+    * `mapInPandas` shape — decoder state amortized across a batch,
+    * constant memory per task). Runs on executors; no driver collection.
+    * The decode is REAL — `javax.imageio` parses each PNG blob. */
+  def extractImageFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val rows = media.select("media_id", "blob").rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        val (w, h, mean) = decodeStub(bytes)
-        val sha = java.security.MessageDigest.getInstance("SHA-256")
-          .digest(bytes).map("%02x".format(_)).mkString
-        Row(id, bytes.length.toLong, w, h, mean, sha)
+        val (w, h, mr, mg, mb) = decodeImage(bytes)
+        Row(id, w, h, w.toLong * h, mr, mg, mb)
       }
     }
-    spark.createDataFrame(rows, featureSchema)
+    spark.createDataFrame(rows, imageFeatureSchema)
   }
 
   /** Pure-expression subset of the features (no decode needed) — stays in
@@ -124,19 +187,20 @@ object Multimodal {
     spark.createDataFrame(rows, frameSchema)
   }
 
-  /** Resize-stub: maps each media's fake decoded dimensions to a target
-    * box preserving aspect ratio (integer floor), the metadata half of a
-    * real resize; the pixel work is the stubbed `???` boundary. Pure
-    * per-row arithmetic — stays a single mapPartitions batch pass. */
+  /** Resize planning: maps each media's REAL decoded dimensions (from
+    * [[extractImageFeatures]]) to a target box preserving aspect ratio
+    * (integer floor) — the geometry half of a resize, as pure column
+    * arithmetic that stays in whole-stage codegen. IEEE double ops are
+    * deterministic, so the oracle replays the same formula exactly. */
   def resizeMeta(features: DataFrame, maxW: Int = 224, maxH: Int = 224): DataFrame = {
     val scale = least(
-      lit(maxW.toDouble) / col("fake_width"),
-      lit(maxH.toDouble) / col("fake_height"),
+      lit(maxW.toDouble) / col("width"),
+      lit(maxH.toDouble) / col("height"),
       lit(1.0))
     features.select(
       col("media_id"),
-      col("fake_width"), col("fake_height"),
-      floor(col("fake_width") * scale).cast(IntegerType).as("out_width"),
-      floor(col("fake_height") * scale).cast(IntegerType).as("out_height"))
+      col("width"), col("height"),
+      floor(col("width") * scale).cast(IntegerType).as("out_width"),
+      floor(col("height") * scale).cast(IntegerType).as("out_height"))
   }
 }

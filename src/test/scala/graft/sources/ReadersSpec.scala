@@ -41,23 +41,26 @@ class ReadersSpec extends AnyFunSuite {
 
   test("binaryFiles ingests raw bytes with path/length metadata and glob filter") {
     val d = java.nio.file.Files.createTempDirectory("graft_src_bin")
-    java.nio.file.Files.write(d.resolve("a.jpg"), Array[Byte](1, 2, 3))
-    java.nio.file.Files.write(d.resolve("b.jpg"), Array[Byte](4, 5, 6, 7))
+    val pngA = graft.textops.Multimodal.generatePng(3L)
+    val pngB = graft.textops.Multimodal.generatePng(7L)
+    java.nio.file.Files.write(d.resolve("a.png"), pngA)
+    java.nio.file.Files.write(d.resolve("b.png"), pngB)
     java.nio.file.Files.write(d.resolve("skip.txt"), "no".getBytes)
-    val df = Readers.binaryFiles(spark, d.toString, glob = Some("*.jpg"))
+    val df = Readers.binaryFiles(spark, d.toString, glob = Some("*.png"))
     assert(df.count() === 2)
     val byName = df.collect().map(r =>
       r.getString(0).split('/').last ->
         (r.getLong(2), r.getAs[Array[Byte]](3).toSeq)).toMap
-    assert(byName("a.jpg") === ((3L, Seq[Byte](1, 2, 3))))
-    assert(byName("b.jpg") === ((4L, Seq[Byte](4, 5, 6, 7))))
-    // feeds straight into the multimodal feature extractor
+    assert(byName("a.png") === ((pngA.length.toLong, pngA.toSeq)))
+    assert(byName("b.png") === ((pngB.length.toLong, pngB.toSeq)))
+    // feeds straight into the REAL image decoder
     val media = df.select(
       monotonically_increasing_id().as("media_id"), col("content").as("blob"))
-    val feats = graft.textops.Multimodal.extractFeatures(
-      media.withColumn("meta", struct(lit("image/jpeg").as("mime"),
-        length(col("blob")).cast("long").as("n_bytes"), lit("fs").as("source"))))
-    assert(feats.count() === 2)
+    val feats = graft.textops.Multimodal.extractImageFeatures(media)
+      .orderBy("width").collect()
+    assert(feats.length === 2)
+    // id=3 → 19×15+... widths: w = 16+(id%49)
+    assert(feats.map(_.getAs[Int]("width")).toSeq === Seq(19, 23))
   }
 
   test("parquetChecked rejects schema drift") {

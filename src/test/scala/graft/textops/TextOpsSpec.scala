@@ -164,14 +164,14 @@ class TextOpsSpec extends AnyFunSuite {
     assert(lsh.contains(7L)) // the true nearest neighbor survives bucketing
   }
 
-  test("multimodal: blob stats + stubbed decode are deterministic and distributed") {
+  test("multimodal: blob stats are deterministic and distributed") {
     val docs = corpus.withColumn("source", lit("srcX"))
     val media = Multimodal.asMediaTable(docs, "doc_id", "text", "source")
     // same shape modulo nullability flags
     assert(media.schema.map(f => (f.name, f.dataType.simpleString))
       === Multimodal.mediaSchema.map(f => (f.name, f.dataType.simpleString)))
-    val f1 = Multimodal.extractFeatures(media).orderBy("media_id").collect()
-    val f2 = Multimodal.extractFeatures(media.repartition(7)).orderBy("media_id").collect()
+    val f1 = Multimodal.blobStats(media).orderBy("media_id").collect()
+    val f2 = Multimodal.blobStats(media.repartition(7)).orderBy("media_id").collect()
     assert(f1.toSeq === f2.toSeq) // partitioning must not change features
     assert(f1.forall(_.getAs[Long]("n_bytes") > 0))
     assert(f1.forall(_.getAs[String]("content_sha").length === 64))
@@ -179,6 +179,33 @@ class TextOpsSpec extends AnyFunSuite {
     val byId = f1.map(r => r.getLong(0) -> r.getAs[String]("content_sha")).toMap
     assert(byId(0L) === byId(1L))
     assert(byId(0L) !== byId(2L))
+  }
+
+  test("multimodal: real PNG round-trip — generated blobs decode to the analytic features") {
+    val ids = corpus.select(col("doc_id"))
+    val media = Multimodal.imageMediaTable(ids, "doc_id")
+    // the blobs are genuine PNGs (magic bytes) with the declared mime
+    val first = media.orderBy("media_id").head()
+    val magic = first.getAs[Array[Byte]]("blob").take(8).map(_ & 0xFF)
+    assert(magic.toSeq === Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A))
+    assert(first.getAs[org.apache.spark.sql.Row]("meta").getString(0) === "image/png")
+    val feats = Multimodal.extractImageFeatures(media).orderBy("media_id").collect()
+    feats.foreach { r =>
+      val id = r.getLong(0)
+      val w = 16 + java.lang.Math.floorMod(id, 49L).toInt
+      val h = 16 + java.lang.Math.floorMod(id * 31L, 49L).toInt
+      assert(r.getInt(1) === w)
+      assert(r.getInt(2) === h)
+      assert(r.getLong(3) === w.toLong * h)
+      assert(r.getDouble(4) === (w - 1) / 2.0) // mean_r: x-gradient
+      assert(r.getDouble(5) === (h - 1) / 2.0) // mean_g: y-gradient
+      assert(r.getDouble(6) === java.lang.Math.floorMod(id, 256L).toDouble)
+    }
+    // partitioning invariance of the executor-side generate+decode
+    val re = Multimodal.extractImageFeatures(
+      Multimodal.imageMediaTable(ids.repartition(7), "doc_id"))
+      .orderBy("media_id").collect()
+    assert(re.map(_.toSeq).toSeq === feats.map(_.toSeq).toSeq)
   }
 
   test("frame sampling: geometry from byte length, deterministic stats") {
@@ -201,11 +228,14 @@ class TextOpsSpec extends AnyFunSuite {
     val re = Multimodal.sampleFrames(media.repartition(5), 100, 2)
       .orderBy("media_id", "frame_idx").collect()
     assert(re.map(_.toSeq).toSeq === frames.map(_.toSeq).toSeq)
-    // resize metadata preserves aspect and respects the box
-    val rs = Multimodal.resizeMeta(Multimodal.extractFeatures(media)).collect()
+    // resize geometry on REAL decoded dims preserves aspect, respects the box
+    val rs = Multimodal.resizeMeta(
+      Multimodal.extractImageFeatures(
+        Multimodal.imageMediaTable(corpus.select(col("doc_id")), "doc_id")),
+      maxW = 32, maxH = 32).collect()
     rs.foreach { r =>
-      assert(r.getAs[Int]("out_width") <= 224 && r.getAs[Int]("out_height") <= 224)
-      assert(r.getAs[Int]("out_width") <= r.getAs[Int]("fake_width"))
+      assert(r.getAs[Int]("out_width") <= 32 && r.getAs[Int]("out_height") <= 32)
+      assert(r.getAs[Int]("out_width") <= r.getAs[Int]("width"))
     }
   }
 
