@@ -41,9 +41,15 @@ object Bench {
       spark.catalog.clearCache()
     }
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // A failed query must NEVER hide inside the total as a fast "success":
+    // record the failure, report n_failed, and exit nonzero at the end.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def timedPass(): Seq[(String, Double)] = names.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] FAILED $name: ${e.getMessage}")
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // isolate queries: drop any caches an operator pinned (e.g. the
       // jaccard shingle index) so later timings aren't memory-pressured
@@ -64,7 +70,7 @@ object Bench {
              subset: Seq[(String, Double)]): String = {
       val qs = subset.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"agg":"min","n_queries":${results.size},"queries_shown":${subset.size},"full":"$outPath"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"agg":"min","n_queries":${results.size},"n_failed":${failed.size},"queries_shown":${subset.size},"full":"$outPath"}"""
     }
     val slowest5 = results.sortBy(-_._2).take(5).sortBy(_._1)
     println(line(v => f"$v%.3f", slowest5))
@@ -73,5 +79,10 @@ object Bench {
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] ${failed.size} queries FAILED: " +
+        failed.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -26,8 +26,14 @@ object SqlFrontDoorQueries {
 
   type QFn = (SparkSession, String) => DataFrame
 
+  /** View registration is idempotent but not free (10 parquet footer
+    * reads); do it once per (session, dir) — 18 sqlfd entries otherwise
+    * repeat it 18× per bench pass. */
+  private val registered =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
   private def fd(text: String): QFn = (s, dir) => {
-    Tables.registerAll(s, dir)
+    val key = s"${System.identityHashCode(s)}|$dir"
+    registered.computeIfAbsent(key, { _ => Tables.registerAll(s, dir); true })
     s.sql(text)
   }
 
@@ -161,9 +167,9 @@ object SqlFrontDoorQueries {
     """SELECT p_partkey,
       |  upper(trim(p_brand)) AS brand_u,
       |  substring(p_name, 1, 8) AS name_prefix,
-      |  replace(p_mfgr, 'Manufacturer', 'Mfr') AS mfgr_short,
+      |  replace(p_type, 'STANDARD', 'STD') AS type_short,
       |  length(p_name) AS name_len,
-      |  p_brand || '/' || p_container AS brand_container
+      |  p_brand || '/' || p_type AS brand_type
       |FROM part
       |WHERE p_partkey <= 50
       |ORDER BY p_partkey""".stripMargin
@@ -200,9 +206,11 @@ object SqlFrontDoorQueries {
   private val fdMasking =
     """SELECT c_custkey,
       |  substring(c_name, 1, 9) || '***' AS name_masked,
-      |  CASE WHEN length(c_phone) >= 4
-      |       THEN '***-' || substring(c_phone, length(c_phone) - 3, 4)
-      |       ELSE '***' END AS phone_masked
+      |  CASE WHEN length(c_name) >= 4
+      |       THEN '***' || substring(c_name, length(c_name) - 3, 4)
+      |       ELSE '***' END AS name_tail_masked,
+      |  CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000) * 1000 AS DOUBLE)
+      |    AS acctbal_bucketed
       |FROM customer
       |WHERE c_custkey <= 50
       |ORDER BY c_custkey""".stripMargin

@@ -46,23 +46,34 @@ final case class FunnelHit(user_id: Long, stage: Int, stage_name: String,
   */
 object EventStream {
 
-  /** The on-disk schema (ts is TIMESTAMP(NANOS) → read as Long ns). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  /** File-based stream of the events directory with typed event time. */
+  /** File-based stream of the events directory with typed event time.
+    *
+    * The stream schema is DERIVED FROM THE PARQUET FOOTER via a batch
+    * read — never hard-coded. The on-disk `ts` layout has shipped both
+    * as TIMESTAMP(NANOS) (→ Long ns under the legacy flag) and
+    * TIMESTAMP(MICROS) (→ TimestampType/NTZ); forcing `LongType` onto a
+    * timestamp column would silently reinterpret µs as ns and collapse
+    * every window/session 1000×, so the event-time expression branches
+    * on the actual footer type instead.
+    */
   def readEvents(spark: SparkSession, dir: String,
                  maxFilesPerTrigger: Int = 4): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema: StructType = spark.read.parquet(dir).schema
+    val eventTime: org.apache.spark.sql.Column = fileSchema("ts").dataType match {
+      case LongType => timestamp_micros(expr("ts div 1000")) // ns long
+      case TimestampNTZType =>
+        col("ts").cast(TimestampType) // exact under UTC session TZ
+      case TimestampType => col("ts")
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported physical type $other")
+    }
     spark.readStream
-      .schema(rawSchema)
+      .schema(fileSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(dir)
       .select(
-        col("event_id"),
-        timestamp_micros(expr("ts div 1000")).as("event_time"),
+        col("event_id"), eventTime.as("event_time"),
         col("user_id"), col("event_type"), col("value"))
   }
 

@@ -18,7 +18,7 @@ class Frontier12QueriesSpec extends AnyFunSuite {
       .select(col("user_id"), col("n_purchases"), col("sum_prior_clicks"),
         col("sum_prior_views"), col("sum_prior_errors"), col("min_gap_s"))
       .as[(Long, Long, Long, Long, Long, Long)].collect()
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = graft.Tables.load(spark, sf, "events")
       .select(col("user_id"), col("event_id"), col("event_type"),
         expr("ts div 1000000000").as("sec"))
       .as[(Long, Long, String, Long)].collect()
@@ -77,7 +77,7 @@ class Frontier12QueriesSpec extends AnyFunSuite {
     val got = Frontier12Queries.queries("ev_entropy_rate")(spark, sf)
       .select(col("bucket"), col("n_users"), col("id_checksum"))
       .as[(Long, Long, Long)].collect()
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = graft.Tables.load(spark, sf, "events")
       .select(col("user_id"), col("event_id"), col("event_type"),
         expr("ts div 1000000000").as("sec"))
       .as[(Long, Long, String, Long)].collect()

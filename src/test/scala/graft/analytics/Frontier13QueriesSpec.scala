@@ -64,7 +64,7 @@ class Frontier13QueriesSpec extends AnyFunSuite {
         col("mean_pass_r"))
       .as[(Int, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
     assert(got.keySet === Set(1, 3, 5))
-    val probs = spark.read.parquet(s"$sf/events.parquet")
+    val probs = graft.Tables.load(spark, sf, "events")
       .groupBy("user_id")
       .agg(count(lit(1)).as("n"),
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L))

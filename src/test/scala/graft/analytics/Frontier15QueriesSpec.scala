@@ -116,7 +116,7 @@ class Frontier15QueriesSpec extends AnyFunSuite {
       assert(rs.length <= 2)
     }
     // parity with a batch recompute
-    val batch = spark.read.parquet(s"$sf/events.parquet")
+    val batch = graft.Tables.load(spark, sf, "events")
       .select(expr("timestamp_micros(ts div 1000)").as("tsx"),
         col("event_type"))
       .groupBy(date_trunc("day", col("tsx")).as("d"), col("event_type"))

@@ -26,7 +26,7 @@ class Frontier20QueriesSpec extends AnyFunSuite {
       assert(math.abs(base - nm.toDouble / n) < 1e-6)
     }
     // rebuild: the model must be the train-side argmax per context
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = graft.Tables.load(spark, sf, "events")
       .select(col("user_id"), col("event_id"), col("event_type"),
         expr("ts div 1000000000").as("sec"))
       .as[(Long, Long, String, Long)].collect()

@@ -68,7 +68,7 @@ class Frontier22QueriesSpec extends AnyFunSuite {
         col("n_above_baseline"))
       .as[(Long, Long, Long)].collect()
     assert(got.nonEmpty)
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = graft.Tables.load(spark, sf, "events")
       .select(col("user_id"), expr("ts div 1000").as("us"), col("value"))
       .as[(Long, Long, Double)].collect()
     def r6(v: Double) =

@@ -59,7 +59,7 @@ class Frontier23QueriesSpec extends AnyFunSuite {
     }
     // rank-1 neighbor beats a brute-force random other user for the
     // first probe (sanity of the cosine ordering)
-    val mix = spark.read.parquet(s"$sf/events.parquet")
+    val mix = graft.Tables.load(spark, sf, "events")
       .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
       .as[(Long, String, Long)].collect()
       .groupBy(_._1).map { case (u, xs) =>

@@ -22,7 +22,7 @@ class Frontier25QueriesSpec extends AnyFunSuite {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val users = spark.read.parquet(s"$sf/events.parquet")
+    val users = graft.Tables.load(spark, sf, "events")
       .select(col("user_id")).distinct().as[Long].collect()
     val arms = users.map(u =>
       u -> java.lang.Long.parseLong(md5hex(s"ab:$u").take(8), 16) % 2)
@@ -63,7 +63,7 @@ class Frontier25QueriesSpec extends AnyFunSuite {
     }
     // event counts conserve
     assert(got.map(_._2).sum ===
-      spark.read.parquet(s"$sf/events.parquet").count())
+      graft.Tables.load(spark, sf, "events").count())
   }
 
   test("ev_velocity_flags finds exactly the trailing-hour bursts") {
@@ -71,7 +71,7 @@ class Frontier25QueriesSpec extends AnyFunSuite {
       .select(col("user_id"), col("peak_burst"), col("peak_sec"),
         col("n_at_peak"))
       .as[(Long, Long, Long, Long)].collect()
-    val p = spark.read.parquet(s"$sf/events.parquet")
+    val p = graft.Tables.load(spark, sf, "events")
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), expr("ts div 1000000000").as("sec"))
       .as[(Long, Long)].collect().groupBy(_._1)

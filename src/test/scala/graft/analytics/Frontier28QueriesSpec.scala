@@ -78,7 +78,7 @@ class Frontier28QueriesSpec extends AnyFunSuite {
     assert(got.length <= 24 && got.nonEmpty)
     assert(math.abs(got.map(_._3).sum - 1.0) < 1e-3)
     assert(got.map(_._2).sum ===
-      spark.read.parquet(s"$sf/events.parquet").count())
+      graft.Tables.load(spark, sf, "events").count())
     val peaks = got.filter(_._4)
     assert(peaks.nonEmpty)
     val mx = got.map(_._2).max; val mn = got.map(_._2).min

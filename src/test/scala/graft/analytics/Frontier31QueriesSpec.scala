@@ -61,7 +61,7 @@ class Frontier31QueriesSpec extends AnyFunSuite {
     val got = Frontier31Queries.queries("ev_engagement_index")(spark, sf)
       .select(col("decile"), col("n_users"), col("id_checksum"))
       .as[(Long, Long, Long)].collect()
-    val users = spark.read.parquet(s"$sf/events.parquet")
+    val users = graft.Tables.load(spark, sf, "events")
       .select(col("user_id")).distinct().as[Long].collect()
     assert(got.map(_._2).sum === users.length.toLong)
     assert(got.map(_._3).sum === users.sum)
@@ -70,7 +70,7 @@ class Frontier31QueriesSpec extends AnyFunSuite {
       assert(n > 0)
     }
     // the top user (max events) must land in the highest occupied decile
-    val per = spark.read.parquet(s"$sf/events.parquet")
+    val per = graft.Tables.load(spark, sf, "events")
       .groupBy("user_id").agg(count(lit(1)).as("n"))
       .as[(Long, Long)].collect()
     val topUser = per.maxBy(_._2)._1

@@ -19,7 +19,7 @@ class Frontier32QueriesSpec extends AnyFunSuite {
         col("dispersion_r"), col("overdispersed"), col("nb_size_r"))
       .as[(Long, Double, Double, Double, Boolean, Double)].collect()
       .head
-    val counts = spark.read.parquet(s"$sf/events.parquet")
+    val counts = graft.Tables.load(spark, sf, "events")
       .groupBy("user_id").count().select(col("count").cast("double"))
       .as[Double].collect()
     assert(got._1 === counts.length.toLong)

@@ -67,7 +67,7 @@ class Frontier33QueriesSpec extends AnyFunSuite {
         col("same_dow_overlap"), col("n_habitual"))
       .as[(Long, Long, Double, Long, Long)].collect().sortBy(_._1)
     assert(got.length >= 4, "several weeks of data")
-    val e = spark.read.parquet(s"$sf/events.parquet")
+    val e = graft.Tables.load(spark, sf, "events")
       .select(col("user_id"), expr("ts div 86400000000000").as("day"))
       .as[(Long, Long)].collect()
     val perUserWeek = e.map { case (u, d) => ((u, d / 7), d % 7) }

@@ -24,7 +24,7 @@ class Frontier3QueriesSpec extends AnyFunSuite {
       case Array(a, b) => b <= a + 1e-9; case _ => true })
     assert(got.forall(r => r._5 >= 0.0 && r._5 <= 1.0))
     // brute force from the events table
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = graft.Tables.load(spark, sf, "events")
       .select(col("user_id"), col("event_type"),
         to_date(graft.Tables.eventTs("ts")).as("d"))
     val endD = ev.agg(max(col("d"))).as[java.sql.Date].head()

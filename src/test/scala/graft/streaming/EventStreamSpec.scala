@@ -27,7 +27,7 @@ class EventStreamSpec extends AnyFunSuite {
       EventStream.windowedCounts(stream), "win_out", OutputMode.Append())
     val got = spark.table("win_out")
       .select("window_start", "event_type", "n_events")
-    val batch = spark.read.parquet(dir)
+    val batch = graft.Tables.loadEvents(spark, dir)
       .select(timestamp_micros(expr("ts div 1000")).as("event_time"),
               col("event_type"))
       .groupBy(date_trunc("hour", col("event_time")).as("window_start"),
@@ -47,7 +47,7 @@ class EventStreamSpec extends AnyFunSuite {
       EventStream.sessionCounts(EventStream.readEvents(spark, dir)),
       "sess_out", OutputMode.Append())
     val got = spark.table("sess_out")
-    val batch = spark.read.parquet(dir)
+    val batch = graft.Tables.loadEvents(spark, dir)
       .select(timestamp_micros(expr("ts div 1000")).as("event_time"), col("user_id"))
       .groupBy(session_window(col("event_time"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
@@ -66,7 +66,7 @@ class EventStreamSpec extends AnyFunSuite {
     EventStream.sinkToWarehouse(
       EventStream.readEvents(spark, dir), wh, "bronze", "events_stream", ckpt)
     val landed = wh.read(spark, "bronze", "events_stream")
-    val batch = spark.read.parquet(dir)
+    val batch = graft.Tables.loadEvents(spark, dir)
     assert(landed.count() === batch.count())
     // same per-type totals through either path
     val a = landed.groupBy("event_type").count().orderBy("event_type").collect()
@@ -79,7 +79,7 @@ class EventStreamSpec extends AnyFunSuite {
       EventStream.clickErrorJoin(EventStream.readEvents(spark, dir)),
       "ssj_out", OutputMode.Append())
     val got = spark.table("ssj_out")
-    val base = spark.read.parquet(dir)
+    val base = graft.Tables.loadEvents(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         timestamp_micros(expr("ts div 1000")).as("t"))
     val clicks = base.filter(col("event_type") === "click")
@@ -107,7 +107,7 @@ class EventStreamSpec extends AnyFunSuite {
       EventStream.dedupedEvents(EventStream.readEvents(spark, d2.toString)),
       "dedup_out", OutputMode.Append())
     val got = spark.table("dedup_out")
-    val base = spark.read.parquet(dir)
+    val base = graft.Tables.loadEvents(spark, dir)
     assert(got.count() === base.count())          // every duplicate dropped
     assert(got.select("event_id").distinct().count() === base.count())
   }
@@ -117,7 +117,7 @@ class EventStreamSpec extends AnyFunSuite {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_eo_ckpt").toString
     EventStream.sinkExactlyOnce(EventStream.readEvents(spark, dir), out, ckpt)
     val once = spark.read.parquet(out)
-    val batch = spark.read.parquet(dir)
+    val batch = graft.Tables.loadEvents(spark, dir)
     assert(once.count() === batch.count())
     // simulate the at-least-once failure window: re-deliver batch 0's
     // data with the same batch id — contents must be unchanged
@@ -143,7 +143,7 @@ class EventStreamSpec extends AnyFunSuite {
     // and event-time timeout as the watermark advances between batches)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val d3 = java.nio.file.Files.createTempDirectory("graft_events_parts").toString
-    val all = spark.read.parquet(dir).orderBy("ts")
+    val all = graft.Tables.loadEvents(spark, dir).orderBy("ts")
     val n = all.count()
     val rows = all.collect()
     rows.grouped((n / 3 + 1).toInt).zipWithIndex.foreach { case (part, i) =>
@@ -168,7 +168,7 @@ class EventStreamSpec extends AnyFunSuite {
     val got = spark.table("fmg_out")
     // batch reference: 30-min-gap sessionization over the same events
     val w = Window.partitionBy("user_id").orderBy("ms")
-    val sess = spark.read.parquet(dir)
+    val sess = graft.Tables.loadEvents(spark, dir)
       .select(col("user_id"),
         unix_millis(timestamp_micros(expr("ts div 1000"))).as("ms"))
       .withColumn("new_s", when(lag("ms", 1).over(w).isNull ||
@@ -209,7 +209,7 @@ class EventStreamSpec extends AnyFunSuite {
     // in-memory ms-precision reference with identical first-transition
     // semantics (the batch ev_funnel entry floors to seconds, so user
     // SETS per stage are compared through this reference instead)
-    val events = spark.read.parquet(dir)
+    val events = graft.Tables.loadEvents(spark, dir)
       .select(col("user_id"),
         unix_millis(timestamp_micros(expr("ts div 1000"))).as("ms"),
         col("event_type"), col("event_id"))
@@ -256,7 +256,7 @@ class EventStreamSpec extends AnyFunSuite {
       EventStream.userActivity(spark, stream).toDF(), "user_out", OutputMode.Update())
     val got = spark.table("user_out")
       .groupBy("user_id").agg(max("n_events").as("n_events"))
-    val batch = spark.read.parquet(dir).groupBy("user_id")
+    val batch = graft.Tables.loadEvents(spark, dir).groupBy("user_id")
       .agg(count(lit(1)).as("n_events"))
     val joined = got.alias("g").join(batch.alias("b"), Seq("user_id"))
     assert(joined.filter(col("g.n_events") =!= col("b.n_events")).count() === 0)
