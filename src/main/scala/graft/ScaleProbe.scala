@@ -69,6 +69,9 @@ object ScaleProbe {
         "text", shingleK = 3, threshold = 0.5).count())
       time("containment_100x")(Dedup.containmentPairs(cached, "doc_id",
         "text", shingleK = 3, threshold = 0.8).count())
+      time("minhash_verified_100x")(Dedup.minhashLshVerified(cached,
+        "doc_id", "text", shingleK = 3, numHashes = 32, bands = 8,
+        threshold = 0.5).count())
       cached.unpersist()
     }
 

@@ -181,7 +181,11 @@ object Dedup {
                          shingleK: Int = 3, numHashes: Int = 32,
                          bands: Int = 16, threshold: Double = 0.5,
                          broadcastDocLimit: Long = 200000L): DataFrame = {
-    val sh = shingledHashed(df, idCol, textCol, shingleK)
+    // exact-dup classes first ([[collapseExact]]): k identical copies
+    // would otherwise collide in EVERY band and put C(k,2) pairs per
+    // band through the bucket join; reps make that one class.
+    val (reps, members) = collapseExact(df, idCol, textCol)
+    val sh = shingledHashed(reps, idCol, textCol, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // signature-free bucket join: duplicate pair rows (same pair, many
     // shared bands) flow into verification as-is and dedupe on the
@@ -193,7 +197,71 @@ object Dedup {
     val cands = a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-    verifyJaccard(cands, sh, threshold, broadcastDocLimit)
+    val repPairs = verifyJaccard(cands, sh, threshold, broadcastDocLimit)
+    expandPairs(repPairs, members, sh.select("doc_id").distinct(),
+      "jaccard", directed = false)
+  }
+
+  /** Exact-duplicate collapse — the stage every production near-dup
+    * pipeline runs FIRST (a 100-TB crawl's dominant redundancy is exact
+    * boilerplate copies). Partitions the corpus into identical-
+    * normalized-text classes; the expensive candidate machinery then
+    * runs over one REPRESENTATIVE per class, and pairs expand back to
+    * members afterward ([[expandPairs]]). Without this, k exact copies
+    * of a document put C(k,2) pairs × their whole shared prefix through
+    * the candidate join — the 100× probe's 2.5-billion-row cliff; with
+    * it the same corpus costs one class. Semantics are EXACT, not
+    * approximate: identical texts have identical shingle sets, so every
+    * intra-class pair scores exactly 1.0 ≥ any threshold, and every
+    * cross-class member pair scores what its reps score.
+    *
+    * Returns (reps: idCol, textCol, __csize; members: __rep, __mid) —
+    * ids as Long, rep = min member id, one corpus-wide exchange each.
+    */
+  private def collapseExact(df: DataFrame, idCol: String,
+                            textCol: String): (DataFrame, DataFrame) = {
+    val w = Window.partitionBy(normText(col(textCol)))
+    val tagged = df
+      .select(col(idCol).cast(LongType).as("__mid"), col(textCol))
+      .withColumn("__rep", min(col("__mid")).over(w))
+      .withColumn("__csize", count(lit(1)).over(w))
+    val members = tagged.select(col("__rep"), col("__mid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = tagged.filter(col("__mid") === col("__rep"))
+      .select(col("__mid").as(idCol), col(textCol), col("__csize"))
+    (reps, members)
+  }
+
+  /** Expand rep-level pairs to member level. Intra-class pairs carry
+    * score exactly 1.0 (identical sets) and are emitted only for
+    * classes with a non-empty index (`nonEmptyDocs`) — a class whose
+    * text yields no (surviving) shingles produces no pairs in the
+    * uncollapsed plan either. Cross-class pairs inherit the rep score;
+    * undirected output re-orders each member pair least/greatest to
+    * keep the id_a < id_b convention. Both joins are output-sized. */
+  private def expandPairs(repPairs: DataFrame, members: DataFrame,
+                          nonEmptyDocs: DataFrame, scoreCol: String,
+                          directed: Boolean): DataFrame = {
+    val (aCol, bCol) =
+      if (directed) ("id_src", "id_dst") else ("id_a", "id_b")
+    val live = members.join(
+      nonEmptyDocs.select(col("doc_id").as("__rep")), Seq("__rep"), "left_semi")
+    val intra = live.select(col("__rep"), col("__mid").as("__a"))
+      .join(live.select(col("__rep"), col("__mid").as("__b")), "__rep")
+      .filter(if (directed) col("__a") =!= col("__b")
+              else col("__a") < col("__b"))
+      .select(col("__a").as(aCol), col("__b").as(bCol),
+        lit(1.0).as(scoreCol))
+    val cross = repPairs
+      .join(members.select(col("__rep").as(aCol), col("__mid").as("__a")), aCol)
+      .join(members.select(col("__rep").as(bCol), col("__mid").as("__b")), bCol)
+    val crossOut =
+      if (directed)
+        cross.select(col("__a").as(aCol), col("__b").as(bCol), col(scoreCol))
+      else
+        cross.select(least(col("__a"), col("__b")).as(aCol),
+          greatest(col("__a"), col("__b")).as(bCol), col(scoreCol))
+    intra.unionByName(crossOut)
   }
 
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs (dupes
@@ -256,16 +324,25 @@ object Dedup {
                         shingleK: Int = 3, threshold: Double = 0.5,
                         maxShingleFreq: Int = 1000,
                         broadcastDocLimit: Long = 200000L): DataFrame = {
+    // exact-duplicate classes first ([[collapseExact]]): the index and
+    // the quadratic candidate join see one representative per distinct
+    // text; member pairs are rebuilt at the end. __csize rides along so
+    // shingle DOC frequency still counts members — the cap keeps its
+    // original semantics exactly.
+    val (reps, members) = collapseExact(df, idCol, textCol)
+    val csize = reps.select(col(idCol).cast(LongType).as("doc_id"),
+      col("__csize"))
     // sh has exactly one consumer (capped) — persisting it would only
     // force an extra materialization; capped is the reused index.
-    val sh = shingledHashed(df, idCol, textCol, shingleK)
+    val sh = shingledHashed(reps, idCol, textCol, shingleK).join(csize, "doc_id")
     // global frequency + cap as ONE window count over the sh partition:
     // a single exchange of the posting stream, where a groupBy+join pair
     // would shuffle the big side twice (once into the aggregate, once as
     // the probe).
     val capped = sh
-      .withColumn("freq", count(lit(1)).over(Window.partitionBy("sh")))
+      .withColumn("freq", sum(col("__csize")).over(Window.partitionBy("sh")))
       .filter(col("freq") <= maxShingleFreq)
+      .select("doc_id", "sh", "freq")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // __pos and __n share one sorted window (same partition + ordering,
     // whole-partition frame for the count) → a single WindowExec pass
@@ -296,7 +373,10 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .filter(least(col("x.__n") - col("x.__pos"), col("y.__n") - col("y.__pos")) + 1 >= alpha)
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-    verifyJaccard(cands, capped.select("doc_id", "sh"), threshold, broadcastDocLimit)
+    val repPairs = verifyJaccard(cands, capped.select("doc_id", "sh"),
+      threshold, broadcastDocLimit)
+    expandPairs(repPairs, members, capped.select("doc_id").distinct(),
+      "jaccard", directed = false)
   }
 
   /** Directed containment pairs: C(src → dst) = |src ∩ dst| / |src| ≥
@@ -315,12 +395,18 @@ object Dedup {
                        shingleK: Int = 3, threshold: Double = 0.8,
                        maxShingleFreq: Int = 1000,
                        broadcastDocLimit: Long = 200000L): DataFrame = {
-    val sh = shingledHashed(df, idCol, textCol, shingleK)
+    // exact-dup classes + member-weighted doc frequency, exactly as in
+    // ngramJaccardPairs (see comments there)
+    val (reps, members) = collapseExact(df, idCol, textCol)
+    val csize = reps.select(col(idCol).cast(LongType).as("doc_id"),
+      col("__csize"))
+    val sh = shingledHashed(reps, idCol, textCol, shingleK).join(csize, "doc_id")
     // same single-exchange freq/cap + single-pass window as
     // ngramJaccardPairs (see comments there)
     val capped = sh
-      .withColumn("freq", count(lit(1)).over(Window.partitionBy("sh")))
+      .withColumn("freq", sum(col("__csize")).over(Window.partitionBy("sh")))
       .filter(col("freq") <= maxShingleFreq)
+      .select("doc_id", "sh", "freq")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rareFirst = Window.partitionBy("doc_id").orderBy("freq", "sh")
     val indexed = capped
@@ -341,7 +427,7 @@ object Dedup {
     val (setsS, setsD, pairs) =
       if (small) (broadcast(sets), broadcast(sets), cands)
       else (sets, sets, cands.distinct())
-    pairs
+    val repPairs = pairs
       .join(setsS.select(col("doc_id").as("id_src"), col("set").as("set_s"),
         col("n").as("n_s")), "id_src")
       .join(setsD.select(col("doc_id").as("id_dst"), col("set").as("set_d")), "id_dst")
@@ -351,6 +437,8 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .select("id_src", "id_dst", "containment")
       .distinct()
+    expandPairs(repPairs, members, capped.select("doc_id").distinct(),
+      "containment", directed = true)
   }
 
   /** 64-bit SimHash over word shingles: bit i is the sign of the weighted
