@@ -75,6 +75,36 @@ object ScaleProbe {
       cached.unpersist()
     }
 
+    // DISTINCT-text headroom probe: 50 copies per doc, each with ONE
+    // appended version token — every text is distinct so the exact-dup
+    // collapse is a no-op, yet all 50 copies stay pairwise near-dups
+    // (k=3 shingles: one unique shingle per copy, J ≈ n/(n+2) >> 0.5).
+    // 250k distinct docs crosses broadcastDocLimit (200k), so this
+    // drives the SHUFFLE-verify path — dedupe-first + array joins —
+    // under true quadratic-cluster load (C(50,2)·5000 ≈ 6.1M real
+    // pairs), which the replicated probe can no longer reach. More
+    // shuffle partitions here: the verify exchange carries array
+    // payloads, so per-task working sets must shrink as data grows —
+    // the same knob a 1000-executor cluster turns.
+    if (families("dedupdistinct")) {
+      spark.conf.set("spark.sql.shuffle.partitions", "128")
+      val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val big = base
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), lit(49L))).as("rep"))
+        .select((col("doc_id") * 50L + col("rep")).as("doc_id"),
+          concat(col("text"), lit(" v"), col("rep")).as("text"))
+      val cached = big.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"docsDistinct: ${cached.count()}")
+      time("ngram_jaccard_distinct50")(Dedup.ngramJaccardPairs(cached,
+        "doc_id", "text", shingleK = 3, threshold = 0.5).count())
+      time("minhash_verified_distinct50")(Dedup.minhashLshVerified(cached,
+        "doc_id", "text", shingleK = 3, numHashes = 32, bands = 8,
+        threshold = 0.5).count())
+      cached.unpersist()
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+    }
+
     if (families("events")) {
       import org.apache.spark.sql.expressions.Window
       val base = Tables.load(spark, "/root/testdata/sf0.1", "events")
