@@ -160,13 +160,19 @@ object Dedup {
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
                  threshold: Double = 0.7): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, shingleK, numHashes)
-    bandedCandidates(sigs, numHashes, bands)
+    // exact-dup classes first, as in [[minhashLshVerified]]: identical
+    // texts have identical signatures (est_jaccard exactly 1.0), so the
+    // sketch path collapses/expands with the same exactness argument.
+    val (reps, members) = collapseExact(df, idCol, textCol)
+    val sigs = minhashSignatures(reps, idCol, textCol, shingleK, numHashes)
+    val repPairs = bandedCandidates(sigs, numHashes, bands)
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
           (x === y).cast("int")), v => v === 1)).cast("double") / numHashes.toDouble)
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
+    expandPairs(repPairs, members, sigs.select("doc_id"),
+      "est_jaccard", directed = false)
   }
 
   /** MinHash+LSH with exact verification — the production dedup shape:
