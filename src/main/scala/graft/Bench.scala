@@ -40,6 +40,28 @@ object Bench {
       catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }
+    // Machine-speed calibration, run before and after the timed passes:
+    // r5→r7 showed a uniform ~1.3× cross-round drift (and a 1.37× swing
+    // between two back-to-back identical runs) that is environment-level,
+    // not plan-level. These two fixed workloads — a pure-JVM integer mix
+    // (CPU clock/steal) and a fixed Spark shuffle micro-job (scheduler +
+    // exchange health) — give later rounds a denominator to normalize
+    // totals by before declaring a regression.
+    def calibJvm(): Double = {
+      val t0 = System.nanoTime()
+      var acc = 0L; var i = 0L
+      while (i < 400000000L) { acc ^= i * 0x9e3779b97f4a7c15L + (acc >>> 17); i += 1 }
+      if (acc == 42L) println("") // keep the loop observable
+      (System.nanoTime() - t0) / 1e9
+    }
+    def calibSpark(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 20000000L, 1, 32)
+        .selectExpr("id % 1000 AS k", "id AS v")
+        .groupBy("k").sum("v").count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibBefore = (calibJvm(), calibSpark())
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     // A failed query must NEVER hide inside the total as a fast "success":
     // record the failure, report n_failed, and exit nonzero at the end.
@@ -58,6 +80,9 @@ object Bench {
     }
     val pass1 = timedPass().toMap
     val pass2 = timedPass().toMap
+    val calibAfter = (calibJvm(), calibSpark())
+    val calibJson =
+      f"""{"jvm_before":${calibBefore._1}%.3f,"spark_before":${calibBefore._2}%.3f,"jvm_after":${calibAfter._1}%.3f,"spark_after":${calibAfter._2}%.3f}"""
     val results = names.map { case (n, _) => n -> math.min(pass1(n), pass2(n)) }
     val total = results.map(_._2).sum
     // The driver keeps only a bounded tail of stdout (~2.3 KB): r2–r5 all
@@ -70,7 +95,7 @@ object Bench {
              subset: Seq[(String, Double)]): String = {
       val qs = subset.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"agg":"min","n_queries":${results.size},"n_failed":${failed.size},"queries_shown":${subset.size},"full":"$outPath"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"agg":"min","n_queries":${results.size},"n_failed":${failed.size},"calib":$calibJson,"queries_shown":${subset.size},"full":"$outPath"}"""
     }
     val slowest5 = results.sortBy(-_._2).take(5).sortBy(_._1)
     println(line(v => f"$v%.3f", slowest5))
