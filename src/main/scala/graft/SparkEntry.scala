@@ -59,6 +59,9 @@ object SparkEntry {
       analytics.Frontier37Queries.queries ++
       analytics.Frontier38Queries.queries ++
       analytics.Frontier39Queries.queries ++
+      analytics.Frontier41Queries.queries ++
+      analytics.Frontier42Queries.queries ++
+      analytics.Frontier43Queries.queries ++
       analytics.SqlFrontDoorQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -104,5 +107,8 @@ object SparkEntry {
       analytics.Frontier37Queries.oracleSql ++
       analytics.Frontier38Queries.oracleSql ++
       analytics.Frontier39Queries.oracleSql ++
+      analytics.Frontier41Queries.oracleSql ++
+      analytics.Frontier42Queries.oracleSql ++
+      analytics.Frontier43Queries.oracleSql ++
       analytics.SqlFrontDoorQueries.oracleSql
 }

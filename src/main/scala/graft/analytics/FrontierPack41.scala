@@ -1,0 +1,671 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+// Contents (one object per pack, APIs identical to the other packs):
+//   Frontier41Queries: a61_anova_oneway, a62_effect_size, w42_holt_linear
+//   Frontier42Queries: g_katz, g_label_prop, ml_pr_auc
+//   Frontier43Queries: ann_sq8_topk, p_epoch_shuffle, i26_merge_delete
+
+/** Round-7 widening, first pack: one-way ANOVA (the k-sample parametric
+  * F-test the Kruskal–Wallis entry is the rank twin of), standardized
+  * effect sizes (Cohen's d + Hedges' g — the "is the difference LARGE,
+  * not just significant" companion every A/B readout needs next to its
+  * p-value), and Holt's linear-trend double exponential smoothing (the
+  * level+trend forecaster between the EWMA entry — level only — and a
+  * full seasonal decomposition).
+  *
+  * House determinism rules: exact integer/decimal arithmetic, each
+  * double born as ONE expression over exact inputs (decimal→double
+  * surfaces routed through VARCHAR where the value exceeds 2^53
+  * exactness), frozen as DECIMAL before any reordering sum, total
+  * ORDER BYs.
+  */
+object Frontier41Queries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ------------------------------------------------------------------
+  // a61_anova_oneway — one-way ANOVA of account balance across market
+  // segments: per-group (n, Σx, Σx²) in exact decimal, the per-group
+  // (Σx)²/n term frozen as round-6 DECIMAL before the k-row reordering
+  // sum, then SSB/SSW/F as single double expressions over the exact
+  // grand totals (VARCHAR-routed decimal→double — the sums of squares
+  // run to 1e12+ where naive double casts diverge between engines).
+  // Two aggregation passes over a 5-group key — trivially parallel,
+  // and the F statistic itself is O(groups) driver-free arithmetic.
+  // ------------------------------------------------------------------
+  private val a61AnovaOneway: QFn = (s, dir) => {
+    val xdec = col("c_acctbal").cast(DecimalType(18, 4))
+    val g = t(s, dir, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(xdec).as("s"),
+        sum((xdec * xdec).cast(DecimalType(38, 8))).as("q"))
+      .withColumn("term",
+        round((col("s").cast("string").cast("double") *
+          col("s").cast("string").cast("double")) /
+          col("n").cast("double"), 6).cast(DecimalType(38, 6)))
+    g.agg(count(lit(1)).as("k"),
+        sum(col("n")).as("nt"),
+        sum(col("s")).as("ss"),
+        sum(col("q")).as("qq"),
+        sum(col("term")).as("tt"))
+      .select(col("k").cast("long").as("k_groups"),
+        col("nt").cast("long").as("n_total"),
+        round(col("tt").cast("string").cast("double") -
+          (col("ss").cast("string").cast("double") *
+            col("ss").cast("string").cast("double")) /
+            col("nt").cast("double"), 6).as("ss_between_r"),
+        round(col("qq").cast("string").cast("double") -
+          col("tt").cast("string").cast("double"), 6).as("ss_within_r"))
+      .select(col("k_groups"), col("n_total"),
+        col("ss_between_r"), col("ss_within_r"),
+        round((col("ss_between_r") / (col("k_groups").cast("double") - 1)) /
+          (col("ss_within_r") /
+            (col("n_total").cast("double") - col("k_groups").cast("double"))),
+          6).as("f_stat_r"))
+  }
+  private val a61AnovaOnewaySql =
+    """WITH g AS (SELECT c_mktsegment, COUNT(*) AS n,
+      |    SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS s,
+      |    SUM(CAST(CAST(c_acctbal AS DECIMAL(18,4))
+      |      * CAST(c_acctbal AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS q
+      |  FROM customer GROUP BY 1),
+      |g2 AS (SELECT n, s, q,
+      |    CAST(round((CAST(CAST(s AS VARCHAR) AS DOUBLE)
+      |        * CAST(CAST(s AS VARCHAR) AS DOUBLE))
+      |      / CAST(n AS DOUBLE), 6) AS DECIMAL(38,6)) AS term
+      |  FROM g),
+      |tot AS (SELECT COUNT(*) AS k, SUM(n) AS nt, SUM(s) AS ss,
+      |    SUM(q) AS qq, SUM(term) AS tt FROM g2),
+      |f1 AS (SELECT CAST(k AS BIGINT) AS k_groups,
+      |    CAST(nt AS BIGINT) AS n_total,
+      |    round(CAST(CAST(tt AS VARCHAR) AS DOUBLE)
+      |      - (CAST(CAST(ss AS VARCHAR) AS DOUBLE)
+      |         * CAST(CAST(ss AS VARCHAR) AS DOUBLE))
+      |        / CAST(nt AS DOUBLE), 6) AS ss_between_r,
+      |    round(CAST(CAST(qq AS VARCHAR) AS DOUBLE)
+      |      - CAST(CAST(tt AS VARCHAR) AS DOUBLE), 6) AS ss_within_r
+      |  FROM tot)
+      |SELECT k_groups, n_total, ss_between_r, ss_within_r,
+      |  round((ss_between_r / (CAST(k_groups AS DOUBLE) - 1))
+      |    / (ss_within_r
+      |       / (CAST(n_total AS DOUBLE) - CAST(k_groups AS DOUBLE))),
+      |    6) AS f_stat_r
+      |FROM f1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // a62_effect_size — Cohen's d and Hedges' g between the AUTOMOBILE
+  // and BUILDING segments on account balance: both groups' (n, Σx,
+  // Σx²) from ONE conditional-aggregation pass, then every reported
+  // double is a single expression over those exact decimals (means,
+  // pooled variance, the small-sample J correction 1 − 3/(4N−9)).
+  // The effect-size readout that belongs next to every t-test:
+  // a62 says HOW BIG, a25 (Welch) says how sure.
+  // ------------------------------------------------------------------
+  private val a62EffectSize: QFn = (s, dir) => {
+    val xdec = col("c_acctbal").cast(DecimalType(18, 4))
+    val isA = col("c_mktsegment") === "AUTOMOBILE"
+    val isB = col("c_mktsegment") === "BUILDING"
+    val agg = t(s, dir, "customer")
+      .filter(isA || isB)
+      .agg(
+        sum(when(isA, 1L).otherwise(0L)).as("n1"),
+        sum(when(isA, xdec)).as("s1"),
+        sum(when(isA, (xdec * xdec).cast(DecimalType(38, 8)))).as("q1"),
+        sum(when(isB, 1L).otherwise(0L)).as("n2"),
+        sum(when(isB, xdec)).as("s2"),
+        sum(when(isB, (xdec * xdec).cast(DecimalType(38, 8)))).as("q2"))
+    val n1d = col("n1").cast("double")
+    val n2d = col("n2").cast("double")
+    def vd(c: String) = col(c).cast("string").cast("double")
+    val m1 = vd("s1") / n1d
+    val m2 = vd("s2") / n2d
+    val v1 = (vd("q1") - vd("s1") * vd("s1") / n1d) / (n1d - 1)
+    val v2 = (vd("q2") - vd("s2") * vd("s2") / n2d) / (n2d - 1)
+    val sp = sqrt(((n1d - 1) * v1 + (n2d - 1) * v2) / (n1d + n2d - 2))
+    val j = lit(1.0) - lit(3.0) / (lit(4.0) * (n1d + n2d) - 9.0)
+    agg.select(col("n1").cast("long").as("n_1"),
+      col("n2").cast("long").as("n_2"),
+      round(m1 - m2, 6).as("mean_diff_r"),
+      round((m1 - m2) / sp, 6).as("cohens_d_r"),
+      round(j * ((m1 - m2) / sp), 6).as("hedges_g_r"))
+  }
+  private val a62EffectSizeSql =
+    """WITH agg AS (SELECT
+      |    SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS n1,
+      |    SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+      |      THEN CAST(c_acctbal AS DECIMAL(18,4)) END) AS s1,
+      |    SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+      |      THEN CAST(CAST(c_acctbal AS DECIMAL(18,4))
+      |        * CAST(c_acctbal AS DECIMAL(18,4)) AS DECIMAL(38,8)) END) AS q1,
+      |    SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS n2,
+      |    SUM(CASE WHEN c_mktsegment = 'BUILDING'
+      |      THEN CAST(c_acctbal AS DECIMAL(18,4)) END) AS s2,
+      |    SUM(CASE WHEN c_mktsegment = 'BUILDING'
+      |      THEN CAST(CAST(c_acctbal AS DECIMAL(18,4))
+      |        * CAST(c_acctbal AS DECIMAL(18,4)) AS DECIMAL(38,8)) END) AS q2
+      |  FROM customer
+      |  WHERE c_mktsegment = 'AUTOMOBILE' OR c_mktsegment = 'BUILDING')
+      |SELECT CAST(n1 AS BIGINT) AS n_1, CAST(n2 AS BIGINT) AS n_2,
+      |  round(CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |    - CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / CAST(n2 AS DOUBLE), 6)
+      |    AS mean_diff_r,
+      |  round((CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |    - CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / CAST(n2 AS DOUBLE))
+      |   / sqrt(((CAST(n1 AS DOUBLE) - 1)
+      |       * ((CAST(CAST(q1 AS VARCHAR) AS DOUBLE)
+      |           - CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+      |             * CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+      |             / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1))
+      |     + (CAST(n2 AS DOUBLE) - 1)
+      |       * ((CAST(CAST(q2 AS VARCHAR) AS DOUBLE)
+      |           - CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+      |             * CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+      |             / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1)))
+      |    / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2)), 6)
+      |    AS cohens_d_r,
+      |  round((1.0 - 3.0 / (4.0 * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+      |      - 9.0))
+      |    * ((CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |      - CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / CAST(n2 AS DOUBLE))
+      |   / sqrt(((CAST(n1 AS DOUBLE) - 1)
+      |       * ((CAST(CAST(q1 AS VARCHAR) AS DOUBLE)
+      |           - CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+      |             * CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+      |             / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1))
+      |     + (CAST(n2 AS DOUBLE) - 1)
+      |       * ((CAST(CAST(q2 AS VARCHAR) AS DOUBLE)
+      |           - CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+      |             * CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+      |             / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1)))
+      |    / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2))), 6)
+      |    AS hedges_g_r
+      |FROM agg""".stripMargin
+
+  // ------------------------------------------------------------------
+  // w42_holt_linear — Holt's linear-trend (double exponential)
+  // smoothing over monthly revenue, α = β = 0.5: the distributed part
+  // is the exact-decimal monthly aggregate; the recursion runs over
+  // the COLLECTED month series — bounded by the CALENDAR (≤ ~84 rows
+  // at any data scale, the same bounded-driver-state class as the
+  // watermark scalar), never by data volume. Level/trend recursion in
+  // raw IEEE doubles with a pinned operation order; the oracle's
+  // recursive CTE performs the bit-identical sequence, so level,
+  // trend, and the one-step-ahead forecast hash-match without any
+  // mid-recursion rounding. Init: l₁ = x₁, b₁ = 0.
+  // ------------------------------------------------------------------
+  private val w42HoltLinear: QFn = (s, dir) => {
+    val monthly = t(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+        .as("month"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 4))).as("rev"))
+      .orderBy("month")
+    // calendar-bounded collect (≤ ~84 months at any SF)
+    val series = monthly.collect().map { r =>
+      (r.getDate(0), r.getDecimal(1).doubleValue())
+    }
+    var l = series.head._2
+    var b = 0.0
+    val out = scala.collection.mutable.ArrayBuffer(
+      (series.head._1, series.head._2, l, b, l + b))
+    series.drop(1).foreach { case (m, x) =>
+      val lNew = 0.5 * x + 0.5 * (l + b)
+      val bNew = 0.5 * (lNew - l) + 0.5 * b
+      l = lNew; b = bNew
+      out += ((m, x, l, b, l + b))
+    }
+    s.createDataFrame(out.toSeq)
+      .toDF("month", "x", "l", "b", "f")
+      .select(col("month"), round(col("x"), 4).as("revenue_r"),
+        round(col("l"), 6).as("level_r"), round(col("b"), 6).as("trend_r"),
+        round(col("f"), 6).as("forecast_next_r"))
+      .orderBy("month")
+  }
+  private val w42HoltLinearSql =
+    """WITH RECURSIVE m AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      |  FROM orders GROUP BY 1),
+      |i AS (SELECT month, CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS x,
+      |    row_number() OVER (ORDER BY month) AS t
+      |  FROM m),
+      |hw(t, x, l, b) AS (
+      |  SELECT t, x, x, CAST(0.0 AS DOUBLE) FROM i WHERE t = 1
+      |  UNION ALL
+      |  SELECT i.t, i.x,
+      |    0.5 * i.x + 0.5 * (hw.l + hw.b),
+      |    0.5 * ((0.5 * i.x + 0.5 * (hw.l + hw.b)) - hw.l) + 0.5 * hw.b
+      |  FROM hw JOIN i ON i.t = hw.t + 1)
+      |SELECT i.month, round(hw.x, 4) AS revenue_r,
+      |  round(hw.l, 6) AS level_r, round(hw.b, 6) AS trend_r,
+      |  round(hw.l + hw.b, 6) AS forecast_next_r
+      |FROM hw JOIN i ON i.t = hw.t
+      |ORDER BY i.month""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "a61_anova_oneway" -> a61AnovaOneway,
+    "a62_effect_size" -> a62EffectSize,
+    "w42_holt_linear" -> w42HoltLinear)
+
+  val oracleSql: Map[String, String] = Map(
+    "a61_anova_oneway" -> a61AnovaOnewaySql,
+    "a62_effect_size" -> a62EffectSizeSql,
+    "w42_holt_linear" -> w42HoltLinearSql)
+}
+
+/** Round-7 widening, second pack: Katz centrality (exact integer walk
+  * counts — the damping-free counterpart of PageRank that needs no
+  * per-round normalization), label-propagation communities (the
+  * modularity-free community detector: 3 semi-synchronous rounds of
+  * most-frequent-neighbor-label, min-label tie-break), and the exact
+  * precision-recall AUC / average precision (the ranking metric that,
+  * unlike ROC-AUC, stays honest under heavy class imbalance).
+  */
+object Frontier42Queries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Symmetrized co-purchase edges (same construction as g_pagerank /
+    * g_two_hop_recs: parts sharing ≥2 orders), checkpointed once —
+    * the unrolled rounds below re-read it 3×. */
+  private def coEdges(s: SparkSession, dir: String): DataFrame = {
+    val op = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = op.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    val e0 = a.join(b, "l_orderkey").filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= 2)
+    e0.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionAll(e0.select(col("pb").as("src"), col("pa").as("dst")))
+      .localCheckpoint(true)
+  }
+
+  private val edgeSql =
+    """op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e0 AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      |       FROM op a JOIN op b USING (l_orderkey)
+      |       WHERE a.l_partkey < b.l_partkey
+      |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |e AS (SELECT pa AS src, pb AS dst FROM e0
+      |      UNION ALL SELECT pb, pa FROM e0)""".stripMargin
+
+  // ------------------------------------------------------------------
+  // g_katz — Katz centrality, truncated at path length 3 with
+  // attenuation α = 0.2: c(v) = Σₖ αᵏ · (# walks of length k ending
+  // at v). Walk counts are EXACT INTEGERS (w₁ = degree, wₖ = Σ over
+  // neighbors of wₖ₋₁), built from k unrolled node-keyed join+agg
+  // rounds — hash-partitioned on the node key, no iteration-to-
+  // convergence, no per-round normalization (the property that makes
+  // Katz cheaper than PageRank at 100 TB). The final score is one
+  // exact integer combination (200w₁+40w₂+8w₃)/1000 rounded once.
+  // ------------------------------------------------------------------
+  private val gKatz: QFn = (s, dir) => {
+    val e = coEdges(s, dir)
+    val w1 = e.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("w1"))
+    val w2 = e.join(w1.withColumnRenamed("node", "src"), "src")
+      .groupBy(col("dst").as("node"))
+      .agg(sum(col("w1")).as("w2"))
+    val w3 = e.join(w2.withColumnRenamed("node", "src"), "src")
+      .groupBy(col("dst").as("node"))
+      .agg(sum(col("w2")).as("w3"))
+    w1.join(w2, "node").join(w3, "node")
+      .select(col("node"), col("w1").cast("long").as("w1"),
+        col("w2").cast("long").as("w2"), col("w3").cast("long").as("w3"))
+      .withColumn("katz_r",
+        round((col("w1") * 200 + col("w2") * 40 + col("w3") * 8)
+          .cast("double") / 1000.0, 6))
+      .orderBy("node")
+  }
+  private val gKatzSql =
+    s"""WITH $edgeSql,
+       |w1 AS (SELECT dst AS node, COUNT(*) AS w1 FROM e GROUP BY 1),
+       |w2 AS (SELECT e.dst AS node, SUM(w1.w1) AS w2
+       |       FROM e JOIN w1 ON w1.node = e.src GROUP BY 1),
+       |w3 AS (SELECT e.dst AS node, SUM(w2.w2) AS w3
+       |       FROM e JOIN w2 ON w2.node = e.src GROUP BY 1)
+       |SELECT w1.node, CAST(w1.w1 AS BIGINT) AS w1,
+       |  CAST(w2.w2 AS BIGINT) AS w2, CAST(w3.w3 AS BIGINT) AS w3,
+       |  round(CAST(w1.w1 * 200 + w2.w2 * 40 + w3.w3 * 8 AS DOUBLE)
+       |    / 1000.0, 6) AS katz_r
+       |FROM w1 JOIN w2 ON w2.node = w1.node JOIN w3 ON w3.node = w1.node
+       |ORDER BY w1.node""".stripMargin
+
+  // ------------------------------------------------------------------
+  // g_label_prop — label-propagation communities, 3 semi-synchronous
+  // rounds: every node starts as its own label; each round it adopts
+  // its neighbors' most frequent label, ties broken by the SMALLEST
+  // label (the deterministic variant — vanilla LPA's random tie-break
+  // would never hash-match). One groupBy(node,label) count plus one
+  // per-node argmax per round — both keyed on the node, no global
+  // state; rounds are unrolled, so the plan depth is fixed at any
+  // graph size. Output: community → member count.
+  // ------------------------------------------------------------------
+  private val gLabelProp: QFn = (s, dir) => {
+    val e = coEdges(s, dir)
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    (1 to 3).foreach { _ =>
+      val msgs = e.join(labels.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("lbl"))
+      val counts = msgs.groupBy("node", "lbl")
+        .agg(count(lit(1)).as("c"))
+      labels = counts
+        .groupBy("node")
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("lbl"))
+    }
+    labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy("community")
+  }
+  private val gLabelPropSql = {
+    def round_(prev: String, cur: String) =
+      s"""c_$cur AS (SELECT e.dst AS node, $prev.lbl, COUNT(*) AS c
+         |  FROM e JOIN $prev ON $prev.node = e.src GROUP BY 1, 2),
+         |$cur AS (SELECT node, lbl FROM c_$cur
+         |  QUALIFY row_number() OVER (PARTITION BY node
+         |    ORDER BY c DESC, lbl) = 1)""".stripMargin
+    s"""WITH $edgeSql,
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+       |${round_("l0", "l1")},
+       |${round_("l1", "l2")},
+       |${round_("l2", "l3")}
+       |SELECT lbl AS community, COUNT(*) AS n_members
+       |FROM l3 GROUP BY 1 ORDER BY community""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // ml_pr_auc — exact average precision (area under the precision-
+  // recall curve) for the same prior-spend-vs-future-buyer ranking
+  // problem ml_roc_auc scores: AP = Σ over distinct score thresholds
+  // (descending) of (Δrecall · precision) = Σ npₛ/NP · TPₛ/(TPₛ+FPₛ).
+  // The cumulative TP and (TP+FP) prefixes come from TWO passes of
+  // operators/PrefixSum over the distinct-score axis (range-partition
+  // + broadcast offsets — never a single-task global window); each
+  // threshold's term is one round-12 double frozen as DECIMAL before
+  // the reordering sum. Under class imbalance this is the metric that
+  // moves when the minority class is mis-ranked — ROC-AUC barely does.
+  // ------------------------------------------------------------------
+  private val mlPrAuc: QFn = (s, dir) => {
+    val cust = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(when(year(col("o_orderdate")) < 1998,
+          col("o_totalprice").cast(DecimalType(18, 4)))).as("score"),
+        max(when(year(col("o_orderdate")) >= 1998, 1L).otherwise(0L))
+          .as("y"))
+      .filter(col("score").isNotNull)
+    val perScore = cust.groupBy("score")
+      .agg(sum(col("y")).cast(DecimalType(38, 0)).as("np"),
+        count(lit(1)).cast(DecimalType(38, 0)).as("tot"))
+    val withTp = graft.operators.PrefixSum.withRunningSum(
+      perScore, Seq(col("score").desc), col("np"), "tp")
+    val withCum = graft.operators.PrefixSum.withRunningSum(
+      withTp, Seq(col("score").desc), col("tot"), "cum")
+    val totals = cust.agg(sum(col("y")).cast("long").as("n_pos"),
+      sum(lit(1L) - col("y")).cast("long").as("n_neg"))
+    val terms = withCum.crossJoin(broadcast(totals))
+      .select(col("n_pos"), col("n_neg"),
+        round(col("np").cast("double") * col("tp").cast("double") /
+          (col("n_pos").cast("double") * col("cum").cast("double")), 12)
+          .cast(DecimalType(38, 12)).as("term"))
+    terms.groupBy("n_pos", "n_neg")
+      .agg(count(lit(1)).as("n_thresholds"),
+        sum(col("term")).as("ap"))
+      .select(col("n_pos"), col("n_neg"), col("n_thresholds"),
+        round(col("ap").cast("string").cast("double"), 6).as("ap_r"))
+  }
+  private val mlPrAucSql =
+    """WITH cust AS (SELECT o_custkey,
+      |    SUM(CASE WHEN year(o_orderdate) < 1998
+      |      THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS score,
+      |    MAX(CASE WHEN year(o_orderdate) >= 1998 THEN 1 ELSE 0 END) AS y
+      |  FROM orders GROUP BY 1),
+      |c2 AS (SELECT * FROM cust WHERE score IS NOT NULL),
+      |s AS (SELECT score, SUM(y) AS np, COUNT(*) AS tot
+      |  FROM c2 GROUP BY 1),
+      |tot AS (SELECT SUM(y) AS n_pos, SUM(1 - y) AS n_neg FROM c2),
+      |c AS (SELECT score, np,
+      |    SUM(np) OVER (ORDER BY score DESC) AS tp,
+      |    SUM(tot) OVER (ORDER BY score DESC) AS cum
+      |  FROM s),
+      |terms AS (SELECT
+      |    CAST(round(CAST(np AS DOUBLE) * CAST(tp AS DOUBLE)
+      |      / (CAST((SELECT n_pos FROM tot) AS DOUBLE)
+      |         * CAST(cum AS DOUBLE)), 12) AS DECIMAL(38,12)) AS term
+      |  FROM c)
+      |SELECT CAST((SELECT n_pos FROM tot) AS BIGINT) AS n_pos,
+      |  CAST((SELECT n_neg FROM tot) AS BIGINT) AS n_neg,
+      |  COUNT(*) AS n_thresholds,
+      |  round(CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE), 6) AS ap_r
+      |FROM terms""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "g_katz" -> gKatz,
+    "g_label_prop" -> gLabelProp,
+    "ml_pr_auc" -> mlPrAuc)
+
+  val oracleSql: Map[String, String] = Map(
+    "g_katz" -> gKatzSql,
+    "g_label_prop" -> gLabelPropSql,
+    "ml_pr_auc" -> mlPrAucSql)
+}
+
+/** Round-7 widening, third pack: SQ8 scalar-quantized similarity
+  * search (the 4-byte→1-byte compression rung below PQ on the ANN
+  * memory ladder), deterministic multi-epoch shuffle sharding (the
+  * training-loader guarantee that every epoch re-permutes the corpus
+  * without materializing an order), and MERGE with a conditional
+  * DELETE arm (the reference's MERGE upsert extended with the
+  * matched-and-condition→delete clause real CDC feeds need).
+  */
+object Frontier43Queries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ------------------------------------------------------------------
+  // ann_sq8_topk — scalar-quantization (SQ8) nearest neighbors: each
+  // dimension's corpus [min, max] (one bounded dim-keyed aggregate,
+  // 64 rows collected) defines a 256-level uniform grid; every vector
+  // compresses 4×  to one uint8 code per dim, and the query (vec 0,
+  // encoded on the same grid) ranks the corpus by the EXACT INTEGER
+  // symmetric code distance Σ(codeᵥ−code_q)² — per-row higher-order
+  // functions over plan-time grid literals, NO shuffle and no join at
+  // probe time, then a distributed TakeOrdered for the top 10. The
+  // 100-TB point: after encoding, the fat float column never needs to
+  // be read again — scans touch 1/4 the bytes.
+  // ------------------------------------------------------------------
+  private val annSq8: QFn = (s, dir) => {
+    val all = t(s, dir, "embeddings")
+    val corpus = all.filter(col("vec_id") =!= 0)
+    // per-dim grid: bounded (64-row) aggregate, collected once
+    val dims = corpus
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
+      .collect().map(r => (r.getInt(0), r.getFloat(1).toDouble,
+        r.getFloat(2).toDouble)).sortBy(_._1)
+    val mn = dims.map(_._2)
+    val mx = dims.map(_._3)
+    def codeOf(x: Double, d: Int): Int =
+      if (mx(d) == mn(d)) 0
+      else math.min(255L, math.max(0L,
+        math.floor(((x - mn(d)) * 255.0) / (mx(d) - mn(d))).toLong)).toInt
+    val q = all.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val qCodes = q.indices.map(d => codeOf(q(d), d))
+    val mnLit = typedLit(mn.toSeq)
+    val mxLit = typedLit(mx.toSeq)
+    val qLit = typedLit(qCodes)
+    val codes = transform(col("embedding"), (x, i) =>
+      when(element_at(mxLit, i + 1) === element_at(mnLit, i + 1), lit(0L))
+        .otherwise(least(lit(255L), greatest(lit(0L),
+          floor(((x.cast("double") - element_at(mnLit, i + 1)) * lit(255.0)) /
+            (element_at(mxLit, i + 1) - element_at(mnLit, i + 1))))))
+        .cast("int"))
+    corpus
+      .select(col("vec_id"),
+        aggregate(
+          zip_with(codes, qLit, (a, b) => ((a - b) * (a - b)).cast("long")),
+          lit(0L), (acc, v) => acc + v).as("sdc2"))
+      .orderBy(col("sdc2").asc, col("vec_id").asc)
+      .limit(10)
+  }
+  private val annSq8Sql =
+    """WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |    unnest(embedding) AS x
+      |  FROM embeddings WHERE vec_id <> 0),
+      |dims AS (SELECT i, CAST(MIN(x) AS DOUBLE) AS mn,
+      |    CAST(MAX(x) AS DOUBLE) AS mx
+      |  FROM ex GROUP BY 1),
+      |qx AS (SELECT generate_subscripts(embedding, 1) AS i,
+      |    unnest(embedding) AS x
+      |  FROM embeddings WHERE vec_id = 0),
+      |qc AS (SELECT q.i,
+      |    CASE WHEN d.mx = d.mn THEN 0
+      |      ELSE CAST(LEAST(255, GREATEST(0,
+      |        floor(((CAST(q.x AS DOUBLE) - d.mn) * 255.0)
+      |          / (d.mx - d.mn)))) AS INT) END AS qcode
+      |  FROM qx q JOIN dims d USING (i)),
+      |cc AS (SELECT e.vec_id, e.i,
+      |    CASE WHEN d.mx = d.mn THEN 0
+      |      ELSE CAST(LEAST(255, GREATEST(0,
+      |        floor(((CAST(e.x AS DOUBLE) - d.mn) * 255.0)
+      |          / (d.mx - d.mn)))) AS INT) END AS code
+      |  FROM ex e JOIN dims d USING (i))
+      |SELECT cc.vec_id,
+      |  CAST(SUM(CAST((cc.code - qc.qcode) * (cc.code - qc.qcode)
+      |    AS BIGINT)) AS BIGINT) AS sdc2
+      |FROM cc JOIN qc USING (i)
+      |GROUP BY 1
+      |ORDER BY sdc2, vec_id
+      |LIMIT 10""".stripMargin
+
+  // ------------------------------------------------------------------
+  // p_epoch_shuffle — deterministic per-epoch shuffle sharding: epoch
+  // e assigns every document to shard md5("ep<e>:<doc_id>") % 8, so
+  // each training epoch sees a genuinely re-permuted corpus WITHOUT
+  // ever materializing a global order (the hash IS the permutation —
+  // resumable at any offset, reproducible on any cluster layout).
+  // Per (epoch, shard): doc count, id checksum, and how many docs
+  // stayed in the same shard as the previous epoch ("sticky" — E[1/8]
+  // of them, which the output makes visible). The epoch axis is an
+  // in-row explode (3 literals), the cross-epoch comparison a
+  // doc_id-keyed self-join — everything partitions on doc_id.
+  // ------------------------------------------------------------------
+  private val pEpochShuffle: QFn = (s, dir) => {
+    val assigned = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array(lit(0), lit(1), lit(2))).as("epoch"))
+      .withColumn("shard",
+        pmod(conv(substring(md5(concat(lit("ep"),
+          col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+          lit(8L)))
+    val prev = assigned.select(col("doc_id"),
+      (col("epoch") + 1).as("epoch"), col("shard").as("prev_shard"))
+    assigned.join(prev, Seq("doc_id", "epoch"), "left")
+      .groupBy("epoch", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("id_sum"),
+        sum(when(col("prev_shard") === col("shard"), 1L).otherwise(0L))
+          .as("n_sticky"))
+      .orderBy("epoch", "shard")
+  }
+  private val pEpochShuffleSql =
+    """WITH ep AS (SELECT 0 AS epoch UNION ALL SELECT 1 UNION ALL SELECT 2),
+      |a AS (SELECT d.doc_id, ep.epoch,
+      |    CAST(('0x' || substring(md5('ep' || CAST(ep.epoch AS VARCHAR)
+      |      || ':' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8
+      |      AS shard
+      |  FROM documents d CROSS JOIN ep)
+      |SELECT a.epoch, a.shard, COUNT(*) AS n_docs,
+      |  CAST(SUM(a.doc_id) AS BIGINT) AS id_sum,
+      |  CAST(SUM(CASE WHEN p.prev_shard = a.shard THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_sticky
+      |FROM a LEFT JOIN (SELECT doc_id, epoch + 1 AS epoch,
+      |    shard AS prev_shard FROM a) p
+      |  ON p.doc_id = a.doc_id AND p.epoch = a.epoch
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // i26_merge_delete — MERGE with a conditional DELETE arm, the CDC
+  // shape the reference's SCD1 MERGE (proc_load_silver) lacks:
+  //   WHEN MATCHED AND src.status = 'F'  THEN DELETE
+  //   WHEN MATCHED                       THEN UPDATE (take src price)
+  //   WHEN NOT MATCHED                   THEN INSERT
+  // Base = even order keys, source batch = every third key with a
+  // +50.00 price adjustment. The functional rebuild composes the
+  // three arms as key-partitioned anti/semi joins + one union — the
+  // same plan a Delta MERGE compiles to, minus the transaction log
+  // (no ACID format ships in this environment). Output: final-state
+  // row counts and exact price totals per order status.
+  // ------------------------------------------------------------------
+  private val i26MergeDelete: QFn = (s, dir) => {
+    val orders = t(s, dir, "orders")
+    val base = orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(18, 4)).as("p"))
+    val src = orders.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice").cast(DecimalType(18, 4)) +
+          lit(BigDecimal("50.00")).cast(DecimalType(18, 4))).as("p"))
+    val srcKeys = src.select("o_orderkey")
+    val kept = base.join(srcKeys, Seq("o_orderkey"), "left_anti")
+    val updated = src.join(base.select("o_orderkey"),
+        Seq("o_orderkey"), "left_semi")
+      .filter(col("o_orderstatus") =!= "F")
+    val inserted = src.join(base.select("o_orderkey"),
+      Seq("o_orderkey"), "left_anti")
+    kept.unionByName(updated).unionByName(inserted)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("p")).cast("double").as("price_sum"))
+      .orderBy("o_orderstatus")
+  }
+  private val i26MergeDeleteSql =
+    """WITH base AS (SELECT o_orderkey, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(18,4)) AS p
+      |  FROM orders WHERE o_orderkey % 2 = 0),
+      |src AS (SELECT o_orderkey, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(18,4)) + CAST(50.00 AS DECIMAL(18,4))
+      |      AS p
+      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |kept AS (SELECT o_orderstatus, p FROM base
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)),
+      |upd AS (SELECT s.o_orderstatus, s.p FROM src s
+      |  WHERE s.o_orderkey IN (SELECT o_orderkey FROM base)
+      |    AND s.o_orderstatus <> 'F'),
+      |ins AS (SELECT o_orderstatus, p FROM src
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM base)),
+      |fin AS (SELECT * FROM kept UNION ALL SELECT * FROM upd
+      |  UNION ALL SELECT * FROM ins)
+      |SELECT o_orderstatus, COUNT(*) AS n_rows,
+      |  CAST(SUM(p) AS DOUBLE) AS price_sum
+      |FROM fin GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "ann_sq8_topk" -> annSq8,
+    "p_epoch_shuffle" -> pEpochShuffle,
+    "i26_merge_delete" -> i26MergeDelete)
+
+  val oracleSql: Map[String, String] = Map(
+    "ann_sq8_topk" -> annSq8Sql,
+    "p_epoch_shuffle" -> pEpochShuffleSql,
+    "i26_merge_delete" -> i26MergeDeleteSql)
+}

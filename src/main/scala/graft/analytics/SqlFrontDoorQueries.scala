@@ -215,6 +215,57 @@ object SqlFrontDoorQueries {
       |WHERE c_custkey <= 50
       |ORDER BY c_custkey""".stripMargin
 
+  // A9 analog — ROLLUP subtotal lattice through the raw-SQL door.
+  // COALESCE rewrites the subtotal NULLs so the shared ORDER BY never
+  // touches engine-specific null ordering.
+  private val fdRollup =
+    """SELECT COALESCE(n_name, '(all)') AS nation,
+      |  COALESCE(c_mktsegment, '(all)') AS segment,
+      |  COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+      |    AS total_balance
+      |FROM customer JOIN nation ON n_nationkey = c_nationkey
+      |GROUP BY ROLLUP (n_name, c_mktsegment)
+      |ORDER BY nation, segment""".stripMargin
+
+  // J5/J6 analog — correlated EXISTS / NOT EXISTS through the front
+  // door (the reference's NOT-EXISTS MERGE split as raw text).
+  private val fdExistsCorrelated =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey
+      |      AND year(o.o_orderdate) = 1998)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o2
+      |    WHERE o2.o_custkey = c.c_custkey
+      |      AND o2.o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  // W-family — NTILE quartile banding (total tie-break order makes the
+  // cut points engine-identical; CAST pins DuckDB's BIGINT ntile to
+  // Spark's INT).
+  private val fdNtile =
+    """SELECT q, COUNT(*) AS n_customers,
+      |  CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
+      |  CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal
+      |FROM (SELECT c_acctbal,
+      |    CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS q
+      |  FROM customer) t
+      |GROUP BY q
+      |ORDER BY q""".stripMargin
+
+  // U2 analog — INTERSECT / EXCEPT set algebra as raw text.
+  private val fdIntersect =
+    """SELECT 'in_both' AS tag, segment FROM (
+      |  SELECT c_mktsegment AS segment FROM customer WHERE c_nationkey < 12
+      |  INTERSECT
+      |  SELECT c_mktsegment FROM customer WHERE c_nationkey >= 12) i
+      |UNION ALL
+      |SELECT 'low_only' AS tag, segment FROM (
+      |  SELECT c_mktsegment AS segment FROM customer WHERE c_nationkey < 12
+      |  EXCEPT
+      |  SELECT c_mktsegment FROM customer WHERE c_nationkey >= 12) e
+      |ORDER BY tag, segment""".stripMargin
+
   private val texts: Map[String, String] = Map(
     "sqlfd_distinct_projection" -> fdDistinct,
     "sqlfd_filter_case" -> fdFilterCase,
@@ -233,7 +284,11 @@ object SqlFrontDoorQueries {
     "sqlfd_date_pack" -> fdDatePack,
     "sqlfd_hash_dedup" -> fdHashDedup,
     "sqlfd_delta_filter" -> fdDeltaFilter,
-    "sqlfd_masking" -> fdMasking)
+    "sqlfd_masking" -> fdMasking,
+    "sqlfd_rollup" -> fdRollup,
+    "sqlfd_exists_correlated" -> fdExistsCorrelated,
+    "sqlfd_ntile" -> fdNtile,
+    "sqlfd_intersect" -> fdIntersect)
 
   val queries: Map[String, QFn] = texts.map { case (n, t) => n -> fd(t) }
 

@@ -397,7 +397,69 @@ object StreamingQueries {
       |FROM events JOIN b USING (user_id)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ST10 — stream-stream LEFT OUTER interval join: the clicks⋈errors
+  // topology of ST3, but unmatched clicks must ALSO surface (null
+  // error side) — and in a streaming outer join that emission is
+  // gated by STATE EVICTION, not by the join itself: an unmatched
+  // click row leaves the state store (and emits its null row) only
+  // once the watermark passes the last instant a matching error
+  // could still arrive (= the click's own event time, since matches
+  // satisfy error_time ≤ click_time). On the bounded AvailableNow
+  // replay the final watermark is min(max click_time, max error_time)
+  // − 10 min — the final no-data micro-batch evicts exactly the
+  // unmatched clicks strictly below it; later unmatched clicks are
+  // (correctly) withheld, and the oracle reproduces that gate in
+  // closed form. Matched pairs emit eagerly, same as the inner join.
+  // Day-grain aggregation keeps the compared surface null-free.
+  private val stOuterJoin: QFn = (s, dir) => {
+    val ev = EventStream.readEvents(s, eventsDir(dir))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("event_time").as("click_time"))
+      .withWatermark("click_time", "10 minutes")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"),
+        col("user_id").as("err_user"), col("event_time").as("error_time"))
+      .withWatermark("error_time", "10 minutes")
+    val joined = clicks.join(errors,
+      col("user_id") === col("err_user") &&
+        col("error_time") <= col("click_time") &&
+        col("error_time") >= col("click_time") - expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+      .select(col("click_id"), col("user_id"), col("error_id"),
+        col("click_time"))
+    drain(s, joined, "st_oj_", OutputMode.Append())
+      .groupBy(date_trunc("day", col("click_time")).as("day_window"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("error_id")).as("n_matched"),
+        sum(when(col("error_id").isNull, 1L).otherwise(0L))
+          .as("n_unmatched"))
+      .orderBy("day_window")
+  }
+  private val stOuterJoinSql =
+    """WITH c AS (SELECT event_id AS click_id, user_id, ts AS cts,
+      |    epoch_us(ts) AS cus
+      |  FROM events WHERE event_type = 'click'),
+      |e AS (SELECT event_id AS error_id, user_id AS eu, epoch_us(ts) AS eus
+      |  FROM events WHERE event_type = 'error'),
+      |wm AS (SELECT LEAST((SELECT MAX(cus) FROM c),
+      |    (SELECT MAX(eus) FROM e)) - 600000000 AS v),
+      |m AS (SELECT c.click_id, c.cts FROM c JOIN e ON user_id = eu
+      |    AND eus <= cus AND eus >= cus - 3600000000),
+      |u AS (SELECT c.click_id, c.cts FROM c, wm
+      |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.eu = c.user_id
+      |      AND e.eus <= c.cus AND e.eus >= c.cus - 3600000000)
+      |    AND c.cus < wm.v),
+      |allr AS (SELECT cts, 1 AS matched FROM m
+      |  UNION ALL SELECT cts, 0 FROM u)
+      |SELECT date_trunc('day', cts) AS day_window,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(matched) AS BIGINT) AS n_matched,
+      |  CAST(SUM(1 - matched) AS BIGINT) AS n_unmatched
+      |FROM allr GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "st_outer_join" -> stOuterJoin,
     "st_topk_windowed" -> stTopkWindowed,
     "st_static_enrich" -> stStaticEnrich,
     "st_late_drop" -> stLateDrop,
@@ -409,6 +471,7 @@ object StreamingQueries {
     "st_exactly_once_sink" -> stExactlyOnce)
 
   val oracleSql: Map[String, String] = Map(
+    "st_outer_join" -> stOuterJoinSql,
     "st_topk_windowed" -> stTopkWindowedSql,
     "st_static_enrich" -> stStaticEnrichSql,
     "st_late_drop" -> stLateDropSql,

@@ -70,6 +70,11 @@ class SmokeAllQueriesSpec extends AnyFunSuite {
     "ml_kfold_cv" -> Set("GLOBALWIN", "BNLJ"),
     "ml_learning_curve" -> Set("GLOBALWIN", "BNLJ"),
     "ml_pca_power" -> Set("BNLJ"),
+    // one-row totals broadcast into the per-threshold term — O(1) side
+    "ml_pr_auc" -> Set("BNLJ"),
+    // the raw-SQL front door renders the user's literal NTILE text; the
+    // scale-safe quartile path is b2_equidepth_histogram's two-phase plan
+    "sqlfd_ntile" -> Set("GLOBALWIN"),
     "ml_svm_hinge" -> Set("BNLJ"),
     "mm_batch_manifest" -> Set("GLOBALWIN"),
     "o4_null_ordering" -> Set("GLOBALWIN"),

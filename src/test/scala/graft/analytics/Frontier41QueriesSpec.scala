@@ -1,0 +1,271 @@
+package graft.analytics
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.etl.TestSessions
+
+/** Semantic pins for the round-7 packs (Frontier41–43, the new
+  * streaming outer join, and the new sqlfd texts). The driver oracle
+  * hash-checks exact values; these specs pin MEANING on sf0.001 —
+  * each invariant is recomputed independently (Scala collections over
+  * the same parquet), not read back from the query under test.
+  */
+class Frontier41QueriesSpec extends AnyFunSuite {
+  lazy val spark = TestSessions.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("a61_anova_oneway: SSB+SSW equals total SS; df bookkeeping holds") {
+    val r = Frontier41Queries.queries("a61_anova_oneway")(spark, sf)
+      .select(col("k_groups"), col("n_total"), col("ss_between_r"),
+        col("ss_within_r"), col("f_stat_r"))
+      .as[(Long, Long, Double, Double, Double)].head()
+    val xs = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_mktsegment"), col("c_acctbal"))
+      .as[(String, Double)].collect()
+    assert(r._1 === xs.map(_._1).distinct.length.toLong)
+    assert(r._2 === xs.length.toLong)
+    val grand = xs.map(_._2).sum / xs.length
+    val ssTot = xs.map(x => (x._2 - grand) * (x._2 - grand)).sum
+    assert(math.abs((r._3 + r._4) - ssTot) / ssTot < 1e-6,
+      s"SSB+SSW=${r._3 + r._4} vs total $ssTot")
+    // independent F from group means
+    val byG = xs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val ssb = byG.values.map { v =>
+      val m = v.sum / v.length; v.length * (m - grand) * (m - grand)
+    }.sum
+    val f = (ssb / (r._1 - 1)) / ((ssTot - ssb) / (r._2 - r._1))
+    assert(math.abs(r._5 - f) / f < 1e-5, s"F ${r._5} vs $f")
+  }
+
+  test("a62_effect_size: d recomputes from raw groups; |g| < |d|") {
+    val r = Frontier41Queries.queries("a62_effect_size")(spark, sf)
+      .select(col("n_1"), col("n_2"), col("mean_diff_r"),
+        col("cohens_d_r"), col("hedges_g_r"))
+      .as[(Long, Long, Double, Double, Double)].head()
+    val xs = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_mktsegment"), col("c_acctbal"))
+      .as[(String, Double)].collect()
+    val a = xs.filter(_._1 == "AUTOMOBILE").map(_._2)
+    val b = xs.filter(_._1 == "BUILDING").map(_._2)
+    assert(r._1 === a.length.toLong && r._2 === b.length.toLong)
+    def mean(v: Array[Double]) = v.sum / v.length
+    def varS(v: Array[Double]) = {
+      val m = mean(v); v.map(x => (x - m) * (x - m)).sum / (v.length - 1)
+    }
+    val sp = math.sqrt(((a.length - 1) * varS(a) + (b.length - 1) * varS(b))
+      / (a.length + b.length - 2))
+    val d = (mean(a) - mean(b)) / sp
+    assert(math.abs(r._4 - d) < 1e-5, s"d ${r._4} vs $d")
+    assert(math.signum(r._3) === math.signum(r._4))
+    assert(math.abs(r._5) < math.abs(r._4), "J correction shrinks d")
+  }
+
+  test("w42_holt_linear: recursion replays exactly; init row pinned") {
+    val rows = Frontier41Queries.queries("w42_holt_linear")(spark, sf)
+      .select(col("revenue_r"), col("level_r"), col("trend_r"),
+        col("forecast_next_r"))
+      .as[(Double, Double, Double, Double)].collect()
+    assert(rows.length > 12, "multi-year monthly series expected")
+    // init: l1 = x1, b1 = 0
+    assert(rows.head._2 === BigDecimal(rows.head._1)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble ||
+      math.abs(rows.head._2 - rows.head._1) < 1e-3)
+    assert(rows.head._3 === 0.0)
+    // replay the recursion from the rounded outputs (tolerance covers
+    // the per-step rounding)
+    var l = rows.head._2; var b = rows.head._3
+    rows.drop(1).foreach { case (x, lr, br, fr) =>
+      val lNew = 0.5 * x + 0.5 * (l + b)
+      val bNew = 0.5 * (lNew - l) + 0.5 * b
+      assert(math.abs(lr - lNew) < 1e-2, s"level $lr vs $lNew")
+      assert(math.abs(br - bNew) < 1e-2, s"trend $br vs $bNew")
+      assert(math.abs(fr - (lr + br)) < 1e-4, "forecast = level + trend")
+      l = lr; b = br
+    }
+  }
+
+  private def rebuildEdges(): Map[Long, Seq[Long]] = {
+    val op = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .as[(Long, Long)].collect()
+    val byOrder = op.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val pairCount = scala.collection.mutable.Map[(Long, Long), Int]()
+    byOrder.values.foreach { parts =>
+      val ps = parts.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        pairCount((ps(i), ps(j))) =
+          pairCount.getOrElse((ps(i), ps(j)), 0) + 1
+    }
+    val und = pairCount.filter(_._2 >= 2).keys.toSeq
+    (und.map(p => (p._1, p._2)) ++ und.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+  }
+
+  test("g_katz: w1 is the degree; katz is the exact integer combination") {
+    val adj = rebuildEdges()
+    val got = Frontier42Queries.queries("g_katz")(spark, sf)
+      .select(col("node"), col("w1"), col("w2"), col("w3"), col("katz_r"))
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(got.length === adj.size)
+    val w1m = got.map(r => r._1 -> r._2).toMap
+    got.foreach { case (n, w1, w2, w3, k) =>
+      assert(w1 === adj(n).length.toLong, s"degree of $n")
+      assert(w2 === adj(n).map(u => w1m(u)).sum, s"w2 of $n")
+      assert(math.abs(k - (200 * w1 + 40 * w2 + 8 * w3) / 1000.0) < 1e-6)
+    }
+  }
+
+  test("g_label_prop: communities partition the node set") {
+    val adj = rebuildEdges()
+    val got = Frontier42Queries.queries("g_label_prop")(spark, sf)
+      .select(col("community"), col("n_members"))
+      .as[(Long, Long)].collect()
+    assert(got.map(_._2).sum === adj.size.toLong,
+      "members sum to node count")
+    got.foreach { case (c, n) =>
+      assert(adj.contains(c), s"community label $c is a node id")
+      assert(n >= 1)
+    }
+    assert(got.length < adj.size, "propagation actually merged labels")
+  }
+
+  test("ml_pr_auc: AP recomputes from the ranked list; bounds hold") {
+    val r = Frontier42Queries.queries("ml_pr_auc")(spark, sf)
+      .select(col("n_pos"), col("n_neg"), col("n_thresholds"), col("ap_r"))
+      .as[(Long, Long, Long, Double)].head()
+    val cust = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      .as[(Long, java.sql.Timestamp, Double)].collect()
+      .groupBy(_._1).flatMap { case (_, os) =>
+        val before = os.filter(_._2.toLocalDateTime.getYear < 1998)
+        if (before.isEmpty) None
+        else Some((BigDecimal(before.map(o => BigDecimal(o._3)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum.toString),
+          if (os.exists(_._2.toLocalDateTime.getYear >= 1998)) 1 else 0))
+      }.toSeq
+    val np = cust.count(_._2 == 1)
+    assert(r._1 === np.toLong && r._2 === (cust.size - np).toLong)
+    assert(r._3 === cust.map(_._1).distinct.size.toLong)
+    // exact AP over distinct thresholds descending
+    val byScore = cust.groupBy(_._1).view
+      .mapValues(v => (v.count(_._2 == 1), v.size)).toSeq
+      .sortBy(_._1).reverse
+    var tp = 0L; var cum = 0L; var ap = 0.0
+    byScore.foreach { case (_, (p, t)) =>
+      tp += p; cum += t
+      ap += p.toDouble * tp / (np.toDouble * cum)
+    }
+    assert(math.abs(r._4 - ap) < 1e-5, s"AP ${r._4} vs $ap")
+    assert(r._4 > 0 && r._4 <= 1.0)
+  }
+
+  test("ann_sq8_topk: integer code distances replay exactly in Scala") {
+    val got = Frontier43Queries.queries("ann_sq8_topk")(spark, sf)
+      .select(col("vec_id"), col("sdc2")).as[(Long, Long)].collect()
+    assert(got.length === 10)
+    assert(got.map(_._2).sliding(2).forall {
+      case Array(a, b) => a <= b; case _ => true })
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val corpus = vecs.filter(_._1 != 0L)
+    val dim = corpus.head._2.length
+    val mn = (0 until dim).map(d => corpus.map(_._2(d)).min.toDouble)
+    val mx = (0 until dim).map(d => corpus.map(_._2(d)).max.toDouble)
+    def code(x: Double, d: Int): Long =
+      if (mx(d) == mn(d)) 0L
+      else math.min(255L, math.max(0L,
+        math.floor(((x - mn(d)) * 255.0) / (mx(d) - mn(d))).toLong))
+    val q = vecs.find(_._1 == 0L).get._2.map(_.toDouble)
+    val qc = (0 until dim).map(d => code(q(d), d))
+    val all = corpus.map { case (id, v) =>
+      val s = (0 until dim).map { d =>
+        val c = code(v(d).toDouble, d); val diff = c - qc(d); diff * diff
+      }.sum
+      (id, s)
+    }
+    val expTop = all.sortBy(r => (r._2, r._1)).take(10)
+    assert(got.toSeq === expTop.toSeq, "exact SDC top-10 replay")
+  }
+
+  test("p_epoch_shuffle: shards partition the corpus each epoch") {
+    val got = Frontier43Queries.queries("p_epoch_shuffle")(spark, sf)
+      .select(col("epoch"), col("shard"), col("n_docs"), col("id_sum"),
+        col("n_sticky")).as[(Int, Long, Long, Long, Long)].collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id")).as[Long].collect()
+    (0 to 2).foreach { e =>
+      val rows = got.filter(_._1 == e)
+      assert(rows.map(_._3).sum === docs.length.toLong, s"epoch $e count")
+      assert(rows.map(_._4).sum === docs.sum, s"epoch $e id checksum")
+    }
+    assert(got.filter(_._1 == 0).map(_._5).sum === 0L,
+      "epoch 0 has no previous epoch")
+    val sticky1 = got.filter(_._1 == 1).map(_._5).sum.toDouble / docs.length
+    assert(sticky1 > 0.02 && sticky1 < 0.35,
+      s"~1/8 of docs stay put by chance, got $sticky1")
+    // epochs genuinely re-permute: shard histograms differ
+    assert(got.filter(_._1 == 0).map(r => (r._2, r._4)).toSet !=
+      got.filter(_._1 == 1).map(r => (r._2, r._4)).toSet)
+  }
+
+  test("i26_merge_delete: three-arm accounting reconciles by key class") {
+    val got = Frontier43Queries.queries("i26_merge_delete")(spark, sf)
+      .select(col("o_orderstatus"), col("n_rows"))
+      .as[(String, Long)].collect().toMap
+    val os = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .as[(Long, String)].collect()
+    val kept = os.filter(o => o._1 % 2 == 0 && o._1 % 3 != 0)
+    val matched = os.filter(o => o._1 % 6 == 0)
+    val upd = matched.filter(_._2 != "F")
+    val ins = os.filter(o => o._1 % 3 == 0 && o._1 % 2 != 0)
+    val exp = (kept ++ upd ++ ins).groupBy(_._2).view
+      .mapValues(_.length.toLong).toMap
+    assert(got === exp)
+    // the DELETE arm fired: matched 'F' rows are gone
+    assert(matched.exists(_._2 == "F"), "test data has deletable rows")
+    assert(got.values.sum ===
+      (kept.length + upd.length + ins.length).toLong)
+  }
+
+  test("st_outer_join: matched count equals the batch inner join; " +
+       "null emissions actually happened") {
+    val got = StreamingQueries.queries("st_outer_join")(spark, sf)
+      .select(col("n_rows"), col("n_matched"), col("n_unmatched"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (n, m, u) => assert(n === m + u) }
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id"), col("us").as("cus"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("eu"), col("us").as("eus"))
+    val inner = c.join(e, col("user_id") === col("eu") &&
+      col("eus") <= col("cus") && col("eus") >= col("cus") - 3600000000L)
+      .count()
+    assert(got.map(_._2).sum === inner, "stream ≡ batch on matches")
+    assert(got.map(_._3).sum > 0, "watermark eviction emitted null rows")
+  }
+
+  test("sqlfd_rollup grand total and sqlfd_ntile partition the table") {
+    val nCust = spark.read.parquet(s"$sf/customer.parquet").count()
+    val roll = SqlFrontDoorQueries.queries("sqlfd_rollup")(spark, sf)
+      .filter(col("nation") === "(all)" && col("segment") === "(all)")
+      .select(col("n_customers")).as[Long].head()
+    assert(roll === nCust)
+    val nt = SqlFrontDoorQueries.queries("sqlfd_ntile")(spark, sf)
+      .select(col("q"), col("n_customers"), col("min_bal"), col("max_bal"))
+      .as[(Int, Long, Double, Double)].collect()
+    assert(nt.map(_._1).toSeq === Seq(1, 2, 3, 4))
+    assert(nt.map(_._2).sum === nCust)
+    nt.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._3 + 1e-9,
+        "quartile ranges ordered")
+      case _ => ()
+    }
+  }
+}
