@@ -62,6 +62,8 @@ object SparkEntry {
       analytics.Frontier41Queries.queries ++
       analytics.Frontier42Queries.queries ++
       analytics.Frontier43Queries.queries ++
+      analytics.Frontier44Queries.queries ++
+      analytics.Frontier45Queries.queries ++
       analytics.SqlFrontDoorQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -110,5 +112,7 @@ object SparkEntry {
       analytics.Frontier41Queries.oracleSql ++
       analytics.Frontier42Queries.oracleSql ++
       analytics.Frontier43Queries.oracleSql ++
+      analytics.Frontier44Queries.oracleSql ++
+      analytics.Frontier45Queries.oracleSql ++
       analytics.SqlFrontDoorQueries.oracleSql
 }

@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
@@ -668,4 +668,542 @@ object Frontier43Queries {
     "ann_sq8_topk" -> annSq8Sql,
     "p_epoch_shuffle" -> pEpochShuffleSql,
     "i26_merge_delete" -> i26MergeDeleteSql)
+}
+
+/** Round-7 widening, fourth pack: Levene's test (the variance-equality
+  * gate the pooled-variance tests silently assume), McNemar's paired
+  * test (the before/after binary-outcome test that survey/retention
+  * readouts need — a62/a25 compare GROUPS, this compares the SAME
+  * subjects twice), and per-user inter-arrival burstiness (the
+  * (σ−μ)/(σ+μ) coefficient separating bot-like regularity from bursty
+  * human sessions).
+  */
+object Frontier44Queries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ------------------------------------------------------------------
+  // a63_levene — Levene's test for homogeneity of variance across
+  // market segments: each observation maps to its absolute deviation
+  // z = |x − mean(group)| (group means frozen as round-6 DECIMALs, so
+  // z is exact decimal arithmetic), then the one-way ANOVA F machinery
+  // runs over z. Two keyed aggregation passes + one broadcast join of
+  // the 5-row means table; W > F-critical says "unequal spreads — use
+  // Welch, not the pooled test". The honest pre-flight for a25/a61.
+  // ------------------------------------------------------------------
+  private val a63Levene: QFn = (s, dir) => {
+    val xdec = col("c_acctbal").cast(DecimalType(18, 4))
+    val cust = t(s, dir, "customer")
+    val means = cust.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum(xdec).as("sx"))
+      .select(col("c_mktsegment"),
+        round(col("sx").cast("double") / col("n").cast("double"), 6)
+          .cast(DecimalType(18, 6)).as("m"))
+    // z fits (16,6) comfortably (|deviation| < 1e5); the narrow factor
+    // keeps the product at (33,12) — EXACT in both engines (a (20,6)²
+    // product exceeds precision 38 and silently loses scale in Spark)
+    val z = cust.join(broadcast(means), "c_mktsegment")
+      .select(col("c_mktsegment"),
+        abs(xdec - col("m")).cast(DecimalType(16, 6)).as("z"))
+    val g = z.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum(col("z")).as("sz"),
+        sum((col("z") * col("z")).cast(DecimalType(38, 12))).as("qz"))
+      .withColumn("term",
+        round((col("sz").cast("string").cast("double") *
+          col("sz").cast("string").cast("double")) /
+          col("n").cast("double"), 6).cast(DecimalType(38, 6)))
+    g.agg(count(lit(1)).as("k"), sum(col("n")).as("nt"),
+        sum(col("sz")).as("ssz"), sum(col("qz")).as("qqz"),
+        sum(col("term")).as("tt"))
+      .select(col("k").cast("long").as("k_groups"),
+        col("nt").cast("long").as("n_total"),
+        round(col("tt").cast("string").cast("double") -
+          (col("ssz").cast("string").cast("double") *
+            col("ssz").cast("string").cast("double")) /
+            col("nt").cast("double"), 6).as("ssb_z_r"),
+        round(col("qqz").cast("string").cast("double") -
+          col("tt").cast("string").cast("double"), 6).as("ssw_z_r"))
+      .select(col("k_groups"), col("n_total"), col("ssb_z_r"),
+        col("ssw_z_r"),
+        round((col("ssb_z_r") / (col("k_groups").cast("double") - 1)) /
+          (col("ssw_z_r") /
+            (col("n_total").cast("double") - col("k_groups").cast("double"))),
+          6).as("w_stat_r"))
+  }
+  private val a63LeveneSql =
+    """WITH means AS (SELECT c_mktsegment,
+      |    CAST(round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE), 6) AS DECIMAL(18,6)) AS m
+      |  FROM customer GROUP BY 1),
+      |z AS (SELECT c.c_mktsegment,
+      |    CAST(abs(CAST(c_acctbal AS DECIMAL(18,4)) - means.m)
+      |      AS DECIMAL(16,6)) AS z
+      |  FROM customer c JOIN means USING (c_mktsegment)),
+      |g AS (SELECT c_mktsegment, COUNT(*) AS n, SUM(z) AS sz,
+      |    SUM(CAST(CAST(z AS DECIMAL(19,6)) * CAST(z AS DECIMAL(19,6))
+      |      AS DECIMAL(38,12))) AS qz
+      |  FROM z GROUP BY 1),
+      |g2 AS (SELECT n, sz, qz,
+      |    CAST(round((CAST(CAST(sz AS VARCHAR) AS DOUBLE)
+      |        * CAST(CAST(sz AS VARCHAR) AS DOUBLE))
+      |      / CAST(n AS DOUBLE), 6) AS DECIMAL(38,6)) AS term
+      |  FROM g),
+      |tot AS (SELECT COUNT(*) AS k, SUM(n) AS nt, SUM(sz) AS ssz,
+      |    SUM(qz) AS qqz, SUM(term) AS tt FROM g2),
+      |f1 AS (SELECT CAST(k AS BIGINT) AS k_groups,
+      |    CAST(nt AS BIGINT) AS n_total,
+      |    round(CAST(CAST(tt AS VARCHAR) AS DOUBLE)
+      |      - (CAST(CAST(ssz AS VARCHAR) AS DOUBLE)
+      |         * CAST(CAST(ssz AS VARCHAR) AS DOUBLE))
+      |        / CAST(nt AS DOUBLE), 6) AS ssb_z_r,
+      |    round(CAST(CAST(qqz AS VARCHAR) AS DOUBLE)
+      |      - CAST(CAST(tt AS VARCHAR) AS DOUBLE), 6) AS ssw_z_r
+      |  FROM tot)
+      |SELECT k_groups, n_total, ssb_z_r, ssw_z_r,
+      |  round((ssb_z_r / (CAST(k_groups AS DOUBLE) - 1))
+      |    / (ssw_z_r
+      |       / (CAST(n_total AS DOUBLE) - CAST(k_groups AS DOUBLE))),
+      |    6) AS w_stat_r
+      |FROM f1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // a64_mcnemar — McNemar's test on paired binary outcomes: did the
+  // SAME customers who ordered in 1997 keep ordering in 1998? Only the
+  // discordant cells matter: b = active→churned, c = inactive→joined;
+  // χ² = (b−c)²/(b+c), plus the continuity-corrected variant. One
+  // grouped pass builds the per-customer (before, after) pair, one
+  // ungrouped pass counts cells — exact integers until the two final
+  // rounded divisions.
+  // ------------------------------------------------------------------
+  private val a64Mcnemar: QFn = (s, dir) => {
+    val pairs = t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(max(when(year(col("o_orderdate")) === 1997, 1L).otherwise(0L))
+          .as("x"),
+        max(when(year(col("o_orderdate")) === 1998, 1L).otherwise(0L))
+          .as("y"))
+    pairs.agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("x") === 1 && col("y") === 0, 1L).otherwise(0L))
+          .as("b_count"),
+        sum(when(col("x") === 0 && col("y") === 1, 1L).otherwise(0L))
+          .as("c_count"))
+      .select(col("n_pairs"), col("b_count"), col("c_count"),
+        round(((col("b_count") - col("c_count")) *
+          (col("b_count") - col("c_count"))).cast("double") /
+          (col("b_count") + col("c_count")).cast("double"), 6)
+          .as("chi2_r"),
+        round(((abs(col("b_count") - col("c_count")) - 1) *
+          (abs(col("b_count") - col("c_count")) - 1)).cast("double") /
+          (col("b_count") + col("c_count")).cast("double"), 6)
+          .as("chi2_cc_r"))
+  }
+  private val a64McnemarSql =
+    """WITH pairs AS (SELECT o_custkey,
+      |    MAX(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END) AS x,
+      |    MAX(CASE WHEN year(o_orderdate) = 1998 THEN 1 ELSE 0 END) AS y
+      |  FROM orders GROUP BY 1),
+      |cells AS (SELECT COUNT(*) AS n_pairs,
+      |    SUM(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END) AS b_count,
+      |    SUM(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END) AS c_count
+      |  FROM pairs)
+      |SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+      |  CAST(b_count AS BIGINT) AS b_count,
+      |  CAST(c_count AS BIGINT) AS c_count,
+      |  round(CAST((b_count - c_count) * (b_count - c_count) AS DOUBLE)
+      |    / CAST(b_count + c_count AS DOUBLE), 6) AS chi2_r,
+      |  round(CAST((abs(b_count - c_count) - 1)
+      |      * (abs(b_count - c_count) - 1) AS DOUBLE)
+      |    / CAST(b_count + c_count AS DOUBLE), 6) AS chi2_cc_r
+      |FROM cells""".stripMargin
+
+  // ------------------------------------------------------------------
+  // ev_burstiness — per-user inter-arrival burstiness B = (σ−μ)/(σ+μ)
+  // over exact microsecond gaps: B → −1 for metronome-regular (bot)
+  // traffic, 0 for Poisson, → +1 for extreme burst-silence cycles.
+  // Gaps via a user-keyed LAG window (partitioned on the data-scaled
+  // user axis), moments as exact DECIMAL(38,0) integer sums (Σgap² of
+  // µs values exceeds 2⁶³ — decimal is mandatory, and the double casts
+  // VARCHAR-route for the same reason), one rounded expression per
+  // reported statistic. Users with < 5 gaps are too short to score.
+  // ------------------------------------------------------------------
+  private val evBurstiness: QFn = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us", "event_id")
+    val gaps = Tables.loadEvents(s, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap").isNotNull)
+    gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap").cast(DecimalType(38, 0))).as("sg"),
+        sum((col("gap").cast(DecimalType(19, 0)) *
+          col("gap").cast(DecimalType(19, 0))).cast(DecimalType(38, 0)))
+          .as("qg"))
+      .filter(col("n_gaps") >= 5)
+      .select(col("user_id"), col("n_gaps"),
+        round(col("sg").cast("string").cast("double") /
+          col("n_gaps").cast("double"), 4).as("mean_gap_us_r"),
+        round((sqrt(col("qg").cast("string").cast("double") /
+            col("n_gaps").cast("double") -
+            (col("sg").cast("string").cast("double") /
+              col("n_gaps").cast("double")) *
+            (col("sg").cast("string").cast("double") /
+              col("n_gaps").cast("double"))) -
+          col("sg").cast("string").cast("double") /
+            col("n_gaps").cast("double")) /
+          (sqrt(col("qg").cast("string").cast("double") /
+            col("n_gaps").cast("double") -
+            (col("sg").cast("string").cast("double") /
+              col("n_gaps").cast("double")) *
+            (col("sg").cast("string").cast("double") /
+              col("n_gaps").cast("double"))) +
+          col("sg").cast("string").cast("double") /
+            col("n_gaps").cast("double")), 6).as("burstiness_r"))
+      .orderBy("user_id")
+  }
+  private val evBurstinessSql =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |g0 AS (SELECT user_id,
+      |    us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |      AS gap
+      |  FROM e),
+      |g AS (SELECT user_id, gap FROM g0 WHERE gap IS NOT NULL),
+      |agg AS (SELECT user_id, COUNT(*) AS n_gaps,
+      |    SUM(CAST(gap AS DECIMAL(38,0))) AS sg,
+      |    SUM(CAST(CAST(gap AS DECIMAL(19,0)) * CAST(gap AS DECIMAL(19,0))
+      |      AS DECIMAL(38,0))) AS qg
+      |  FROM g GROUP BY 1 HAVING COUNT(*) >= 5)
+      |SELECT user_id, n_gaps,
+      |  round(CAST(CAST(sg AS VARCHAR) AS DOUBLE)
+      |    / CAST(n_gaps AS DOUBLE), 4) AS mean_gap_us_r,
+      |  round((sqrt(CAST(CAST(qg AS VARCHAR) AS DOUBLE)
+      |      / CAST(n_gaps AS DOUBLE)
+      |      - (CAST(CAST(sg AS VARCHAR) AS DOUBLE)
+      |          / CAST(n_gaps AS DOUBLE))
+      |        * (CAST(CAST(sg AS VARCHAR) AS DOUBLE)
+      |          / CAST(n_gaps AS DOUBLE)))
+      |    - CAST(CAST(sg AS VARCHAR) AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+      |  / (sqrt(CAST(CAST(qg AS VARCHAR) AS DOUBLE)
+      |      / CAST(n_gaps AS DOUBLE)
+      |      - (CAST(CAST(sg AS VARCHAR) AS DOUBLE)
+      |          / CAST(n_gaps AS DOUBLE))
+      |        * (CAST(CAST(sg AS VARCHAR) AS DOUBLE)
+      |          / CAST(n_gaps AS DOUBLE)))
+      |    + CAST(CAST(sg AS VARCHAR) AS DOUBLE) / CAST(n_gaps AS DOUBLE)),
+      |  6) AS burstiness_r
+      |FROM agg ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "a63_levene" -> a63Levene,
+    "a64_mcnemar" -> a64Mcnemar,
+    "ev_burstiness" -> evBurstiness)
+
+  val oracleSql: Map[String, String] = Map(
+    "a63_levene" -> a63LeveneSql,
+    "a64_mcnemar" -> a64McnemarSql,
+    "ev_burstiness" -> evBurstinessSql)
+}
+
+/** Round-7 widening, fifth pack: b-bit MinHash (the 1-bit-per-hash
+  * compression of the MinHash sketch — 64× smaller signatures at a
+  * quantified accuracy cost, measured here against the exact Jaccard
+  * on every verified near-dup pair), PCM audio interpretation over
+  * binary media blobs (RMS energy + zero-crossing rate — the audio
+  * twins of the image-decode features, bytes-in integers-out), and
+  * the IR ranking-metrics scorecard (P@10 / MRR@10 / NDCG@10 over
+  * label-relevance retrieval — BM25 and cosine entries retrieve,
+  * this entry GRADES retrieval).
+  */
+object Frontier45Queries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ------------------------------------------------------------------
+  // d_bbit_minhash — 1-bit MinHash accuracy audit: 16 portable
+  // (md5-derived, DuckDB-replayable) minhash values per document keep
+  // only their LOWEST BIT — a 16-bit signature. For two docs the
+  // expected bit-agreement is (1+J)/2, so Ĵ = 2·(agree/16) − 1. The
+  // entry scores the estimator against the EXACT Jaccard on every
+  // verified near-dup pair (the d_minhash_lsh output set): bits are
+  // exact integers (bit_count over XOR), the estimate one rounded
+  // expression. The sketch a 100-TB dedup keeps in RAM when even
+  // 32×8-byte signatures are too fat — with its error now measured,
+  // not assumed.
+  // ------------------------------------------------------------------
+  private val dBbitMinhash: QFn = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val words = split(graft.textops.TextFunctions.normText(col("text")), " ")
+    val sh = docs.select(col("doc_id"), words.as("__w"))
+      .select(col("doc_id"), col("__w"),
+        posexplode(col("__w")).as(Seq("__p", "__x")))
+      .filter(col("__p") <= size(col("__w")) - 3)
+      .select(col("doc_id"), concat_ws(" ", col("__x"),
+        element_at(col("__w"), col("__p") + 2),
+        element_at(col("__w"), col("__p") + 3)).as("shingle"))
+      .distinct()
+    def h(j: Int): Column =
+      conv(substring(md5(concat(lit(s"$j:"), col("shingle"))), 1, 8),
+        16, 10).cast("long")
+    val mins = sh.groupBy("doc_id")
+      .agg(min(h(0)).as("m0"),
+        (1 until 16).map(j => min(h(j)).as(s"m$j")): _*)
+    val bits = mins.select(col("doc_id"),
+      (0 until 16).map(j => (col(s"m$j") % 2) * lit(1L << j))
+        .reduce(_ + _).cast("long").as("bits"))
+    val pairs = graft.textops.Dedup.minhashLshVerified(docs,
+      "doc_id", "text", shingleK = 3, numHashes = 32, bands = 8,
+      threshold = 0.5)
+    val agree = (lit(16) -
+      bit_count(col("bits_a").bitwiseXOR(col("bits_b")))).cast("int")
+    pairs
+      .join(bits.select(col("doc_id").as("id_a"), col("bits").as("bits_a")),
+        "id_a")
+      .join(bits.select(col("doc_id").as("id_b"), col("bits").as("bits_b")),
+        "id_b")
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        agree.as("n_agree"),
+        round(lit(2.0) * agree / 16.0 - 1.0, 6).as("est_r"),
+        round((lit(2.0) * agree / 16.0 - 1.0) - col("jaccard"), 6)
+          .as("err_r"))
+      .orderBy("id_a", "id_b")
+  }
+  private val dBbitMinhashSql = {
+    val norm = graft.textops.TextFunctions.normTextSql("text")
+    val minCols = (0 until 16).map(j =>
+      s"MIN(CAST(('0x' || substring(md5('$j:' || shingle), 1, 8)) AS BIGINT)) AS m$j")
+      .mkString(",\n|    ")
+    val bitsExpr = (0 until 16).map(j => s"(m$j % 2) * ${1L << j}")
+      .mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, string_split($norm, ' ') AS ws
+       |  FROM documents),
+       |sh0 AS (SELECT DISTINCT doc_id,
+       |  unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+       |    i -> array_to_string(ws[i:i+2], ' '))) AS shingle
+       |  FROM w),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh0 GROUP BY 1),
+       |inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS c
+       |          FROM sh0 x JOIN sh0 y USING (shingle)
+       |          WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+       |pairs AS (SELECT id_a, id_b,
+       |    CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+       |  FROM inter JOIN sizes sa ON sa.doc_id = id_a
+       |             JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+       |mh AS (SELECT doc_id,
+       |    $minCols
+       |  FROM sh0 GROUP BY doc_id),
+       |bits AS (SELECT doc_id, CAST($bitsExpr AS BIGINT) AS bits FROM mh)
+       |SELECT p.id_a, p.id_b, p.jaccard,
+       |  CAST(16 - bit_count(xor(ba.bits, bb.bits)) AS INT) AS n_agree,
+       |  round(2.0 * (16 - bit_count(xor(ba.bits, bb.bits))) / 16.0 - 1.0,
+       |    6) AS est_r,
+       |  round((2.0 * (16 - bit_count(xor(ba.bits, bb.bits))) / 16.0 - 1.0)
+       |    - p.jaccard, 6) AS err_r
+       |FROM pairs p JOIN bits ba ON ba.doc_id = p.id_a
+       |             JOIN bits bb ON bb.doc_id = p.id_b
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // mm_audio_pcm — PCM audio interpretation of binary media blobs:
+  // each blob's bytes parse as 16-bit little-endian signed samples
+  // (the WAV data-chunk layout), and the entry reports the three
+  // signals an audio-quality filter gates on — RMS energy, mean
+  // amplitude (DC offset), zero-crossing count (spectral proxy). The
+  // whole decode is higher-order functions over one hex projection —
+  // integers end to end, no explode, no shuffle beyond the scan; the
+  // oracle re-parses the same bytes positionally in SQL. Companion to
+  // mm_decode_features (images): bytes-in, measured-features-out.
+  // ------------------------------------------------------------------
+  private val mmAudioPcm: QFn = (s, dir) => {
+    val m = t(s, dir, "documents")
+      .select(col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("blob"))
+      .select(col("media_id"), hex(col("blob")).as("hx"),
+        floor(length(col("blob")) / 2).cast("long").as("n"))
+      .filter(col("n") >= 2)
+    val samples = transform(sequence(lit(0L), col("n") - 1), i => {
+      val u = conv(concat(
+        col("hx").substr((i * 4 + 3).cast("int"), lit(2)),
+        col("hx").substr((i * 4 + 1).cast("int"), lit(2))), 16, 10)
+        .cast("int")
+      when(u >= 32768, u - 65536).otherwise(u)
+    })
+    m.select(col("media_id"), col("n").as("n_samples"),
+        samples.as("__s"))
+      .select(col("media_id"), col("n_samples"),
+        aggregate(col("__s"), lit(0L), (a, x) => a + x).as("__sum"),
+        aggregate(col("__s"), lit(0L),
+          (a, x) => a + x.cast("long") * x.cast("long")).as("__sumsq"),
+        aggregate(zip_with(
+            slice(col("__s"), lit(1), (col("n_samples") - 1).cast("int")),
+            slice(col("__s"), lit(2), (col("n_samples") - 1).cast("int")),
+            (x, y) => when((x < 0) =!= (y < 0), 1L).otherwise(0L)),
+          lit(0L), (a, x) => a + x).as("n_zero_cross"))
+      .select(col("media_id"), col("n_samples"),
+        round(col("__sum").cast("double") /
+          col("n_samples").cast("double"), 6).as("mean_amp_r"),
+        round(sqrt(col("__sumsq").cast("double") /
+          col("n_samples").cast("double")), 6).as("rms_r"),
+        col("n_zero_cross"))
+      .orderBy("media_id")
+  }
+  private val mmAudioPcmSql =
+    """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+      |    CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n
+      |  FROM documents),
+      |m2 AS (SELECT * FROM m WHERE n >= 2),
+      |s0 AS (SELECT media_id, n, hx,
+      |    unnest(range(0, n)) AS i
+      |  FROM m2),
+      |s1 AS (SELECT media_id, n, i,
+      |    CAST(('0x' || substring(hx, CAST(4*i+3 AS INT), 2)
+      |      || substring(hx, CAST(4*i+1 AS INT), 2)) AS INT) AS u
+      |  FROM s0),
+      |s AS (SELECT media_id, n, i,
+      |    CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+      |  FROM s1),
+      |z AS (SELECT media_id, n, v,
+      |    LAG(v) OVER (PARTITION BY media_id ORDER BY i) AS pv
+      |  FROM s),
+      |agg AS (SELECT media_id, MAX(n) AS n_samples,
+      |    SUM(CAST(v AS BIGINT)) AS sum_v,
+      |    SUM(CAST(v AS BIGINT) * CAST(v AS BIGINT)) AS sumsq_v,
+      |    SUM(CASE WHEN pv IS NOT NULL
+      |      AND ((v < 0) <> (pv < 0)) THEN 1 ELSE 0 END) AS n_zero_cross
+      |  FROM z GROUP BY 1)
+      |SELECT media_id, n_samples,
+      |  round(CAST(sum_v AS DOUBLE) / CAST(n_samples AS DOUBLE), 6)
+      |    AS mean_amp_r,
+      |  round(sqrt(CAST(sumsq_v AS DOUBLE) / CAST(n_samples AS DOUBLE)),
+      |    6) AS rms_r,
+      |  CAST(n_zero_cross AS BIGINT) AS n_zero_cross
+      |FROM agg ORDER BY media_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // ml_ranking_metrics — the retrieval scorecard: probes = vectors
+  // 1–5, corpus = the rest, relevance = label match. Exact cosine
+  // scores every (probe, corpus) pair (one corpus scan; the probe
+  // axis is an in-row literal explode), the NATIVE TopKPerGroup
+  // operator cuts the top 10 per probe (bounded-heap partial/final —
+  // the shuffle carries ≤ k·partitions rows, never the corpus), and
+  // P@10 / MRR@10 / NDCG@10 reduce over those 50 rows. DCG weights
+  // are integer micro-units (⌊10⁶/log₂(r+1)⌉ literals baked into both
+  // engines) so the metric is exact integer arithmetic until one
+  // final rounded division — no cross-engine libm log in sight.
+  // ------------------------------------------------------------------
+  private val wMic: IndexedSeq[Long] = (1 to 10).map(r =>
+    math.round(1e6 / (math.log(r + 1) / math.log(2))))
+  private val wCum: IndexedSeq[Long] = wMic.scanLeft(0L)(_ + _).tail
+
+  private val mlRankingMetrics: QFn = (s, dir) => {
+    val all = t(s, dir, "embeddings")
+    val probes = all.filter(col("vec_id").between(1, 5))
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toArray)).sortBy(_._1)
+    val qarr = array(probes.map { case (qid, qlabel, vec) =>
+      struct(lit(qid).as("qid"), lit(qlabel).as("qlabel"),
+        array(vec.map(x => lit(x)): _*).as("qv"))
+    }: _*)
+    val scored = all.filter(col("vec_id") > 5)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        explode(qarr).as("q"))
+      .select(col("q.qid").as("qid"), col("q.qlabel").as("qlabel"),
+        col("vec_id"), col("label"),
+        round(graft.textops.Similarity.cosineNative(
+          col("embedding"), col("q.qv")), 6).as("score_r"))
+      .localCheckpoint(true)
+    val nrel = scored.groupBy("qid")
+      .agg(sum(when(col("label") === col("qlabel"), 1L).otherwise(0L))
+        .as("n_rel"))
+    val top = graft.plans.TopKPerGroup.topK(scored, Seq("qid"),
+      Seq(("score_r", true), ("vec_id", false)), 10)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid")
+      .orderBy(col("score_r").desc, col("vec_id").asc)
+    val ranked = top.withColumn("r", row_number().over(w))
+      .withColumn("rel",
+        when(col("label") === col("qlabel"), 1L).otherwise(0L))
+    val wMicExpr = (1 to 10).map(r =>
+      when(col("r") === r, lit(wMic(r - 1))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val perQ = ranked.groupBy("qid")
+      .agg(sum(col("rel")).as("rel10"),
+        sum(col("rel") * wMicExpr).as("dcg_mic"),
+        min(when(col("rel") === 1, col("r"))).as("first_rel"))
+    val idcgExpr = {
+      val capped = least(col("n_rel"), lit(10L)).cast("int")
+      (1 to 10).map(k =>
+        when(capped === k, lit(wCum(k - 1))).otherwise(lit(0L)))
+        .reduce(_ + _)
+    }
+    perQ.join(nrel, "qid")
+      .select(col("qid"), col("n_rel"),
+        round(col("rel10").cast("double") / 10.0, 6).as("p_at_10_r"),
+        round(coalesce(lit(1.0) / col("first_rel").cast("double"),
+          lit(0.0)), 6).as("mrr_at_10_r"),
+        round(when(col("n_rel") === 0, lit(0.0))
+          .otherwise(col("dcg_mic").cast("double") /
+            idcgExpr.cast("double")), 6).as("ndcg_at_10_r"))
+      .orderBy("qid")
+  }
+  private val mlRankingMetricsSql = {
+    val wCase = (1 to 10).map(r =>
+      s"WHEN r = $r THEN ${wMic(r - 1)}").mkString(" ")
+    val idcgCase = (1 to 10).map(k =>
+      s"WHEN LEAST(n_rel, 10) = $k THEN ${wCum(k - 1)}").mkString(" ")
+    s"""WITH q AS (SELECT vec_id AS qid, label AS qlabel,
+       |    unnest(embedding) AS qv, generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings WHERE vec_id BETWEEN 1 AND 5),
+       |v AS (SELECT vec_id, label, unnest(embedding) AS xv,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings WHERE vec_id > 5),
+       |sc AS (SELECT q.qid, q.qlabel, v.vec_id, v.label,
+       |    round(SUM(CAST(xv AS DOUBLE) * CAST(qv AS DOUBLE))
+       |      / NULLIF(sqrt(SUM(CAST(xv AS DOUBLE) * CAST(xv AS DOUBLE)))
+       |        * sqrt(SUM(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE))), 0.0),
+       |      6) AS score_r
+       |  FROM v JOIN q USING (i) GROUP BY 1, 2, 3, 4),
+       |nrel AS (SELECT qid,
+       |    SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS n_rel
+       |  FROM sc GROUP BY 1),
+       |rk AS (SELECT qid, qlabel, vec_id, label,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY score_r DESC, vec_id) AS r
+       |  FROM sc),
+       |top AS (SELECT *, CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel
+       |  FROM rk WHERE r <= 10),
+       |perq AS (SELECT qid, SUM(rel) AS rel10,
+       |    SUM(rel * (CASE $wCase ELSE 0 END)) AS dcg_mic,
+       |    MIN(CASE WHEN rel = 1 THEN r END) AS first_rel
+       |  FROM top GROUP BY 1)
+       |SELECT p.qid, CAST(n.n_rel AS BIGINT) AS n_rel,
+       |  round(CAST(rel10 AS DOUBLE) / 10.0, 6) AS p_at_10_r,
+       |  round(COALESCE(1.0 / CAST(first_rel AS DOUBLE), 0.0), 6)
+       |    AS mrr_at_10_r,
+       |  round(CASE WHEN n.n_rel = 0 THEN 0.0
+       |    ELSE CAST(dcg_mic AS DOUBLE)
+       |      / CAST((CASE $idcgCase ELSE 0 END) AS DOUBLE) END, 6)
+       |    AS ndcg_at_10_r
+       |FROM perq p JOIN nrel n ON n.qid = p.qid
+       |ORDER BY p.qid""".stripMargin
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "d_bbit_minhash" -> dBbitMinhash,
+    "mm_audio_pcm" -> mmAudioPcm,
+    "ml_ranking_metrics" -> mlRankingMetrics)
+
+  val oracleSql: Map[String, String] = Map(
+    "d_bbit_minhash" -> dBbitMinhashSql,
+    "mm_audio_pcm" -> mmAudioPcmSql,
+    "ml_ranking_metrics" -> mlRankingMetricsSql)
 }

@@ -458,7 +458,79 @@ object StreamingQueries {
       |  CAST(SUM(1 - matched) AS BIGINT) AS n_unmatched
       |FROM allr GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ST11 — UPDATE-mode delta emission, deterministically staged: the
+  // events split into TWO mtime-ordered trigger files at the day-10
+  // boundary (A = days before, B = the rest), maxFilesPerTrigger=1
+  // forces one micro-batch each, and an Update-mode day×type count
+  // emits, per batch, ONLY the groups that batch changed. The drained
+  // sink therefore holds one row per (group, touching batch): groups
+  // confined to A or B appear once, groups straddling the boundary
+  // appear twice — first the partial count, then the final one. The
+  // entry reduces the sink to (n_versions, final_count) per group;
+  // the oracle restates both in closed form (counts are monotone, so
+  // final = MAX). This pins the Update/Append/Complete emission
+  // TRICHOTOMY: Complete restates everything (ST1), Append emits only
+  // watermark-closed groups (ST6), Update emits exactly the dirty
+  // ones. No watermark: state here is the day×type domain (calendar-
+  // bounded); an unbounded deployment would add one for eviction.
+  // 2024-01-10 12:00 in µs — mid-DAY on purpose: a day-boundary split
+  // would give every (day, type) group exactly one touching batch and
+  // the two-version case would never occur
+  private val splitUpdUs = 19732L * 86400000000L + 43200000000L
+  private val updStaged = new ConcurrentHashMap[String, String]()
+  private def stageUpdFeed(s: SparkSession, dir: String): String =
+    updStaged.computeIfAbsent(dir, { d =>
+      val e = graft.Tables.load(s, d, "events")
+      val root = java.nio.file.Files.createTempDirectory("graft_upd")
+      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = root.resolve(name + "_stage")
+        df.coalesce(1).write.parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator()
+        var moved = false
+        while (part.hasNext && !moved) {
+          val p = part.next()
+          if (p.getFileName.toString.endsWith(".parquet")) {
+            java.nio.file.Files.move(p, root.resolve(name)); moved = true
+          }
+        }
+        java.nio.file.Files.setLastModifiedTime(root.resolve(name),
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val now = System.currentTimeMillis()
+      writeOne(e.filter(col("ts") < splitUpdUs * 1000), "a.parquet",
+        now - 600000)
+      writeOne(e.filter(col("ts") >= splitUpdUs * 1000), "b.parquet", now)
+      root.toString
+    })
+
+  private val stUpdateMode: QFn = (s, dir) => {
+    val staged = stageUpdFeed(s, dir)
+    val ev = EventStream.readEvents(s, staged, maxFilesPerTrigger = 1)
+    val agg = ev
+      .groupBy(window(col("event_time"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("day_window"), col("event_type"),
+        col("n_events"))
+    drain(s, agg, "st_upd_", OutputMode.Update())
+      .groupBy("day_window", "event_type")
+      .agg(count(lit(1)).as("n_versions"),
+        max(col("n_events")).as("final_count"))
+      .orderBy("day_window", "event_type")
+  }
+  private val stUpdateModeSql =
+    s"""WITH e AS (SELECT date_trunc('day', ts) AS day_window, event_type,
+       |    epoch_us(ts) AS us
+       |  FROM events),
+       |v AS (SELECT day_window, event_type,
+       |    CAST(COUNT(DISTINCT CASE WHEN us < $splitUpdUs THEN 1
+       |      ELSE 2 END) AS BIGINT) AS n_versions,
+       |    COUNT(*) AS final_count
+       |  FROM e GROUP BY 1, 2)
+       |SELECT day_window, event_type, n_versions, final_count
+       |FROM v ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "st_update_mode" -> stUpdateMode,
     "st_outer_join" -> stOuterJoin,
     "st_topk_windowed" -> stTopkWindowed,
     "st_static_enrich" -> stStaticEnrich,
@@ -471,6 +543,7 @@ object StreamingQueries {
     "st_exactly_once_sink" -> stExactlyOnce)
 
   val oracleSql: Map[String, String] = Map(
+    "st_update_mode" -> stUpdateModeSql,
     "st_outer_join" -> stOuterJoinSql,
     "st_topk_windowed" -> stTopkWindowedSql,
     "st_static_enrich" -> stStaticEnrichSql,

@@ -251,6 +251,171 @@ class Frontier41QueriesSpec extends AnyFunSuite {
     assert(got.map(_._3).sum > 0, "watermark eviction emitted null rows")
   }
 
+  test("a63_levene: z-transform ANOVA recomputes from raw groups") {
+    val r = Frontier44Queries.queries("a63_levene")(spark, sf)
+      .select(col("k_groups"), col("n_total"), col("w_stat_r"))
+      .as[(Long, Long, Double)].head()
+    val xs = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_mktsegment"), col("c_acctbal"))
+      .as[(String, Double)].collect()
+    assert(r._1 === 5L && r._2 === xs.length.toLong)
+    val byG = xs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val z = byG.toSeq.flatMap { case (g, v) =>
+      val m = v.sum / v.length; v.map(x => (g, math.abs(x - m)))
+    }
+    val zg = z.map(_._2).sum / z.length
+    val byGz = z.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val ssb = byGz.values.map { v =>
+      val m = v.sum / v.length; v.length * (m - zg) * (m - zg) }.sum
+    val ssw = byGz.values.map { v =>
+      val m = v.sum / v.length; v.map(x => (x - m) * (x - m)).sum }.sum
+    val w = (ssb / (r._1 - 1)) / (ssw / (r._2 - r._1))
+    assert(math.abs(r._3 - w) / w < 1e-3, s"W ${r._3} vs $w")
+  }
+
+  test("a64_mcnemar: discordant cells recompute from order history") {
+    val r = Frontier44Queries.queries("a64_mcnemar")(spark, sf)
+      .select(col("n_pairs"), col("b_count"), col("c_count"),
+        col("chi2_r")).as[(Long, Long, Long, Double)].head()
+    val byCust = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_custkey"), year(col("o_orderdate")).as("y"))
+      .as[(Long, Int)].collect().groupBy(_._1)
+    val b = byCust.values.count(v =>
+      v.exists(_._2 == 1997) && !v.exists(_._2 == 1998))
+    val c = byCust.values.count(v =>
+      !v.exists(_._2 == 1997) && v.exists(_._2 == 1998))
+    assert(r._1 === byCust.size.toLong)
+    assert(r._2 === b.toLong && r._3 === c.toLong)
+    val chi2 = (b - c).toDouble * (b - c) / (b + c)
+    assert(math.abs(r._4 - chi2) < 1e-5)
+  }
+
+  test("ev_burstiness: bounded in (-1,1); gap moments recompute " +
+       "for one user") {
+    val got = Frontier44Queries.queries("ev_burstiness")(spark, sf)
+      .select(col("user_id"), col("n_gaps"), col("mean_gap_us_r"),
+        col("burstiness_r")).as[(Long, Long, Double, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, n, m, b) =>
+      assert(n >= 5 && m > 0)
+      assert(b > -1.0 - 1e-9 && b < 1.0 + 1e-9)
+    }
+    val u = got.head._1
+    val ts = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("user_id") === u)
+      .select(unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_id"))
+      .as[(Long, Long)].collect().sortBy(identity).map(_._1)
+    val gaps = ts.sliding(2).map { case Array(a, b) => (b - a).toDouble }
+      .toArray
+    assert(got.head._2 === gaps.length.toLong)
+    val mu = gaps.sum / gaps.length
+    assert(math.abs(got.head._3 - mu) < 1e-2)
+    val sd = math.sqrt(gaps.map(g => g * g).sum / gaps.length - mu * mu)
+    assert(math.abs(got.head._4 - (sd - mu) / (sd + mu)) < 1e-4)
+  }
+
+  test("d_bbit_minhash: estimator error bounded by sketch variance; " +
+       "agreement counts in range") {
+    val got = Frontier45Queries.queries("d_bbit_minhash")(spark, sf)
+      .select(col("jaccard"), col("n_agree"), col("est_r"), col("err_r"))
+      .as[(Double, Int, Double, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (j, a, est, err) =>
+      assert(j >= 0.5 && j <= 1.0)
+      assert(a >= 0 && a <= 16)
+      assert(math.abs(est - (2.0 * a / 16 - 1.0)) < 1e-9)
+      assert(math.abs(err - (est - j)) < 2e-6, "err identity")
+      // 1-bit agreement E = (1+J)/2, sd ≈ 0.5/√16: J≥0.5 pairs should
+      // agree on clearly more than half the bits
+      assert(a >= 9, s"agreement $a implausible for J=$j")
+    }
+  }
+
+  test("mm_audio_pcm: PCM parse replays on one blob in Scala") {
+    val got = Frontier45Queries.queries("mm_audio_pcm")(spark, sf)
+      .select(col("media_id"), col("n_samples"), col("mean_amp_r"),
+        col("rms_r"), col("n_zero_cross"))
+      .as[(Long, Long, Double, Double, Long)].collect()
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .toMap
+    assert(got.length === texts.size)
+    val (mid, n, mean, rms, zc) = (got.head._1, got.head._2,
+      got.head._3, got.head._4, got.head._5)
+    val bytes = texts(mid).getBytes("UTF-8")
+    val samples = (0 until bytes.length / 2).map { i =>
+      val lo = bytes(2 * i) & 0xff
+      val hi = bytes(2 * i + 1) & 0xff
+      val u = hi * 256 + lo
+      if (u >= 32768) u - 65536 else u
+    }
+    assert(n === samples.length.toLong)
+    assert(math.abs(mean - samples.map(_.toDouble).sum / n) < 1e-4)
+    assert(math.abs(rms -
+      math.sqrt(samples.map(x => x.toDouble * x).sum / n)) < 1e-4)
+    val expZc = samples.sliding(2).count {
+      case Seq(a, b) => (a < 0) != (b < 0); case _ => false }
+    assert(zc === expZc.toLong)
+  }
+
+  test("ml_ranking_metrics: metrics recompute from a brute-force " +
+       "Scala ranking") {
+    val got = Frontier45Queries.queries("ml_ranking_metrics")(spark, sf)
+      .select(col("qid"), col("n_rel"), col("p_at_10_r"),
+        col("mrr_at_10_r"), col("ndcg_at_10_r"))
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Int, Array[Float])].collect()
+    val corpus = vecs.filter(_._1 > 5)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      (0 until a.length).foreach { i =>
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    got.foreach { case (qid, nRel, p10, mrr, ndcg) =>
+      val (qv, qlabel) = vecs.find(_._1 == qid)
+        .map(r => (r._3, r._2)).get
+      assert(nRel === corpus.count(_._2 == qlabel).toLong)
+      val ranked = corpus.map(c => (c._1, c._2, cos(c._3, qv)))
+        .sortBy(r => (-r._3, r._1)).take(10)
+      val rels = ranked.map(r => if (r._2 == qlabel) 1 else 0)
+      assert(math.abs(p10 - rels.sum / 10.0) < 1e-6)
+      val firstRel = rels.indexOf(1)
+      val expMrr = if (firstRel < 0) 0.0 else 1.0 / (firstRel + 1)
+      assert(math.abs(mrr - expMrr) < 1e-6)
+      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-9)
+      if (rels.sum == 0) assert(ndcg === 0.0)
+    }
+  }
+
+  test("st_update_mode: straddling day emits two versions, others one") {
+    val got = StreamingQueries.queries("st_update_mode")(spark, sf)
+      .select(col("day_window").cast("string"), col("event_type"),
+        col("n_versions"), col("final_count"))
+      .as[(String, String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val straddle = got.filter(_._1.startsWith("2024-01-10"))
+    val others = got.filterNot(_._1.startsWith("2024-01-10"))
+    assert(straddle.nonEmpty && straddle.forall(_._3 === 2L),
+      "mid-day split ⇒ two update versions on the split day")
+    assert(others.forall(_._3 === 1L), "single-batch days emit once")
+    val exp = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy(date_trunc("day", col("ts").cast("timestamp"))
+        .cast("string").as("d"), col("event_type"))
+      .count().as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    got.foreach { case (d, t, _, fc) =>
+      assert(fc === exp((d, t)), s"final count for $d/$t")
+    }
+  }
+
   test("sqlfd_rollup grand total and sqlfd_ntile partition the table") {
     val nCust = spark.read.parquet(s"$sf/customer.parquet").count()
     val roll = SqlFrontDoorQueries.queries("sqlfd_rollup")(spark, sf)
