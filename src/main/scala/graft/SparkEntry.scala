@@ -64,6 +64,7 @@ object SparkEntry {
       analytics.Frontier43Queries.queries ++
       analytics.Frontier44Queries.queries ++
       analytics.Frontier45Queries.queries ++
+      analytics.Frontier46Queries.queries ++
       analytics.SqlFrontDoorQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -114,5 +115,6 @@ object SparkEntry {
       analytics.Frontier43Queries.oracleSql ++
       analytics.Frontier44Queries.oracleSql ++
       analytics.Frontier45Queries.oracleSql ++
+      analytics.Frontier46Queries.oracleSql ++
       analytics.SqlFrontDoorQueries.oracleSql
 }

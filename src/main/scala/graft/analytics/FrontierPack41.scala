@@ -1207,3 +1207,259 @@ object Frontier45Queries {
     "mm_audio_pcm" -> mmAudioPcmSql,
     "ml_ranking_metrics" -> mlRankingMetricsSql)
 }
+
+/** Round-7 widening, sixth pack: SCD Type 6 (the 1+2+3 hybrid
+  * dimension — full history AND an always-current overwrite AND a
+  * prev-value column, the shape BI teams actually request), query-side
+  * multiprobe LSH (probe the exact bucket plus every 1-bit neighbor —
+  * the recall of many hash tables at the memory cost of few), and the
+  * corpus-curation attrition funnel (per-filter survivor counts — the
+  * first artifact anyone asks of a training-data pipeline: "where did
+  * my documents go?").
+  */
+object Frontier46Queries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ------------------------------------------------------------------
+  // i27_scd6 — hybrid SCD Type 6 over a simulated segment-change
+  // batch: customers whose md5 class is 0 "move" to a rotated market
+  // segment. The result carries ALL THREE slowly-changing idioms at
+  // once: Type 2 history (one row per version, version/is_current
+  // flags), Type 1 overwrite (current_segment repeated on EVERY
+  // version row — historical rows still answer "what is it NOW"),
+  // and Type 3 prior (prev_segment beside it). Built functionally:
+  // one hash classification, one union of version rows, one keyed
+  // self-join for the overwrite column — every stage partitioned on
+  // the customer key. Output: per (segment-at-version, is_current)
+  // row counts + version stats, the shape a dimension audit reads.
+  // ------------------------------------------------------------------
+  private val i27Scd6: QFn = (s, dir) => {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        (conv(substring(md5(concat(lit("scd6:"),
+          col("c_custkey").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 5).as("h"))
+    val changed = cust.filter(col("h") === 0)
+      .select(col("c_custkey"),
+        concat(lit("NEW_"), col("c_mktsegment")).as("seg2"))
+    val v1 = cust.select(col("c_custkey"),
+      col("c_mktsegment").as("segment"), lit(1).as("version"))
+    val v2 = changed.select(col("c_custkey"), col("seg2").as("segment"),
+      lit(2).as("version"))
+    val versions = v1.unionByName(v2)
+    val current = versions.groupBy("c_custkey")
+      .agg(max(col("version")).as("max_v"))
+    val rows = versions.join(current, "c_custkey")
+      .withColumn("is_current", col("version") === col("max_v"))
+    val curSeg = rows.filter(col("is_current"))
+      .select(col("c_custkey"), col("segment").as("current_segment"))
+    val prevSeg = rows.filter(col("version") === 1 && col("max_v") === 2)
+      .select(col("c_custkey"), col("segment").as("prev_segment"))
+    rows.join(curSeg, "c_custkey")
+      .join(prevSeg, Seq("c_custkey"), "left")
+      .groupBy(col("segment"), col("is_current"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("current_segment") =!= col("segment"), 1L)
+          .otherwise(0L)).as("n_superseded"),
+        sum(when(col("prev_segment").isNotNull, 1L).otherwise(0L))
+          .as("n_with_prior"))
+      .orderBy("segment", "is_current")
+  }
+  private val i27Scd6Sql =
+    """WITH cust AS (SELECT c_custkey, c_mktsegment,
+      |    CAST(('0x' || substring(md5('scd6:' || CAST(c_custkey AS VARCHAR)),
+      |      1, 8)) AS BIGINT) % 5 AS h
+      |  FROM customer),
+      |v1 AS (SELECT c_custkey, c_mktsegment AS segment, 1 AS version
+      |  FROM cust),
+      |v2 AS (SELECT c_custkey, 'NEW_' || c_mktsegment AS segment,
+      |    2 AS version
+      |  FROM cust WHERE h = 0),
+      |versions AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+      |cur AS (SELECT c_custkey, MAX(version) AS max_v
+      |  FROM versions GROUP BY 1),
+      |rows0 AS (SELECT v.*, c.max_v, v.version = c.max_v AS is_current
+      |  FROM versions v JOIN cur c USING (c_custkey)),
+      |curseg AS (SELECT c_custkey, segment AS current_segment
+      |  FROM rows0 WHERE is_current),
+      |prevseg AS (SELECT c_custkey, segment AS prev_segment
+      |  FROM rows0 WHERE version = 1 AND max_v = 2)
+      |SELECT r.segment, r.is_current, COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN cs.current_segment <> r.segment THEN 1
+      |    ELSE 0 END) AS BIGINT) AS n_superseded,
+      |  CAST(SUM(CASE WHEN ps.prev_segment IS NOT NULL THEN 1
+      |    ELSE 0 END) AS BIGINT) AS n_with_prior
+      |FROM rows0 r JOIN curseg cs USING (c_custkey)
+      |  LEFT JOIN prevseg ps ON ps.c_custkey = r.c_custkey
+      |GROUP BY 1, 2 ORDER BY segment, is_current""".stripMargin
+
+  // ------------------------------------------------------------------
+  // ann_multiprobe_lsh — query-side multiprobe: with only 3 bands of
+  // 6 sign-bits each (half the tables of ann_lsh_topk), the query
+  // probes its exact bucket PLUS every 1-bit-flipped neighbor per
+  // band (3×7 = 21 probes). A vector that lands one plane on the
+  // wrong side of the boundary — the dominant LSH miss mode — is
+  // still found, so fewer tables buy the same recall: the index
+  // memory/recall trade every production LSH deployment tunes. All
+  // float math stays in Spark expressions (the query signature is
+  // computed by the SAME bucketSignature plan on a one-row frame);
+  // flips are pure bit ops. Candidates rank by exact cosine.
+  // ------------------------------------------------------------------
+  private val annMultiprobe: QFn = (s, dir) => {
+    val dim = 64; val bands = 3; val ppb = 6
+    val all = t(s, dir, "embeddings")
+    val corpus = all.filter(col("vec_id") =!= 0)
+    val planes = (0 until bands).map(b =>
+      graft.textops.Similarity.hyperplanes(dim, ppb, 42L + b))
+    // corpus band signatures
+    val sigCols = planes.zipWithIndex.map { case (p, b) =>
+      graft.textops.Similarity.bucketSignature(col("embedding"), p)
+        .as(s"sig_$b") }
+    val vsig = corpus.select(col("vec_id") +: col("embedding") +: sigCols: _*)
+    // query signatures through the same expression path (1-row frame)
+    val qrow = all.filter(col("vec_id") === 0)
+      .select(sigCols: _*).head()
+    // 7 probe values per band, inlined as literals — the probe "join"
+    // is a pushdown-friendly IN filter, no exchange at all
+    val probeVals: Seq[Seq[Long]] = (0 until bands).map { b =>
+      val sig = qrow.getLong(b)
+      sig +: (0 until ppb).map(i => sig ^ (1L << i))
+    }
+    val cands = vsig.filter(
+      (0 until bands).map(b =>
+        col(s"sig_$b").isin(probeVals(b): _*)).reduce(_ || _))
+      .select(col("vec_id"), col("embedding"))
+    val q = all.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head()
+      .getSeq[Double](0)
+    val qlit = array(q.map(x => lit(x.toFloat)): _*)
+    cands
+      .select(col("vec_id"),
+        round(graft.textops.Similarity.cosineNative(col("embedding"), qlit),
+          6).as("score_r"))
+      .orderBy(col("score_r").desc, col("vec_id"))
+      .limit(10)
+  }
+  private val annMultiprobeSql = {
+    def sqlArr(p: Array[Double]): String =
+      p.mkString("[", ", ", "]") + "::DOUBLE[]"
+    val planeRows = (0 until 3).flatMap { b =>
+      graft.textops.Similarity.hyperplanes(64, 6, 42L + b)
+        .zipWithIndex.map { case (p, i) => s"($b, ${1L << i}, ${sqlArr(p)})" }
+    }.mkString(",\n    ")
+    val flipRows = (0 until 6).map(i => s"(${1L << i})").mkString(", ")
+    s"""WITH planes(band, mult, w) AS (VALUES
+       |    $planeRows),
+       |flips(m) AS (VALUES $flipRows),
+       |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qx FROM embeddings
+       |  WHERE vec_id = 0),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+       |  FROM embeddings WHERE vec_id <> 0),
+       |vsig AS (SELECT vec_id, band,
+       |  SUM(CASE WHEN list_dot_product(x, w) >= 0 THEN mult ELSE 0 END)
+       |    AS sig
+       |  FROM v CROSS JOIN planes GROUP BY 1, 2),
+       |qsig AS (SELECT band,
+       |  SUM(CASE WHEN list_dot_product(qx, w) >= 0 THEN mult ELSE 0 END)
+       |    AS sig
+       |  FROM q CROSS JOIN planes GROUP BY 1),
+       |qprobe AS (SELECT band, sig FROM qsig
+       |  UNION ALL
+       |  SELECT band, CAST(xor(sig, m) AS BIGINT) FROM qsig CROSS JOIN flips),
+       |cand AS (SELECT DISTINCT vec_id FROM vsig
+       |  JOIN qprobe USING (band, sig)),
+       |sc AS (SELECT v.vec_id,
+       |    round(list_dot_product(v.x, q.qx)
+       |      / NULLIF(sqrt(list_dot_product(v.x, v.x))
+       |        * sqrt(list_dot_product(q.qx, q.qx)), 0.0), 6) AS score_r
+       |  FROM v JOIN cand USING (vec_id) CROSS JOIN q)
+       |SELECT vec_id, score_r FROM sc
+       |ORDER BY score_r DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // p_quality_funnel — the corpus-curation attrition report: four
+  // cumulative gates (all docs → English → ≥100 chars → ≥20 words →
+  // exact-dedup keeper), each stage reporting survivors, surviving
+  // bytes, and percent-of-start. One scan computes every gate flag,
+  // one 4-row aggregate stacks the funnel (conditional aggregation —
+  // no repeated scans, no self-joins); the md5 keeper choice is the
+  // same min-doc_id rule the dedup family uses. The first dashboard
+  // any 100-TB ingest pipeline ships.
+  // ------------------------------------------------------------------
+  private val pQualityFunnel: QFn = (s, dir) => {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        graft.textops.TextFunctions.wsTokenCount(col("text"))
+          .as("n_words"),
+        md5(col("text")).as("fp"))
+    val keeper = d.groupBy("fp").agg(min(col("doc_id")).as("keep_id"))
+    val flags = d.join(keeper, "fp")
+      .select(col("doc_id"), col("n_chars"),
+        (col("lang") === "en").as("g1"),
+        (col("lang") === "en" && col("n_chars") >= 100).as("g2"),
+        (col("lang") === "en" && col("n_chars") >= 100 &&
+          col("n_words") >= 20).as("g3"),
+        (col("lang") === "en" && col("n_chars") >= 100 &&
+          col("n_words") >= 20 && col("doc_id") === col("keep_id"))
+          .as("g4"))
+    val start = flags.count().toDouble
+    def stage(no: Int, name: String, g: Column) =
+      flags.filter(g).agg(lit(no).as("stage_no"),
+        lit(name).as("stage"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("n_chars_sum"))
+    stage(0, "all", lit(true))
+      .unionByName(stage(1, "lang_en", col("g1")))
+      .unionByName(stage(2, "min_chars_100", col("g2")))
+      .unionByName(stage(3, "min_words_20", col("g3")))
+      .unionByName(stage(4, "exact_dedup", col("g4")))
+      .withColumn("pct_of_start_r",
+        round(col("n_docs").cast("double") / lit(start), 6))
+      .orderBy("stage_no")
+  }
+  private val pQualityFunnelSql = {
+    val nw = graft.textops.TextFunctions.wsTokenCountSql("text")
+    s"""WITH d AS (SELECT doc_id, lang, n_chars, $nw AS n_words,
+       |    md5(text) AS fp
+       |  FROM documents),
+       |keeper AS (SELECT fp, MIN(doc_id) AS keep_id FROM d GROUP BY 1),
+       |flags AS (SELECT d.doc_id, d.n_chars,
+       |    d.lang = 'en' AS g1,
+       |    d.lang = 'en' AND d.n_chars >= 100 AS g2,
+       |    d.lang = 'en' AND d.n_chars >= 100 AND d.n_words >= 20 AS g3,
+       |    d.lang = 'en' AND d.n_chars >= 100 AND d.n_words >= 20
+       |      AND d.doc_id = k.keep_id AS g4
+       |  FROM d JOIN keeper k USING (fp)),
+       |start AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n0 FROM flags),
+       |st AS (
+       |  SELECT 0 AS stage_no, 'all' AS stage, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum FROM flags
+       |  UNION ALL SELECT 1, 'lang_en', COUNT(*),
+       |    CAST(SUM(n_chars) AS BIGINT) FROM flags WHERE g1
+       |  UNION ALL SELECT 2, 'min_chars_100', COUNT(*),
+       |    CAST(SUM(n_chars) AS BIGINT) FROM flags WHERE g2
+       |  UNION ALL SELECT 3, 'min_words_20', COUNT(*),
+       |    CAST(SUM(n_chars) AS BIGINT) FROM flags WHERE g3
+       |  UNION ALL SELECT 4, 'exact_dedup', COUNT(*),
+       |    CAST(SUM(n_chars) AS BIGINT) FROM flags WHERE g4)
+       |SELECT stage_no, stage, n_docs, n_chars_sum,
+       |  round(CAST(n_docs AS DOUBLE) / (SELECT n0 FROM start), 6)
+       |    AS pct_of_start_r
+       |FROM st ORDER BY stage_no""".stripMargin
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "i27_scd6" -> i27Scd6,
+    "ann_multiprobe_lsh" -> annMultiprobe,
+    "p_quality_funnel" -> pQualityFunnel)
+
+  val oracleSql: Map[String, String] = Map(
+    "i27_scd6" -> i27Scd6Sql,
+    "ann_multiprobe_lsh" -> annMultiprobeSql,
+    "p_quality_funnel" -> pQualityFunnelSql)
+}

@@ -529,7 +529,55 @@ object StreamingQueries {
        |SELECT day_window, event_type, n_versions, final_count
        |FROM v ORDER BY 1, 2""".stripMargin
 
+  // ST12 — flatMapGroupsWithState sessionization, driver-oracled: the
+  // custom-state sessionizer (EventStream.closedSessions — per-user
+  // open-session state, EVENT-TIME TIMEOUT at last+gap) drained over
+  // the bounded replay. Emission is two-phase and the oracle states
+  // both phases in closed form: every session a later in-batch event
+  // closes (gap breach) emits in the data batch unconditionally; each
+  // user's final open session emits only if its timeout instant
+  // (last_ms + 30 min) falls strictly below the final watermark
+  // (max event-time ms − 10 min) — otherwise the state correctly
+  // outlives the bounded replay and the session is withheld, exactly
+  // as an unbounded deployment would hold a still-live session. This
+  // is the entry that proves the TIMEOUT path, which the declarative
+  // session_window entry (ST2) never exercises.
+  private val stClosedSessions: QFn = (s, dir) => {
+    val ev = EventStream.readEvents(s, eventsDir(dir))
+    val sessions = EventStream.closedSessions(s, ev).toDF()
+    drain(s, sessions, "st_cs_", OutputMode.Append())
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).cast("long").as("n_events"),
+        sum(col("duration_s")).cast("long").as("total_duration_s"))
+      .orderBy("user_id")
+  }
+  private val stClosedSessionsSql =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+      |wm AS (SELECT MAX(ms) - 600000 AS v FROM e),
+      |g AS (SELECT user_id, ms,
+      |    CASE WHEN LAG(ms) OVER w IS NULL
+      |           OR ms - LAG(ms) OVER w > 1800000 THEN 1 ELSE 0 END
+      |      AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+      |sid AS (SELECT user_id, ms,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms) AS sid
+      |  FROM g),
+      |sess AS (SELECT user_id, sid, MIN(ms) AS start_ms,
+      |    MAX(ms) AS last_ms, COUNT(*) AS n
+      |  FROM sid GROUP BY 1, 2),
+      |emit AS (SELECT s.* FROM sess s, wm
+      |  WHERE s.sid < (SELECT MAX(sid) FROM sess x
+      |                 WHERE x.user_id = s.user_id)
+      |     OR s.last_ms + 1800000 < wm.v)
+      |SELECT user_id, COUNT(*) AS n_sessions,
+      |  CAST(SUM(n) AS BIGINT) AS n_events,
+      |  CAST(SUM((last_ms - start_ms) // 1000) AS BIGINT)
+      |    AS total_duration_s
+      |FROM emit GROUP BY 1 ORDER BY user_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "st_closed_sessions" -> stClosedSessions,
     "st_update_mode" -> stUpdateMode,
     "st_outer_join" -> stOuterJoin,
     "st_topk_windowed" -> stTopkWindowed,
@@ -543,6 +591,7 @@ object StreamingQueries {
     "st_exactly_once_sink" -> stExactlyOnce)
 
   val oracleSql: Map[String, String] = Map(
+    "st_closed_sessions" -> stClosedSessionsSql,
     "st_update_mode" -> stUpdateModeSql,
     "st_outer_join" -> stOuterJoinSql,
     "st_topk_windowed" -> stTopkWindowedSql,
