@@ -250,6 +250,15 @@ object ScaleProbe {
           dim = 64, m = 4, k = 16, iterations = 1)
         Similarity.pqTopK(big, "vec_id", "embedding", q, k = 10, books).count()
       }
+      time("sq8_train_probe") {
+        val (mn, mx) = Similarity.sq8Train(big, "embedding")
+        Similarity.sq8TopK(big, "vec_id", "embedding", q, k = 10,
+          mn, mx).count()
+      }
+      time("multiprobe_lsh") {
+        Similarity.lshMultiprobeTopK(big, "vec_id", "embedding", q,
+          k = 10, dim = 64, bands = 3, planesPerBand = 6).count()
+      }
     }
     if (families("prefix")) {
       // 10x lineitem: global cumulative revenue share over ~200k parts

@@ -493,37 +493,11 @@ object Frontier43Queries {
   private val annSq8: QFn = (s, dir) => {
     val all = t(s, dir, "embeddings")
     val corpus = all.filter(col("vec_id") =!= 0)
-    // per-dim grid: bounded (64-row) aggregate, collected once
-    val dims = corpus
-      .select(posexplode(col("embedding")).as(Seq("i", "x")))
-      .groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
-      .collect().map(r => (r.getInt(0), r.getFloat(1).toDouble,
-        r.getFloat(2).toDouble)).sortBy(_._1)
-    val mn = dims.map(_._2)
-    val mx = dims.map(_._3)
-    def codeOf(x: Double, d: Int): Int =
-      if (mx(d) == mn(d)) 0
-      else math.min(255L, math.max(0L,
-        math.floor(((x - mn(d)) * 255.0) / (mx(d) - mn(d))).toLong)).toInt
+    val (mn, mx) = graft.textops.Similarity.sq8Train(corpus, "embedding")
     val q = all.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
-    val qCodes = q.indices.map(d => codeOf(q(d), d))
-    val mnLit = typedLit(mn.toSeq)
-    val mxLit = typedLit(mx.toSeq)
-    val qLit = typedLit(qCodes)
-    val codes = transform(col("embedding"), (x, i) =>
-      when(element_at(mxLit, i + 1) === element_at(mnLit, i + 1), lit(0L))
-        .otherwise(least(lit(255L), greatest(lit(0L),
-          floor(((x.cast("double") - element_at(mnLit, i + 1)) * lit(255.0)) /
-            (element_at(mxLit, i + 1) - element_at(mnLit, i + 1))))))
-        .cast("int"))
-    corpus
-      .select(col("vec_id"),
-        aggregate(
-          zip_with(codes, qLit, (a, b) => ((a - b) * (a - b)).cast("long")),
-          lit(0L), (acc, v) => acc + v).as("sdc2"))
-      .orderBy(col("sdc2").asc, col("vec_id").asc)
-      .limit(10)
+    graft.textops.Similarity.sq8TopK(corpus, "vec_id", "embedding",
+      q, k = 10, mn, mx)
   }
   private val annSq8Sql =
     """WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -1310,39 +1284,15 @@ object Frontier46Queries {
   // flips are pure bit ops. Candidates rank by exact cosine.
   // ------------------------------------------------------------------
   private val annMultiprobe: QFn = (s, dir) => {
-    val dim = 64; val bands = 3; val ppb = 6
     val all = t(s, dir, "embeddings")
     val corpus = all.filter(col("vec_id") =!= 0)
-    val planes = (0 until bands).map(b =>
-      graft.textops.Similarity.hyperplanes(dim, ppb, 42L + b))
-    // corpus band signatures
-    val sigCols = planes.zipWithIndex.map { case (p, b) =>
-      graft.textops.Similarity.bucketSignature(col("embedding"), p)
-        .as(s"sig_$b") }
-    val vsig = corpus.select(col("vec_id") +: col("embedding") +: sigCols: _*)
-    // query signatures through the same expression path (1-row frame)
-    val qrow = all.filter(col("vec_id") === 0)
-      .select(sigCols: _*).head()
-    // 7 probe values per band, inlined as literals — the probe "join"
-    // is a pushdown-friendly IN filter, no exchange at all
-    val probeVals: Seq[Seq[Long]] = (0 until bands).map { b =>
-      val sig = qrow.getLong(b)
-      sig +: (0 until ppb).map(i => sig ^ (1L << i))
-    }
-    val cands = vsig.filter(
-      (0 until bands).map(b =>
-        col(s"sig_$b").isin(probeVals(b): _*)).reduce(_ || _))
-      .select(col("vec_id"), col("embedding"))
     val q = all.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).head()
       .getSeq[Double](0)
-    val qlit = array(q.map(x => lit(x.toFloat)): _*)
-    cands
-      .select(col("vec_id"),
-        round(graft.textops.Similarity.cosineNative(col("embedding"), qlit),
-          6).as("score_r"))
+    graft.textops.Similarity.lshMultiprobeTopK(corpus, "vec_id",
+        "embedding", q, k = 10, dim = 64, bands = 3, planesPerBand = 6)
+      .select(col("vec_id"), round(col("score"), 6).as("score_r"))
       .orderBy(col("score_r").desc, col("vec_id"))
-      .limit(10)
   }
   private val annMultiprobeSql = {
     def sqlArr(p: Array[Double]): String =

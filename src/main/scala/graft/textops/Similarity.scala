@@ -324,6 +324,82 @@ object Similarity {
     * `planesPerBand` sign bits with the query; exact cosine ranks them.
     * With `bands` bands the probability a true neighbor shares none decays
     * as (1 − s^planesPerBand)^bands. */
+  /** SQ8 scalar-quantization grid: per-dimension corpus [min, max] from
+    * ONE bounded (dim-row) aggregate, collected once. The grid is the
+    * whole "index" — 2·dim doubles — so training is a single pass and
+    * the artifact broadcasts as plan literals. */
+  def sq8Train(df: DataFrame, vecCol: String): (Array[Double], Array[Double]) = {
+    val rows = df.select(posexplode(col(vecCol)).as(Seq("__i", "__x")))
+      .groupBy("__i").agg(min("__x").as("mn"), max("__x").as("mx"))
+      .collect()
+      .map(r => (r.getInt(0), r.getFloat(1).toDouble, r.getFloat(2).toDouble))
+      .sortBy(_._1)
+    (rows.map(_._2), rows.map(_._3))
+  }
+
+  /** SQ8 top-k by EXACT INTEGER symmetric code distance: every vector
+    * (and the query) quantizes to one uint8 code per dimension on the
+    * [min, max] grid — floor((x−mn)·255/(mx−mn)), clamped — and rank is
+    * Σ(codeᵥ−code_q)². The scoring pass is per-row higher-order
+    * functions over plan-time grid literals: NO shuffle, no join, and
+    * once codes are materialized the 4×-fatter float column never needs
+    * reading again — the SQ8 bargain at 100 TB. Integer distances make
+    * the result layout-independent by construction. */
+  def sq8TopK(df: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Double], k: Int,
+              mn: Array[Double], mx: Array[Double]): DataFrame = {
+    def codeOf(x: Double, d: Int): Int =
+      if (mx(d) == mn(d)) 0
+      else math.min(255L, math.max(0L,
+        math.floor(((x - mn(d)) * 255.0) / (mx(d) - mn(d))).toLong)).toInt
+    val qCodes = query.indices.map(d => codeOf(query(d), d))
+    val mnLit = typedLit(mn.toSeq)
+    val mxLit = typedLit(mx.toSeq)
+    val qLit = typedLit(qCodes)
+    val codes = transform(col(vecCol), (x, i) =>
+      when(element_at(mxLit, i + 1) === element_at(mnLit, i + 1), lit(0L))
+        .otherwise(least(lit(255L), greatest(lit(0L),
+          floor(((x.cast("double") - element_at(mnLit, i + 1)) * lit(255.0)) /
+            (element_at(mxLit, i + 1) - element_at(mnLit, i + 1))))))
+        .cast("int"))
+    df.select(col(idCol),
+        aggregate(
+          zip_with(codes, qLit, (a, b) => ((a - b) * (a - b)).cast("long")),
+          lit(0L), (acc, v) => acc + v).as("sdc2"))
+      .orderBy(col("sdc2").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Query-side MULTIPROBE LSH top-k: candidates share the query's
+    * exact bucket OR any 1-bit-flipped neighbor of it, per band — the
+    * dominant LSH miss mode (one plane on the wrong side of the
+    * boundary) is recovered WITHOUT adding hash tables, so fewer bands
+    * buy the recall of many. Probe values are inlined literals: the
+    * candidate "join" is one codegen'd IN predicate, no exchange.
+    * Exact cosine ranks survivors. */
+  def lshMultiprobeTopK(df: DataFrame, idCol: String, vecCol: String,
+                        query: Seq[Double], k: Int, dim: Int,
+                        bands: Int = 3, planesPerBand: Int = 6,
+                        seed: Long = 42L): DataFrame = {
+    val bandPlanes: Seq[Seq[Array[Double]]] =
+      (0 until bands).map(b => hyperplanes(dim, planesPerBand, seed + b))
+    val qSig: Seq[Long] = bandPlanes.map(planes =>
+      planes.zipWithIndex.map { case (p, i) =>
+        val d = p.zip(query).map { case (w, x) => w * x }.sum
+        if (d >= 0) 1L << i else 0L
+      }.reduce(_ | _))
+    val candidateCond = bandPlanes.zip(qSig).map { case (planes, sig) =>
+      val probes = sig +: (0 until planesPerBand).map(i => sig ^ (1L << i))
+      bucketSignature(col(vecCol), planes).isin(probes: _*)
+    }.reduce(_ || _)
+    df.filter(candidateCond)
+      .select(col(idCol),
+        cosineNative(col(vecCol),
+          array(query.map(lit): _*).cast("array<float>")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
               query: Seq[Double], k: Int, dim: Int,
               bands: Int = 4, planesPerBand: Int = 6,
