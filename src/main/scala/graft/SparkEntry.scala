@@ -65,6 +65,9 @@ object SparkEntry {
       analytics.Frontier44Queries.queries ++
       analytics.Frontier45Queries.queries ++
       analytics.Frontier46Queries.queries ++
+      analytics.Frontier47Queries.queries ++
+      analytics.Frontier48Queries.queries ++
+      analytics.Frontier49Queries.queries ++
       analytics.SqlFrontDoorQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -116,5 +119,8 @@ object SparkEntry {
       analytics.Frontier44Queries.oracleSql ++
       analytics.Frontier45Queries.oracleSql ++
       analytics.Frontier46Queries.oracleSql ++
+      analytics.Frontier47Queries.oracleSql ++
+      analytics.Frontier48Queries.oracleSql ++
+      analytics.Frontier49Queries.oracleSql ++
       analytics.SqlFrontDoorQueries.oracleSql
 }

@@ -35,6 +35,14 @@ class SmokeAllQueriesSpec extends AnyFunSuite {
     "a42_permutation_test" -> Set("BNLJ"),
     "a48_control_chart" -> Set("GLOBALWIN", "BNLJ"),
     "a54_kruskal_wallis" -> Set("BNLJ"),
+    // calendar-bounded month-axis windows (≤ ~84 rows at any SF)
+    "a65_runs_test" -> Set("GLOBALWIN"),
+    "a66_durbin_watson" -> Set("GLOBALWIN", "BNLJ"),
+    "w44_cross_correlation" -> Set("GLOBALWIN"),
+    // category-domain-bounded cell tables (≤ 5×25 rows)
+    "ml_mutual_info" -> Set("GLOBALWIN"),
+    // one-row corpus total broadcast (same class as ml_pr_auc)
+    "x20_t_closeness" -> Set("BNLJ"),
     "ann_knn_classify" -> Set("BNLJ"),
     "ann_mips_topk" -> Set("BNLJ"),
     "ann_range_search" -> Set("GLOBALWIN"),
