@@ -266,7 +266,68 @@ object SqlFrontDoorQueries {
       |  SELECT c_mktsegment FROM customer WHERE c_nationkey >= 12) e
       |ORDER BY tag, segment""".stripMargin
 
+  // A9 analog — GROUPING SETS with GROUPING() disambiguation: the
+  // multi-margin report (per-nation, per-segment, grand total) in one
+  // pass. CAST(GROUPING(..) AS INT) pins the flag type across engines.
+  private val fdGroupingSets =
+    """SELECT COALESCE(n_name, 'ALL') AS nation,
+      |  COALESCE(c_mktsegment, 'ALL') AS segment,
+      |  CAST(GROUPING(n_name) AS INT) AS g_nation,
+      |  CAST(GROUPING(c_mktsegment) AS INT) AS g_segment,
+      |  COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+      |ORDER BY g_nation, g_segment, nation, segment""".stripMargin
+
+  // W-family — explicit window FRAMES as raw text: a trailing
+  // 3-month moving sum (ROWS BETWEEN n PRECEDING) and a forward-
+  // looking frame (CURRENT ROW AND n FOLLOWING), both partitioned by
+  // a data-scaled cohort key so the plan stays shuffle-partitioned.
+  private val fdWindowFrame =
+    """WITH monthly AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+      |    o_custkey % 10 AS cohort,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT m, cohort,
+      |  CAST(rev AS DOUBLE) AS rev,
+      |  CAST(SUM(rev) OVER (PARTITION BY cohort ORDER BY m
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS ma3,
+      |  CAST(SUM(rev) OVER (PARTITION BY cohort ORDER BY m
+      |    ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING) AS DOUBLE) AS fwd2
+      |FROM monthly ORDER BY cohort, m""".stripMargin
+
+  // Correlated SCALAR subqueries in the SELECT list — the "lookup
+  // column" idiom report writers reach for first; Catalyst decorrelates
+  // both into one left outer aggregate join (COUNT over no rows pins
+  // the 0-vs-NULL edge case in both engines).
+  private val fdScalarSubquery =
+    """SELECT n_name AS nation,
+      |  (SELECT COUNT(*) FROM customer
+      |     WHERE c_nationkey = n_nationkey) AS n_customers,
+      |  (SELECT CAST(MAX(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+      |     FROM customer WHERE c_nationkey = n_nationkey) AS max_bal
+      |FROM nation ORDER BY nation""".stripMargin
+
+  // LATERAL correlated derived table — top-2 customers per nation as
+  // raw text; Spark decorrelates the per-row ORDER BY + LIMIT into a
+  // partitioned rank, DuckDB executes the lateral loop natively — same
+  // rows either way (total tie-break order).
+  private val fdLateral =
+    """SELECT n_name AS nation, t.c_name, t.bal
+      |FROM nation, LATERAL (
+      |  SELECT c_name, CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE)
+      |      AS bal
+      |  FROM customer WHERE c_nationkey = n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+      |ORDER BY nation, bal DESC, c_name""".stripMargin
+
   private val texts: Map[String, String] = Map(
+    "sqlfd_grouping_sets" -> fdGroupingSets,
+    "sqlfd_window_frame" -> fdWindowFrame,
+    "sqlfd_scalar_subquery" -> fdScalarSubquery,
+    "sqlfd_lateral" -> fdLateral,
     "sqlfd_distinct_projection" -> fdDistinct,
     "sqlfd_filter_case" -> fdFilterCase,
     "sqlfd_star_join" -> fdStarJoin,

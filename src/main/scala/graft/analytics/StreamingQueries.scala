@@ -576,7 +576,50 @@ object StreamingQueries {
       |    AS total_duration_s
       |FROM emit GROUP BY 1 ORDER BY user_id""".stripMargin
 
+  // ST14 — CHAINED stateful aggregation (multiple stateful operators in
+  // one streaming query, append mode): 15-minute windowed counts per
+  // event type roll up into hourly totals via window-on-window —
+  // `window(col("window"), "1 hour")` re-windows the FIRST aggregate's
+  // window struct, so two state stores run back to back in the same
+  // micro-batch pipeline. This is the streaming topology that replaces
+  // a lambda architecture's "fine stream + coarse batch rollup" pair
+  // with one query. Emission semantics under a bounded AvailableNow
+  // replay: the final no-data batch advances the watermark to
+  // max(event_time) − 10 min; a quarter window emits from operator 1
+  // once its end ≤ watermark, and the hourly window emits from
+  // operator 2 under the same bound — since every quarter's end ≤ its
+  // hour's end, an emitted hour has necessarily received all its
+  // quarters. The oracle states exactly that closed form: hourly
+  // rollups over hours whose end ≤ final watermark, with n_quarters
+  // counting the distinct 15-min buckets that fed each hour.
+  private val stChainedAgg: QFn = (s, dir) => {
+    val ev = EventStream.readEvents(s, eventsDir(dir))
+      .withWatermark("event_time", "10 minutes")
+    val quarter = ev
+      .groupBy(window(col("event_time"), "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_q"))
+    val hourly = quarter
+      .groupBy(window(col("window"), "1 hour"), col("event_type"))
+      .agg(sum(col("n_q")).as("n_events"),
+        count(lit(1)).as("n_quarters"))
+      .select(col("window.start").as("hour_window"), col("event_type"),
+        col("n_events"), col("n_quarters"))
+    drain(s, hourly, "st_chain_", OutputMode.Append())
+      .orderBy("hour_window", "event_type")
+  }
+  private val stChainedAggSql =
+    """WITH e AS (SELECT ts, event_type, epoch_us(ts) AS us,
+      |    date_trunc('hour', ts) AS ws,
+      |    epoch_us(date_trunc('hour', ts)) + 3600000000 AS we
+      |  FROM events),
+      |c AS (SELECT MAX(us) - 600000000 AS wmf FROM e)
+      |SELECT ws AS hour_window, event_type, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT us // 900000000) AS n_quarters
+      |FROM e, c WHERE we <= wmf
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "st_chained_agg" -> stChainedAgg,
     "st_closed_sessions" -> stClosedSessions,
     "st_update_mode" -> stUpdateMode,
     "st_outer_join" -> stOuterJoin,
@@ -591,6 +634,7 @@ object StreamingQueries {
     "st_exactly_once_sink" -> stExactlyOnce)
 
   val oracleSql: Map[String, String] = Map(
+    "st_chained_agg" -> stChainedAggSql,
     "st_closed_sessions" -> stClosedSessionsSql,
     "st_update_mode" -> stUpdateModeSql,
     "st_outer_join" -> stOuterJoinSql,
