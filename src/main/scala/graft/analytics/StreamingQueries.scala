@@ -618,7 +618,56 @@ object StreamingQueries {
       |FROM e, c WHERE we <= wmf
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ST15 — transformWithState (the typed arbitrary-state v2 API): a
+  // per-user cumulative profile in a named ValueState on a RocksDB
+  // multi-column-family store, emitted once per micro-batch the user
+  // appears in, over the SAME deterministic two-batch staged feed as
+  // st_update_mode. Users active in both halves emit two snapshots
+  // (mid-feed cumulative + final); single-half users emit one. The
+  // fold is count/min/max — order-insensitive, so the API's
+  // unordered per-key iterator cannot leak nondeterminism. The oracle
+  // restates both snapshots in closed form from the split constant.
+  // RocksDB is a per-query requirement of transformWithState (multi-
+  // column-family state), set for the drain and restored after.
+  private val stTransformWithState: QFn = (s, dir) => {
+    import s.implicits._
+    val staged = stageUpdFeed(s, dir)
+    val ev = EventStream.readEvents(s, staged, maxFilesPerTrigger = 1)
+    val typed = ev
+      .select(col("user_id").cast("long"), unix_micros(col("event_time")))
+      .as[(Long, Long)]
+    val out = typed.groupByKey(_._1)
+      .transformWithState(new graft.streaming.UserProgressProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[graft.streaming.UserProgress])
+      .toDF()
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(provKey)
+    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming.state" +
+      ".RocksDBStateStoreProvider")
+    try drain(s, out, "st_tws_", OutputMode.Append())
+        .orderBy("user_id", "n_cum")
+    finally prev match {
+      case Some(p) => s.conf.set(provKey, p)
+      case None => s.conf.unset(provKey)
+    }
+  }
+  private val stTransformWithStateSql =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+       |a AS (SELECT user_id, COUNT(*) AS n, MIN(us) AS mn, MAX(us) AS mx
+       |  FROM e WHERE us < $splitUpdUs GROUP BY 1),
+       |tot AS (SELECT user_id, COUNT(*) AS n, MIN(us) AS mn, MAX(us) AS mx
+       |  FROM e GROUP BY 1),
+       |b AS (SELECT DISTINCT user_id FROM e WHERE us >= $splitUpdUs)
+       |SELECT user_id, n AS n_cum, mn AS first_us, mx AS last_us FROM a
+       |UNION ALL
+       |SELECT t.user_id, t.n, t.mn, t.mx
+       |FROM tot t JOIN b ON t.user_id = b.user_id
+       |ORDER BY user_id, n_cum""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "st_transform_with_state" -> stTransformWithState,
     "st_chained_agg" -> stChainedAgg,
     "st_closed_sessions" -> stClosedSessions,
     "st_update_mode" -> stUpdateMode,
@@ -634,6 +683,7 @@ object StreamingQueries {
     "st_exactly_once_sink" -> stExactlyOnce)
 
   val oracleSql: Map[String, String] = Map(
+    "st_transform_with_state" -> stTransformWithStateSql,
     "st_chained_agg" -> stChainedAggSql,
     "st_closed_sessions" -> stClosedSessionsSql,
     "st_update_mode" -> stUpdateModeSql,

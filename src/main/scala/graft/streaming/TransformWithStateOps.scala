@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
+  TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** Cross-batch per-user accumulator state. */
+case class UserAccum(n: Long, minUs: Long, maxUs: Long)
+
+/** One emission per (user, micro-batch-with-input): the CUMULATIVE
+  * profile as of that batch. */
+case class UserProgress(user_id: Long, n_cum: Long, first_us: Long,
+                        last_us: Long)
+
+/** Arbitrary stateful processing through the `transformWithState` API
+  * (the typed state-v2 surface: named state variables on a
+  * multi-column-family RocksDB store, explicit TTL, timers) — the
+  * successor to `flatMapGroupsWithState` that EventStream.closedSessions
+  * drives. This processor keeps ONE `ValueState[UserAccum]` per user and
+  * emits the cumulative (n, first, last) profile every micro-batch the
+  * user appears in — the incremental "user profile store" topology: at
+  * scale the same query maintains billions of profiles with per-key
+  * point updates, no re-aggregation of history.
+  *
+  * Determinism: the fold is ORDER-INSENSITIVE (count/min/max), so the
+  * arbitrary within-batch row order of `handleInputRows` cannot affect
+  * output; batch membership is pinned by the staged two-file feed's
+  * deterministic time split, making each emission's cumulative snapshot
+  * closed-form (StreamingQueries.stTransformWithStateSql).
+  */
+class UserProgressProcessor
+    extends StatefulProcessor[Long, (Long, Long), UserProgress] {
+
+  @transient private var acc: ValueState[UserAccum] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    acc = getHandle.getValueState[UserAccum]("acc",
+      Encoders.product[UserAccum], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timers: TimerValues): Iterator[UserProgress] = {
+    var a =
+      if (acc.exists()) acc.get()
+      else UserAccum(0L, Long.MaxValue, Long.MinValue)
+    rows.foreach { case (_, us) =>
+      a = UserAccum(a.n + 1L, math.min(a.minUs, us), math.max(a.maxUs, us))
+    }
+    acc.update(a)
+    Iterator.single(UserProgress(key, a.n, a.minUs, a.maxUs))
+  }
+}
