@@ -68,6 +68,7 @@ object SparkEntry {
       analytics.Frontier47Queries.queries ++
       analytics.Frontier48Queries.queries ++
       analytics.Frontier49Queries.queries ++
+      analytics.Frontier50Queries.queries ++
       analytics.SqlFrontDoorQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -122,5 +123,6 @@ object SparkEntry {
       analytics.Frontier47Queries.oracleSql ++
       analytics.Frontier48Queries.oracleSql ++
       analytics.Frontier49Queries.oracleSql ++
+      analytics.Frontier50Queries.oracleSql ++
       analytics.SqlFrontDoorQueries.oracleSql
 }

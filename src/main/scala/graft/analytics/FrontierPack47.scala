@@ -694,3 +694,178 @@ object Frontier49Queries {
     "g_component_stats" -> gComponentStatsSql,
     "u5_pivot" -> u5PivotSql)
 }
+
+/** Round-7 third-session widening, fourth pack: annotation-quality and
+  * dose-response statistics — Cohen's κ (the agreement readout every
+  * labeling pipeline reports before trusting its raters) and the
+  * Cochran–Armitage trend test (is the outcome rate MONOTONE in an
+  * ordered exposure? — the ordered-groups test χ² independence throws
+  * away). Both are one conditional-aggregation pass producing exact
+  * integer cells, then single double expressions — nothing after the
+  * scan is data-sized.
+  */
+object Frontier50Queries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ------------------------------------------------------------------
+  // eval_cohens_kappa — inter-rater agreement between two binary
+  // "raters" derived per line item (returned? vs finalized?):
+  // κ = (p_o − p_e)/(1 − p_e) over the exact 2×2 contingency cells
+  // from ONE pass. The chance-agreement term p_e uses the product of
+  // marginals — all integer counts < 2⁵³, so every ratio is one
+  // double expression.
+  // ------------------------------------------------------------------
+  private val evalCohensKappa: QFn = (s, dir) => {
+    val a = (col("l_returnflag") === "R").cast("int")
+    val b = (col("l_linestatus") === "F").cast("int")
+    val cells = t(s, dir, "lineitem").agg(
+      count(lit(1)).as("n_items"),
+      sum(when(a === 1 && b === 1, 1L).otherwise(0L)).as("n11"),
+      sum(when(a === 1 && b === 0, 1L).otherwise(0L)).as("n10"),
+      sum(when(a === 0 && b === 1, 1L).otherwise(0L)).as("n01"),
+      sum(when(a === 0 && b === 0, 1L).otherwise(0L)).as("n00"))
+    val nD = col("n_items").cast("double")
+    val po = (col("n11") + col("n00")).cast("double") / nD
+    val pa = (col("n11") + col("n10")).cast("double") / nD
+    val pb = (col("n11") + col("n01")).cast("double") / nD
+    val pe = pa * pb + (lit(1.0) - pa) * (lit(1.0) - pb)
+    cells.select(col("n_items"), col("n11"), col("n10"), col("n01"),
+      col("n00"), round(po, 6).as("po_r"), round(pe, 6).as("pe_r"),
+      round((po - pe) / (lit(1.0) - pe), 6).as("kappa_r"))
+  }
+  private val evalCohensKappaSql =
+    """WITH c AS (SELECT COUNT(*) AS n_items,
+      |    SUM(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'F'
+      |      THEN 1 ELSE 0 END) AS n11,
+      |    SUM(CASE WHEN l_returnflag = 'R' AND l_linestatus <> 'F'
+      |      THEN 1 ELSE 0 END) AS n10,
+      |    SUM(CASE WHEN l_returnflag <> 'R' AND l_linestatus = 'F'
+      |      THEN 1 ELSE 0 END) AS n01,
+      |    SUM(CASE WHEN l_returnflag <> 'R' AND l_linestatus <> 'F'
+      |      THEN 1 ELSE 0 END) AS n00
+      |  FROM lineitem)
+      |SELECT n_items, CAST(n11 AS BIGINT) AS n11,
+      |  CAST(n10 AS BIGINT) AS n10, CAST(n01 AS BIGINT) AS n01,
+      |  CAST(n00 AS BIGINT) AS n00,
+      |  round((n11 + n00) / CAST(n_items AS DOUBLE), 6) AS po_r,
+      |  round(((n11 + n10) / CAST(n_items AS DOUBLE))
+      |      * ((n11 + n01) / CAST(n_items AS DOUBLE))
+      |    + (1.0 - (n11 + n10) / CAST(n_items AS DOUBLE))
+      |      * (1.0 - (n11 + n01) / CAST(n_items AS DOUBLE)), 6) AS pe_r,
+      |  round(((n11 + n00) / CAST(n_items AS DOUBLE)
+      |      - (((n11 + n10) / CAST(n_items AS DOUBLE))
+      |          * ((n11 + n01) / CAST(n_items AS DOUBLE))
+      |        + (1.0 - (n11 + n10) / CAST(n_items AS DOUBLE))
+      |          * (1.0 - (n11 + n01) / CAST(n_items AS DOUBLE))))
+      |    / (1.0 - (((n11 + n10) / CAST(n_items AS DOUBLE))
+      |          * ((n11 + n01) / CAST(n_items AS DOUBLE))
+      |        + (1.0 - (n11 + n10) / CAST(n_items AS DOUBLE))
+      |          * (1.0 - (n11 + n01) / CAST(n_items AS DOUBLE)))), 6)
+      |    AS kappa_r
+      |FROM c""".stripMargin
+
+  // ------------------------------------------------------------------
+  // a68_cochran_armitage — trend-in-proportions across ORDERED part
+  // size bands (small ≤16 < medium ≤33 < large), outcome = line item
+  // returned. Scores s = 0,1,2; T = Σsᵢ(rᵢ − nᵢ·R/N), Var(T) =
+  // (R/N)(1−R/N)·(Σsᵢ²nᵢ − (Σsᵢnᵢ)²/N), z = T/√Var — the monotone-
+  // alternative test that beats unordered χ² exactly when exposure is
+  // ordinal. One fact-to-dim equi join (shuffle-partitioned on
+  // partkey), one conditional aggregate; everything else is O(1).
+  // ------------------------------------------------------------------
+  private val a68CochranArmitage: QFn = (s, dir) => {
+    val band = when(col("p_size") <= 16, 0L)
+      .when(col("p_size") <= 33, 1L).otherwise(2L)
+    val ret = (col("l_returnflag") === "R").cast("long")
+    val joined = t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .select(band.as("sc"), ret.as("r"))
+    val agg = joined.agg(count(lit(1)).as("n_total"),
+      sum(col("r")).as("r_total"),
+      sum(when(col("sc") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("sc") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("sc") === 2, 1L).otherwise(0L)).as("n2"),
+      sum(when(col("sc") === 0, col("r")).otherwise(0L)).as("r0"),
+      sum(when(col("sc") === 1, col("r")).otherwise(0L)).as("r1"),
+      sum(when(col("sc") === 2, col("r")).otherwise(0L)).as("r2"))
+    val nD = col("n_total").cast("double")
+    val p = col("r_total").cast("double") / nD
+    val tStat = (col("r1") + lit(2L) * col("r2")).cast("double") -
+      (col("n1") + lit(2L) * col("n2")).cast("double") * p
+    val sn = (col("n1") + lit(2L) * col("n2")).cast("double")
+    val s2n = (col("n1") + lit(4L) * col("n2")).cast("double")
+    val varT = p * (lit(1.0) - p) * (s2n - sn * sn / nD)
+    agg.select(col("n_total"), col("r_total"),
+      col("n0"), col("n1"), col("n2"), col("r0"), col("r1"), col("r2"),
+      round(tStat, 6).as("t_stat_r"),
+      round(tStat / sqrt(varT), 6).as("trend_z_r"))
+  }
+  private val a68CochranArmitageSql =
+    """WITH j AS (SELECT
+      |    CASE WHEN p_size <= 16 THEN 0
+      |         WHEN p_size <= 33 THEN 1 ELSE 2 END AS sc,
+      |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |c AS (SELECT COUNT(*) AS n_total,
+      |    CAST(SUM(r) AS BIGINT) AS r_total,
+      |    CAST(SUM(CASE WHEN sc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |    CAST(SUM(CASE WHEN sc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN sc = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(SUM(CASE WHEN sc = 0 THEN r ELSE 0 END) AS BIGINT) AS r0,
+      |    CAST(SUM(CASE WHEN sc = 1 THEN r ELSE 0 END) AS BIGINT) AS r1,
+      |    CAST(SUM(CASE WHEN sc = 2 THEN r ELSE 0 END) AS BIGINT) AS r2
+      |  FROM j)
+      |SELECT n_total, r_total, n0, n1, n2, r0, r1, r2,
+      |  round((r1 + 2 * r2)
+      |    - (n1 + 2 * n2) * (r_total / CAST(n_total AS DOUBLE)), 6)
+      |    AS t_stat_r,
+      |  round(((r1 + 2 * r2)
+      |      - (n1 + 2 * n2) * (r_total / CAST(n_total AS DOUBLE)))
+      |    / sqrt((r_total / CAST(n_total AS DOUBLE))
+      |      * (1.0 - r_total / CAST(n_total AS DOUBLE))
+      |      * ((n1 + 4 * n2)
+      |        - (n1 + 2.0 * n2) * (n1 + 2 * n2)
+      |          / CAST(n_total AS DOUBLE))), 6) AS trend_z_r
+      |FROM c""".stripMargin
+
+  // ------------------------------------------------------------------
+  // mm_channel_histogram — 16-bin R-channel histogram measured from
+  // REAL `javax.imageio`-decoded pixels (graft.textops.Multimodal
+  // .channelHistogram): the exposure/clipping statistic image curation
+  // runs per asset, and a per-bin-exact decode proof (a channel MEAN
+  // survives pixel-loop bugs a histogram does not). The oracle knows
+  // the generator's gradient closed form — bin b holds
+  // h·|[4b,4b+4)∩[0,w)| pixels — so DuckDB verifies the decode
+  // without decoding.
+  // ------------------------------------------------------------------
+  private val mmChannelHistogram: QFn = (s, dir) =>
+    graft.textops.Multimodal.channelHistogram(
+      graft.textops.Multimodal.imageMediaTable(
+        t(s, dir, "documents"), "doc_id"))
+      .orderBy("media_id", "bin")
+  private val mmChannelHistogramSql =
+    """WITH m AS (SELECT doc_id AS media_id,
+      |    16 + (doc_id % 49) AS w, 16 + ((doc_id * 31) % 49) AS h
+      |  FROM documents),
+      |b AS (SELECT unnest(range(0, 16)) AS bin),
+      |g AS (SELECT media_id, bin,
+      |    h * GREATEST(0, LEAST(w, 4 * bin + 4) - 4 * bin) AS n_pix
+      |  FROM m CROSS JOIN b)
+      |SELECT media_id, CAST(bin AS INT) AS bin,
+      |  CAST(n_pix AS BIGINT) AS n_pix
+      |FROM g WHERE n_pix > 0 ORDER BY media_id, bin""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "eval_cohens_kappa" -> evalCohensKappa,
+    "a68_cochran_armitage" -> a68CochranArmitage,
+    "mm_channel_histogram" -> mmChannelHistogram)
+
+  val oracleSql: Map[String, String] = Map(
+    "eval_cohens_kappa" -> evalCohensKappaSql,
+    "a68_cochran_armitage" -> a68CochranArmitageSql,
+    "mm_channel_histogram" -> mmChannelHistogramSql)
+}

