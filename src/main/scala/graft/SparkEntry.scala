@@ -69,6 +69,7 @@ object SparkEntry {
       analytics.Frontier48Queries.queries ++
       analytics.Frontier49Queries.queries ++
       analytics.Frontier50Queries.queries ++
+      analytics.Frontier51Queries.queries ++
       analytics.SqlFrontDoorQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -124,5 +125,6 @@ object SparkEntry {
       analytics.Frontier48Queries.oracleSql ++
       analytics.Frontier49Queries.oracleSql ++
       analytics.Frontier50Queries.oracleSql ++
+      analytics.Frontier51Queries.oracleSql ++
       analytics.SqlFrontDoorQueries.oracleSql
 }

@@ -869,3 +869,222 @@ object Frontier50Queries {
     "a68_cochran_armitage" -> a68CochranArmitageSql,
     "mm_channel_histogram" -> mmChannelHistogramSql)
 }
+
+/** Round-7 third-session widening, fifth pack: triple exponential
+  * smoothing (Holt–Winters additive — level + trend + 12-month season,
+  * completing the w17 EWMA → w42 Holt ladder) and the Ljung–Box
+  * portmanteau test (a27 measures ONE autocorrelation; Ljung–Box asks
+  * whether the first k lags are JOINTLY zero — the standard residual
+  * whiteness check after any of the w-family forecasters).
+  *
+  * Both follow the w42 pattern for sequential recursions: the
+  * distributed stage is the exact-decimal monthly aggregate; the
+  * recursion runs over the COLLECTED month axis (calendar-bounded
+  * driver state, ≤ ~84 rows at any SF) in raw IEEE doubles with a
+  * pinned op order, and the oracle's recursive CTE replays it
+  * bit-for-bit — DuckDB carries the 12-slot seasonal vector as a LIST
+  * in the recursive state.
+  */
+object Frontier51Queries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ------------------------------------------------------------------
+  // w45_holt_winters — additive Holt–Winters (α=β=γ=0.5, p=12):
+  // l_t = ½(x_t − s_{t−12}) + ½(l_{t−1} + b_{t−1});
+  // b_t = ½(l_t − l_{t−1}) + ½b_{t−1};
+  // s_t = ½(x_t − l_t) + ½s_{t−12}.
+  // Init: l₁₂ = S₁/12, b₁₂ = (S₂/12 − S₁/12)/12 from the EXACT decimal
+  // sums of months 1–12 and 13–24 (order-free), sᵢ = xᵢ − l₁₂.
+  // Emits t = 13..n with the one-step-ahead fitted value the state at
+  // t−1 implied — the column a backtest scores. Every double is born
+  // from VARCHAR-routed decimals and updated in a pinned order the
+  // oracle's recursive CTE repeats textually.
+  // ------------------------------------------------------------------
+  private val w45HoltWinters: QFn = (s, dir) => {
+    val monthly = t(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+        .as("month"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 4))).as("rev"))
+      .orderBy("month")
+    // calendar-bounded collect (≤ ~84 months at any SF)
+    val series = monthly.collect().map { r =>
+      (r.getDate(0), r.getDecimal(1))
+    }
+    val p = 12
+    require(series.length >= 2 * p + 1, "need > 24 months for HW init")
+    val xd = series.map(_._1)
+    val x = series.map(_._2.doubleValue())
+    def decSum(from: Int, until: Int): java.math.BigDecimal =
+      series.slice(from, until).map(_._2)
+        .reduce(_.add(_))
+    val l0 = decSum(0, p).doubleValue() / 12.0
+    val b0 = (decSum(p, 2 * p).doubleValue() / 12.0
+      - decSum(0, p).doubleValue() / 12.0) / 12.0
+    val seas = scala.collection.mutable.ArrayBuffer(
+      (0 until p).map(i => x(i) - l0): _*)
+    var l = l0
+    var b = b0
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(java.sql.Date, Double, Double, Double, Double, Double)]
+    var ti = p
+    while (ti < x.length) {
+      val sOld = seas(ti - p)
+      val fitted = l + b + sOld
+      val lNew = 0.5 * (x(ti) - sOld) + 0.5 * (l + b)
+      val bNew = 0.5 * (lNew - l) + 0.5 * b
+      val sNew = 0.5 * (x(ti) - lNew) + 0.5 * sOld
+      seas += sNew
+      out += ((xd(ti), x(ti), lNew, bNew, sNew, fitted))
+      l = lNew; b = bNew
+      ti += 1
+    }
+    import s.implicits._
+    out.toSeq.toDF("month", "xr", "lr", "br", "sr", "fr")
+      .select(col("month"), round(col("xr"), 4).as("revenue_r"),
+        round(col("lr"), 6).as("level_r"),
+        round(col("br"), 6).as("trend_r"),
+        round(col("sr"), 6).as("season_r"),
+        round(col("fr"), 6).as("fitted_r"))
+      .orderBy("month")
+  }
+  private val w45HoltWintersSql =
+    """WITH RECURSIVE m AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      |  FROM orders GROUP BY 1),
+      |i AS (SELECT month, rev, CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS x,
+      |    row_number() OVER (ORDER BY month) AS t
+      |  FROM m),
+      |s1 AS (SELECT SUM(rev) AS v FROM i WHERE t <= 12),
+      |s2 AS (SELECT SUM(rev) AS v FROM i WHERE t > 12 AND t <= 24),
+      |init AS (SELECT
+      |    CAST(CAST(s1.v AS VARCHAR) AS DOUBLE) / 12.0 AS l0,
+      |    (CAST(CAST(s2.v AS VARCHAR) AS DOUBLE) / 12.0
+      |      - CAST(CAST(s1.v AS VARCHAR) AS DOUBLE) / 12.0) / 12.0 AS b0,
+      |    (SELECT list(i.x - CAST(CAST(s1b.v AS VARCHAR) AS DOUBLE) / 12.0
+      |        ORDER BY i.t)
+      |      FROM i, s1 AS s1b WHERE i.t <= 12) AS sl0
+      |  FROM s1, s2),
+      |hw(t, l, b, sl) AS (
+      |  SELECT 12, l0, b0, sl0 FROM init
+      |  UNION ALL
+      |  SELECT i.t,
+      |    0.5 * (i.x - hw.sl[1]) + 0.5 * (hw.l + hw.b),
+      |    0.5 * ((0.5 * (i.x - hw.sl[1]) + 0.5 * (hw.l + hw.b)) - hw.l)
+      |      + 0.5 * hw.b,
+      |    hw.sl[2:12] ||
+      |      [0.5 * (i.x - (0.5 * (i.x - hw.sl[1])
+      |         + 0.5 * (hw.l + hw.b))) + 0.5 * hw.sl[1]]
+      |  FROM hw JOIN i ON i.t = hw.t + 1)
+      |SELECT i.month, round(i.x, 4) AS revenue_r,
+      |  round(cur.l, 6) AS level_r, round(cur.b, 6) AS trend_r,
+      |  round(cur.sl[12], 6) AS season_r,
+      |  round(prev.l + prev.b + prev.sl[1], 6) AS fitted_r
+      |FROM hw cur JOIN hw prev ON cur.t = prev.t + 1
+      |JOIN i ON i.t = cur.t
+      |ORDER BY i.month""".stripMargin
+
+  // ------------------------------------------------------------------
+  // a69_ljung_box — portmanteau whiteness test on monthly revenue:
+  // Q = n(n+2)·Σ_{k=1..6} ρ̂ₖ²/(n−k). The mean is rounded once and
+  // FROZEN as DECIMAL(16,6); demeaned values are then exact decimals,
+  // so every lag-k cross product sum and the lag-0 denominator are
+  // exact — each ρ̂ₖ is one double division, each Q term is frozen at
+  // round-8 before the k-row sum. Lag windows ride the calendar-
+  // bounded month axis (the a65/a66 GLOBALWIN class); the k-axis is a
+  // 6-literal explode.
+  // ------------------------------------------------------------------
+  private val a69LjungBox: QFn = (s, dir) => {
+    val w = Window.orderBy("m")
+    val monthly = t(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+        .as("m"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(16, 4))).as("rev"))
+    val mu = monthly.agg(count(lit(1)).as("n"),
+        sum(col("rev")).as("sv"))
+      .select(col("n"),
+        round(col("sv").cast("string").cast("double")
+          / col("n").cast("double"), 6)
+          .cast(DecimalType(16, 6)).as("mu"))
+    val d = monthly.crossJoin(broadcast(mu))
+      .withColumn("dv",
+        (col("rev").cast(DecimalType(16, 6)) - col("mu"))
+          .cast(DecimalType(16, 6)))
+    val d6 = (1 to 6).foldLeft(d) { (df, k) =>
+      df.withColumn(s"l$k", lag(col("dv"), k).over(w))
+    }
+    val lagged = d6.select(col("n"), col("dv"),
+      expr("stack(6, 1, l1, 2, l2, 3, l3, 4, l4, 5, l5, 6, l6)")
+        .as(Seq("k", "dl")))
+    val den = d.agg(sum(col("dv") * col("dv")).as("c0"))
+    val rho = lagged.filter(col("dl").isNotNull)
+      .groupBy("k")
+      .agg(max(col("n")).as("n"), sum(col("dv") * col("dl")).as("ck"))
+      .crossJoin(broadcast(den))
+      .select(col("k"), col("n"),
+        round((col("ck").cast("string").cast("double")
+          / col("c0").cast("string").cast("double"))
+          * (col("ck").cast("string").cast("double")
+            / col("c0").cast("string").cast("double"))
+          / (col("n").cast("double") - col("k").cast("double")), 8)
+          .cast(DecimalType(18, 8)).as("term"))
+    rho.agg(max(col("n")).as("n_months"),
+        sum(col("term")).as("tsum"))
+      .select(col("n_months"),
+        round(col("n_months").cast("double")
+          * (col("n_months").cast("double") + 2.0)
+          * col("tsum").cast("string").cast("double"), 6).as("q_stat_r"))
+  }
+  private val a69LjungBoxSql =
+    """WITH mo AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+      |      AS m,
+      |    SUM(CAST(o_totalprice AS DECIMAL(16,4))) AS rev
+      |  FROM orders GROUP BY 1),
+      |mu AS (SELECT COUNT(*) AS n,
+      |    CAST(round(CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE), 6) AS DECIMAL(19,6)) AS mu
+      |  FROM mo),
+      |d AS (SELECT mo.m, mu.n,
+      |    CAST(CAST(rev AS DECIMAL(19,6)) - mu.mu AS DECIMAL(19,6)) AS dv
+      |  FROM mo, mu),
+      |d6 AS (SELECT n, dv,
+      |    LAG(dv, 1) OVER (ORDER BY m) AS l1,
+      |    LAG(dv, 2) OVER (ORDER BY m) AS l2,
+      |    LAG(dv, 3) OVER (ORDER BY m) AS l3,
+      |    LAG(dv, 4) OVER (ORDER BY m) AS l4,
+      |    LAG(dv, 5) OVER (ORDER BY m) AS l5,
+      |    LAG(dv, 6) OVER (ORDER BY m) AS l6
+      |  FROM d),
+      |lg AS (
+      |  SELECT n, dv, 1 AS k, l1 AS dl FROM d6
+      |  UNION ALL SELECT n, dv, 2, l2 FROM d6
+      |  UNION ALL SELECT n, dv, 3, l3 FROM d6
+      |  UNION ALL SELECT n, dv, 4, l4 FROM d6
+      |  UNION ALL SELECT n, dv, 5, l5 FROM d6
+      |  UNION ALL SELECT n, dv, 6, l6 FROM d6),
+      |den AS (SELECT SUM(dv * dv) AS c0 FROM d),
+      |rho AS (SELECT k, MAX(n) AS n,
+      |    CAST(round((CAST(CAST(SUM(dv * dl) AS VARCHAR) AS DOUBLE)
+      |        / CAST(CAST(den.c0 AS VARCHAR) AS DOUBLE))
+      |      * (CAST(CAST(SUM(dv * dl) AS VARCHAR) AS DOUBLE)
+      |        / CAST(CAST(den.c0 AS VARCHAR) AS DOUBLE))
+      |      / (CAST(MAX(n) AS DOUBLE) - CAST(k AS DOUBLE)), 8)
+      |      AS DECIMAL(18,8)) AS term
+      |  FROM lg, den WHERE dl IS NOT NULL GROUP BY k, den.c0)
+      |SELECT MAX(n) AS n_months,
+      |  round(CAST(MAX(n) AS DOUBLE) * (CAST(MAX(n) AS DOUBLE) + 2.0)
+      |    * CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE), 6) AS q_stat_r
+      |FROM rho""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "w45_holt_winters" -> w45HoltWinters,
+    "a69_ljung_box" -> a69LjungBox)
+
+  val oracleSql: Map[String, String] = Map(
+    "w45_holt_winters" -> w45HoltWintersSql,
+    "a69_ljung_box" -> a69LjungBoxSql)
+}

@@ -38,6 +38,7 @@ class SmokeAllQueriesSpec extends AnyFunSuite {
     // calendar-bounded month-axis windows (≤ ~84 rows at any SF)
     "a65_runs_test" -> Set("GLOBALWIN"),
     "a66_durbin_watson" -> Set("GLOBALWIN", "BNLJ"),
+    "a69_ljung_box" -> Set("GLOBALWIN", "BNLJ"),
     "w44_cross_correlation" -> Set("GLOBALWIN"),
     // category-domain-bounded cell tables (≤ 5×25 rows)
     "ml_mutual_info" -> Set("GLOBALWIN"),
