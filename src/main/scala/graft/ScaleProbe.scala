@@ -516,6 +516,56 @@ object ScaleProbe {
           .count()
       }
     }
+
+    // TRUE streaming drain at 10x (1M events / 150k users), distinct from
+    // the batch `events` family: this runs the state-store path — file
+    // source split into 10 parquet files (maxFilesPerTrigger=4 → 3
+    // micro-batches), RocksDB-free HDFS state on 16 shuffle partitions
+    // (the knob a real cluster sizes to state volume), AvailableNow
+    // drain to a memory sink. Probes the three state shapes: windowed
+    // agg (state = window×type domain), session windows (state = one
+    // open session per active user — the user-scaled axis), and the
+    // flatMapGroupsWithState custom sessionizer (same axis, arbitrary
+    // state). Pass bar: wall-clock scales with data, not with state
+    // resets; no memory cliff at 150k concurrent keys.
+    if (families("streaming")) {
+      val base = Tables.load(spark, "/root/testdata/sf0.1", "events")
+      val big = (0 until 10).map(i =>
+        base.select((col("event_id") + lit(i * 10000000L)).as("event_id"),
+          (col("user_id") + lit(i * 100000L)).as("user_id"),
+          col("ts"), col("event_type"), col("value")))
+        .reduce(_ unionByName _)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_probe_stream").toString
+      big.repartition(10).write.mode("overwrite").parquet(dir)
+      println(s"staged streaming events: ${spark.read.parquet(dir).count()}")
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "16")
+      def drainCount(df: org.apache.spark.sql.DataFrame, name: String,
+                     mode: org.apache.spark.sql.streaming.OutputMode): Long = {
+        graft.streaming.EventStream.runToMemory(df, name, mode)
+        spark.table(name).count()
+      }
+      import org.apache.spark.sql.streaming.OutputMode
+      try {
+        time("st_windowed_10x") {
+          val ev = graft.streaming.EventStream.readEvents(spark, dir)
+          drainCount(graft.streaming.EventStream.windowedCounts(ev),
+            "probe_st_win", OutputMode.Complete())
+        }
+        time("st_sessions_10x") {
+          val ev = graft.streaming.EventStream.readEvents(spark, dir)
+          drainCount(graft.streaming.EventStream.sessionCounts(ev),
+            "probe_st_sess", OutputMode.Complete())
+        }
+        time("st_fmgws_10x") {
+          val ev = graft.streaming.EventStream.readEvents(spark, dir)
+          drainCount(
+            graft.streaming.EventStream.closedSessions(spark, ev).toDF(),
+            "probe_st_fmgws", OutputMode.Append())
+        }
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     spark.stop()
   }
 }

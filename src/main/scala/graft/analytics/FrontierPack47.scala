@@ -1080,11 +1080,84 @@ object Frontier51Queries {
       |    * CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE), 6) AS q_stat_r
       |FROM rho""".stripMargin
 
+  // ------------------------------------------------------------------
+  // eval_fleiss_kappa — multi-rater agreement (Fleiss' κ, n=3 raters,
+  // binary category): the generalization Cohen's κ (eval_cohens_kappa)
+  // can't make past two raters — the labeling-pipeline readout when
+  // every item gets 3 annotators. Raters are derived per line item
+  // (returned? / finalized? / bulk quantity?); the per-item agreement
+  // P_i depends only on x = #positive votes ∈ {0..3} (P = 1, ⅓, ⅓, 1),
+  // so ONE conditional-aggregation pass over the 4 exact cells c₀..c₃
+  // yields P̄ = (6c₀+2c₁+2c₂+6c₃)/(6N), p = (c₁+2c₂+3c₃)/(3N),
+  // Pe = p²+(1−p)², κ = (P̄−Pe)/(1−Pe) — all single double
+  // expressions over integers < 2⁵³.
+  // ------------------------------------------------------------------
+  private val evalFleissKappa: QFn = (s, dir) => {
+    val x = (col("l_returnflag") === "R").cast("long") +
+      (col("l_linestatus") === "F").cast("long") +
+      (col("l_quantity") > 25.0).cast("long")
+    val cells = t(s, dir, "lineitem").select(x.as("x")).agg(
+      count(lit(1)).as("n_items"),
+      sum(when(col("x") === 0, 1L).otherwise(0L)).as("c0"),
+      sum(when(col("x") === 1, 1L).otherwise(0L)).as("c1"),
+      sum(when(col("x") === 2, 1L).otherwise(0L)).as("c2"),
+      sum(when(col("x") === 3, 1L).otherwise(0L)).as("c3"))
+    val nD = col("n_items").cast("double")
+    val pbar = (lit(6L) * col("c0") + lit(2L) * col("c1")
+      + lit(2L) * col("c2") + lit(6L) * col("c3")).cast("double") /
+      (lit(6.0) * nD)
+    val p = (col("c1") + lit(2L) * col("c2") + lit(3L) * col("c3"))
+      .cast("double") / (lit(3.0) * nD)
+    val pe = p * p + (lit(1.0) - p) * (lit(1.0) - p)
+    cells.select(col("n_items"), col("c0"), col("c1"), col("c2"),
+      col("c3"), round(pbar, 6).as("pbar_r"), round(pe, 6).as("pe_r"),
+      round((pbar - pe) / (lit(1.0) - pe), 6).as("kappa_r"))
+  }
+  private val evalFleissKappaSql =
+    """WITH v AS (SELECT
+      |    (CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |    + (CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+      |    + (CASE WHEN l_quantity > 25.0 THEN 1 ELSE 0 END) AS x
+      |  FROM lineitem),
+      |c AS (SELECT COUNT(*) AS n_items,
+      |    CAST(SUM(CASE WHEN x = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+      |    CAST(SUM(CASE WHEN x = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(SUM(CASE WHEN x = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+      |    CAST(SUM(CASE WHEN x = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3
+      |  FROM v)
+      |SELECT n_items, c0, c1, c2, c3,
+      |  round((6 * c0 + 2 * c1 + 2 * c2 + 6 * c3)
+      |    / (6.0 * CAST(n_items AS DOUBLE)), 6) AS pbar_r,
+      |  round(((c1 + 2 * c2 + 3 * c3) / (3.0 * CAST(n_items AS DOUBLE)))
+      |      * ((c1 + 2 * c2 + 3 * c3) / (3.0 * CAST(n_items AS DOUBLE)))
+      |    + (1.0 - (c1 + 2 * c2 + 3 * c3)
+      |        / (3.0 * CAST(n_items AS DOUBLE)))
+      |      * (1.0 - (c1 + 2 * c2 + 3 * c3)
+      |        / (3.0 * CAST(n_items AS DOUBLE))), 6) AS pe_r,
+      |  round(((6 * c0 + 2 * c1 + 2 * c2 + 6 * c3)
+      |      / (6.0 * CAST(n_items AS DOUBLE))
+      |    - (((c1 + 2 * c2 + 3 * c3) / (3.0 * CAST(n_items AS DOUBLE)))
+      |        * ((c1 + 2 * c2 + 3 * c3) / (3.0 * CAST(n_items AS DOUBLE)))
+      |      + (1.0 - (c1 + 2 * c2 + 3 * c3)
+      |          / (3.0 * CAST(n_items AS DOUBLE)))
+      |        * (1.0 - (c1 + 2 * c2 + 3 * c3)
+      |          / (3.0 * CAST(n_items AS DOUBLE)))))
+      |    / (1.0 - (((c1 + 2 * c2 + 3 * c3)
+      |          / (3.0 * CAST(n_items AS DOUBLE)))
+      |        * ((c1 + 2 * c2 + 3 * c3) / (3.0 * CAST(n_items AS DOUBLE)))
+      |      + (1.0 - (c1 + 2 * c2 + 3 * c3)
+      |          / (3.0 * CAST(n_items AS DOUBLE)))
+      |        * (1.0 - (c1 + 2 * c2 + 3 * c3)
+      |          / (3.0 * CAST(n_items AS DOUBLE))))), 6) AS kappa_r
+      |FROM c""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "w45_holt_winters" -> w45HoltWinters,
-    "a69_ljung_box" -> a69LjungBox)
+    "a69_ljung_box" -> a69LjungBox,
+    "eval_fleiss_kappa" -> evalFleissKappa)
 
   val oracleSql: Map[String, String] = Map(
     "w45_holt_winters" -> w45HoltWintersSql,
-    "a69_ljung_box" -> a69LjungBoxSql)
+    "a69_ljung_box" -> a69LjungBoxSql,
+    "eval_fleiss_kappa" -> evalFleissKappaSql)
 }
