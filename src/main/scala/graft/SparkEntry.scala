@@ -70,6 +70,7 @@ object SparkEntry {
       analytics.Frontier49Queries.queries ++
       analytics.Frontier50Queries.queries ++
       analytics.Frontier51Queries.queries ++
+      analytics.Frontier52Queries.queries ++
       analytics.SqlFrontDoorQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -126,5 +127,6 @@ object SparkEntry {
       analytics.Frontier49Queries.oracleSql ++
       analytics.Frontier50Queries.oracleSql ++
       analytics.Frontier51Queries.oracleSql ++
+      analytics.Frontier52Queries.oracleSql ++
       analytics.SqlFrontDoorQueries.oracleSql
 }

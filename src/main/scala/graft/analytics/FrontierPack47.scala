@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -1160,4 +1160,182 @@ object Frontier51Queries {
     "w45_holt_winters" -> w45HoltWintersSql,
     "a69_ljung_box" -> a69LjungBoxSql,
     "eval_fleiss_kappa" -> evalFleissKappaSql)
+}
+
+/** Round-7 third-session widening, sixth pack: CDC net-change
+  * compaction (the log-minimization step between raw change capture —
+  * i16 — and the merge that applies it: N ops per key collapse to at
+  * most one) and temperature-scaled mixture allocation (the
+  * multilingual-sampling standard: wᵢ ∝ nᵢ^τ flattens a skewed corpus
+  * toward uniform as τ→0, with a largest-remainder rounding so the
+  * integer allocations sum EXACTLY to the budget).
+  */
+object Frontier52Queries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ------------------------------------------------------------------
+  // i28_cdc_net_changes — collapse a per-key op sequence to its NET
+  // effect via (first_op, last_op):  I…D → nothing (cancelled),
+  // I…X → I with last values, X…D → D, X…Y → U with last values
+  // (covers D…I → U, the delete+reinsert-is-an-update identity). The
+  // synthetic feed exercises all six shapes from the order key's
+  // residue class; everything is two partitioned windows on the key —
+  // the same shuffle a real CDC compactor pays, once, before the
+  // (now minimal) merge.
+  // ------------------------------------------------------------------
+  private val i28CdcNetChanges: QFn = (s, dir) => {
+    val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+      col("o_totalprice").cast(DecimalType(18, 4)).as("price"))
+    val m = col("k") % 6
+    def op(seq: Int, opc: String, cond: Column,
+           priced: Boolean): DataFrame =
+      o.filter(cond).select(col("k"), lit(seq.toLong).as("seq"),
+        lit(opc).as("op"),
+        (if (priced) (col("price") + lit(seq * 100))
+           .cast(DecimalType(18, 4))
+         else lit(null).cast(DecimalType(18, 4))).as("pv"))
+    val feed = Seq(
+      op(1, "I", m === 0, priced = true),
+      op(2, "U", m === 0, priced = true),
+      op(3, "U", m === 0, priced = true),
+      op(1, "I", m === 1, priced = true),
+      op(2, "D", m === 1, priced = false),
+      op(1, "U", m === 2, priced = true),
+      op(2, "U", m === 2, priced = true),
+      op(1, "U", m === 3, priced = true),
+      op(2, "D", m === 3, priced = false),
+      op(1, "D", m === 4, priced = false),
+      op(2, "I", m === 4, priced = true),
+      op(1, "I", m === 5, priced = true)).reduce(_ unionByName _)
+    val wAsc = Window.partitionBy("k").orderBy(col("seq"))
+    val wDesc = Window.partitionBy("k").orderBy(col("seq").desc)
+    val marked = feed
+      .withColumn("first_op", first(col("op")).over(wAsc))
+      .withColumn("rn", row_number().over(wDesc))
+      .withColumn("n_ops", count(lit(1)).over(Window.partitionBy("k")))
+      .filter(col("rn") === 1)
+    marked.select(col("k"), col("n_ops"),
+        when(col("first_op") === "I" && col("op") === "D",
+          lit(null).cast("string"))
+          .when(col("first_op") === "I", lit("I"))
+          .when(col("op") === "D", lit("D"))
+          .otherwise(lit("U")).as("net_op"),
+        when(col("op") === "D", lit(null).cast(DecimalType(18, 4)))
+          .otherwise(col("pv")).as("net_pv"))
+      .filter(col("net_op").isNotNull)
+      .select(col("k"), col("n_ops"), col("net_op"),
+        col("net_pv").cast("string").cast("double").as("net_price"))
+      .orderBy("k")
+  }
+  private val i28CdcNetChangesSql =
+    """WITH o AS (SELECT o_orderkey AS k,
+      |    CAST(o_totalprice AS DECIMAL(18,4)) AS price FROM orders),
+      |feed AS (
+      |  SELECT k, 1 AS seq, 'I' AS op,
+      |    CAST(price + 100 AS DECIMAL(18,4)) AS pv FROM o WHERE k % 6 = 0
+      |  UNION ALL SELECT k, 2, 'U', CAST(price + 200 AS DECIMAL(18,4))
+      |    FROM o WHERE k % 6 = 0
+      |  UNION ALL SELECT k, 3, 'U', CAST(price + 300 AS DECIMAL(18,4))
+      |    FROM o WHERE k % 6 = 0
+      |  UNION ALL SELECT k, 1, 'I', CAST(price + 100 AS DECIMAL(18,4))
+      |    FROM o WHERE k % 6 = 1
+      |  UNION ALL SELECT k, 2, 'D', NULL FROM o WHERE k % 6 = 1
+      |  UNION ALL SELECT k, 1, 'U', CAST(price + 100 AS DECIMAL(18,4))
+      |    FROM o WHERE k % 6 = 2
+      |  UNION ALL SELECT k, 2, 'U', CAST(price + 200 AS DECIMAL(18,4))
+      |    FROM o WHERE k % 6 = 2
+      |  UNION ALL SELECT k, 1, 'U', CAST(price + 100 AS DECIMAL(18,4))
+      |    FROM o WHERE k % 6 = 3
+      |  UNION ALL SELECT k, 2, 'D', NULL FROM o WHERE k % 6 = 3
+      |  UNION ALL SELECT k, 1, 'D', NULL FROM o WHERE k % 6 = 4
+      |  UNION ALL SELECT k, 2, 'I', CAST(price + 200 AS DECIMAL(18,4))
+      |    FROM o WHERE k % 6 = 4
+      |  UNION ALL SELECT k, 1, 'I', CAST(price + 100 AS DECIMAL(18,4))
+      |    FROM o WHERE k % 6 = 5),
+      |marked AS (SELECT k, seq, op, pv,
+      |    FIRST_VALUE(op) OVER (PARTITION BY k ORDER BY seq) AS first_op,
+      |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY k) AS n_ops
+      |  FROM feed),
+      |lastop AS (SELECT * FROM marked WHERE rn = 1),
+      |net AS (SELECT k, n_ops,
+      |    CASE WHEN first_op = 'I' AND op = 'D' THEN NULL
+      |         WHEN first_op = 'I' THEN 'I'
+      |         WHEN op = 'D' THEN 'D'
+      |         ELSE 'U' END AS net_op,
+      |    CASE WHEN op = 'D' THEN NULL ELSE pv END AS net_pv
+      |  FROM lastop)
+      |SELECT k, n_ops, net_op,
+      |  CAST(CAST(net_pv AS VARCHAR) AS DOUBLE) AS net_price
+      |FROM net WHERE net_op IS NOT NULL ORDER BY k""".stripMargin
+
+  // ------------------------------------------------------------------
+  // p_mixture_temperature — temperature-scaled corpus mixture (τ=0.7):
+  // wₗ = round(nₗ^0.7, 6) frozen as decimal, share = w/Σw, quota =
+  // B·share, and LARGEST-REMAINDER rounding so Σalloc == B exactly —
+  // the fractional quotas floor, and the leftover units go to the
+  // largest remainders (lang asc tie-break). The lang axis is
+  // domain-bounded (≤ a few dozen), so the windows are O(langs); the
+  // only data-sized work is the per-lang count.
+  // ------------------------------------------------------------------
+  private val pMixtureTemperature: QFn = (s, dir) => {
+    val budget = 10000L
+    val counts = t(s, dir, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w",
+        round(pow(col("n_docs").cast("double"), 0.7), 6)
+          .cast(DecimalType(18, 6)))
+    val wAll = Window.partitionBy()
+    val q = counts
+      .withColumn("wsum", sum(col("w")).over(wAll))
+      .withColumn("quota",
+        lit(budget.toDouble) * col("w").cast("string").cast("double")
+          / col("wsum").cast("string").cast("double"))
+      .withColumn("base", floor(col("quota")).cast("long"))
+      .withColumn("rem", col("quota") - col("base").cast("double"))
+    val wRank = Window.orderBy(col("rem").desc, col("lang"))
+    q.withColumn("leftover",
+        lit(budget) - sum(col("base")).over(wAll))
+      .withColumn("rk", row_number().over(wRank))
+      .select(col("lang"), col("n_docs"),
+        col("w").cast("string").cast("double").as("weight_r"),
+        round(col("quota"), 6).as("quota_r"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L)
+          .otherwise(0L)).as("alloc"))
+      .orderBy("lang")
+  }
+  private val pMixtureTemperatureSql =
+    """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents
+      |  GROUP BY 1),
+      |w AS (SELECT lang, n_docs,
+      |    CAST(round(power(CAST(n_docs AS DOUBLE), 0.7), 6)
+      |      AS DECIMAL(18,6)) AS w FROM c),
+      |q AS (SELECT lang, n_docs, w,
+      |    10000.0 * CAST(CAST(w AS VARCHAR) AS DOUBLE)
+      |      / CAST(CAST(SUM(w) OVER () AS VARCHAR) AS DOUBLE) AS quota
+      |  FROM w),
+      |b AS (SELECT lang, n_docs, w, quota,
+      |    CAST(FLOOR(quota) AS BIGINT) AS base,
+      |    quota - FLOOR(quota) AS rem FROM q),
+      |r AS (SELECT *,
+      |    10000 - SUM(base) OVER () AS leftover,
+      |    ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk FROM b)
+      |SELECT lang, n_docs,
+      |  CAST(CAST(w AS VARCHAR) AS DOUBLE) AS weight_r,
+      |  round(quota, 6) AS quota_r,
+      |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+      |    AS BIGINT) AS alloc
+      |FROM r ORDER BY lang""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "i28_cdc_net_changes" -> i28CdcNetChanges,
+    "p_mixture_temperature" -> pMixtureTemperature)
+
+  val oracleSql: Map[String, String] = Map(
+    "i28_cdc_net_changes" -> i28CdcNetChangesSql,
+    "p_mixture_temperature" -> pMixtureTemperatureSql)
 }

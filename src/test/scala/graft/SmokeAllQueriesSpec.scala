@@ -39,6 +39,8 @@ class SmokeAllQueriesSpec extends AnyFunSuite {
     "a65_runs_test" -> Set("GLOBALWIN"),
     "a66_durbin_watson" -> Set("GLOBALWIN", "BNLJ"),
     "a69_ljung_box" -> Set("GLOBALWIN", "BNLJ"),
+    // lang-domain-bounded allocation windows (≤ a few dozen rows)
+    "p_mixture_temperature" -> Set("GLOBALWIN"),
     "w44_cross_correlation" -> Set("GLOBALWIN"),
     // category-domain-bounded cell tables (≤ 5×25 rows)
     "ml_mutual_info" -> Set("GLOBALWIN"),
