@@ -991,6 +991,88 @@ object TextQueries {
        |FROM top ORDER BY adc_r, vec_id""".stripMargin
   }
 
+  // a5b — IVF-PQ, the production composition of the two index halves:
+  // the coarse cells prune to nprobe=3 cells (ann_ivf_topk's replayable
+  // build), PQ asymmetric distance ranks only the survivors from their
+  // codes (ann_pq_topk's replayable codebooks, trained corpus-wide as a
+  // real deployment does). The oracle replays BOTH builds — the IVF
+  // Lloyd pass + float-rounded assignment, the 4 per-subspace PQ
+  // codebooks + unrolled ADC sums — then applies the same
+  // prune-then-rank join, so the composed index is driver-proven end
+  // to end, not just its parts.
+  private val aIvfPq: QFn = (s, dir) => {
+    val corpus = embs(s, dir).filter(col("vec_id") =!= 0)
+    val centroids = Similarity.ivfTrain(corpus, "vec_id", "embedding",
+      dim = 64, nlist = 8, iterations = 1)
+    val books = Similarity.pqTrain(corpus, "vec_id", "embedding",
+      dim = 64, m = 4, k = 8, iterations = 1)
+    Similarity.ivfPqTopK(corpus, "vec_id", "embedding",
+        queryVec(s, dir), k = 10, centroids, books, nprobe = 3)
+      .select(col("vec_id"), col("code_0"), col("code_1"),
+        col("code_2"), col("code_3"), round(col("adc"), 6).as("adc_r"))
+      .orderBy("adc_r", "vec_id")
+  }
+  private val aIvfPqSql: String = {
+    val sd = 16; val m = 4; val kk = 8
+    def l2sq(xOf: Int => String, cOf: Int => String) =
+      (0 until sd).map { j =>
+        s"(${xOf(j)} - ${cOf(j)}) * (${xOf(j)} - ${cOf(j)})"
+      }.mkString(" + ")
+    def subCtes(s: Int): String = {
+      val lo = s * sd + 1; val hi = (s + 1) * sd
+      val asgInit = l2sq(j => s"v.x[${lo + j}]", j => s"i.c[${j + 1}]")
+      val asgF = l2sq(j => s"v.x[${lo + j}]", j => s"f.c[${j + 1}]")
+      val qtab = l2sq(j => s"q.qx[${lo + j}]", j => s"f.c[${j + 1}]")
+      s"""init_$s AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, x[$lo:$hi] AS c
+         |  FROM (SELECT * FROM corpus ORDER BY vec_id LIMIT $kk)),
+         |a1_$s AS (SELECT v.vec_id, v.x,
+         |  (SELECT i.cid FROM init_$s i ORDER BY sqrt($asgInit) ASC, i.cid ASC LIMIT 1) AS cid
+         |  FROM corpus v),
+         |sums_$s AS (SELECT cid, i, CAST(SUM(CAST(xe AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*) AS mu
+         |  FROM (SELECT cid, unnest(x[$lo:$hi]) AS xe, generate_subscripts(x[$lo:$hi], 1) AS i FROM a1_$s)
+         |  GROUP BY cid, i),
+         |cent_$s AS (SELECT cid, list(CAST(CAST(mu AS FLOAT) AS DOUBLE) ORDER BY i) AS c FROM sums_$s GROUP BY cid),
+         |a2_$s AS (SELECT v.vec_id,
+         |  (SELECT f.cid FROM cent_$s f ORDER BY sqrt($asgF) ASC, f.cid ASC LIMIT 1) AS cid
+         |  FROM corpus v),
+         |qtab_$s AS (SELECT f.cid, $qtab AS d2 FROM cent_$s f CROSS JOIN q)""".stripMargin
+    }
+    val codeCols = (0 until m).map(s => s"a2_$s.cid AS code_$s").mkString(", ")
+    val codeJoins = (1 until m).map(s => s"JOIN a2_$s USING (vec_id)").mkString(" ")
+    val tabJoins = (0 until m).map(s => s"JOIN qtab_$s t$s ON t$s.cid = c.code_$s").mkString(" ")
+    val adcSum = (0 until m).map(s => s"t$s.d2").reduce((a, b) => s"($a + $b)")
+    s"""WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+       |  FROM embeddings WHERE vec_id <> 0),
+       |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qx FROM embeddings WHERE vec_id = 0),
+       |ivfinit AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, x AS c
+       |         FROM (SELECT * FROM corpus ORDER BY vec_id LIMIT 8)),
+       |ivfa1 AS (SELECT v.vec_id, v.x,
+       |         (SELECT i.cid FROM ivfinit i
+       |          ORDER BY COALESCE(${cosSql("v.x", "i.c")}, -1e308) DESC, i.cid ASC LIMIT 1) AS cid
+       |       FROM corpus v),
+       |ivfsums AS (SELECT cid, i, CAST(SUM(CAST(xe AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*) AS m
+       |         FROM (SELECT cid, unnest(x) AS xe, generate_subscripts(x,1) AS i FROM ivfa1)
+       |         GROUP BY cid, i),
+       |ivfcent_d AS (SELECT cid, list(m ORDER BY i) AS c FROM ivfsums GROUP BY cid),
+       |ivfcent_f AS (SELECT cid, list(CAST(CAST(m AS FLOAT) AS DOUBLE) ORDER BY i) AS c FROM ivfsums GROUP BY cid),
+       |probe AS (SELECT cid FROM ivfcent_d CROSS JOIN q
+       |          ORDER BY COALESCE(${cosSql("c", "qx")}, -1e308) DESC, cid ASC LIMIT 3),
+       |ivfa2 AS (SELECT v.vec_id, v.x,
+       |         (SELECT f.cid FROM ivfcent_f f
+       |          ORDER BY COALESCE(${cosSql("v.x", "f.c")}, -1e308) DESC, f.cid ASC LIMIT 1) AS cid
+       |       FROM corpus v),
+       |${(0 until m).map(subCtes).mkString(",\n")},
+       |codes AS (SELECT a2_0.vec_id, $codeCols FROM a2_0 $codeJoins),
+       |scored AS (SELECT c.vec_id, code_0, code_1, code_2, code_3,
+       |  sqrt($adcSum) AS adc FROM codes c $tabJoins),
+       |pruned AS (SELECT s2.* FROM scored s2
+       |  JOIN ivfa2 ON s2.vec_id = ivfa2.vec_id
+       |  JOIN probe ON ivfa2.cid = probe.cid),
+       |top AS (SELECT * FROM pruned ORDER BY adc, vec_id LIMIT 10)
+       |SELECT vec_id, code_0, code_1, code_2, code_3, round(adc, 6) AS adc_r
+       |FROM top ORDER BY adc_r, vec_id""".stripMargin
+  }
+
   // a4 — k-NN majority-vote classification: vectors 0-19 are held-out
   // queries, the rest vote with their labels through exact cosine top-5
   // (ties: higher cosine, then lower vec_id; vote ties: lower label).
@@ -1261,6 +1343,7 @@ object TextQueries {
     "ann_lsh_topk" -> aLsh,
     "ann_ivf_topk" -> aIvf,
     "ann_pq_topk" -> aPq,
+    "ann_ivf_pq_topk" -> aIvfPq,
     "ann_knn_classify" -> aKnn,
     "mm_blob_stats" -> mBlob,
     "mm_frame_sample" -> mFrames,
@@ -1301,6 +1384,7 @@ object TextQueries {
     "ann_lsh_topk" -> aLshSql,
     "ann_ivf_topk" -> aIvfSql,
     "ann_pq_topk" -> aPqSql,
+    "ann_ivf_pq_topk" -> aIvfPqSql,
     "ann_knn_classify" -> aKnnSql,
     "mm_blob_stats" -> mBlobSql,
     "mm_frame_sample" -> mFramesSql,

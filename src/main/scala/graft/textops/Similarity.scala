@@ -167,6 +167,35 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-PQ: the production composition of the two index halves — the
+    * coarse IVF cells prune the corpus to `nprobe` cells (same
+    * float-rounded assignment codebook as [[ivfTopK]], cells ranked for
+    * the query on the full-double centroids), then PQ asymmetric
+    * distance ranks only the SURVIVORS from their codes ([[pqTopK]]'s
+    * plan-time lookup tables). At 100 TB this is the FAISS-standard
+    * layout: cell id = partition column (probe → partition-pruned
+    * scan), codes = the only column read at probe time; the fat
+    * embedding column is touched by neither stage. */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+                query: Seq[Double], k: Int,
+                centroids: Map[Int, Array[Double]],
+                books: Seq[Map[Int, Array[Double]]],
+                nprobe: Int = 2): DataFrame = {
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na * nb == 0) Double.MinValue else dot / (na * nb)
+    }
+    val probeCells = centroids.toSeq
+      .map { case (cid, c) => cid -> cos(query, c.toSeq) }
+      .sortBy(-_._2).take(nprobe).map(_._1)
+    val pruned = assignToCentroid(df, vecCol, centroids)
+      .filter(col("__cid").isin(probeCells: _*))
+      .drop("__cid")
+    pqTopK(pruned, idCol, vecCol, query, k, books)
+  }
+
   /** Semantic near-duplicate pairs: coarse k-means cells ([[ivfTrain]])
     * partition the corpus, then exact cosine runs only WITHIN each cell —
     * the SemDeDup-style recipe (cluster first, compare inside clusters)
