@@ -71,6 +71,7 @@ object SparkEntry {
       analytics.Frontier50Queries.queries ++
       analytics.Frontier51Queries.queries ++
       analytics.Frontier52Queries.queries ++
+      analytics.Frontier53Queries.queries ++
       analytics.SqlFrontDoorQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -128,5 +129,6 @@ object SparkEntry {
       analytics.Frontier50Queries.oracleSql ++
       analytics.Frontier51Queries.oracleSql ++
       analytics.Frontier52Queries.oracleSql ++
+      analytics.Frontier53Queries.oracleSql ++
       analytics.SqlFrontDoorQueries.oracleSql
 }

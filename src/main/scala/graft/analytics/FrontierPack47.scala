@@ -1339,3 +1339,172 @@ object Frontier52Queries {
     "i28_cdc_net_changes" -> i28CdcNetChangesSql,
     "p_mixture_temperature" -> pMixtureTemperatureSql)
 }
+
+/** Round-7 third-session widening, seventh pack: hierarchical
+  * changepoint detection by binary segmentation — q29's CUSUM flags
+  * WHERE a drift crosses a control limit; binary segmentation asks the
+  * structural question "what are the best K breakpoints?" by
+  * recursively splitting at the variance-reduction argmax (Scott &
+  * Knott's decomposition, the classic top-down changepoint recipe).
+  */
+object Frontier53Queries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ------------------------------------------------------------------
+  // a70_binary_segmentation — depth-2 binary segmentation over monthly
+  // revenue (min segment length 6): level 1 picks the split t₁
+  // maximizing the between-segment sum-of-squares gain n₁(m₁−m)² +
+  // n₂(m₂−m)²; level 2 repeats inside each side. All candidate gains
+  // come from ONE decimal prefix-sum pass (every mean is an exact
+  // decimal sum VARCHAR-routed to double once), scaled by 1e-9 and
+  // frozen at round-4 before the argmax rank (an unscaled round-8 at
+  // 1e14+ magnitude is where DuckDB's multiply-based round loses ulps), ties to the earliest month — so both
+  // engines pick identical breakpoints, not merely close ones. The
+  // windows ride the calendar-bounded month axis; the three 1-row
+  // "chosen split" broadcasts are the allowlisted O(1) BNLJ class.
+  // ------------------------------------------------------------------
+  private val a70BinarySegmentation: QFn = (s, dir) => {
+    val w = Window.orderBy("m")
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = t(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+        .as("m"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(16, 4))).as("rev"))
+      .withColumn("ti", row_number().over(w).cast("long"))
+      .withColumn("pre", sum(col("rev")).over(wCum))
+    val tot = base.agg(count(lit(1)).as("n"), sum(col("rev")).as("stot"))
+    val j = base.crossJoin(broadcast(tot))
+    def d(c: Column): Column = c.cast("string").cast("double")
+    def gain(s1: Column, n1: Column, s2: Column, n2: Column,
+             sseg: Column, nseg: Column): Column = {
+      val m = d(sseg) / nseg.cast("double")
+      round((n1.cast("double")
+        * (d(s1) / n1.cast("double") - m)
+        * (d(s1) / n1.cast("double") - m)
+        + n2.cast("double")
+        * (d(s2) / n2.cast("double") - m)
+        * (d(s2) / n2.cast("double") - m)) / lit(1.0E9), 4)
+    }
+    val wRank = Window.orderBy(col("g").desc, col("ti"))
+    val l1 = j.filter(col("ti") >= 6 && col("n") - col("ti") >= 6)
+      .withColumn("g", gain(col("pre"), col("ti"),
+        col("stot") - col("pre"), col("n") - col("ti"),
+        col("stot"), col("n")))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") === 1)
+    val t1 = l1.select(col("ti").as("t1"), col("pre").as("pre1"))
+    val j2 = j.crossJoin(broadcast(t1))
+    val left = j2
+      .filter(col("ti") >= 6 && col("t1") - col("ti") >= 6)
+      .withColumn("side", lit("left"))
+      .withColumn("g", gain(col("pre"), col("ti"),
+        col("pre1") - col("pre"), col("t1") - col("ti"),
+        col("pre1"), col("t1")))
+    val right = j2
+      .filter(col("ti") - col("t1") >= 6 && col("n") - col("ti") >= 6)
+      .withColumn("side", lit("right"))
+      .withColumn("g", gain(col("pre") - col("pre1"),
+        col("ti") - col("t1"),
+        col("stot") - col("pre"), col("n") - col("ti"),
+        col("stot") - col("pre1"), col("n") - col("t1")))
+    val wSide = Window.partitionBy("side")
+      .orderBy(col("g").desc, col("ti"))
+    val l2 = left.unionByName(right)
+      .withColumn("rk", row_number().over(wSide))
+      .filter(col("rk") === 1)
+    l1.select(lit(1).as("level"), lit("all").as("side"),
+        col("m").as("split_month"), col("ti").as("split_t"),
+        col("g").as("gain_r"))
+      .unionByName(l2.select(lit(2).as("level"), col("side"),
+        col("m").as("split_month"), col("ti").as("split_t"),
+        col("g").as("gain_r")))
+      .orderBy("level", "side")
+  }
+  private val a70BinarySegmentationSql =
+    """WITH mo AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+      |      AS m,
+      |    SUM(CAST(o_totalprice AS DECIMAL(16,4))) AS rev
+      |  FROM orders GROUP BY 1),
+      |base AS (SELECT m, rev,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY m) AS BIGINT) AS ti,
+      |    SUM(rev) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS pre
+      |  FROM mo),
+      |tot AS (SELECT COUNT(*) AS n, SUM(rev) AS stot FROM mo),
+      |j AS (SELECT base.*, tot.n, tot.stot FROM base, tot),
+      |l1c AS (SELECT *,
+      |    round((CAST(ti AS DOUBLE)
+      |      * (CAST(CAST(pre AS VARCHAR) AS DOUBLE) / CAST(ti AS DOUBLE)
+      |         - CAST(CAST(stot AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (CAST(CAST(pre AS VARCHAR) AS DOUBLE) / CAST(ti AS DOUBLE)
+      |         - CAST(CAST(stot AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+      |      + CAST(n - ti AS DOUBLE)
+      |      * (CAST(CAST(stot - pre AS VARCHAR) AS DOUBLE)
+      |           / CAST(n - ti AS DOUBLE)
+      |         - CAST(CAST(stot AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (CAST(CAST(stot - pre AS VARCHAR) AS DOUBLE)
+      |           / CAST(n - ti AS DOUBLE)
+      |         - CAST(CAST(stot AS VARCHAR) AS DOUBLE)
+      |           / CAST(n AS DOUBLE))) / 1000000000.0, 4) AS g
+      |  FROM j WHERE ti >= 6 AND n - ti >= 6),
+      |l1 AS (SELECT * FROM l1c
+      |  QUALIFY ROW_NUMBER() OVER (ORDER BY g DESC, ti) = 1),
+      |j2 AS (SELECT j.*, l1.ti AS t1, l1.pre AS pre1 FROM j, l1),
+      |leftc AS (SELECT m, ti, 'left' AS side,
+      |    round((CAST(ti AS DOUBLE)
+      |      * (CAST(CAST(pre AS VARCHAR) AS DOUBLE) / CAST(ti AS DOUBLE)
+      |         - CAST(CAST(pre1 AS VARCHAR) AS DOUBLE)
+      |           / CAST(t1 AS DOUBLE))
+      |      * (CAST(CAST(pre AS VARCHAR) AS DOUBLE) / CAST(ti AS DOUBLE)
+      |         - CAST(CAST(pre1 AS VARCHAR) AS DOUBLE)
+      |           / CAST(t1 AS DOUBLE))
+      |      + CAST(t1 - ti AS DOUBLE)
+      |      * (CAST(CAST(pre1 - pre AS VARCHAR) AS DOUBLE)
+      |           / CAST(t1 - ti AS DOUBLE)
+      |         - CAST(CAST(pre1 AS VARCHAR) AS DOUBLE)
+      |           / CAST(t1 AS DOUBLE))
+      |      * (CAST(CAST(pre1 - pre AS VARCHAR) AS DOUBLE)
+      |           / CAST(t1 - ti AS DOUBLE)
+      |         - CAST(CAST(pre1 AS VARCHAR) AS DOUBLE)
+      |           / CAST(t1 AS DOUBLE))) / 1000000000.0, 4) AS g
+      |  FROM j2 WHERE ti >= 6 AND t1 - ti >= 6),
+      |rightc AS (SELECT m, ti, 'right' AS side,
+      |    round((CAST(ti - t1 AS DOUBLE)
+      |      * (CAST(CAST(pre - pre1 AS VARCHAR) AS DOUBLE)
+      |           / CAST(ti - t1 AS DOUBLE)
+      |         - CAST(CAST(stot - pre1 AS VARCHAR) AS DOUBLE)
+      |           / CAST(n - t1 AS DOUBLE))
+      |      * (CAST(CAST(pre - pre1 AS VARCHAR) AS DOUBLE)
+      |           / CAST(ti - t1 AS DOUBLE)
+      |         - CAST(CAST(stot - pre1 AS VARCHAR) AS DOUBLE)
+      |           / CAST(n - t1 AS DOUBLE))
+      |      + CAST(n - ti AS DOUBLE)
+      |      * (CAST(CAST(stot - pre AS VARCHAR) AS DOUBLE)
+      |           / CAST(n - ti AS DOUBLE)
+      |         - CAST(CAST(stot - pre1 AS VARCHAR) AS DOUBLE)
+      |           / CAST(n - t1 AS DOUBLE))
+      |      * (CAST(CAST(stot - pre AS VARCHAR) AS DOUBLE)
+      |           / CAST(n - ti AS DOUBLE)
+      |         - CAST(CAST(stot - pre1 AS VARCHAR) AS DOUBLE)
+      |           / CAST(n - t1 AS DOUBLE))) / 1000000000.0, 4) AS g
+      |  FROM j2 WHERE ti - t1 >= 6 AND n - ti >= 6),
+      |l2 AS (SELECT * FROM (SELECT * FROM leftc UNION ALL
+      |    SELECT * FROM rightc) u
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY side
+      |    ORDER BY g DESC, ti) = 1)
+      |SELECT 1 AS level, 'all' AS side, m AS split_month,
+      |  ti AS split_t, g AS gain_r FROM l1
+      |UNION ALL
+      |SELECT 2, side, m, ti, g FROM l2
+      |ORDER BY level, side""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "a70_binary_segmentation" -> a70BinarySegmentation)
+
+  val oracleSql: Map[String, String] = Map(
+    "a70_binary_segmentation" -> a70BinarySegmentationSql)
+}

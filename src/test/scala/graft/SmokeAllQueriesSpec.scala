@@ -41,6 +41,8 @@ class SmokeAllQueriesSpec extends AnyFunSuite {
     "a69_ljung_box" -> Set("GLOBALWIN", "BNLJ"),
     // lang-domain-bounded allocation windows (≤ a few dozen rows)
     "p_mixture_temperature" -> Set("GLOBALWIN"),
+    // month-axis candidate ranks + three 1-row chosen-split broadcasts
+    "a70_binary_segmentation" -> Set("GLOBALWIN", "BNLJ"),
     "w44_cross_correlation" -> Set("GLOBALWIN"),
     // category-domain-bounded cell tables (≤ 5×25 rows)
     "ml_mutual_info" -> Set("GLOBALWIN"),
