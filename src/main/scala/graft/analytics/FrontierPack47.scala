@@ -951,8 +951,11 @@ object Frontier51Queries {
         round(col("fr"), 6).as("fitted_r"))
       .orderBy("month")
   }
-  private val w45HoltWintersSql =
-    """WITH RECURSIVE m AS (
+  /** Shared CTE body (m, i, s1, s2, init, hw) — reused verbatim by
+    * ml_forecast_eval's oracle so the two entries replay ONE recursion
+    * definition, not two copies that could drift. */
+  private[analytics] val w45HoltWintersCore =
+    """m AS (
       |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
       |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
       |  FROM orders GROUP BY 1),
@@ -979,7 +982,10 @@ object Frontier51Queries {
       |    hw.sl[2:12] ||
       |      [0.5 * (i.x - (0.5 * (i.x - hw.sl[1])
       |         + 0.5 * (hw.l + hw.b))) + 0.5 * hw.sl[1]]
-      |  FROM hw JOIN i ON i.t = hw.t + 1)
+      |  FROM hw JOIN i ON i.t = hw.t + 1)""".stripMargin
+
+  private val w45HoltWintersSql =
+    s"""WITH RECURSIVE $w45HoltWintersCore
       |SELECT i.month, round(i.x, 4) AS revenue_r,
       |  round(cur.l, 6) AS level_r, round(cur.b, 6) AS trend_r,
       |  round(cur.sl[12], 6) AS season_r,
@@ -1502,9 +1508,116 @@ object Frontier53Queries {
       |SELECT 2, side, m, ti, g FROM l2
       |ORDER BY level, side""".stripMargin
 
+
+  // ------------------------------------------------------------------
+  // ml_forecast_eval — backtest scorecard for the w45 Holt–Winters
+  // one-step forecasts vs the SEASONAL-NAIVE baseline (x̂_t = x_{t−12},
+  // the baseline every forecast must beat to justify its state): MAE /
+  // RMSE / MAPE per model from the SAME emitted rows, plus the skill
+  // score 1 − MAE_hw/MAE_naive. Errors are computed from the frozen
+  // round-4/round-6 outputs, re-frozen as decimals before the
+  // reordering sums — the oracle nests the full w45 recursive CTE and
+  // scores identically. Composition, not duplication: the Spark side
+  // literally aggregates the w45 entry's DataFrame.
+  // ------------------------------------------------------------------
+  private val mlForecastEval: QFn = (s, dir) => {
+    val w = Window.orderBy("month")
+    val hw = Frontier51Queries.queries("w45_holt_winters")(s, dir)
+      .select(col("month"), col("revenue_r"), col("fitted_r"))
+    val monthly = t(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+        .as("month"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 4))).as("rev"))
+      .withColumn("x", round(col("rev").cast("string").cast("double"), 4))
+      .withColumn("naive", lag(col("x"), 12).over(w))
+    val j = hw.join(monthly.select(col("month"), col("x"), col("naive")),
+      Seq("month"))
+    def scoreOf(err: Column, x: Column, tag: String): Column = err
+    val scored = j
+      .withColumn("e_hw",
+        (col("revenue_r") - col("fitted_r")).cast(DecimalType(18, 6)))
+      .withColumn("e_nv",
+        (col("x") - col("naive")).cast(DecimalType(18, 6)))
+      .withColumn("ape_hw",
+        round(abs((col("revenue_r") - col("fitted_r"))
+          / col("revenue_r")), 8).cast(DecimalType(18, 8)))
+      .withColumn("ape_nv",
+        round(abs((col("x") - col("naive")) / col("x")), 8)
+          .cast(DecimalType(18, 8)))
+    def arm(tag: String, e: String, ape: String): DataFrame =
+      scored.agg(count(lit(1)).as("n_scored"),
+          sum(abs(col(e))).as("sae"),
+          sum((col(e) * col(e)).cast(DecimalType(38, 12))).as("sse"),
+          sum(col(ape)).as("sape"))
+        .select(lit(tag).as("model"), col("n_scored"),
+          round(col("sae").cast("string").cast("double")
+            / col("n_scored").cast("double"), 4).as("mae_r"),
+          round(sqrt(col("sse").cast("string").cast("double")
+            / col("n_scored").cast("double")), 4).as("rmse_r"),
+          round(col("sape").cast("string").cast("double")
+            / col("n_scored").cast("double"), 6).as("mape_r"))
+    val both = arm("holt_winters", "e_hw", "ape_hw")
+      .unionByName(arm("seasonal_naive", "e_nv", "ape_nv"))
+    val wAll = Window.partitionBy()
+    both
+      .withColumn("mae_naive", max(when(col("model") === "seasonal_naive",
+        col("mae_r"))).over(wAll))
+      .withColumn("skill_r",
+        round(lit(1.0) - col("mae_r") / col("mae_naive"), 6))
+      .drop("mae_naive")
+      .orderBy("model")
+  }
+  private val mlForecastEvalSql = {
+    val hwCte = Frontier51Queries.w45HoltWintersCore
+    s"""WITH RECURSIVE $hwCte,
+       |hwo AS (SELECT i.month, round(i.x, 4) AS revenue_r,
+       |    round(prev.l + prev.b + prev.sl[1], 6) AS fitted_r
+       |  FROM hw cur JOIN hw prev ON cur.t = prev.t + 1
+       |  JOIN i ON i.t = cur.t),
+       |nv AS (SELECT month, round(CAST(CAST(rev AS VARCHAR) AS DOUBLE), 4)
+       |      AS x,
+       |    LAG(round(CAST(CAST(rev AS VARCHAR) AS DOUBLE), 4), 12)
+       |      OVER (ORDER BY month) AS naive
+       |  FROM m),
+       |j AS (SELECT hwo.month, revenue_r, fitted_r, nv.x, nv.naive
+       |  FROM hwo JOIN nv ON hwo.month = nv.month),
+       |scored AS (SELECT
+       |    CAST(revenue_r - fitted_r AS DECIMAL(19,6)) AS e_hw,
+       |    CAST(x - naive AS DECIMAL(19,6)) AS e_nv,
+       |    CAST(round(ABS((revenue_r - fitted_r) / revenue_r), 8)
+       |      AS DECIMAL(19,8)) AS ape_hw,
+       |    CAST(round(ABS((x - naive) / x), 8) AS DECIMAL(19,8)) AS ape_nv
+       |  FROM j),
+       |arms AS (
+       |  SELECT 'holt_winters' AS model, COUNT(*) AS n_scored,
+       |    round(CAST(CAST(SUM(ABS(e_hw)) AS VARCHAR) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE), 4) AS mae_r,
+       |    round(sqrt(CAST(CAST(SUM(CAST(e_hw * e_hw AS DECIMAL(38,12)))
+       |        AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)), 4)
+       |      AS rmse_r,
+       |    round(CAST(CAST(SUM(ape_hw) AS VARCHAR) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE), 6) AS mape_r
+       |  FROM scored
+       |  UNION ALL
+       |  SELECT 'seasonal_naive', COUNT(*),
+       |    round(CAST(CAST(SUM(ABS(e_nv)) AS VARCHAR) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE), 4),
+       |    round(sqrt(CAST(CAST(SUM(CAST(e_nv * e_nv AS DECIMAL(38,12)))
+       |        AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)), 4),
+       |    round(CAST(CAST(SUM(ape_nv) AS VARCHAR) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE), 6)
+       |  FROM scored)
+       |SELECT model, n_scored, mae_r, rmse_r, mape_r,
+       |  round(1.0 - mae_r / (SELECT mae_r FROM arms
+       |    WHERE model = 'seasonal_naive'), 6) AS skill_r
+       |FROM arms ORDER BY model""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
-    "a70_binary_segmentation" -> a70BinarySegmentation)
+    "a70_binary_segmentation" -> a70BinarySegmentation,
+    "ml_forecast_eval" -> mlForecastEval)
 
   val oracleSql: Map[String, String] = Map(
-    "a70_binary_segmentation" -> a70BinarySegmentationSql)
+    "a70_binary_segmentation" -> a70BinarySegmentationSql,
+    "ml_forecast_eval" -> mlForecastEvalSql)
 }
