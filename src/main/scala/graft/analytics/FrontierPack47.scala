@@ -1532,7 +1532,6 @@ object Frontier53Queries {
       .withColumn("naive", lag(col("x"), 12).over(w))
     val j = hw.join(monthly.select(col("month"), col("x"), col("naive")),
       Seq("month"))
-    def scoreOf(err: Column, x: Column, tag: String): Column = err
     val scored = j
       .withColumn("e_hw",
         (col("revenue_r") - col("fitted_r")).cast(DecimalType(18, 6)))

@@ -43,6 +43,8 @@ class SmokeAllQueriesSpec extends AnyFunSuite {
     "p_mixture_temperature" -> Set("GLOBALWIN"),
     // month-axis candidate ranks + three 1-row chosen-split broadcasts
     "a70_binary_segmentation" -> Set("GLOBALWIN", "BNLJ"),
+    // 2-row model-arm window for the shared naive-MAE denominator
+    "ml_forecast_eval" -> Set("GLOBALWIN", "BNLJ"),
     "w44_cross_correlation" -> Set("GLOBALWIN"),
     // category-domain-bounded cell tables (≤ 5×25 rows)
     "ml_mutual_info" -> Set("GLOBALWIN"),
