@@ -72,6 +72,7 @@ object SparkEntry {
       analytics.Frontier51Queries.queries ++
       analytics.Frontier52Queries.queries ++
       analytics.Frontier53Queries.queries ++
+      analytics.Frontier54Queries.queries ++
       analytics.SqlFrontDoorQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -130,5 +131,6 @@ object SparkEntry {
       analytics.Frontier51Queries.oracleSql ++
       analytics.Frontier52Queries.oracleSql ++
       analytics.Frontier53Queries.oracleSql ++
+      analytics.Frontier54Queries.oracleSql ++
       analytics.SqlFrontDoorQueries.oracleSql
 }

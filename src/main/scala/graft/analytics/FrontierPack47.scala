@@ -1620,3 +1620,112 @@ object Frontier53Queries {
     "a70_binary_segmentation" -> a70BinarySegmentationSql,
     "ml_forecast_eval" -> mlForecastEvalSql)
 }
+
+/** Round-7 third-session widening, eighth pack: exact Shapley-value
+  * multi-touch attribution — the game-theoretic answer to "which
+  * channel deserves the conversion credit?" that last-touch
+  * (ev_attribution) and position rules approximate. With 3 channels
+  * the coalition lattice is 8 nodes, so the Shapley sum is EXACT: no
+  * sampling, no permutation Monte Carlo.
+  */
+object Frontier54Queries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------------------------
+  // ev_shapley_attribution — journeys = user × epoch-week; touched set
+  // S ∈ {click, view, signup} as a 3-bit mask; converted = any
+  // purchase that week. Coalition value v(T) = conversions from
+  // journeys with S ⊆ T (bitwise S&T=S — v(∅) is the organic
+  // baseline, which the marginal differences net out). Shapley:
+  // φᵢ = Σ_{T⊆C∖{i}} |T|!(2−|T|)!/3! · (v(T∪{i})−v(T)) — with |C|=3
+  // the weights are 2/6, 1/6, 1/6, 2/6, so 6·φᵢ is an exact INTEGER
+  // computed from the 8 coalition values; the only doubles are the
+  // final /6 divisions. The data-sized work is one groupBy to
+  // journeys and one to the ≤8 mask cells; the lattice walk is an
+  // 8-value driver fold (the watermark-scalar class of bounded
+  // collect).
+  // ------------------------------------------------------------------
+  private val evShapleyAttribution: QFn = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("(ts div 1000000) div 604800000").as("wk"))
+    val journeys = ev.groupBy("user_id", "wk").agg(
+      max(when(col("event_type") === "click", 1).otherwise(0)).as("c"),
+      max(when(col("event_type") === "view", 2).otherwise(0)).as("v"),
+      max(when(col("event_type") === "signup", 4).otherwise(0)).as("g"),
+      max(when(col("event_type") === "purchase", 1).otherwise(0))
+        .as("conv"))
+      .select((col("c") + col("v") + col("g")).as("sbits"), col("conv"))
+    val cells = journeys.groupBy("sbits")
+      .agg(sum(col("conv")).cast("long").as("n_conv"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // v(T) = Σ_{S ⊆ T} conv(S) over the 8-node lattice (exact longs)
+    val vOf: Map[Int, Long] = (0 until 8).map { t =>
+      t -> (0 until 8).filter(ss => (ss & t) == ss)
+        .map(ss => cells.getOrElse(ss, 0L)).sum
+    }.toMap
+    def num(i: Int): Long = {
+      val others = Seq(1, 2, 4).filterNot(_ == i)
+      val (j, k) = (others.head, others.last)
+      2L * (vOf(i) - vOf(0)) +
+        (vOf(i | j) - vOf(j)) + (vOf(i | k) - vOf(k)) +
+        2L * (vOf(7) - vOf(7 & ~i))
+    }
+    val totalNum = num(1) + num(2) + num(4)
+    import s.implicits._
+    Seq(("click", num(1)), ("signup", num(4)), ("view", num(2)))
+      .toDF("channel", "phi6")
+      .select(col("channel"),
+        round(col("phi6").cast("double") / 6.0, 6).as("shapley_r"),
+        round(col("phi6").cast("double") / lit(totalNum.toDouble), 6)
+          .as("share_r"))
+      .orderBy("channel")
+  }
+  private val evShapleyAttributionSql =
+    """WITH e AS (SELECT user_id, event_type,
+      |    epoch_ms(ts) // 604800000 AS wk FROM events),
+      |j AS (SELECT user_id, wk,
+      |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |    + MAX(CASE WHEN event_type = 'view' THEN 2 ELSE 0 END)
+      |    + MAX(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END)
+      |      AS sbits,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS conv
+      |  FROM e GROUP BY 1, 2),
+      |cells AS (SELECT sbits, CAST(SUM(conv) AS BIGINT) AS n_conv
+      |  FROM j GROUP BY 1),
+      |td AS (SELECT unnest(range(0, 8)) AS t),
+      |v AS (SELECT td.t, CAST(COALESCE(SUM(c.n_conv), 0) AS BIGINT) AS v
+      |  FROM td LEFT JOIN cells c ON (c.sbits & td.t) = c.sbits
+      |  GROUP BY 1),
+      |phis AS (SELECT 'click' AS channel,
+      |    2 * ((SELECT v FROM v WHERE t = 1) - (SELECT v FROM v WHERE t = 0))
+      |    + ((SELECT v FROM v WHERE t = 3) - (SELECT v FROM v WHERE t = 2))
+      |    + ((SELECT v FROM v WHERE t = 5) - (SELECT v FROM v WHERE t = 4))
+      |    + 2 * ((SELECT v FROM v WHERE t = 7) - (SELECT v FROM v WHERE t = 6))
+      |      AS phi6
+      |  UNION ALL
+      |  SELECT 'view',
+      |    2 * ((SELECT v FROM v WHERE t = 2) - (SELECT v FROM v WHERE t = 0))
+      |    + ((SELECT v FROM v WHERE t = 3) - (SELECT v FROM v WHERE t = 1))
+      |    + ((SELECT v FROM v WHERE t = 6) - (SELECT v FROM v WHERE t = 4))
+      |    + 2 * ((SELECT v FROM v WHERE t = 7) - (SELECT v FROM v WHERE t = 5))
+      |  UNION ALL
+      |  SELECT 'signup',
+      |    2 * ((SELECT v FROM v WHERE t = 4) - (SELECT v FROM v WHERE t = 0))
+      |    + ((SELECT v FROM v WHERE t = 5) - (SELECT v FROM v WHERE t = 1))
+      |    + ((SELECT v FROM v WHERE t = 6) - (SELECT v FROM v WHERE t = 2))
+      |    + 2 * ((SELECT v FROM v WHERE t = 7) - (SELECT v FROM v WHERE t = 3)))
+      |SELECT channel,
+      |  round(CAST(phi6 AS DOUBLE) / 6.0, 6) AS shapley_r,
+      |  round(CAST(phi6 AS DOUBLE)
+      |    / CAST((SELECT SUM(phi6) FROM phis) AS DOUBLE), 6) AS share_r
+      |FROM phis ORDER BY channel""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "ev_shapley_attribution" -> evShapleyAttribution)
+
+  val oracleSql: Map[String, String] = Map(
+    "ev_shapley_attribution" -> evShapleyAttributionSql)
+}
