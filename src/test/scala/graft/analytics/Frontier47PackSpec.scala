@@ -149,6 +149,87 @@ class Frontier47PackSpec extends AnyFunSuite {
     byImage.foreach { case (id, n) => assert(n == feats(id)) }
   }
 
+  test("p_mixture_temperature: allocations sum EXACTLY to the budget") {
+    val rows = run("p_mixture_temperature")
+    assert(rows.map(_.getLong(4)).sum == 10000L)
+    // temperature < 1 flattens: max share of allocs < max share of docs
+    val nTot = rows.map(_.getLong(1)).sum.toDouble
+    val maxDocShare = rows.map(_.getLong(1)).max / nTot
+    val maxAllocShare = rows.map(_.getLong(4)).max / 10000.0
+    assert(maxAllocShare < maxDocShare)
+  }
+
+  test("i28: the six residue classes compact to their expected net ops") {
+    val rows = run("i28_cdc_net_changes")
+    val byMod = rows.groupBy(_.getLong(0) % 6)
+    assert(!byMod.contains(1L)) // I…D cancels entirely
+    assert(byMod(0L).forall(_.getString(2) == "I")) // I,U,U → I
+    assert(byMod(2L).forall(_.getString(2) == "U"))
+    assert(byMod(3L).forall(_.getString(2) == "D"))
+    assert(byMod(4L).forall(_.getString(2) == "U")) // D…I → update
+    assert(byMod(5L).forall(_.getString(2) == "I"))
+    rows.foreach { r =>
+      if (r.getString(2) == "D") assert(r.isNullAt(3))
+      else assert(!r.isNullAt(3))
+    }
+  }
+
+  test("ann_ivf_pq: 10 results, ADC ascending, and a subset of the " +
+    "probed-cell corpus scored identically to ann_pq_topk's codes") {
+    val rows = run("ann_ivf_pq_topk")
+    assert(rows.length == 10)
+    val adcs = rows.map(_.getDouble(5))
+    assert(adcs.sameElements(adcs.sorted))
+    rows.foreach(r => (1 to 4).foreach { i =>
+      val c = r.getInt(i); assert(c >= 0 && c < 8)
+    })
+  }
+
+  test("a70: level-2 splits land strictly inside their level-1 sides") {
+    val rows = run("a70_binary_segmentation")
+    val t1 = rows.find(_.getInt(0) == 1).get.getLong(3)
+    rows.filter(_.getInt(0) == 2).foreach { r =>
+      if (r.getString(1) == "left") assert(r.getLong(3) < t1)
+      else assert(r.getLong(3) > t1)
+      assert(r.getDouble(4) >= 0.0) // SS gain is non-negative
+    }
+  }
+
+  test("ml_forecast_eval: the seasonal-naive arm has zero skill by " +
+    "definition; both arms score the same months") {
+    val rows = run("ml_forecast_eval")
+    val naive = rows.find(_.getString(0) == "seasonal_naive").get
+    assert(naive.getDouble(5) == 0.0)
+    assert(rows.map(_.getLong(1)).distinct.length == 1)
+    rows.foreach(r => assert(r.getDouble(2) >= 0 && r.getDouble(3) >= 0))
+  }
+
+  test("ev_shapley_attribution: channel shares sum to 1") {
+    val rows = run("ev_shapley_attribution")
+    assert(rows.length == 3)
+    val tot = rows.map(_.getDouble(2)).sum
+    assert(math.abs(tot - 1.0) < 1e-4)
+  }
+
+  test("st_tws_timers: every fired timer reports the user's full " +
+    "event count, 29 days after their first event") {
+    val fired = run("st_tws_timers")
+    val truth = graft.Tables.load(spark, sf, "events")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.min(
+          org.apache.spark.sql.functions.expr("ts div 1000000")).as("f"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(fired.nonEmpty)
+    fired.foreach { r =>
+      val (n, f) = truth(r.getLong(0))
+      assert(r.getLong(2) == n)
+      assert(r.getLong(1) == f + 29L * 86400000L)
+    }
+  }
+
   test("st_chained_agg: each hourly rollup aggregates 1..4 quarters " +
     "covering its event count") {
     val rows = run("st_chained_agg")
