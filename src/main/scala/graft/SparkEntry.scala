@@ -73,6 +73,7 @@ object SparkEntry {
       analytics.Frontier52Queries.queries ++
       analytics.Frontier53Queries.queries ++
       analytics.Frontier54Queries.queries ++
+      analytics.Frontier55Queries.queries ++
       analytics.SqlFrontDoorQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -132,5 +133,6 @@ object SparkEntry {
       analytics.Frontier52Queries.oracleSql ++
       analytics.Frontier53Queries.oracleSql ++
       analytics.Frontier54Queries.oracleSql ++
+      analytics.Frontier55Queries.oracleSql ++
       analytics.SqlFrontDoorQueries.oracleSql
 }

@@ -1729,3 +1729,83 @@ object Frontier54Queries {
   val oracleSql: Map[String, String] = Map(
     "ev_shapley_attribution" -> evShapleyAttributionSql)
 }
+
+/** Round-7 third-session widening, ninth pack: the Mann–Kendall trend
+  * test — the nonparametric "is there ANY monotone trend?" companion
+  * to a33's Theil–Sen slope estimate (MK tests the significance that
+  * Theil–Sen only sizes), with the full tie-corrected variance.
+  */
+object Frontier55Queries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ------------------------------------------------------------------
+  // a71_mann_kendall — S = Σ_{i<j} sign(xⱼ − xᵢ) over the monthly
+  // revenue series: signs are decided on EXACT decimals (no double
+  // enters until the z statistic), the pair lattice is the
+  // calendar-bounded month axis squared (≤ 84² — the allowlisted
+  // bounded non-equi join class), and Var(S) carries the full tie
+  // correction Σt(t−1)(2t+5). z applies the ±1 continuity correction
+  // with the same three-way branch in both engines.
+  // ------------------------------------------------------------------
+  private val a71MannKendall: QFn = (s, dir) => {
+    val monthly = t(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+        .as("m"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(16, 4))).as("rev"))
+    val a = monthly.select(col("m").as("ma"), col("rev").as("xa"))
+    val b = monthly.select(col("m").as("mb"), col("rev").as("xb"))
+    val pairs = a.join(b, col("ma") < col("mb"))
+      .agg(sum(when(col("xb") > col("xa"), 1L)
+        .when(col("xb") < col("xa"), -1L).otherwise(0L)).as("s_stat"))
+    val ties = monthly.groupBy("rev").agg(count(lit(1)).as("tc"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(col("tc")).as("n"),
+        sum(col("tc") * (col("tc") - 1) * (col("tc") * 2 + 5))
+          .as("tie_term"))
+    val j = pairs.crossJoin(broadcast(ties))
+    val nD = col("n").cast("double")
+    val varS = (nD * (nD - 1.0) * (nD * 2.0 + 5.0)
+      - col("tie_term").cast("double")) / 18.0
+    val sD = col("s_stat").cast("double")
+    j.select(col("n").as("n_months"), col("s_stat"),
+      col("n_distinct"),
+      round(varS, 6).as("var_s_r"),
+      round(when(col("s_stat") > 0, (sD - 1.0) / sqrt(varS))
+        .when(col("s_stat") < 0, (sD + 1.0) / sqrt(varS))
+        .otherwise(0.0), 6).as("z_r"))
+  }
+  private val a71MannKendallSql =
+    """WITH mo AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+      |      AS m,
+      |    SUM(CAST(o_totalprice AS DECIMAL(16,4))) AS rev
+      |  FROM orders GROUP BY 1),
+      |p AS (SELECT CAST(SUM(CASE WHEN b.rev > a.rev THEN 1
+      |    WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      |  FROM mo a JOIN mo b ON a.m < b.m),
+      |tg AS (SELECT rev, COUNT(*) AS tc FROM mo GROUP BY 1),
+      |ties AS (SELECT COUNT(*) AS n_distinct,
+      |    CAST(SUM(tc) AS BIGINT) AS n,
+      |    CAST(SUM(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS tie_term
+      |  FROM tg)
+      |SELECT n AS n_months, s_stat, n_distinct,
+      |  round((CAST(n AS DOUBLE) * (n - 1.0) * (2.0 * n + 5.0)
+      |    - CAST(tie_term AS DOUBLE)) / 18.0, 6) AS var_s_r,
+      |  round(CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0)
+      |      / sqrt((CAST(n AS DOUBLE) * (n - 1.0) * (2.0 * n + 5.0)
+      |        - CAST(tie_term AS DOUBLE)) / 18.0)
+      |    WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0)
+      |      / sqrt((CAST(n AS DOUBLE) * (n - 1.0) * (2.0 * n + 5.0)
+      |        - CAST(tie_term AS DOUBLE)) / 18.0)
+      |    ELSE 0.0 END, 6) AS z_r
+      |FROM p, ties""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "a71_mann_kendall" -> a71MannKendall)
+
+  val oracleSql: Map[String, String] = Map(
+    "a71_mann_kendall" -> a71MannKendallSql)
+}

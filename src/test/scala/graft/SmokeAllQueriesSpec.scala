@@ -45,6 +45,8 @@ class SmokeAllQueriesSpec extends AnyFunSuite {
     "a70_binary_segmentation" -> Set("GLOBALWIN", "BNLJ"),
     // 2-row model-arm window for the shared naive-MAE denominator
     "ml_forecast_eval" -> Set("GLOBALWIN", "BNLJ"),
+    // 84x84 bounded month-pair lattice + 1-row tie-stats broadcast
+    "a71_mann_kendall" -> Set("BNLJ"),
     "w44_cross_correlation" -> Set("GLOBALWIN"),
     // category-domain-bounded cell tables (≤ 5×25 rows)
     "ml_mutual_info" -> Set("GLOBALWIN"),
