@@ -74,6 +74,7 @@ object SparkEntry {
       analytics.Frontier53Queries.queries ++
       analytics.Frontier54Queries.queries ++
       analytics.Frontier55Queries.queries ++
+      analytics.Frontier56Queries.queries ++
       analytics.SqlFrontDoorQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -134,5 +135,6 @@ object SparkEntry {
       analytics.Frontier53Queries.oracleSql ++
       analytics.Frontier54Queries.oracleSql ++
       analytics.Frontier55Queries.oracleSql ++
+      analytics.Frontier56Queries.oracleSql ++
       analytics.SqlFrontDoorQueries.oracleSql
 }

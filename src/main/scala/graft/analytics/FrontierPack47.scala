@@ -1809,3 +1809,89 @@ object Frontier55Queries {
   val oracleSql: Map[String, String] = Map(
     "a71_mann_kendall" -> a71MannKendallSql)
 }
+
+/** Round-7 third-session widening, tenth pack: net revenue retention —
+  * the cohort-revenue bridge metric (NRR/GRR) every subscription
+  * business reports: of the revenue base year Y, how much do the SAME
+  * customers spend in Y+1 (gross = capped at their base, net =
+  * including expansion)?
+  */
+object Frontier56Queries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ------------------------------------------------------------------
+  // q48_net_revenue_retention — customer×year revenue (exact decimal),
+  // self-joined to the following year on the customer key (shuffle-
+  // partitioned equi join, no window), rolled up per base year with
+  // both retention flavors: NRR = Σrev_{y+1}/Σrev_y over base-year
+  // customers (expansion counts), GRR = Σmin(rev_{y+1}, rev_y)/Σrev_y
+  // (expansion capped — churn-only). Base years are restricted to
+  // those with a complete following year in the data (year-domain
+  // semi-join, broadcast). Decimal min() keeps GRR exact; the two
+  // ratios are the only doubles.
+  // ------------------------------------------------------------------
+  private val q48NetRevenueRetention: QFn = (s, dir) => {
+    val cy = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("ck"),
+        year(col("o_orderdate")).as("y"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(16, 4))).as("rev"))
+    val years = cy.select(col("y")).distinct()
+    val basable = years.as("a")
+      .join(broadcast(years.as("b")),
+        col("a.y") + 1 === col("b.y"), "left_semi")
+    val nxt = cy.select(col("ck"), (col("y") - 1).as("y"),
+      col("rev").as("rev_next"))
+    cy.join(broadcast(basable), Seq("y"), "left_semi")
+      .join(nxt, Seq("ck", "y"), "left")
+      .withColumn("rn", coalesce(col("rev_next"),
+        lit(0).cast(DecimalType(16, 4))))
+      .groupBy(col("y").as("base_year"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("rev_next").isNotNull, 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(col("rev")).as("base_rev"),
+        sum(col("rn")).as("next_rev"),
+        sum(least(col("rn"), col("rev"))).as("capped_rev"))
+      .select(col("base_year"), col("n_customers"), col("n_retained"),
+        col("base_rev").cast("string").cast("double").as("base_rev_d"),
+        round(col("next_rev").cast("string").cast("double")
+          / col("base_rev").cast("string").cast("double"), 6)
+          .as("nrr_r"),
+        round(col("capped_rev").cast("string").cast("double")
+          / col("base_rev").cast("string").cast("double"), 6)
+          .as("grr_r"))
+      .orderBy("base_year")
+  }
+  private val q48NetRevenueRetentionSql =
+    """WITH cy AS (SELECT o_custkey AS ck,
+      |    CAST(year(o_orderdate) AS INT) AS y,
+      |    SUM(CAST(o_totalprice AS DECIMAL(16,4))) AS rev
+      |  FROM orders GROUP BY 1, 2),
+      |yrs AS (SELECT DISTINCT y FROM cy),
+      |basable AS (SELECT a.y FROM yrs a
+      |  WHERE EXISTS (SELECT 1 FROM yrs b WHERE b.y = a.y + 1)),
+      |j AS (SELECT cy.y, cy.ck, cy.rev, n.rev AS rev_next,
+      |    COALESCE(n.rev, CAST(0 AS DECIMAL(16,4))) AS rn
+      |  FROM cy
+      |  JOIN basable ON cy.y = basable.y
+      |  LEFT JOIN cy n ON n.ck = cy.ck AND n.y = cy.y + 1)
+      |SELECT y AS base_year, COUNT(*) AS n_customers,
+      |  CAST(SUM(CASE WHEN rev_next IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_retained,
+      |  CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS base_rev_d,
+      |  round(CAST(CAST(SUM(rn) AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE), 6) AS nrr_r,
+      |  round(CAST(CAST(SUM(LEAST(rn, rev)) AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE), 6) AS grr_r
+      |FROM j GROUP BY 1 ORDER BY base_year""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "q48_net_revenue_retention" -> q48NetRevenueRetention)
+
+  val oracleSql: Map[String, String] = Map(
+    "q48_net_revenue_retention" -> q48NetRevenueRetentionSql)
+}
