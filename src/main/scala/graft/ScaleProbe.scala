@@ -259,6 +259,14 @@ object ScaleProbe {
         Similarity.lshMultiprobeTopK(big, "vec_id", "embedding", q,
           k = 10, dim = 64, bands = 3, planesPerBand = 6).count()
       }
+      time("ivf_pq_train_probe") {
+        val cents = Similarity.ivfTrain(big, "vec_id", "embedding",
+          dim = 64, nlist = 16, iterations = 1)
+        val books = Similarity.pqTrain(big, "vec_id", "embedding",
+          dim = 64, m = 4, k = 16, iterations = 1)
+        Similarity.ivfPqTopK(big, "vec_id", "embedding", q, k = 10,
+          cents, books, nprobe = 4).count()
+      }
     }
     if (families("prefix")) {
       // 10x lineitem: global cumulative revenue share over ~200k parts
