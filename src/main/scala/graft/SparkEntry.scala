@@ -75,6 +75,7 @@ object SparkEntry {
       analytics.Frontier54Queries.queries ++
       analytics.Frontier55Queries.queries ++
       analytics.Frontier56Queries.queries ++
+      analytics.Frontier57Queries.queries ++
       analytics.SqlFrontDoorQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -136,5 +137,6 @@ object SparkEntry {
       analytics.Frontier54Queries.oracleSql ++
       analytics.Frontier55Queries.oracleSql ++
       analytics.Frontier56Queries.oracleSql ++
+      analytics.Frontier57Queries.oracleSql ++
       analytics.SqlFrontDoorQueries.oracleSql
 }

@@ -1895,3 +1895,166 @@ object Frontier56Queries {
   val oracleSql: Map[String, String] = Map(
     "q48_net_revenue_retention" -> q48NetRevenueRetentionSql)
 }
+
+/** Round-7 third-session widening, eleventh pack: column envelope
+  * encryption through Spark's native `aes_encrypt`/`aes_decrypt`
+  * expression pair (the at-rest protection layer under the masking /
+  * RLS / pseudonymization surface x2/x7 already cover), and
+  * split-conformal prediction intervals — the distribution-free
+  * uncertainty wrapper (Vovk; popularized as conformal prediction)
+  * that turns ANY point forecaster into a calibrated interval with
+  * finite-sample coverage guarantees.
+  */
+object Frontier57Queries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ------------------------------------------------------------------
+  // x22_column_encryption — AES round trip on the customer name
+  // column, entirely inside codegen'd native expressions (ECB mode for
+  // a deterministic ciphertext; at scale the same plan runs with GCM +
+  // key-per-partition envelope). The entry PROVES the round trip row
+  // by row — n_roundtrip_ok counts decrypt(encrypt(x)) = x — and
+  // reports the ciphertext geometry (16-byte AES blocks:
+  // ⌈(len+1)/16⌉·16). The oracle can't do AES (DuckDB has no such
+  // function) but doesn't need to: every output column is a closed
+  // form over the PLAINTEXT the round trip must reproduce.
+  // ------------------------------------------------------------------
+  private val x22ColumnEncryption: QFn = (s, dir) => {
+    val key = lit("0123456789abcdef") // 16-byte AES-128 demo key
+    val enc = expr("aes_encrypt(cast(c_name as binary), " +
+      "'0123456789abcdef', 'ECB')")
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("c_name"),
+        enc.as("ct"))
+      .withColumn("dec",
+        expr("cast(aes_decrypt(ct, '0123456789abcdef', 'ECB') as string)"))
+      .groupBy("nation")
+      .agg(count(lit(1)).as("n_names"),
+        sum(when(col("dec") === col("c_name"), 1L).otherwise(0L))
+          .as("n_roundtrip_ok"),
+        sum(length(col("ct")).cast("long")).as("ciphertext_bytes"),
+        sum(length(col("c_name")).cast("long")).as("plaintext_bytes"))
+      .orderBy("nation")
+  }
+  private val x22ColumnEncryptionSql =
+    """SELECT n_name AS nation, COUNT(*) AS n_names,
+      |  COUNT(*) AS n_roundtrip_ok,
+      |  CAST(SUM(((LENGTH(c_name) // 16) + 1) * 16) AS BIGINT)
+      |    AS ciphertext_bytes,
+      |  CAST(SUM(LENGTH(c_name)) AS BIGINT) AS plaintext_bytes
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1 ORDER BY nation""".stripMargin
+
+  // ------------------------------------------------------------------
+  // ml_conformal_interval — split-conformal regression over the
+  // monthly series: the OLS fit (a66's frozen-decimal recipe) trains
+  // on EVEN month indices, the odd-index calibration half yields the
+  // conformal quantile q = the ⌈(n_cal+1)·0.9⌉-th smallest absolute
+  // residual (an EXACT decimal order statistic — no interpolation),
+  // and the guarantee is then AUDITED: empirical coverage of
+  // ŷ ± q on the calibration half is ≥ 90% by construction. At scale
+  // the only data-sized work is the monthly rollup; the split, fit,
+  // order statistic, and audit are all O(months).
+  // ------------------------------------------------------------------
+  private val mlConformalInterval: QFn = (s, dir) => {
+    val w = Window.orderBy("m")
+    val y = t(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+        .as("m"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(16, 4))).as("rev"))
+      .withColumn("ti", row_number().over(w).cast("long"))
+      .withColumn("yv", col("rev").cast(DecimalType(16, 6)))
+      .withColumn("split",
+        when(col("ti") % 2 === 0, "train").otherwise("cal"))
+    val st = y.filter(col("split") === "train")
+      .agg(count(lit(1)).as("n"), sum(col("ti")).as("s_t"),
+        sum(col("yv")).as("s_y"),
+        sum(col("yv") * col("ti")).as("s_ty"),
+        sum(col("ti") * col("ti")).as("s_tt"))
+    val nD = col("n").cast("double")
+    val stD = col("s_t").cast("double")
+    val syD = col("s_y").cast("string").cast("double")
+    val styD = col("s_ty").cast("string").cast("double")
+    val sttD = col("s_tt").cast("double")
+    val params = st.select(
+      round((nD * styD - stD * syD) / (nD * sttD - stD * stD), 6)
+        .cast(DecimalType(16, 6)).as("b"),
+      col("s_y"), col("s_t"), col("n"))
+      .select(col("b"),
+        round((col("s_y").cast("string").cast("double")
+          - col("b").cast("string").cast("double")
+            * col("s_t").cast("double")) / col("n").cast("double"), 6)
+          .cast(DecimalType(16, 6)).as("a"))
+    val cal = y.filter(col("split") === "cal")
+      .crossJoin(broadcast(params))
+      .withColumn("absres",
+        abs(col("yv") - col("a") - col("b") * col("ti"))
+          .cast(DecimalType(16, 6)))
+    val wRank = Window.orderBy(col("absres"), col("ti"))
+    val ranked = cal
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("n_cal", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("q_rank",
+        ceil((col("n_cal") + 1).cast("double") * 0.9).cast("long"))
+    val qRow = ranked
+      .filter(col("rk") === least(col("q_rank"), col("n_cal")))
+      .select(col("absres").as("q"), col("n_cal"))
+    ranked.crossJoin(broadcast(qRow.select(col("q"))))
+      .agg(max(col("n_cal")).as("n_cal"),
+        max(col("q")).cast("string").cast("double").as("q_width_d"),
+        sum(when(col("absres") <= col("q"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .select(col("n_cal"), col("q_width_d"), col("n_covered"),
+        round(col("n_covered").cast("double")
+          / col("n_cal").cast("double"), 6).as("coverage_r"))
+  }
+  private val mlConformalIntervalSql =
+    """WITH mo AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+      |      AS m,
+      |    SUM(CAST(o_totalprice AS DECIMAL(16,4))) AS rev
+      |  FROM orders GROUP BY 1),
+      |y AS (SELECT m, CAST(rev AS DECIMAL(19,6)) AS yv,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY m) AS BIGINT) AS ti FROM mo),
+      |tr AS (SELECT * FROM y WHERE ti % 2 = 0),
+      |st AS (SELECT COUNT(*) AS n, SUM(ti) AS s_t, SUM(yv) AS s_y,
+      |    SUM(yv * ti) AS s_ty, SUM(ti * ti) AS s_tt FROM tr),
+      |p0 AS (SELECT n, s_y, s_t,
+      |    CAST(round((CAST(n AS DOUBLE) * CAST(CAST(s_ty AS VARCHAR) AS DOUBLE)
+      |        - CAST(s_t AS DOUBLE) * CAST(CAST(s_y AS VARCHAR) AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(s_tt AS DOUBLE)
+      |         - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE)), 6)
+      |      AS DECIMAL(19,6)) AS b FROM st),
+      |p AS (SELECT b,
+      |    CAST(round((CAST(CAST(s_y AS VARCHAR) AS DOUBLE)
+      |        - CAST(CAST(b AS VARCHAR) AS DOUBLE) * CAST(s_t AS DOUBLE))
+      |      / CAST(n AS DOUBLE), 6) AS DECIMAL(19,6)) AS a FROM p0),
+      |cal AS (SELECT y.ti,
+      |    CAST(ABS(y.yv - p.a - p.b * y.ti) AS DECIMAL(19,6)) AS absres
+      |  FROM y, p WHERE y.ti % 2 = 1),
+      |rk AS (SELECT ti, absres,
+      |    ROW_NUMBER() OVER (ORDER BY absres, ti) AS rk,
+      |    COUNT(*) OVER () AS n_cal FROM cal),
+      |qr AS (SELECT absres AS q FROM rk
+      |  WHERE rk = LEAST(CAST(CEIL((n_cal + 1) * 0.9) AS BIGINT), n_cal))
+      |SELECT MAX(n_cal) AS n_cal,
+      |  CAST(CAST(MAX(qr.q) AS VARCHAR) AS DOUBLE) AS q_width_d,
+      |  CAST(SUM(CASE WHEN absres <= qr.q THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_covered,
+      |  round(SUM(CASE WHEN absres <= qr.q THEN 1 ELSE 0 END)
+      |    / CAST(MAX(n_cal) AS DOUBLE), 6) AS coverage_r
+      |FROM rk, qr""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "x22_column_encryption" -> x22ColumnEncryption,
+    "ml_conformal_interval" -> mlConformalInterval)
+
+  val oracleSql: Map[String, String] = Map(
+    "x22_column_encryption" -> x22ColumnEncryptionSql,
+    "ml_conformal_interval" -> mlConformalIntervalSql)
+}

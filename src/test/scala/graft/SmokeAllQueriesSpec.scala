@@ -47,6 +47,8 @@ class SmokeAllQueriesSpec extends AnyFunSuite {
     "ml_forecast_eval" -> Set("GLOBALWIN", "BNLJ"),
     // 84x84 bounded month-pair lattice + 1-row tie-stats broadcast
     "a71_mann_kendall" -> Set("BNLJ"),
+    // month-axis residual ranks + 1-row params/quantile broadcasts
+    "ml_conformal_interval" -> Set("GLOBALWIN", "BNLJ"),
     "w44_cross_correlation" -> Set("GLOBALWIN"),
     // category-domain-bounded cell tables (≤ 5×25 rows)
     "ml_mutual_info" -> Set("GLOBALWIN"),
