@@ -76,6 +76,7 @@ object SparkEntry {
       analytics.Frontier55Queries.queries ++
       analytics.Frontier56Queries.queries ++
       analytics.Frontier57Queries.queries ++
+      analytics.Frontier58Queries.queries ++
       analytics.SqlFrontDoorQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -138,5 +139,6 @@ object SparkEntry {
       analytics.Frontier55Queries.oracleSql ++
       analytics.Frontier56Queries.oracleSql ++
       analytics.Frontier57Queries.oracleSql ++
+      analytics.Frontier58Queries.oracleSql ++
       analytics.SqlFrontDoorQueries.oracleSql
 }

@@ -2058,3 +2058,134 @@ object Frontier57Queries {
     "x22_column_encryption" -> x22ColumnEncryptionSql,
     "ml_conformal_interval" -> mlConformalIntervalSql)
 }
+
+/** Round-7 third-session widening, twelfth pack: the Hurst exponent by
+  * classical rescaled-range (R/S) analysis — the long-range-dependence
+  * readout (H≈0.5 random walk, H>0.5 persistent/trending, H<0.5
+  * mean-reverting) that complements the short-lag views a27/a69 give.
+  */
+object Frontier58Queries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ------------------------------------------------------------------
+  // a72_hurst_rs — for block sizes n ∈ {10, 20, 40}: split the monthly
+  // series into complete consecutive blocks, per block compute the
+  // range R of cumulative deviations from the block mean and the
+  // population std S, average R/S per size, then H = the 3-point OLS
+  // slope of ln(R/S) on ln(n). Determinism: block means are frozen
+  // round-6 decimals so deviations/cumulatives/ranges are EXACT
+  // decimals; S and R/S are single double expressions frozen at
+  // round-6; the final slope is driver-free arithmetic over the 3-row
+  // size axis. Windows partition by (size, block) — O(block length)
+  // each; the 3-row regression window is the bounded GLOBALWIN class.
+  // ------------------------------------------------------------------
+  private val a72HurstRs: QFn = (s, dir) => {
+    val w = Window.orderBy("m")
+    val y = t(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+        .as("m"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(16, 4))).as("rev"))
+      .withColumn("ti", (row_number().over(w) - 1).cast("long"))
+      .withColumn("yv", col("rev").cast(DecimalType(16, 6)))
+      .withColumn("n_tot", count(lit(1)).over(Window.partitionBy()))
+    val sized = y
+      .withColumn("sz", explode(array(lit(10L), lit(20L), lit(40L))))
+      .filter(col("ti") < col("sz") * floor(col("n_tot") / col("sz")))
+      .withColumn("blk", floor(col("ti") / col("sz")))
+    val wBlk = Window.partitionBy("sz", "blk")
+    val wCum = Window.partitionBy("sz", "blk").orderBy("ti")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dev = sized
+      .withColumn("mu",
+        round(sum(col("yv")).over(wBlk).cast("string").cast("double")
+          / col("sz").cast("double"), 6).cast(DecimalType(16, 6)))
+      .withColumn("d", (col("yv") - col("mu")).cast(DecimalType(16, 6)))
+      .withColumn("z", sum(col("d")).over(wCum))
+    val blocks = dev.groupBy("sz", "blk")
+      .agg((max(col("z")) - min(col("z"))).as("r"),
+        sum((col("d") * col("d")).cast(DecimalType(38, 12))).as("ssd"),
+        count(lit(1)).as("bn"))
+      .withColumn("s_std",
+        sqrt(col("ssd").cast("string").cast("double")
+          / col("bn").cast("double")))
+      .withColumn("rs",
+        round(col("r").cast("string").cast("double") / col("s_std"), 6)
+          .cast(DecimalType(18, 6)))
+    val perSize = blocks.groupBy("sz")
+      .agg(count(lit(1)).as("n_blocks"), sum(col("rs")).as("rs_sum"))
+      .select(col("sz"), col("n_blocks"),
+        round(col("rs_sum").cast("string").cast("double")
+          / col("n_blocks").cast("double"), 6).as("avg_rs_r"))
+      .withColumn("lx", log(col("sz").cast("double")))
+      .withColumn("ly", log(col("avg_rs_r")))
+    val wAll = Window.partitionBy()
+    val fit = perSize
+      .withColumn("k", count(lit(1)).over(wAll).cast("double"))
+      .withColumn("sx", sum(col("lx")).over(wAll))
+      .withColumn("sy", sum(col("ly")).over(wAll))
+      .withColumn("sxy", sum(col("lx") * col("ly")).over(wAll))
+      .withColumn("sxx", sum(col("lx") * col("lx")).over(wAll))
+      .withColumn("hurst_r",
+        round((col("k") * col("sxy") - col("sx") * col("sy"))
+          / (col("k") * col("sxx") - col("sx") * col("sx")), 6))
+    fit.select(col("sz").as("block_size"), col("n_blocks"),
+        col("avg_rs_r"), col("hurst_r"))
+      .orderBy("block_size")
+  }
+  private val a72HurstRsSql =
+    """WITH mo AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+      |      AS m,
+      |    SUM(CAST(o_totalprice AS DECIMAL(16,4))) AS rev
+      |  FROM orders GROUP BY 1),
+      |y AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY m) - 1 AS BIGINT)
+      |      AS ti,
+      |    CAST(rev AS DECIMAL(19,6)) AS yv,
+      |    COUNT(*) OVER () AS n_tot FROM mo),
+      |sized AS (SELECT y.*, s.sz,
+      |    CAST(FLOOR(ti / s.sz) AS BIGINT) AS blk
+      |  FROM y CROSS JOIN (SELECT unnest([10, 20, 40]) AS sz) s
+      |  WHERE ti < s.sz * FLOOR(n_tot / s.sz)),
+      |dev AS (SELECT sz, blk, ti, yv,
+      |    CAST(round(CAST(CAST(SUM(yv) OVER (PARTITION BY sz, blk)
+      |        AS VARCHAR) AS DOUBLE) / CAST(sz AS DOUBLE), 6)
+      |      AS DECIMAL(19,6)) AS mu
+      |  FROM sized),
+      |dz AS (SELECT sz, blk, ti,
+      |    CAST(yv - mu AS DECIMAL(19,6)) AS d FROM dev),
+      |cum AS (SELECT sz, blk, d,
+      |    SUM(d) OVER (PARTITION BY sz, blk ORDER BY ti
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS z
+      |  FROM dz),
+      |blocks AS (SELECT sz, blk, MAX(z) - MIN(z) AS r,
+      |    SUM(CAST(d * d AS DECIMAL(38,12))) AS ssd, COUNT(*) AS bn
+      |  FROM cum GROUP BY 1, 2),
+      |rs AS (SELECT sz, blk,
+      |    CAST(round(CAST(CAST(r AS VARCHAR) AS DOUBLE)
+      |      / sqrt(CAST(CAST(ssd AS VARCHAR) AS DOUBLE)
+      |        / CAST(bn AS DOUBLE)), 6) AS DECIMAL(18,6)) AS rs
+      |  FROM blocks),
+      |ps AS (SELECT sz, COUNT(*) AS n_blocks,
+      |    round(CAST(CAST(SUM(rs) AS VARCHAR) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE), 6) AS avg_rs_r FROM rs
+      |  GROUP BY 1),
+      |lg AS (SELECT sz, n_blocks, avg_rs_r,
+      |    ln(CAST(sz AS DOUBLE)) AS lx, ln(avg_rs_r) AS ly FROM ps),
+      |fit AS (SELECT sz, n_blocks, avg_rs_r,
+      |    COUNT(*) OVER () AS k, SUM(lx) OVER () AS sx,
+      |    SUM(ly) OVER () AS sy, SUM(lx * ly) OVER () AS sxy,
+      |    SUM(lx * lx) OVER () AS sxx FROM lg)
+      |SELECT sz AS block_size, n_blocks, avg_rs_r,
+      |  round((CAST(k AS DOUBLE) * sxy - sx * sy)
+      |    / (CAST(k AS DOUBLE) * sxx - sx * sx), 6) AS hurst_r
+      |FROM fit ORDER BY block_size""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "a72_hurst_rs" -> a72HurstRs)
+
+  val oracleSql: Map[String, String] = Map(
+    "a72_hurst_rs" -> a72HurstRsSql)
+}

@@ -49,6 +49,8 @@ class SmokeAllQueriesSpec extends AnyFunSuite {
     "a71_mann_kendall" -> Set("BNLJ"),
     // month-axis residual ranks + 1-row params/quantile broadcasts
     "ml_conformal_interval" -> Set("GLOBALWIN", "BNLJ"),
+    // month-count window + the 3-row size-axis regression window
+    "a72_hurst_rs" -> Set("GLOBALWIN"),
     "w44_cross_correlation" -> Set("GLOBALWIN"),
     // category-domain-bounded cell tables (≤ 5×25 rows)
     "ml_mutual_info" -> Set("GLOBALWIN"),
