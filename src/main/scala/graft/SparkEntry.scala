@@ -77,6 +77,7 @@ object SparkEntry {
       analytics.Frontier56Queries.queries ++
       analytics.Frontier57Queries.queries ++
       analytics.Frontier58Queries.queries ++
+      analytics.Frontier59Queries.queries ++
       analytics.SqlFrontDoorQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -140,5 +141,6 @@ object SparkEntry {
       analytics.Frontier56Queries.oracleSql ++
       analytics.Frontier57Queries.oracleSql ++
       analytics.Frontier58Queries.oracleSql ++
+      analytics.Frontier59Queries.oracleSql ++
       analytics.SqlFrontDoorQueries.oracleSql
 }

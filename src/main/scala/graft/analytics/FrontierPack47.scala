@@ -2189,3 +2189,103 @@ object Frontier58Queries {
   val oracleSql: Map[String, String] = Map(
     "a72_hurst_rs" -> a72HurstRsSql)
 }
+
+/** Round-7 third-session widening, thirteenth pack: pinball-loss
+  * quantile evaluation — the proper scoring rule for quantile
+  * forecasts (the q10/q50/q90 bands w41 produces and the conformal
+  * interval wraps): a forecaster minimizes expected pinball loss at τ
+  * exactly when it reports the true τ-quantile.
+  */
+object Frontier59Queries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ------------------------------------------------------------------
+  // w47_pinball_eval — the train half (even month indices) supplies
+  // empirical q10/q50/q90 as EXACT decimal order statistics (rank
+  // ⌈τ·n⌉, no interpolation); the held-out odd half scores each with
+  // the pinball loss L_τ(y,q) = max(τ·(y−q), (τ−1)·(y−q)). Losses
+  // stay exact decimals until the per-τ mean — so the whole scorecard
+  // is reproducible to the last bit, like the a16/b2 order-statistic
+  // family it extends. Everything after the monthly rollup is
+  // O(months).
+  // ------------------------------------------------------------------
+  private val w47PinballEval: QFn = (s, dir) => {
+    val w = Window.orderBy("m")
+    val y = t(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+        .as("m"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(16, 4))).as("rev"))
+      .withColumn("ti", row_number().over(w).cast("long"))
+      .withColumn("yv", col("rev").cast(DecimalType(16, 6)))
+    val train = y.filter(col("ti") % 2 === 0)
+    val wT = Window.orderBy(col("yv"), col("ti"))
+    val ranked = train
+      .withColumn("rk", row_number().over(wT))
+      .withColumn("n_tr", count(lit(1)).over(Window.partitionBy()))
+    val taus = Seq(0.1, 0.5, 0.9)
+    val qs = taus.map { tau =>
+      ranked.filter(col("rk") ===
+          ceil(col("n_tr").cast("double") * tau).cast("long"))
+        .select(lit(tau).as("tau"), col("yv").as("q"))
+    }.reduce(_ unionByName _)
+    val cal = y.filter(col("ti") % 2 === 1)
+    cal.crossJoin(broadcast(qs))
+      .withColumn("diff", (col("yv") - col("q")).cast(DecimalType(16, 6)))
+      .withColumn("loss",
+        greatest(col("diff") * col("tau"),
+          col("diff") * (col("tau") - 1.0)).cast(DecimalType(18, 6)))
+      .groupBy("tau")
+      .agg(count(lit(1)).as("n_scored"),
+        max(col("q")).cast("string").cast("double").as("q_d"),
+        sum(col("loss")).as("loss_sum"),
+        sum(when(col("yv") <= col("q"), 1L).otherwise(0L))
+          .as("n_below"))
+      .select(col("tau"), col("n_scored"), col("q_d"),
+        round(col("loss_sum").cast("string").cast("double")
+          / col("n_scored").cast("double"), 4).as("pinball_r"),
+        round(col("n_below").cast("double")
+          / col("n_scored").cast("double"), 6).as("cal_coverage_r"))
+      .orderBy("tau")
+  }
+  private val w47PinballEvalSql =
+    """WITH mo AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+      |      AS m,
+      |    SUM(CAST(o_totalprice AS DECIMAL(16,4))) AS rev
+      |  FROM orders GROUP BY 1),
+      |y AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY m) AS BIGINT) AS ti,
+      |    CAST(rev AS DECIMAL(19,6)) AS yv FROM mo),
+      |tr AS (SELECT yv, ti FROM y WHERE ti % 2 = 0),
+      |rk AS (SELECT yv,
+      |    ROW_NUMBER() OVER (ORDER BY yv, ti) AS rk,
+      |    COUNT(*) OVER () AS n_tr FROM tr),
+      |qs AS (
+      |  SELECT 0.1 AS tau, yv AS q FROM rk
+      |    WHERE rk = CAST(CEIL(n_tr * 0.1) AS BIGINT)
+      |  UNION ALL SELECT 0.5, yv FROM rk
+      |    WHERE rk = CAST(CEIL(n_tr * 0.5) AS BIGINT)
+      |  UNION ALL SELECT 0.9, yv FROM rk
+      |    WHERE rk = CAST(CEIL(n_tr * 0.9) AS BIGINT)),
+      |cal AS (SELECT yv FROM y WHERE ti % 2 = 1),
+      |sc AS (SELECT qs.tau, qs.q, cal.yv,
+      |    CAST(cal.yv - qs.q AS DECIMAL(19,6)) AS diff FROM cal, qs),
+      |lo AS (SELECT tau, q, yv,
+      |    CAST(GREATEST(diff * tau, diff * (tau - 1.0))
+      |      AS DECIMAL(19,6)) AS loss FROM sc)
+      |SELECT tau, COUNT(*) AS n_scored,
+      |  CAST(CAST(MAX(q) AS VARCHAR) AS DOUBLE) AS q_d,
+      |  round(CAST(CAST(SUM(loss) AS VARCHAR) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 4) AS pinball_r,
+      |  round(SUM(CASE WHEN yv <= q THEN 1 ELSE 0 END)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS cal_coverage_r
+      |FROM lo GROUP BY tau ORDER BY tau""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "w47_pinball_eval" -> w47PinballEval)
+
+  val oracleSql: Map[String, String] = Map(
+    "w47_pinball_eval" -> w47PinballEvalSql)
+}

@@ -323,7 +323,42 @@ object SqlFrontDoorQueries {
       |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
       |ORDER BY nation, bal DESC, c_name""".stripMargin
 
+  // U4 analog — BAG semantics set algebra as raw text: INTERSECT ALL /
+  // EXCEPT ALL keep duplicate multiplicity (min / difference of
+  // per-row counts), which the DISTINCT variants (sqlfd_intersect)
+  // deliberately erase.
+  private val fdBagSetOps =
+    """SELECT 'inter_all' AS tag, segment, COUNT(*) AS n FROM (
+      |  SELECT c_mktsegment AS segment FROM customer WHERE c_nationkey < 12
+      |  INTERSECT ALL
+      |  SELECT c_mktsegment FROM customer WHERE c_nationkey >= 12) i
+      |GROUP BY segment
+      |UNION ALL
+      |SELECT 'except_all', segment, COUNT(*) FROM (
+      |  SELECT c_mktsegment AS segment FROM customer WHERE c_nationkey < 12
+      |  EXCEPT ALL
+      |  SELECT c_mktsegment FROM customer WHERE c_nationkey >= 12) e
+      |GROUP BY segment
+      |ORDER BY tag, segment""".stripMargin
+
+  // VALUES inline table through the front door — the literal lookup /
+  // seed-rows idiom (here: a priority→tier mapping joined to real
+  // data) that ETL texts lean on constantly.
+  private val fdValuesInline =
+    """SELECT t.tier, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+      |    AS total_price
+      |FROM orders
+      |JOIN (VALUES ('1-URGENT', 'hot'), ('2-HIGH', 'hot'),
+      |             ('3-MEDIUM', 'warm'), ('4-NOT SPECIFIED', 'cold'),
+      |             ('5-LOW', 'cold')) AS t(priority, tier)
+      |  ON o_orderpriority = t.priority
+      |GROUP BY t.tier
+      |ORDER BY tier""".stripMargin
+
   private val texts: Map[String, String] = Map(
+    "sqlfd_bag_set_ops" -> fdBagSetOps,
+    "sqlfd_values_inline" -> fdValuesInline,
     "sqlfd_grouping_sets" -> fdGroupingSets,
     "sqlfd_window_frame" -> fdWindowFrame,
     "sqlfd_scalar_subquery" -> fdScalarSubquery,

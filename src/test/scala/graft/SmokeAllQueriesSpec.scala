@@ -51,6 +51,8 @@ class SmokeAllQueriesSpec extends AnyFunSuite {
     "ml_conformal_interval" -> Set("GLOBALWIN", "BNLJ"),
     // month-count window + the 3-row size-axis regression window
     "a72_hurst_rs" -> Set("GLOBALWIN"),
+    // train-half order-statistic ranks + 3-row quantile broadcast
+    "w47_pinball_eval" -> Set("GLOBALWIN", "BNLJ"),
     "w44_cross_correlation" -> Set("GLOBALWIN"),
     // category-domain-bounded cell tables (≤ 5×25 rows)
     "ml_mutual_info" -> Set("GLOBALWIN"),
