@@ -10,7 +10,20 @@ import graft.Tables
 //   Frontier47Queries: a65_runs_test, a66_durbin_watson, a67_grubbs_test
 //   Frontier48Queries: ml_mutual_info, w44_cross_correlation, x20_t_closeness
 //   Frontier49Queries: x21_cell_suppression, g_component_stats, u5_pivot
-//   Frontier50Queries: st_chained_agg (in StreamingQueries-style harness)
+//   Frontier50Queries: eval_cohens_kappa, a68_cochran_armitage,
+//                      mm_channel_histogram
+//   Frontier51Queries: w45_holt_winters, a69_ljung_box, eval_fleiss_kappa
+//   Frontier52Queries: i28_cdc_net_changes, p_mixture_temperature
+//   Frontier53Queries: a70_binary_segmentation, ml_forecast_eval
+//   Frontier54Queries: ev_shapley_attribution
+//   Frontier55Queries: a71_mann_kendall
+//   Frontier56Queries: q48_net_revenue_retention
+//   Frontier57Queries: x22_column_encryption, ml_conformal_interval
+//   Frontier58Queries: a72_hurst_rs
+//   Frontier59Queries: w47_pinball_eval
+// (st_chained_agg / st_transform_with_state / st_tws_timers live in
+// StreamingQueries; ann_ivf_pq_topk in TextQueries; the four new
+// sqlfd_* texts in SqlFrontDoorQueries.)
 
 /** Round-7 third-session widening, stats pack: the randomness /
   * autocorrelation / outlier trio that closes out the residual-

@@ -230,6 +230,64 @@ class Frontier47PackSpec extends AnyFunSuite {
     }
   }
 
+  test("a71: Mann-Kendall S is bounded by the pair count and Var(S) " +
+    "is positive") {
+    val r = run("a71_mann_kendall").head
+    val n = r.getLong(0)
+    assert(math.abs(r.getLong(1)) <= n * (n - 1) / 2)
+    assert(r.getDouble(3) > 0.0)
+  }
+
+  test("a72: one Hurst estimate shared across the three block sizes, " +
+    "and R/S grows with block size") {
+    val rows = run("a72_hurst_rs")
+    assert(rows.length == 3)
+    assert(rows.map(_.getDouble(3)).distinct.length == 1)
+    val bySz = rows.sortBy(_.getLong(0)).map(_.getDouble(2))
+    assert(bySz(0) < bySz(1) && bySz(1) < bySz(2))
+    val h = rows.head.getDouble(3)
+    assert(h > 0.0 && h < 1.5 && !h.isNaN)
+  }
+
+  test("q48: gross retention never exceeds net, and never exceeds 1") {
+    val rows = run("q48_net_revenue_retention")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nrr, grr) = (r.getDouble(4), r.getDouble(5))
+      assert(grr <= nrr + 1e-9) // capping can only lower the ratio
+      assert(grr <= 1.0 + 1e-9) // Σmin(next, base) ≤ Σbase
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+  }
+
+  test("x22: every row round-trips through AES, ciphertext padded to " +
+    "16-byte blocks") {
+    val rows = run("x22_column_encryption")
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1)) // n_roundtrip_ok == n_names
+      assert(r.getLong(3) % 16 == 0)
+      assert(r.getLong(3) > r.getLong(4)) // ciphertext strictly larger
+    }
+  }
+
+  test("ml_conformal_interval: the conformal guarantee holds on the " +
+    "calibration half (coverage >= 90%)") {
+    val r = run("ml_conformal_interval").head
+    assert(r.getDouble(3) >= 0.9)
+    assert(r.getDouble(1) > 0.0)
+  }
+
+  test("w47: quantiles are monotone in tau and calibration coverage " +
+    "increases with tau") {
+    val rows = run("w47_pinball_eval").sortBy(_.getDouble(0))
+    assert(rows.length == 3)
+    val qs = rows.map(_.getDouble(2))
+    assert(qs(0) <= qs(1) && qs(1) <= qs(2))
+    val cov = rows.map(_.getDouble(4))
+    assert(cov(0) <= cov(1) && cov(1) <= cov(2))
+    assert(rows.forall(_.getDouble(3) >= 0.0)) // pinball loss >= 0
+  }
+
   test("st_chained_agg: each hourly rollup aggregates 1..4 quarters " +
     "covering its event count") {
     val rows = run("st_chained_agg")
