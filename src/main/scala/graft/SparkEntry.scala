@@ -78,6 +78,7 @@ object SparkEntry {
       analytics.Frontier57Queries.queries ++
       analytics.Frontier58Queries.queries ++
       analytics.Frontier59Queries.queries ++
+      analytics.Frontier60Queries.queries ++
       analytics.SqlFrontDoorQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -142,5 +143,6 @@ object SparkEntry {
       analytics.Frontier57Queries.oracleSql ++
       analytics.Frontier58Queries.oracleSql ++
       analytics.Frontier59Queries.oracleSql ++
+      analytics.Frontier60Queries.oracleSql ++
       analytics.SqlFrontDoorQueries.oracleSql
 }

@@ -2302,3 +2302,104 @@ object Frontier59Queries {
   val oracleSql: Map[String, String] = Map(
     "w47_pinball_eval" -> w47PinballEvalSql)
 }
+
+/** Round-7 third-session widening, fourteenth pack: the Jarque–Bera
+  * normality test — the skewness/kurtosis-based "can I even use the
+  * parametric tests?" pre-flight that sits before a25/a61/a63 the way
+  * Levene sits before pooled variances.
+  */
+object Frontier60Queries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ------------------------------------------------------------------
+  // a73_jarque_bera — JB = n/6·(S² + (K−3)²/4) over monthly revenue.
+  // Both S and K are UNIT-INVARIANT, so deviations are rescaled to
+  // millions and frozen at round-6 decimals before powering — d′⁴
+  // then fits comfortably in DECIMAL(38,12) where raw-unit fourth
+  // powers would blow the 38-precision cap (the Levene overflow
+  // lesson applied proactively). One aggregation pass over the
+  // calendar-bounded rollup; S, K, JB are single double expressions.
+  // ------------------------------------------------------------------
+  private val a73JarqueBera: QFn = (s, dir) => {
+    val monthly = t(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+        .as("m"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(16, 4))).as("rev"))
+    val mu = monthly.agg(count(lit(1)).as("n"), sum(col("rev")).as("sv"))
+      .select(col("n"),
+        round(col("sv").cast("string").cast("double")
+          / col("n").cast("double"), 6).cast(DecimalType(18, 6)).as("mu"))
+    val d = monthly.crossJoin(broadcast(mu))
+      .withColumn("dm",
+        round((col("rev").cast(DecimalType(18, 6)) - col("mu"))
+          .cast("string").cast("double") / 1.0E6, 6)
+          .cast(DecimalType(16, 6)))
+    val agg = d.agg(max(col("n")).as("n"),
+      sum((col("dm") * col("dm")).cast(DecimalType(38, 12))).as("m2s"),
+      sum((col("dm") * col("dm") * col("dm")).cast(DecimalType(38, 12)))
+        .as("m3s"),
+      sum((col("dm") * col("dm") * col("dm") * col("dm"))
+        .cast(DecimalType(38, 12))).as("m4s"))
+    val nD = col("n").cast("double")
+    val m2 = col("m2s").cast("string").cast("double") / nD
+    val m3 = col("m3s").cast("string").cast("double") / nD
+    val m4 = col("m4s").cast("string").cast("double") / nD
+    val sk = m3 / sqrt(m2 * m2 * m2)
+    val ku = m4 / (m2 * m2)
+    // S and K freeze at round-6 BEFORE entering JB: computing JB from
+    // the raw doubles landed exactly on a .5×10⁻⁶ rounding boundary at
+    // sf0.001 where Spark's half-up and DuckDB's half-even disagree —
+    // frozen short-decimal inputs keep every downstream product off
+    // the knife edge (and make the reported JB consistent with the
+    // reported S/K, which a reader would recompute anyway).
+    agg.select(col("n").as("n_months"),
+        round(sk, 6).as("skewness_r"),
+        round(ku, 6).as("kurtosis_r"))
+      .select(col("n_months"), col("skewness_r"), col("kurtosis_r"),
+        round(col("n_months").cast("double") / 6.0
+          * (col("skewness_r") * col("skewness_r")
+            + (col("kurtosis_r") - 3.0) * (col("kurtosis_r") - 3.0)
+              / 4.0), 6).as("jb_stat_r"))
+  }
+  private val a73JarqueBeraSql =
+    """WITH mo AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+      |      AS m,
+      |    SUM(CAST(o_totalprice AS DECIMAL(16,4))) AS rev
+      |  FROM orders GROUP BY 1),
+      |mu AS (SELECT COUNT(*) AS n,
+      |    CAST(round(CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE), 6) AS DECIMAL(19,6)) AS mu
+      |  FROM mo),
+      |d AS (SELECT mu.n,
+      |    CAST(round(CAST(CAST(CAST(rev AS DECIMAL(19,6)) - mu.mu
+      |        AS VARCHAR) AS DOUBLE) / 1000000.0, 6)
+      |      AS DECIMAL(19,6)) AS dm
+      |  FROM mo, mu),
+      |ag AS (SELECT MAX(n) AS n,
+      |    CAST(CAST(SUM(CAST(dm * dm AS DECIMAL(38,12))) AS VARCHAR)
+      |      AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS m2,
+      |    CAST(CAST(SUM(CAST(dm * dm * dm AS DECIMAL(38,12))) AS VARCHAR)
+      |      AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS m3,
+      |    CAST(CAST(SUM(CAST(dm * dm * dm * dm AS DECIMAL(38,12)))
+      |      AS VARCHAR) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS m4
+      |  FROM d),
+      |sk AS (SELECT n,
+      |    round(m3 / sqrt(m2 * m2 * m2), 6) AS skewness_r,
+      |    round(m4 / (m2 * m2), 6) AS kurtosis_r FROM ag)
+      |SELECT n AS n_months, skewness_r, kurtosis_r,
+      |  round(CAST(n AS DOUBLE) / 6.0
+      |    * (skewness_r * skewness_r
+      |      + (kurtosis_r - 3.0) * (kurtosis_r - 3.0) / 4.0), 6)
+      |    AS jb_stat_r
+      |FROM sk""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "a73_jarque_bera" -> a73JarqueBera)
+
+  val oracleSql: Map[String, String] = Map(
+    "a73_jarque_bera" -> a73JarqueBeraSql)
+}

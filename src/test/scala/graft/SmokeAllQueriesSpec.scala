@@ -53,6 +53,8 @@ class SmokeAllQueriesSpec extends AnyFunSuite {
     "a72_hurst_rs" -> Set("GLOBALWIN"),
     // train-half order-statistic ranks + 3-row quantile broadcast
     "w47_pinball_eval" -> Set("GLOBALWIN", "BNLJ"),
+    // 1-row frozen-mean broadcast into the moment pass
+    "a73_jarque_bera" -> Set("BNLJ"),
     "w44_cross_correlation" -> Set("GLOBALWIN"),
     // category-domain-bounded cell tables (≤ 5×25 rows)
     "ml_mutual_info" -> Set("GLOBALWIN"),
