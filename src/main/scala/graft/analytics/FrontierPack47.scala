@@ -130,16 +130,19 @@ object Frontier47Queries {
   // from the OLS fit of monthly revenue against the month index:
   // DW = Σ(eₜ−eₜ₋₁)² / Σeₜ² ∈ [0,4], ≈2(1−ρ̂). Slope and intercept are
   // each one double over the exact (n, Σt, Σy, Σty, Σt²), rounded and
-  // FROZEN as DECIMAL(16,6), so every residual y − a − b·t is exact
+  // FROZEN as DECIMAL(18,6), so every residual y − a − b·t is exact
   // decimal arithmetic — both engines square and sum identical
-  // decimals (Spark (16,6)² stays under the 38-precision cap; the
-  // oracle casts to (19,6) so DuckDB's int64 path can't overflow).
+  // decimals. (18,6) matches the oracle's (19,6) headroom to ~sf3000
+  // monthly revenue — a (16,6) cast would NULL out past ~sf30 while
+  // the oracle kept going — and its square (37,12) still clears the
+  // 38-precision cap (de is re-frozen to (18,6) before squaring for
+  // the same reason).
   // ------------------------------------------------------------------
   private val a66DurbinWatson: QFn = (s, dir) => {
     val w = Window.orderBy("m")
     val y = monthly(s, dir)
       .withColumn("ti", row_number().over(w).cast("long"))
-      .withColumn("yv", col("rev").cast(DecimalType(16, 6)))
+      .withColumn("yv", col("rev").cast(DecimalType(18, 6)))
     val st = y.agg(count(lit(1)).as("n"), sum(col("ti")).as("s_t"),
       sum(col("yv")).as("s_y"),
       sum(col("yv") * col("ti")).as("s_ty"),
@@ -151,18 +154,19 @@ object Frontier47Queries {
     val sttD = col("s_tt").cast("double")
     val params = st.select(col("n"),
       round((nD * styD - stD * syD) / (nD * sttD - stD * stD), 6)
-        .cast(DecimalType(16, 6)).as("b"),
+        .cast(DecimalType(18, 6)).as("b"),
       col("s_y"), col("s_t"))
       .select(col("n"), col("b"),
         round((col("s_y").cast("string").cast("double")
           - col("b").cast("string").cast("double")
             * col("s_t").cast("double")) / col("n").cast("double"), 6)
-          .cast(DecimalType(16, 6)).as("a"))
+          .cast(DecimalType(18, 6)).as("a"))
     val e = y.crossJoin(broadcast(params))
       .withColumn("e",
         (col("yv") - col("a") - col("b") * col("ti"))
-          .cast(DecimalType(16, 6)))
-      .withColumn("de", col("e") - lag(col("e"), 1).over(w))
+          .cast(DecimalType(18, 6)))
+      .withColumn("de",
+        (col("e") - lag(col("e"), 1).over(w)).cast(DecimalType(18, 6)))
     e.agg(max(col("n")).as("n_months"),
         max(col("b")).as("bb"), max(col("a")).as("aa"),
         sum(col("de") * col("de")).as("num"),
@@ -1010,7 +1014,9 @@ object Frontier51Queries {
   // ------------------------------------------------------------------
   // a69_ljung_box — portmanteau whiteness test on monthly revenue:
   // Q = n(n+2)·Σ_{k=1..6} ρ̂ₖ²/(n−k). The mean is rounded once and
-  // FROZEN as DECIMAL(16,6); demeaned values are then exact decimals,
+  // FROZEN as DECIMAL(18,6) (matching the oracle's (19,6) headroom —
+  // a (16,6) cast would NULL past ~sf30); demeaned values are then
+  // exact decimals whose squares (37,12) clear the 38-precision cap,
   // so every lag-k cross product sum and the lag-0 denominator are
   // exact — each ρ̂ₖ is one double division, each Q term is frozen at
   // round-8 before the k-row sum. Lag windows ride the calendar-
@@ -1028,11 +1034,11 @@ object Frontier51Queries {
       .select(col("n"),
         round(col("sv").cast("string").cast("double")
           / col("n").cast("double"), 6)
-          .cast(DecimalType(16, 6)).as("mu"))
+          .cast(DecimalType(18, 6)).as("mu"))
     val d = monthly.crossJoin(broadcast(mu))
       .withColumn("dv",
-        (col("rev").cast(DecimalType(16, 6)) - col("mu"))
-          .cast(DecimalType(16, 6)))
+        (col("rev").cast(DecimalType(18, 6)) - col("mu"))
+          .cast(DecimalType(18, 6)))
     val d6 = (1 to 6).foldLeft(d) { (df, k) =>
       df.withColumn(s"l$k", lag(col("dv"), k).over(w))
     }
@@ -1303,10 +1309,25 @@ object Frontier52Queries {
   // ------------------------------------------------------------------
   private val pMixtureTemperature: QFn = (s, dir) => {
     val budget = 10000L
+    // pow() is not correctly-rounded (libm differs by a few ulps across
+    // platforms), so round-6 freezing is reproducible only when the raw
+    // value is NOT near a .5×10⁻⁶ boundary — the a73_jarque_bera lesson.
+    // A plan-time literal can't know n_docs, so the entry ENFORCES the
+    // margin at run time: if any lang's pow(n,0.7) lands within 1e-4 of
+    // a rounding boundary (≫ the few-ulp libm skew at this magnitude,
+    // ulp(2e9) ≈ 5e-7), the query fails loudly instead of silently
+    // diverging between engines. (ln() in ml_mutual_info / a72 has the
+    // same exposure; their inputs are likewise frozen-rounded upstream.)
+    val rawW = pow(col("n_docs").cast("double"), 0.7)
+    val bFrac = abs(rawW * lit(1e6) - floor(rawW * lit(1e6)) - lit(0.5))
+    val wGuard = assert_true(bFrac > lit(1e-4),
+      concat(lit("p_mixture_temperature: pow(n_docs,0.7) for lang "),
+        col("lang"), lit(" is within 1e-4 of a .5e-6 rounding boundary; "),
+        lit("round-6 freezing is not cross-libm reproducible here")))
     val counts = t(s, dir, "documents")
       .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
       .withColumn("w",
-        round(pow(col("n_docs").cast("double"), 0.7), 6)
+        when(wGuard.isNull, round(rawW, 6))
           .cast(DecimalType(18, 6)))
     val wAll = Window.partitionBy()
     val q = counts
@@ -1982,7 +2003,7 @@ object Frontier57Queries {
         .as("m"))
       .agg(sum(col("o_totalprice").cast(DecimalType(16, 4))).as("rev"))
       .withColumn("ti", row_number().over(w).cast("long"))
-      .withColumn("yv", col("rev").cast(DecimalType(16, 6)))
+      .withColumn("yv", col("rev").cast(DecimalType(18, 6)))
       .withColumn("split",
         when(col("ti") % 2 === 0, "train").otherwise("cal"))
     val st = y.filter(col("split") === "train")
@@ -1997,18 +2018,18 @@ object Frontier57Queries {
     val sttD = col("s_tt").cast("double")
     val params = st.select(
       round((nD * styD - stD * syD) / (nD * sttD - stD * stD), 6)
-        .cast(DecimalType(16, 6)).as("b"),
+        .cast(DecimalType(18, 6)).as("b"),
       col("s_y"), col("s_t"), col("n"))
       .select(col("b"),
         round((col("s_y").cast("string").cast("double")
           - col("b").cast("string").cast("double")
             * col("s_t").cast("double")) / col("n").cast("double"), 6)
-          .cast(DecimalType(16, 6)).as("a"))
+          .cast(DecimalType(18, 6)).as("a"))
     val cal = y.filter(col("split") === "cal")
       .crossJoin(broadcast(params))
       .withColumn("absres",
         abs(col("yv") - col("a") - col("b") * col("ti"))
-          .cast(DecimalType(16, 6)))
+          .cast(DecimalType(18, 6)))
     val wRank = Window.orderBy(col("absres"), col("ti"))
     val ranked = cal
       .withColumn("rk", row_number().over(wRank))
@@ -2103,7 +2124,7 @@ object Frontier58Queries {
         .as("m"))
       .agg(sum(col("o_totalprice").cast(DecimalType(16, 4))).as("rev"))
       .withColumn("ti", (row_number().over(w) - 1).cast("long"))
-      .withColumn("yv", col("rev").cast(DecimalType(16, 6)))
+      .withColumn("yv", col("rev").cast(DecimalType(18, 6)))
       .withColumn("n_tot", count(lit(1)).over(Window.partitionBy()))
     val sized = y
       .withColumn("sz", explode(array(lit(10L), lit(20L), lit(40L))))
@@ -2115,8 +2136,8 @@ object Frontier58Queries {
     val dev = sized
       .withColumn("mu",
         round(sum(col("yv")).over(wBlk).cast("string").cast("double")
-          / col("sz").cast("double"), 6).cast(DecimalType(16, 6)))
-      .withColumn("d", (col("yv") - col("mu")).cast(DecimalType(16, 6)))
+          / col("sz").cast("double"), 6).cast(DecimalType(18, 6)))
+      .withColumn("d", (col("yv") - col("mu")).cast(DecimalType(18, 6)))
       .withColumn("z", sum(col("d")).over(wCum))
     val blocks = dev.groupBy("sz", "blk")
       .agg((max(col("z")) - min(col("z"))).as("r"),
@@ -2233,7 +2254,7 @@ object Frontier59Queries {
         .as("m"))
       .agg(sum(col("o_totalprice").cast(DecimalType(16, 4))).as("rev"))
       .withColumn("ti", row_number().over(w).cast("long"))
-      .withColumn("yv", col("rev").cast(DecimalType(16, 6)))
+      .withColumn("yv", col("rev").cast(DecimalType(18, 6)))
     val train = y.filter(col("ti") % 2 === 0)
     val wT = Window.orderBy(col("yv"), col("ti"))
     val ranked = train
@@ -2247,7 +2268,7 @@ object Frontier59Queries {
     }.reduce(_ unionByName _)
     val cal = y.filter(col("ti") % 2 === 1)
     cal.crossJoin(broadcast(qs))
-      .withColumn("diff", (col("yv") - col("q")).cast(DecimalType(16, 6)))
+      .withColumn("diff", (col("yv") - col("q")).cast(DecimalType(18, 6)))
       .withColumn("loss",
         greatest(col("diff") * col("tau"),
           col("diff") * (col("tau") - 1.0)).cast(DecimalType(18, 6)))

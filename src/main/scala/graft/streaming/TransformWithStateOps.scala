@@ -50,9 +50,9 @@ class UserProgressProcessor
   }
 }
 
-/** Per-user timer state: event count + first-seen ms + whether the
-  * milestone timer is registered. */
-case class TimerAccum(n: Long, firstMs: Long, registered: Boolean)
+/** Per-user timer state: event count + first-seen ms + the expiry of
+  * the currently-registered milestone timer (Long.MinValue = none). */
+case class TimerAccum(n: Long, firstMs: Long, timerMs: Long)
 
 /** Milestone emission payload: the user's cumulative count at the
   * moment their event-time timer fired. */
@@ -85,13 +85,23 @@ class UserMilestoneProcessor(horizonMs: Long)
       timers: TimerValues): Iterator[UserMilestone] = {
     var a =
       if (acc.exists()) acc.get()
-      else TimerAccum(0L, Long.MaxValue, registered = false)
+      else TimerAccum(0L, Long.MaxValue, Long.MinValue)
     rows.foreach { case (_, ts) =>
       a = a.copy(n = a.n + 1L, firstMs = math.min(a.firstMs, ts.getTime))
     }
-    if (!a.registered) {
-      getHandle.registerTimer(a.firstMs + horizonMs)
-      a = a.copy(registered = true)
+    // The fire time tracks the GLOBAL min event time, so if an earlier
+    // event arrives in a later micro-batch (legal within the watermark)
+    // the stale timer is deleted and re-registered at the new horizon —
+    // without this, a multi-batch feed would fire at the first batch's
+    // local min and diverge from the oracle's MIN(ms) closed form.
+    val fireAt = a.firstMs + horizonMs
+    if (a.timerMs == Long.MinValue) {
+      getHandle.registerTimer(fireAt)
+      a = a.copy(timerMs = fireAt)
+    } else if (fireAt < a.timerMs) {
+      getHandle.deleteTimer(a.timerMs)
+      getHandle.registerTimer(fireAt)
+      a = a.copy(timerMs = fireAt)
     }
     acc.update(a)
     Iterator.empty

@@ -176,7 +176,11 @@ object Multimodal {
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
         require(img != null, "undecodable image blob")
-        val counts = new Array[Long](16)
+        // r>>2 ranges over 0..63 for arbitrary 8-bit images; the array is
+        // sized for the full range so a generator/width change can never
+        // index out of bounds, while empty bins are still never emitted
+        // (the synthetic gradient only populates bins 0..15)
+        val counts = new Array[Long](64)
         var y = 0
         while (y < img.getHeight) {
           var x = 0
@@ -186,7 +190,7 @@ object Multimodal {
           }
           y += 1
         }
-        (0 until 16).iterator.filter(counts(_) > 0L)
+        counts.indices.iterator.filter(counts(_) > 0L)
           .map(b => Row(id, b, counts(b)))
       }
     }

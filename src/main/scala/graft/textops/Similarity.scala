@@ -146,20 +146,32 @@ object Similarity {
     * `nprobe` cells nearest the query — the classic recall/cost dial.
     * At 100 TB the assignment column is precomputed and the table is
     * partitioned by cell, turning a probe into a partition-pruned scan. */
+  /** Driver-side cosine for centroid ranking (full double precision —
+    * the PROBE-cell choice uses the unrounded centroids, while row
+    * assignment uses the float-rounded codebook, as in FAISS). */
+  private def cosQuery(a: Seq[Double], b: Seq[Double]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    val na = math.sqrt(a.map(x => x * x).sum)
+    val nb = math.sqrt(b.map(x => x * x).sum)
+    if (na * nb == 0) Double.MinValue else dot / (na * nb)
+  }
+
+  /** The `nprobe` coarse cells nearest the query, ranked by
+    * [[cosQuery]] with ties to the lower cell id — shared by
+    * [[ivfTopK]] and [[ivfPqTopK]] so the two probe paths cannot
+    * drift. */
+  private def probeCells(centroids: Map[Int, Array[Double]],
+                         query: Seq[Double], nprobe: Int): Seq[Int] =
+    centroids.toSeq
+      .map { case (cid, c) => cid -> cosQuery(query, c.toSeq) }
+      .sortBy { case (cid, sc) => (-sc, cid) }.take(nprobe).map(_._1)
+
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
               query: Seq[Double], k: Int,
               centroids: Map[Int, Array[Double]], nprobe: Int = 2): DataFrame = {
-    def cos(a: Seq[Double], b: Seq[Double]): Double = {
-      val dot = a.zip(b).map { case (x, y) => x * y }.sum
-      val na = math.sqrt(a.map(x => x * x).sum)
-      val nb = math.sqrt(b.map(x => x * x).sum)
-      if (na * nb == 0) Double.MinValue else dot / (na * nb)
-    }
-    val probeCells = centroids.toSeq
-      .map { case (cid, c) => cid -> cos(query, c.toSeq) }
-      .sortBy(-_._2).take(nprobe).map(_._1)
+    val cells = probeCells(centroids, query, nprobe)
     assignToCentroid(df, vecCol, centroids)
-      .filter(col("__cid").isin(probeCells: _*))
+      .filter(col("__cid").isin(cells: _*))
       .select(col(idCol),
         cosineNative(col(vecCol),
           array(query.map(lit): _*).cast("array<float>")).as("score"))
@@ -181,17 +193,9 @@ object Similarity {
                 centroids: Map[Int, Array[Double]],
                 books: Seq[Map[Int, Array[Double]]],
                 nprobe: Int = 2): DataFrame = {
-    def cos(a: Seq[Double], b: Seq[Double]): Double = {
-      val dot = a.zip(b).map { case (x, y) => x * y }.sum
-      val na = math.sqrt(a.map(x => x * x).sum)
-      val nb = math.sqrt(b.map(x => x * x).sum)
-      if (na * nb == 0) Double.MinValue else dot / (na * nb)
-    }
-    val probeCells = centroids.toSeq
-      .map { case (cid, c) => cid -> cos(query, c.toSeq) }
-      .sortBy(-_._2).take(nprobe).map(_._1)
+    val cells = probeCells(centroids, query, nprobe)
     val pruned = assignToCentroid(df, vecCol, centroids)
-      .filter(col("__cid").isin(probeCells: _*))
+      .filter(col("__cid").isin(cells: _*))
       .drop("__cid")
     pqTopK(pruned, idCol, vecCol, query, k, books)
   }
