@@ -72,6 +72,12 @@ object ScaleProbe {
       time("minhash_verified_100x")(Dedup.minhashLshVerified(cached,
         "doc_id", "text", shingleK = 3, numHashes = 32, bands = 8,
         threshold = 0.5).count())
+      // corpus→corpus: output must be the SURVIVING DOCS (≤ 500k rows,
+      // linear), while the pair form above emits 27M+ rows — the proof
+      // that nearDedupKeep never materializes intra-cluster pairs
+      time("near_dedup_keep_100x")(Dedup.nearDedupKeep(cached,
+        "doc_id", "text", shingleK = 3, numHashes = 32, bands = 8,
+        threshold = 0.5).count())
       cached.unpersist()
     }
 

@@ -646,6 +646,38 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  // d6c — near-dedup as corpus → KEPT corpus (Dedup.nearDedupKeep):
+  // verified-minhash pairs over class representatives → star-contraction
+  // components → min-id survivor per cluster, members folded in as
+  // per-class counts. The deliverable of a real dedup pipeline — and
+  // the 100-TB shape: output is the surviving docs (linear), and
+  // member-level pairs are never materialized (a cluster of k
+  // duplicates costs k rows, not C(k,2)). Oracle: the d6 transitive
+  // closure, LEFT-joined to the full corpus so unpaired docs survive
+  // as singletons, aggregated to (survivor, cluster_size).
+  private val dNearKeep: QFn = (s, dir) =>
+    Dedup.nearDedupKeep(docs(s, dir), "doc_id", "text",
+      shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .orderBy("doc_id")
+  private val dNearKeepSql = {
+    val pairs = jaccardPairsSql(k = 3, threshold = 0.5, cap = None)
+      .replace("ORDER BY id_a, id_b", "")
+    s"""WITH RECURSIVE p AS ($pairs),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM p
+       |          UNION SELECT id_b, id_a FROM p),
+       |reach(src, dst) AS (
+       |  SELECT a, a FROM (SELECT a FROM edges UNION SELECT b FROM edges)
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       |comp AS (SELECT src AS doc_id, MIN(dst) AS component
+       |         FROM reach GROUP BY 1),
+       |alld AS (SELECT d.doc_id,
+       |           COALESCE(c.component, d.doc_id) AS component
+       |         FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+       |SELECT component AS doc_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |FROM alld GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   private val dClustersSql = {
     val pairs = jaccardPairsSql(k = 3, threshold = 0.5, cap = None)
       .replace("ORDER BY id_a, id_b", "")
@@ -1073,6 +1105,32 @@ object TextQueries {
        |FROM top ORDER BY adc_r, vec_id""".stripMargin
   }
 
+  // a5c — IVF-PQ through a PERSISTED index: the build (a5b's replayable
+  // train) writes centroids/books/cell-partitioned codes to warehouse
+  // parquet, and the probe answers ONLY from those artifacts — reading
+  // nprobe of nlist code partitions (partition pruning on `cell`) and
+  // never the corpus or the embedding column. Proves queries don't pay
+  // the build: the probe's plan contains no train stage and no
+  // embeddings scan. Output ≡ ann_ivf_pq_topk bit-for-bit (same
+  // float-rounded assignment, same literal ADC), so the oracle is the
+  // same full SQL replay of both builds.
+  private val aIvfPqPersisted: QFn = (s, dir) => {
+    val corpus = embs(s, dir).filter(col("vec_id") =!= 0)
+    val centroids = Similarity.ivfTrain(corpus, "vec_id", "embedding",
+      dim = 64, nlist = 8, iterations = 1)
+    val books = Similarity.pqTrain(corpus, "vec_id", "embedding",
+      dim = 64, m = 4, k = 8, iterations = 1)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+    val wh = graft.etl.Warehouse(tmp)
+    Similarity.ivfPqPersist(corpus, "vec_id", "embedding", centroids, books,
+      wh, "gold", "ann_index")
+    Similarity.ivfPqProbePersisted(s, wh, "gold", "ann_index", "vec_id",
+        queryVec(s, dir), k = 10, nprobe = 3)
+      .select(col("vec_id"), col("code_0"), col("code_1"),
+        col("code_2"), col("code_3"), round(col("adc"), 6).as("adc_r"))
+      .orderBy("adc_r", "vec_id")
+  }
+
   // a4 — k-NN majority-vote classification: vectors 0-19 are held-out
   // queries, the rest vote with their labels through exact cosine top-5
   // (ties: higher cosine, then lower vec_id; vote ties: lower label).
@@ -1332,6 +1390,7 @@ object TextQueries {
     "d_chunk_dedup" -> dChunkDedup,
     "d_dup_clusters" -> dClusters,
     "d_dup_clusters_star" -> dClustersStar,
+    "d_near_dedup_keep" -> dNearKeep,
     "d_minhash_lsh" -> dMinhash,
     "d_simhash_pairs" -> dSimhash,
     "d_ngram_jaccard" -> dJaccard,
@@ -1344,6 +1403,7 @@ object TextQueries {
     "ann_ivf_topk" -> aIvf,
     "ann_pq_topk" -> aPq,
     "ann_ivf_pq_topk" -> aIvfPq,
+    "ann_ivf_pq_persisted" -> aIvfPqPersisted,
     "ann_knn_classify" -> aKnn,
     "mm_blob_stats" -> mBlob,
     "mm_frame_sample" -> mFrames,
@@ -1373,6 +1433,7 @@ object TextQueries {
     "d_chunk_dedup" -> dChunkDedupSql,
     "d_dup_clusters" -> dClustersSql,
     "d_dup_clusters_star" -> dClustersSql,
+    "d_near_dedup_keep" -> dNearKeepSql,
     "d_minhash_lsh" -> dMinhashSql,
     "d_simhash_pairs" -> dSimhashSql,
     "d_ngram_jaccard" -> dJaccardSql,
@@ -1385,6 +1446,7 @@ object TextQueries {
     "ann_ivf_topk" -> aIvfSql,
     "ann_pq_topk" -> aPqSql,
     "ann_ivf_pq_topk" -> aIvfPqSql,
+    "ann_ivf_pq_persisted" -> aIvfPqSql,
     "ann_knn_classify" -> aKnnSql,
     "mm_blob_stats" -> mBlobSql,
     "mm_frame_sample" -> mFramesSql,

@@ -187,6 +187,23 @@ object Dedup {
                          shingleK: Int = 3, numHashes: Int = 32,
                          bands: Int = 16, threshold: Double = 0.5,
                          broadcastDocLimit: Long = 200000L): DataFrame = {
+    val (repPairs, members, live) = minhashVerifiedParts(df, idCol, textCol,
+      shingleK, numHashes, bands, threshold, broadcastDocLimit)
+    expandPairs(repPairs, members, live, "jaccard", directed = false)
+  }
+
+  /** The rep-level core of [[minhashLshVerified]]: exact-dup collapse,
+    * signature-free band bucketing, exact verification — everything up
+    * to (but not including) the member-pair expansion. Returns
+    * (repPairs (id_a, id_b, jaccard); members (__rep, __mid);
+    * liveDocs (doc_id) — reps whose text yields ≥1 shingle). Shared by
+    * the pair operator and [[nearDedupKeep]], which must NOT expand
+    * pairs (at 100 TB the expanded intra-cluster pair set is itself
+    * quadratic in cluster size — the r7 probe's 27M-pair output). */
+  private def minhashVerifiedParts(df: DataFrame, idCol: String,
+      textCol: String, shingleK: Int, numHashes: Int, bands: Int,
+      threshold: Double, broadcastDocLimit: Long)
+      : (DataFrame, DataFrame, DataFrame) = {
     // exact-dup classes first ([[collapseExact]]): k identical copies
     // would otherwise collide in EVERY band and put C(k,2) pairs per
     // band through the bucket join; reps make that one class.
@@ -204,8 +221,54 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
     val repPairs = verifyJaccard(cands, sh, threshold, broadcastDocLimit)
-    expandPairs(repPairs, members, sh.select("doc_id").distinct(),
-      "jaccard", directed = false)
+    (repPairs, members, sh.select("doc_id").distinct())
+  }
+
+  /** Corpus → KEPT corpus near-dedup — what a production pipeline
+    * actually delivers (the pair set is an intermediate): verified
+    * MinHash+LSH pairs over class REPRESENTATIVES → connected
+    * components (star contraction, O(log) rounds) → the min-id doc of
+    * each duplicate cluster survives, carrying the cluster's total
+    * member count. Returns (doc_id, cluster_size), one row per
+    * surviving document (cluster_size = 1 + dropped duplicates).
+    *
+    * The 100 TB property this operator exists for: member-level pairs
+    * are NEVER materialized. Clustering runs on rep-level pairs (one
+    * class per distinct text), and members fold in as per-class COUNTS
+    * — so a cluster of k duplicates costs k rows end to end, not the
+    * C(k,2) pair rows the pair operators emit. Output is exactly the
+    * surviving docs: linear in the corpus by construction.
+    *
+    * Semantics match the transitive closure of [[minhashLshVerified]]'s
+    * pair set (the DuckDB oracle replays that closure): docs whose text
+    * yields no shingles (< shingleK words) produce no pairs, so each
+    * stays its own singleton survivor even when byte-identical — run
+    * [[exactDedup]] first if exact-dup collapse of shingle-less docs
+    * is wanted. */
+  def nearDedupKeep(df: DataFrame, idCol: String, textCol: String,
+                    shingleK: Int = 3, numHashes: Int = 32,
+                    bands: Int = 16, threshold: Double = 0.5,
+                    broadcastDocLimit: Long = 200000L): DataFrame = {
+    val (repPairs, members, live) = minhashVerifiedParts(df, idCol, textCol,
+      shingleK, numHashes, bands, threshold, broadcastDocLimit)
+    val liveReps = live.select(col("doc_id").as("__rep"))
+    // classes whose rep has no shingles never pair: every member is its
+    // own survivor (the closure-over-pairs contract; see scaladoc)
+    val singles = members.join(liveReps, Seq("__rep"), "left_anti")
+      .select(col("__mid").as("doc_id"), lit(1L).as("cluster_size"))
+    val classSizes = members.join(liveReps, Seq("__rep"), "left_semi")
+      .groupBy("__rep").agg(count(lit(1)).as("__csize"))
+    // rep-level clustering; a rep in no pair is its own component. The
+    // member-level min id of a cluster IS the min rep id (each rep is
+    // its class's min member), so comp doubles as the survivor doc_id.
+    val comp = graft.operators.ConnectedComponents
+      .componentsStarContraction(repPairs, "id_a", "id_b")
+      .select(col("id").as("__rep"), col("comp"))
+    val clustered = classSizes.join(comp, Seq("__rep"), "left")
+      .select(coalesce(col("comp"), col("__rep")).as("doc_id"), col("__csize"))
+      .groupBy("doc_id")
+      .agg(sum(col("__csize")).cast(LongType).as("cluster_size"))
+    clustered.unionByName(singles)
   }
 
   /** Exact-duplicate collapse — the stage every production near-dup

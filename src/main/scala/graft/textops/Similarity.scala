@@ -324,9 +324,14 @@ object Similarity {
     * is a literal CASE chain per subspace — no vector math per row at
     * probe time, which is the entire point of PQ at 100 TB: the fat
     * embedding column stays unread once codes are materialized. */
-  def pqTopK(df: DataFrame, idCol: String, vecCol: String,
-             query: Seq[Double], k: Int,
-             books: Seq[Map[Int, Array[Double]]]): DataFrame = {
+  /** Squared asymmetric distance as a plan-time literal CASE chain per
+    * subspace: the m·k query-to-centroid sub-distances are computed on
+    * the driver with the exact FloatVecL2 arithmetic, then looked up by
+    * whatever column holds each subspace's code (`codeCol`) — shared by
+    * the inline [[pqTopK]] (`__code_s`) and the persisted-index probe
+    * (`code_s` read back from parquet), so scoring cannot drift. */
+  private def adcSquared(books: Seq[Map[Int, Array[Double]]],
+                         query: Seq[Double], codeCol: Int => Column): Column = {
     val sd = books.head.head._2.length
     val tables: Seq[Map[Int, Double]] = books.zipWithIndex.map { case (cb, s) =>
       cb.map { case (cid, c) =>
@@ -341,14 +346,84 @@ object Similarity {
         cid -> acc
       }
     }
-    val adc2 = tables.zipWithIndex.map { case (tab, s) =>
+    tables.zipWithIndex.map { case (tab, s) =>
       tab.toSeq.sortBy(_._1).foldRight(lit(Double.MaxValue): Column) {
-        case ((cid, d2), rest) => when(col(s"__code_$s") === cid, lit(d2)).otherwise(rest)
+        case ((cid, d2), rest) => when(codeCol(s) === cid, lit(d2)).otherwise(rest)
       }
     }.reduce(_ + _)
+  }
+
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String,
+             query: Seq[Double], k: Int,
+             books: Seq[Map[Int, Array[Double]]]): DataFrame = {
+    val adc2 = adcSquared(books, query, s => col(s"__code_$s"))
     pqEncode(df, vecCol, books)
       .select(col(idCol) +: (0 until books.length).map(s =>
         col(s"__code_$s").as(s"code_$s")) :+ sqrt(adc2).as("adc"): _*)
+      .orderBy(col("adc").asc, col(idCol))
+      .limit(k)
+  }
+
+  // ------------------------------------------- persisted IVF-PQ index
+
+  /** Materialize an IVF-PQ index as warehouse tables — the production
+    * split of BUILD from PROBE that a 100 TB deployment requires (the
+    * build is one expensive corpus pass; probes run thousands of times
+    * against the artifact and must not pay for it):
+    *
+    *   `<table>_centroids` (cid, centroid)       — nlist rows
+    *   `<table>_books`     (subspace, cid, centroid) — m·k rows
+    *   `<table>_codes`     (id, code_0..m-1) PARTITIONED BY cell
+    *
+    * The codes table is partitioned by coarse cell — the FAISS inverted-
+    * list layout mapped onto parquet partitions, so a probe's `cell IN
+    * (probe cells)` filter becomes partition PRUNING: only nprobe/nlist
+    * of the index is ever read, and the fat embedding column is in
+    * neither artifact. Centroids/books persist as full doubles
+    * (lossless), so a probe replays bit-identical scoring. */
+  def ivfPqPersist(df: DataFrame, idCol: String, vecCol: String,
+                   centroids: Map[Int, Array[Double]],
+                   books: Seq[Map[Int, Array[Double]]],
+                   wh: graft.etl.Warehouse, layer: String,
+                   table: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    wh.overwrite(centroids.toSeq.sortBy(_._1)
+      .map { case (cid, c) => (cid, c.toSeq) }.toDF("cid", "centroid"),
+      layer, s"${table}_centroids")
+    wh.overwrite(books.zipWithIndex.flatMap { case (cb, s) =>
+      cb.toSeq.sortBy(_._1).map { case (cid, c) => (s, cid, c.toSeq) }
+    }.toDF("subspace", "cid", "centroid"), layer, s"${table}_books")
+    val coded = pqEncode(assignToCentroid(df, vecCol, centroids), vecCol, books)
+      .select(col(idCol) +: col("__cid").as("cell") +:
+        books.indices.map(s => col(s"__code_$s").as(s"code_$s")): _*)
+    wh.overwritePartitioned(coded, layer, s"${table}_codes", Seq("cell"))
+  }
+
+  /** Probe a persisted IVF-PQ index WITHOUT touching the corpus or the
+    * build: centroids/books read back (bounded artifacts, collected
+    * once), probe cells ranked on the driver, and the codes scan is
+    * partition-pruned to those cells — `.explain` shows the `cell IN`
+    * PartitionFilters, the whole reason the index persists. Scoring is
+    * the same literal-ADC projection as [[pqTopK]], so a persisted
+    * probe returns bit-identically what the inline build returns. */
+  def ivfPqProbePersisted(spark: org.apache.spark.sql.SparkSession,
+                          wh: graft.etl.Warehouse, layer: String,
+                          table: String, idCol: String,
+                          query: Seq[Double], k: Int,
+                          nprobe: Int = 2): DataFrame = {
+    val centroids = wh.read(spark, layer, s"${table}_centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val books: Seq[Map[Int, Array[Double]]] =
+      wh.read(spark, layer, s"${table}_books").collect()
+        .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+        .map(_._2.map(r => r.getInt(1) -> r.getSeq[Double](2).toArray).toMap)
+    val cells = probeCells(centroids, query, nprobe)
+    val adc2 = adcSquared(books, query, s => col(s"code_$s"))
+    wh.read(spark, layer, s"${table}_codes")
+      .filter(col("cell").isin(cells: _*))
+      .select(col(idCol) +: books.indices.map(s => col(s"code_$s")) :+
+        sqrt(adc2).as("adc"): _*)
       .orderBy(col("adc").asc, col(idCol))
       .limit(k)
   }

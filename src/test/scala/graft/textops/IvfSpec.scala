@@ -38,6 +38,35 @@ class IvfSpec extends AnyFunSuite {
     assert(ivf.length === 5)
   }
 
+  test("persisted IVF-PQ probe ≡ inline build, with a partition-pruned codes scan") {
+    val centroids = Similarity.ivfTrain(vecs, "vec_id", "embedding",
+      dim = 16, nlist = 4, iterations = 1)
+    val books = Similarity.pqTrain(vecs, "vec_id", "embedding",
+      dim = 16, m = 4, k = 4, iterations = 1)
+    val q = vecs.filter(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val inline = Similarity.ivfPqTopK(vecs, "vec_id", "embedding", q, 10,
+        centroids, books, nprobe = 2)
+      .select("vec_id", "code_0", "code_1", "code_2", "code_3", "adc")
+      .collect().map(_.toSeq)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_annidx_t").toString
+    val wh = graft.etl.Warehouse(tmp)
+    Similarity.ivfPqPersist(vecs, "vec_id", "embedding", centroids, books,
+      wh, "gold", "idx")
+    val persisted = Similarity.ivfPqProbePersisted(spark, wh, "gold", "idx",
+      "vec_id", q, 10, nprobe = 2)
+    assert(persisted.collect().map(_.toSeq).toSeq === inline.toSeq)
+    // the probe must read only the probed cells' partitions and never
+    // the embedding column — that is the entire point of the artifact
+    val plan = persisted.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"))
+    assert(!plan.contains("embedding"))
+    // and only nprobe of the nlist cell directories are listed
+    val cellDirs = new java.io.File(s"$tmp/gold/idx_codes").listFiles()
+      .count(_.getName.startsWith("cell="))
+    assert(cellDirs === 4) // all cells written ...
+  }
+
   test("training is deterministic across runs") {
     val c1 = Similarity.ivfTrain(vecs, "vec_id", "embedding", 16, 4, 2)
     val c2 = Similarity.ivfTrain(vecs.repartition(5), "vec_id", "embedding", 16, 4, 2)

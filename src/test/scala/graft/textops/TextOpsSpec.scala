@@ -62,6 +62,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got === truth) // scores exact, not estimates, and full recall
   }
 
+  test("nearDedupKeep keeps one min-id survivor per dup cluster, singletons intact") {
+    // cluster {0,1,2} (exact pair + near-dup), singletons 3..9, plus a
+    // shingle-less doc (2 words < shingleK) that must survive alone even
+    // though another doc (11) is byte-identical to it
+    val withShort = corpus.unionByName(
+      Seq(10L -> "too short", 11L -> "too short").toDF("doc_id", "text"))
+    val kept = Dedup.nearDedupKeep(withShort, "doc_id", "text",
+      shingleK = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(kept(0L) === 3L)                       // {0,1,2} → survivor 0
+    assert(!kept.contains(1L) && !kept.contains(2L))
+    (3L to 9L).foreach(i => assert(kept(i) === 1L))
+    assert(kept(10L) === 1L && kept(11L) === 1L)  // no shingles → no pairs
+    assert(kept.values.sum === withShort.count()) // sizes partition corpus
+  }
+
   test("prefix filtering loses no pairs vs an unfiltered quadratic join") {
     // brute force: full self-join on every shingle (no prefix restriction)
     import org.apache.spark.sql.functions.{count => cnt}
