@@ -876,15 +876,51 @@ object Frontier50Queries {
       |  CAST(n_pix AS BIGINT) AS n_pix
       |FROM g WHERE n_pix > 0 ORDER BY media_id, bin""".stripMargin
 
+  // mm_frame_features — REAL multi-frame decode: animated GIFs are
+  // generated executor-side (Multimodal.generateGif: 2–5 frames over an
+  // explicit 16-entry palette, lossless by construction), then the GIF
+  // CONTAINER is parsed back with an ImageIO reader and every frame's
+  // channel means measured from decoded pixels. The generator's pattern
+  // (pixel of frame f = palette idx (x+f) mod 16, palette i = (16i, 8i,
+  // 4i)) gives each frame closed-form means, so the codec-less oracle
+  // verifies frame COUNT, per-frame geometry, and all three means
+  // analytically — a wrong frame index, a compositing/disposal mixup,
+  // or a palette drift breaks the hash. Integer pixel sums divide once
+  // at the end (identical dividend/divisor ratio both sides, one IEEE
+  // rounding), so the doubles hash-match without rounding.
+  private val mmFrameFeatures: QFn = (s, dir) =>
+    graft.textops.Multimodal.extractFrameFeatures(
+      graft.textops.Multimodal.gifMediaTable(
+        t(s, dir, "documents"), "doc_id"))
+      .orderBy("media_id", "frame_idx")
+  private val mmFrameFeaturesSql =
+    """WITH m AS (SELECT doc_id AS media_id,
+      |    2 + (doc_id % 4) AS nf, 8 + (doc_id % 9) AS w,
+      |    8 + ((doc_id * 7) % 9) AS h
+      |  FROM documents),
+      |f AS (SELECT media_id, w, h, unnest(range(0, nf)) AS fi FROM m),
+      |px AS (SELECT media_id, fi, w, h, unnest(range(0, w)) AS x FROM f),
+      |s AS (SELECT media_id, fi, w, h,
+      |    h * SUM((x + fi) % 16) AS sidx
+      |  FROM px GROUP BY 1, 2, 3, 4)
+      |SELECT media_id, CAST(fi AS INT) AS frame_idx,
+      |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |  CAST(16 * sidx AS DOUBLE) / (w * h) AS mean_r,
+      |  CAST(8 * sidx AS DOUBLE) / (w * h) AS mean_g,
+      |  CAST(4 * sidx AS DOUBLE) / (w * h) AS mean_b
+      |FROM s ORDER BY media_id, frame_idx""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "eval_cohens_kappa" -> evalCohensKappa,
     "a68_cochran_armitage" -> a68CochranArmitage,
-    "mm_channel_histogram" -> mmChannelHistogram)
+    "mm_channel_histogram" -> mmChannelHistogram,
+    "mm_frame_features" -> mmFrameFeatures)
 
   val oracleSql: Map[String, String] = Map(
     "eval_cohens_kappa" -> evalCohensKappaSql,
     "a68_cochran_armitage" -> a68CochranArmitageSql,
-    "mm_channel_histogram" -> mmChannelHistogramSql)
+    "mm_channel_histogram" -> mmChannelHistogramSql,
+    "mm_frame_features" -> mmFrameFeaturesSql)
 }
 
 /** Round-7 third-session widening, fifth pack: triple exponential

@@ -224,6 +224,31 @@ class TextOpsSpec extends AnyFunSuite {
     assert(re.map(_.toSeq).toSeq === feats.map(_.toSeq).toSeq)
   }
 
+  test("multimodal: animated GIF round-trip — real container parse matches the analytic per-frame means") {
+    val ids = Seq(0L, 1L, 5L, 38L, 103L).toDF("doc_id")
+    val got = Multimodal.extractFrameFeatures(
+        Multimodal.gifMediaTable(ids, "doc_id"))
+      .orderBy("media_id", "frame_idx").collect()
+    val expected = Seq(0L, 1L, 5L, 38L, 103L).flatMap { id =>
+      val nf = 2 + (id % 4).toInt
+      val w = 8 + (id % 9).toInt
+      val h = 8 + ((id * 7) % 9).toInt
+      (0 until nf).map { f =>
+        val sidx = (0 until w).map(x => (x + f) % 16).sum.toLong * h
+        (id, f, w, h, 16.0 * sidx / (w * h), 8.0 * sidx / (w * h),
+          4.0 * sidx / (w * h))
+      }
+    }
+    assert(got.length === expected.length)
+    got.zip(expected).foreach { case (r, (id, f, w, h, mr, mg, mb)) =>
+      assert(r.getLong(0) === id && r.getInt(1) === f)
+      assert(r.getInt(2) === w && r.getInt(3) === h)
+      assert(r.getDouble(4) === mr) // exact: lossless palette + one division
+      assert(r.getDouble(5) === mg)
+      assert(r.getDouble(6) === mb)
+    }
+  }
+
   test("frame sampling: geometry from byte length, deterministic stats") {
     val docs = corpus.withColumn("source", lit("s"))
     val media = Multimodal.asMediaTable(docs, "doc_id", "text", "source")
