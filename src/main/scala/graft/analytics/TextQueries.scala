@@ -360,6 +360,77 @@ object TextQueries {
        |FROM d ORDER BY doc_id""".stripMargin
   }
 
+  // t11 — REAL byte-pair encoding (greedy merge-table encode, the
+  // GPT-2-style algorithm; functions/BpeSegment): per word, characters
+  // fuse lowest-rank-first until no adjacent pair is in the committed
+  // 32-rule table — the true token-budget input the chars/4 estimate
+  // (t_token_count's bpe_tokens) only approximates. The segmentation is
+  // a pure per-row codegen expression (no shuffle, no vocab collect);
+  // corpora with heavy word repetition can equivalently route through
+  // distinct-vocab + join, but the expression form is the simpler
+  // 100-TB plan. Output pins the exact pieces, not just counts: seg_sig
+  // sums each word's md5-derived segmentation hash (mod 1e9+7, so ~500
+  // words/doc can't overflow a long), and the oracle REPLAYS the whole
+  // algorithm as a recursive CTE over the distinct vocab — generated
+  // from the same BpeMerges.table, one merge per recursion step, the
+  // all-occurrences-left-to-right fuse expressed positionally (sound
+  // because every committed rule has a ≠ b, so occurrences within a
+  // step cannot overlap).
+  private val tBpe: QFn = (s, dir) => {
+    val words = docs(s, dir).select(col("doc_id"),
+        explode(split(TF.normText(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    words
+      .withColumn("seg", graft.functions.BpeMerges.bpe_segment(col("w")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+           sum(size(split(col("seg"), " ")).cast("long")).as("n_bpe_tokens"),
+           sum(pmod(Dedup.md5Hash64(col("seg")), lit(1000000007L)))
+             .as("seg_sig"))
+      .orderBy("doc_id")
+  }
+  private val tBpeSql = {
+    val norm = TF.normTextSql("text")
+    def h64(x: String) = {
+      val hi = s"CAST(('0x' || substring(md5($x), 1, 8)) AS BIGINT)"
+      val lo = s"CAST(('0x' || substring(md5($x), 9, 8)) AS BIGINT)"
+      s"(($hi - (CASE WHEN $hi >= 2147483648 THEN 4294967296 ELSE 0 END))" +
+        s" * 4294967296 + $lo)"
+    }
+    val segH = s"(((${h64("seg")} % 1000000007) + 1000000007) % 1000000007)"
+    s"""WITH RECURSIVE
+       |merges(a, b, rnk) AS (VALUES ${graft.functions.BpeMerges.sqlValues}),
+       |w AS (SELECT doc_id, unnest(string_split($norm, ' ')) AS w
+       |  FROM documents),
+       |ww AS (SELECT doc_id, w FROM w WHERE length(w) > 0),
+       |vocab AS (SELECT DISTINCT w FROM ww),
+       |enc(w, toks) AS (
+       |  SELECT w, list_transform(range(1, length(w) + 1), i -> w[i])
+       |  FROM vocab
+       |  UNION ALL
+       |  SELECT e.w, list_filter(list_transform(range(1, len(e.toks) + 1), i ->
+       |      CASE WHEN i < len(e.toks) AND e.toks[i] = m.a AND e.toks[i+1] = m.b
+       |             THEN e.toks[i] || e.toks[i+1]
+       |           WHEN i > 1 AND e.toks[i-1] = m.a AND e.toks[i] = m.b THEN NULL
+       |           ELSE e.toks[i] END), x -> x IS NOT NULL)
+       |  FROM enc e JOIN merges m ON m.rnk = (
+       |    SELECT MIN(m2.rnk) FROM merges m2
+       |    WHERE list_contains(
+       |      list_transform(range(1, len(e.toks)),
+       |        i -> e.toks[i] || '|' || e.toks[i+1]),
+       |      m2.a || '|' || m2.b))),
+       |fin AS (SELECT w, array_to_string(toks, ' ') AS seg,
+       |    CAST(len(toks) AS BIGINT) AS np FROM enc e
+       |  WHERE NOT EXISTS (SELECT 1 FROM merges m2
+       |    WHERE list_contains(list_transform(range(1, len(e.toks)),
+       |      i -> e.toks[i] || '|' || e.toks[i+1]), m2.a || '|' || m2.b)))
+       |SELECT doc_id, COUNT(*) AS n_words,
+       |CAST(SUM(np) AS BIGINT) AS n_bpe_tokens,
+       |CAST(SUM($segH) AS BIGINT) AS seg_sig
+       |FROM ww JOIN fin USING (w)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   private val tDecontaminate: QFn = (s, dir) => {
     val sh = Dedup.shingledHashedPortable(docs(s, dir), "doc_id", "text", 5)
     val evalSet = sh.filter(col("doc_id") < 20).select("sh").distinct()
@@ -1384,6 +1455,7 @@ object TextQueries {
     "t_url_extraction" -> tUrlExtract,
     "t_unigram_logprob" -> tUnigramLp,
     "t_frequent_terms" -> tFrequentTerms,
+    "t_bpe_tokenize" -> tBpe,
     "t_chunking" -> tChunking,
     "s_bm25_search" -> tBm25,
     "d_exact_dedup" -> dExact,
@@ -1427,6 +1499,7 @@ object TextQueries {
     "t_url_extraction" -> tUrlExtractSql,
     "t_unigram_logprob" -> tUnigramLpSql,
     "t_frequent_terms" -> tFrequentTermsSql,
+    "t_bpe_tokenize" -> tBpeSql,
     "t_chunking" -> tChunkingSql,
     "s_bm25_search" -> tBm25Sql,
     "d_exact_dedup" -> dExactSql,

@@ -66,3 +66,108 @@ object BpeTokenCountHelper {
   def bpe_token_count(c: Column): Column =
     ColumnBridge.column(BpeTokenCount(ColumnBridge.expression(c)))
 }
+
+/** REAL byte-pair-encoding segmentation (Sennrich et al., ACL'16; the
+  * GPT-2-style greedy ENCODE): starting from single characters,
+  * repeatedly find the adjacent token pair with the lowest merge-table
+  * rank and fuse ALL its occurrences left-to-right, until no pair is in
+  * the table. Space-joins the final pieces, so `size(split(out, ' '))`
+  * is the true token count — the budget input the chars/4 estimate
+  * ([[BpeTokenCount]]) only approximates.
+  *
+  * The merge table is the committed [[BpeMerges.table]] — the single
+  * source of truth the DuckDB oracle's recursive-CTE replay is also
+  * generated from, so both engines run textually the same algorithm.
+  */
+case class BpeSegment(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_segment expects string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = StringType
+
+  protected override def nullSafeEval(input: Any): Any =
+    BpeMerges.segmentUtf8(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BpeMerges.segmentUtf8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The committed BPE merge table + the greedy encoder both engines
+  * share. Rules are ranked by position (applied lowest-rank-first, the
+  * training order of a real tokenizer); later rules reference tokens
+  * earlier rules produce (`th`+`e`, `in`+`g`, `the`+`r`).
+  *
+  * INVARIANT the oracle depends on: every rule has a ≠ b. With unequal
+  * sides, occurrences of a pair within one merge step can never
+  * overlap, which is what lets the DuckDB replay mark merge starts and
+  * consumed positions with two independent positional predicates. The
+  * Scala encoder below is the fully general left-to-right scan (it
+  * would handle a == b too); [[table]] just never needs it. */
+object BpeMerges {
+
+  val table: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("o", "r"), ("s", "t"),
+    ("e", "n"), ("a", "t"), ("e", "s"), ("o", "u"), ("i", "t"),
+    ("a", "l"), ("in", "g"), ("e", "d"), ("a", "r"), ("o", "f"),
+    ("t", "o"), ("l", "e"), ("c", "h"), ("s", "h"), ("q", "u"),
+    ("w", "h"), ("l", "y"), ("u", "s"), ("i", "s"), ("o", "m"),
+    ("i", "c"), ("the", "r"))
+  require(table.forall { case (a, b) => a != b },
+    "BPE merge rules must have distinct sides (oracle precondition)")
+
+  private val rank: Map[(String, String), Int] =
+    table.zipWithIndex.toMap
+
+  /** Greedy BPE encode; returns the pieces. Words are the post-normText
+    * ASCII alnum tokens, so per-char splitting needs no codepoint care. */
+  def segment(word: String): Array[String] = {
+    var toks: Array[String] = word.map(_.toString).toArray
+    var done = toks.length < 2
+    while (!done) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < toks.length - 1) {
+        val r = rank.getOrElse((toks(i), toks(i + 1)), Int.MaxValue)
+        if (r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val (pa, pb) = table(best)
+        val out = Array.newBuilder[String]
+        var j = 0
+        while (j < toks.length) {
+          if (j < toks.length - 1 && toks(j) == pa && toks(j + 1) == pb) {
+            out += pa + pb; j += 2
+          } else { out += toks(j); j += 1 }
+        }
+        toks = out.result()
+        done = toks.length < 2
+      }
+    }
+    toks
+  }
+
+  /** UTF8String bridge for codegen ([[BpeSegment]]). */
+  def segmentUtf8(s: UTF8String): UTF8String =
+    UTF8String.fromString(segment(s.toString).mkString(" "))
+
+  /** The merge table as a DuckDB VALUES body `('a','b',rank), …` — the
+    * oracle generator, so SQL and Scala can never disagree. */
+  def sqlValues: String =
+    table.zipWithIndex.map { case ((a, b), i) => s"('$a','$b',${i + 1})" }
+      .mkString(", ")
+
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Column API: greedy BPE segmentation, pieces space-joined. */
+  def bpe_segment(c: Column): Column =
+    ColumnBridge.column(BpeSegment(ColumnBridge.expression(c)))
+}

@@ -40,4 +40,32 @@ class TextExpressionsSpec extends AnyFunSuite {
       .select(TF.bpeTokenEstimate(lit(null).cast("string")))
     assert(n.head().isNullAt(0))
   }
+
+  test("BPE segment: greedy lowest-rank-first, all occurrences per step") {
+    // hand-derived against the committed table ranks:
+    // thether: t|h(1)→ th e th e r; th|e(2)→ the the r; the|r(32)→
+    //          the ther (the LAST rule still fires — proof the loop
+    //          re-scans after every merge instead of one-passing ranks)
+    // anding:  i|n(3)→ a n d in g; a|n(4)→ an d in g; an|d(5); in|g(17)
+    // another: th(1), the(2), a|n(4), an+o? no rule → an o the r → the|r(32)
+    assert(BpeMerges.segment("thether").toSeq === Seq("the", "ther"))
+    assert(BpeMerges.segment("anding").toSeq === Seq("and", "ing"))
+    assert(BpeMerges.segment("another").toSeq === Seq("an", "o", "ther"))
+    assert(BpeMerges.segment("a").toSeq === Seq("a"))
+    assert(BpeMerges.segment("x9z").toSeq === Seq("x", "9", "z"))
+    // rank order matters: in "stone", s|t(10) and o|n(7) and e|n(11) —
+    // o|n fires first, killing e|n's chance only if overlapping (it
+    // isn't): st on e
+    assert(BpeMerges.segment("stone").toSeq === Seq("st", "on", "e"))
+  }
+
+  test("BPE segment: the native expression matches the Scala encoder and propagates null") {
+    val words = Seq("thether", "anding", "another", "stone", "quiche")
+    val got = words.toDF("w")
+      .select(BpeMerges.bpe_segment(col("w"))).as[String].collect()
+    assert(got.toSeq === words.map(BpeMerges.segment(_).mkString(" ")))
+    val n = Seq(Tuple1("x")).toDF("s")
+      .select(BpeMerges.bpe_segment(lit(null).cast("string")))
+    assert(n.head().isNullAt(0))
+  }
 }
