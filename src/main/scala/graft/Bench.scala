@@ -81,25 +81,43 @@ object Bench {
     val pass1 = timedPass().toMap
     val pass2 = timedPass().toMap
     val calibAfter = (calibJvm(), calibSpark())
+    // Normalization: times scale by (reference calib / measured calib),
+    // geometric mean of the JVM and Spark probes, min of before/after
+    // (the least-contended measurement). The reference constants are the
+    // r7 calibration mins — so "normalized_total" answers "what would
+    // this run have cost on the r7 judging machine", separating machine
+    // drift from plan changes in one number.
+    val (calibRefJvm, calibRefSpark) = (0.460, 0.455)
+    val calibFactor = math.sqrt(
+      (calibRefJvm / math.min(calibBefore._1, calibAfter._1)) *
+      (calibRefSpark / math.min(calibBefore._2, calibAfter._2)))
     val calibJson =
-      f"""{"jvm_before":${calibBefore._1}%.3f,"spark_before":${calibBefore._2}%.3f,"jvm_after":${calibAfter._1}%.3f,"spark_after":${calibAfter._2}%.3f}"""
+      f"""{"jvm_before":${calibBefore._1}%.3f,"spark_before":${calibBefore._2}%.3f,"jvm_after":${calibAfter._1}%.3f,"spark_after":${calibAfter._2}%.3f,"ref_jvm":$calibRefJvm%.3f,"ref_spark":$calibRefSpark%.3f,"factor":$calibFactor%.4f}"""
     val results = names.map { case (n, _) => n -> math.min(pass1(n), pass2(n)) }
     val total = results.map(_._2).sum
+    val normTotal = total * calibFactor
     // The driver keeps only a bounded tail of stdout (~2.3 KB): r2–r5 all
     // lost the head of this line (parsed:null) because per-query entries
     // push it past the window (even 40 entries ≈ 2.5 KB). The stdout line
     // therefore carries ONLY the all-query total, the count, and the 5
     // slowest queries (≈350 bytes); the sidecar file keeps every query at
     // full precision.
-    def line(fmt: Double => String,
-             subset: Seq[(String, Double)]): String = {
+    def line(fmt: Double => String, subset: Seq[(String, Double)],
+             withNormalized: Boolean): String = {
       val qs = subset.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"agg":"min","n_queries":${results.size},"n_failed":${failed.size},"calib":$calibJson,"queries_shown":${subset.size},"full":"$outPath"}"""
+      // normalized per-query times land only in the sidecar (the stdout
+      // line must stay inside the driver's bounded capture window)
+      val qn = if (withNormalized)
+        subset.map { case (k, v) => "\"" + k + "\":" + fmt(v * calibFactor) }
+          .mkString(""","queries_normalized":{""", ",", "}")
+      else ""
+      s"""{"metric":"total","value":${fmt(total)},"normalized_total":${fmt(normTotal)},"unit":"sec","queries":$qs$qn,"sf":"$sfDir","passes":2,"agg":"min","n_queries":${results.size},"n_failed":${failed.size},"calib":$calibJson,"queries_shown":${subset.size},"full":"$outPath"}"""
     }
     val slowest5 = results.sortBy(-_._2).take(5).sortBy(_._1)
-    println(line(v => f"$v%.3f", slowest5))
-    try Files.writeString(Paths.get(outPath), line(_.toString, results) + "\n")
+    println(line(v => f"$v%.3f", slowest5, withNormalized = false))
+    try Files.writeString(Paths.get(outPath),
+      line(_.toString, results, withNormalized = true) + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }

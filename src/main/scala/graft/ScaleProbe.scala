@@ -24,6 +24,17 @@ object ScaleProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // dev: PROBE_STAGES=1 prints each stage's callsite as it is
+    // submitted — enough to attribute an OOM to a pipeline step without
+    // the UI or event logs
+    if (sys.env.contains("PROBE_STAGES"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageSubmitted(
+              s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+            println(s"STAGE ${s.stageInfo.stageId} " +
+              s"[${s.stageInfo.numTasks} tasks]: ${s.stageInfo.name}")
+        })
     def time(n: String)(b: => Long): Unit = {
       val t0 = System.nanoTime(); val r = b
       println(f"PROBE $n%-22s ${(System.nanoTime()-t0)/1e9}%8.2f s rows=$r")
@@ -107,6 +118,40 @@ object ScaleProbe {
       time("minhash_verified_distinct50")(Dedup.minhashLshVerified(cached,
         "doc_id", "text", shingleK = 3, numHashes = 32, bands = 8,
         threshold = 0.5).count())
+      cached.unpersist()
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+    }
+
+    // dev iteration harness for the component-grouped verify path:
+    // SMALLER distinct-text corpus (copies via arg-free default 10 →
+    // 50k distinct docs) with broadcastDocLimit forced to 0 so the
+    // grouped path runs regardless of corpus size; same construction
+    // as dedupdistinct otherwise.
+    if (families.exists(_.startsWith("distgroup"))) {
+      val copies = families.find(_.startsWith("distgroup"))
+        .get.stripPrefix("distgroup").toIntOption.getOrElse(10)
+      spark.conf.set("spark.sql.shuffle.partitions", "128")
+      val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val big = base
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), lit(copies - 1L))).as("rep"))
+        .select((col("doc_id") * copies + col("rep")).as("doc_id"),
+          concat(col("text"), lit(" v"), col("rep")).as("text"))
+      val cached = big.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"docsDistinctGrouped: ${cached.count()}")
+      val forced = !families.contains("distbroad")
+      val lim = if (forced) 0L else 10000000L
+      time(s"ngram_${if (forced) "grouped" else "broadcast"}_${copies}x")(
+        Dedup.ngramJaccardPairs(cached,
+        "doc_id", "text", shingleK = 3, threshold = 0.5,
+        broadcastDocLimit = lim).count())
+      spark.catalog.clearCache()
+      cached.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached.count() // rewarm the corpus outside the timer
+      time(s"minhash_${if (forced) "grouped" else "broadcast"}_${copies}x")(
+        Dedup.minhashLshVerified(cached,
+        "doc_id", "text", shingleK = 3, numHashes = 32, bands = 8,
+        threshold = 0.5, broadcastDocLimit = lim).count())
       cached.unpersist()
       spark.conf.set("spark.sql.shuffle.partitions", "64")
     }
@@ -579,6 +624,67 @@ object ScaleProbe {
             "probe_st_fmgws", OutputMode.Append())
         }
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+
+    // 100× streaming drain on ROCKSDB state: 10M events / 1.5M users —
+    // ten times the r7 drain probe, on the state-store backend a real
+    // cluster runs once state outgrows the HDFS-backed in-memory maps.
+    // 40 staged files at maxFilesPerTrigger=4 → 10 micro-batches, so
+    // state persists/restores across 10 commits per query; 32 shuffle
+    // partitions (state-store instances) is the knob a cluster sizes to
+    // state volume. Pass bar: linear in data vs the 10× numbers, no
+    // memory cliff at 1.5M concurrent user keys.
+    if (families("streaming100")) {
+      val base = Tables.load(spark, "/root/testdata/sf0.1", "events")
+      val big = base
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), col("value"),
+          explode(sequence(lit(0L), lit(99L))).as("rep"))
+        .select((col("event_id") + col("rep") * 10000000L).as("event_id"),
+          (col("user_id") + col("rep") * 100000L).as("user_id"),
+          col("ts"), col("event_type"), col("value"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_probe_stream100").toString
+      big.repartition(40).write.mode("overwrite").parquet(dir)
+      println(s"staged streaming100 events: ${spark.read.parquet(dir).count()}")
+      val prevPart = spark.conf.get("spark.sql.shuffle.partitions")
+      val prevProv = spark.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      def drainCount(df: org.apache.spark.sql.DataFrame, name: String,
+                     mode: org.apache.spark.sql.streaming.OutputMode): Long = {
+        graft.streaming.EventStream.runToMemory(df, name, mode)
+        spark.table(name).count()
+      }
+      import org.apache.spark.sql.streaming.OutputMode
+      try {
+        time("st_windowed_100x_rocksdb") {
+          val ev = graft.streaming.EventStream.readEvents(spark, dir)
+          drainCount(graft.streaming.EventStream.windowedCounts(ev),
+            "probe_st_win100", OutputMode.Complete())
+        }
+        time("st_sessions_100x_rocksdb") {
+          val ev = graft.streaming.EventStream.readEvents(spark, dir)
+          drainCount(graft.streaming.EventStream.sessionCounts(ev),
+            "probe_st_sess100", OutputMode.Complete())
+        }
+        time("st_fmgws_100x_rocksdb") {
+          val ev = graft.streaming.EventStream.readEvents(spark, dir)
+          drainCount(
+            graft.streaming.EventStream.closedSessions(spark, ev).toDF(),
+            "probe_st_fmgws100", OutputMode.Append())
+        }
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevPart)
+        prevProv match {
+          case Some(p) =>
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None =>
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
     }
     spark.stop()
   }

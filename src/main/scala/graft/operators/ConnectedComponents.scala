@@ -42,7 +42,7 @@ object ConnectedComponents {
     // sketch+verify cascade a second time (measured 2× the pipeline
     // cost at sf0.1 before this cut lineage)
     val fwd = edges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
     val und = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -51,7 +51,7 @@ object ConnectedComponents {
     // the init needed anyway — one fewer join round every call
     var labels = und.groupBy("a").agg(min(col("b")).as("__mn"))
       .select(col("a").as("id"), least(col("a"), col("__mn")).as("comp"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
     // exact sum (no long overflow for any ids) — the monotone potential
     def labelSum(df: DataFrame): java.math.BigDecimal =
       // sum over zero rows is null — an empty graph must converge on
@@ -68,7 +68,7 @@ object ConnectedComponents {
       labels = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
+        .localCheckpoint(true, StorageLevel.DISK_ONLY)
       val curSum = labelSum(labels)
       converged = curSum.compareTo(prevSum) == 0
       prevSum = curSum
@@ -95,7 +95,14 @@ object ConnectedComponents {
     * Edges stay canonical (hi, lo) distinct pairs between rounds, so a
     * round is groupBy-min + join shuffles over 8-byte pairs; the
     * fixpoint test is an exact set compare (count + anti-difference),
-    * and every round localCheckpoints to cut iterative lineage. */
+    * and every round localCheckpoints to cut iterative lineage.
+    * Checkpoints are DISK_ONLY: localCheckpoint blocks are
+    * unrecomputable (lineage is cut), so they must never be stored
+    * evictable — and the deserialized in-memory form was the r8 OOM on
+    * a 6.8M-edge candidate graph (MemoryStore value arrays × 32
+    * concurrent tasks, while the dedup pipeline's own caches pin the
+    * heap). Disk round-trips of ~100 MB/round are noise next to the
+    * joins. */
   def componentsStarContraction(edges: DataFrame, aCol: String, bCol: String,
                                 maxIterations: Int = 25): DataFrame = {
     // canonical undirected edge set: (u, v) with u > v, no self loops
@@ -123,11 +130,11 @@ object ConnectedComponents {
     }
     var cur = canon(edges.select(col(aCol).cast("long").as("u"),
         col(bCol).cast("long").as("v")))
-      .localCheckpoint(true)
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val next = smallStar(largeStar(cur)).localCheckpoint(true, StorageLevel.DISK_ONLY)
       converged = next.count() == cur.count() && next.exceptAll(cur).isEmpty
       cur = next
       i += 1

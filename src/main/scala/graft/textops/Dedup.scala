@@ -354,12 +354,19 @@ object Dedup {
     val sets = sh.groupBy("doc_id")
       .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val small = sets.count() <= broadcastDocLimit
-    val (setsA, setsB, pairs) =
-      if (small)
-        (broadcast(sets), broadcast(sets), cands)
-      else
-        (sets, sets, cands.distinct())
+    if (sets.count() <= broadcastDocLimit)
+      joinVerify(cands, broadcast(sets), broadcast(sets), threshold)
+    else
+      verifyJaccardByComponent(cands, sets, threshold)
+  }
+
+  /** Pair-at-a-time exact verification: each candidate row joins both
+    * endpoint sets and scores one `array_intersect`. With broadcast
+    * sides this is map-side and cheap; with shuffled sides every pair
+    * drags an array payload through an exchange — which is why the
+    * large-corpus path below only uses it for oversized components. */
+  private def joinVerify(pairs: DataFrame, setsA: DataFrame,
+                         setsB: DataFrame, threshold: Double): DataFrame =
     pairs
       .join(setsA.select(col("doc_id").as("id_a"), col("set").as("set_a"),
         col("n").as("n_a")), "id_a")
@@ -371,6 +378,77 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
       .distinct()
+
+  /** Component-grouped exact verification — the >broadcastDocLimit
+    * path. The r7 probe showed the pair-join form's cost is NOT the
+    * 6.8M intersections but the exchange hauling a ~4 KB set array
+    * once per PAIR (~27 GB at 250k docs): near-dup candidates are
+    * cliques-ish, so the same arrays ship over and over. Grouping by
+    * connected component of the CANDIDATE GRAPH (star contraction,
+    * O(log) rounds over 16-byte edges) lets every doc's set move ONCE
+    * into its component's task, where a sorted-merge intersect scores
+    * all of the component's pairs locally: exchange volume drops from
+    * O(pairs·|set|) to O(docs·|set|) — input-sized, like the rest of
+    * the pipeline.
+    *
+    * Components are a compute partition, not a semantic one — every
+    * candidate pair has both endpoints in one component by
+    * construction, each pair is scored with the same intersect/union
+    * arithmetic (one IEEE division), and only explicitly listed pairs
+    * are emitted, so output is row-identical to [[joinVerify]]
+    * (spec-enforced). Components whose total shingle mass exceeds
+    * `maxComponentShingles` (~8 MB of longs at the default — a giant
+    * boilerplate cluster that collapseExact didn't fold, or a banding
+    * chain) fall back to the pair-join path instead of risking a
+    * single fat task: the size guard is data-driven, per component. */
+  private[textops] def verifyJaccardByComponent(cands: DataFrame, sets: DataFrame,
+      threshold: Double,
+      maxComponentShingles: Long = 1000000L): DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val pairs = cands.distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val comp = graft.operators.ConnectedComponents
+      .componentsStarContraction(pairs, "id_a", "id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val setsC = sets.join(comp.select(col("id").as("doc_id"), col("comp")),
+      "doc_id")
+    val big = setsC.groupBy("comp").agg(sum(col("n")).as("__tot"))
+      .filter(col("__tot") > maxComponentShingles)
+      .select("comp")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairsC = pairs.join(comp.select(col("id").as("id_a"), col("comp")),
+      "id_a")
+    val grouped = {
+      val pk = pairsC.join(big, Seq("comp"), "left_anti")
+        .select(col("comp"), col("id_a"), col("id_b"))
+        .as[(Long, Long, Long)].groupByKey(_._1)
+      val sk = setsC.join(big, Seq("comp"), "left_anti")
+        .select(col("comp"), col("doc_id"), col("set"))
+        .as[(Long, Long, Array[Long])].groupByKey(_._1)
+      pk.cogroup(sk) { case (_, ps, ss) =>
+        val m = new java.util.HashMap[Long, Array[Long]]()
+        ss.foreach { case (_, id, set) =>
+          java.util.Arrays.sort(set); m.put(id, set)
+        }
+        ps.flatMap { case (_, a, b) =>
+          val sa = m.get(a); val sb = m.get(b)
+          var i = 0; var j = 0; var c = 0
+          while (i < sa.length && j < sb.length) {
+            if (sa(i) < sb(j)) i += 1
+            else if (sa(i) > sb(j)) j += 1
+            else { c += 1; i += 1; j += 1 }
+          }
+          // same arithmetic as joinVerify: int sizes → double, one division
+          val jac = c.toDouble / (sa.length + sb.length - c).toDouble
+          if (jac >= threshold) Iterator.single((a, b, jac)) else Iterator.empty
+        }
+      }.toDF("id_a", "id_b", "jaccard")
+    }
+    val legacy = joinVerify(
+      pairsC.join(big, Seq("comp"), "left_semi").select("id_a", "id_b"),
+      sets, sets, threshold)
+    grouped.unionByName(legacy)
   }
 
   /** Exact n-gram Jaccard pairs via an AllPairs-style prefix-filtered
@@ -392,7 +470,8 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 3, threshold: Double = 0.5,
                         maxShingleFreq: Int = 1000,
-                        broadcastDocLimit: Long = 200000L): DataFrame = {
+                        broadcastDocLimit: Long = 200000L,
+                        maxComponentShingles: Long = 1000000L): DataFrame = {
     // exact-duplicate classes first ([[collapseExact]]): the index and
     // the quadratic candidate join see one representative per distinct
     // text; member pairs are rebuilt at the end. __csize rides along so
@@ -436,16 +515,102 @@ object Dedup {
     // passes (its suffixes contain the whole overlap), so recall is
     // untouched while typical low-similarity co-occurrences die here,
     // before the verify join. (Same 1e-9 slack: err toward keeping.)
-    val alpha = ceil(
-      (col("x.__n") + col("y.__n")) * lit(threshold / (1 + threshold)) - lit(1e-9))
-    val cands = prefix.as("x").join(prefix.as("y"), Seq("sh"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .filter(least(col("x.__n") - col("x.__pos"), col("y.__n") - col("y.__pos")) + 1 >= alpha)
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-    val repPairs = verifyJaccard(cands, capped.select("doc_id", "sh"),
-      threshold, broadcastDocLimit)
+    def pairwiseCands(p: DataFrame): DataFrame = {
+      val alpha = ceil(
+        (col("x.__n") + col("y.__n")) * lit(threshold / (1 + threshold)) - lit(1e-9))
+      p.as("x").join(p.as("y"), Seq("sh"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .filter(least(col("x.__n") - col("x.__pos"), col("y.__n") - col("y.__pos")) + 1 >= alpha)
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+    }
+    val sets = capped.groupBy("doc_id")
+      .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repPairs =
+      if (sets.count() <= broadcastDocLimit)
+        joinVerify(pairwiseCands(prefix), broadcast(sets), broadcast(sets),
+          threshold)
+      else
+        verifyPrefixByComponent(prefix, sets, threshold, pairwiseCands,
+          maxComponentShingles)
     expandPairs(repPairs, members, capped.select("doc_id").distinct(),
       "jaccard", directed = false)
+  }
+
+  /** Large-corpus exact verification for the PREFIX-FILTER pipeline —
+    * stronger than [[verifyJaccardByComponent]] because the prefix
+    * filter's recall guarantee lets it skip materializing candidate
+    * PAIRS altogether. The r8 250k-doc probe showed the pairwise
+    * prefix self-join itself is the residual cliff: boilerplate
+    * clusters emit every pair once PER shared prefix shingle (~1.7B
+    * rows into the distinct) before verification even starts.
+    *
+    * Replacement: each prefix shingle contributes a STAR (min-doc →
+    * member, |postings|−1 rows, not C(|postings|,2)) — which preserves
+    * exactly the connectivity of the "shares a prefix shingle" graph.
+    * Star-contraction components over those edges then group the
+    * corpus, sets ship ONCE into their component's task, and ALL local
+    * doc pairs are merge-intersected there. Output is identical to the
+    * pairwise join by the AllPairs theorem: any pair with J ≥ t shares
+    * a prefix shingle, hence lands in one component and is scored;
+    * scored pairs below t are dropped exactly as the pairwise path
+    * drops them after its own verify. Components whose shingle mass
+    * exceeds `maxComponentShingles` fall back to the pairwise
+    * candidate join RESTRICTED to their docs (`pairwiseCands` over the
+    * semi-joined prefix) + the pair-at-a-time shuffle verify — the
+    * quadratic local loop is bounded by the cap, the fallback by the
+    * positional filter. */
+  private[textops] def verifyPrefixByComponent(prefix: DataFrame,
+      sets: DataFrame, threshold: Double,
+      pairwiseCands: DataFrame => DataFrame,
+      maxComponentShingles: Long = 1000000L): DataFrame = {
+    val spark = prefix.sparkSession
+    import spark.implicits._
+    val stars = prefix
+      .withColumn("__root", min(col("doc_id")).over(Window.partitionBy("sh")))
+      .filter(col("doc_id") =!= col("__root"))
+      .select(col("__root").as("id_a"), col("doc_id").as("id_b"))
+      .distinct()
+    val comp = graft.operators.ConnectedComponents
+      .componentsStarContraction(stars, "id_a", "id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val setsC = sets.join(comp.select(col("id").as("doc_id"), col("comp")),
+      "doc_id")
+    val big = setsC.groupBy("comp").agg(sum(col("n")).as("__tot"))
+      .filter(col("__tot") > maxComponentShingles)
+      .select("comp")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grouped = setsC.join(big, Seq("comp"), "left_anti")
+      .select(col("comp"), col("doc_id"), col("set"))
+      .as[(Long, Long, Array[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val docs = it.map { case (_, id, set) =>
+          java.util.Arrays.sort(set); (id, set)
+        }.toArray.sortInPlaceBy(_._1)
+        for {
+          i <- docs.indices.iterator
+          j <- (i + 1 until docs.length).iterator
+          (a, sa) = docs(i)
+          (b, sb) = docs(j)
+          jac = {
+            var x = 0; var y = 0; var c = 0
+            while (x < sa.length && y < sb.length) {
+              if (sa(x) < sb(y)) x += 1
+              else if (sa(x) > sb(y)) y += 1
+              else { c += 1; x += 1; y += 1 }
+            }
+            c.toDouble / (sa.length + sb.length - c).toDouble
+          }
+          if jac >= threshold
+        } yield (a, b, jac)
+      }.toDF("id_a", "id_b", "jaccard")
+    val bigDocs = setsC.join(big, Seq("comp"), "left_semi").select("doc_id")
+    val legacy = joinVerify(
+      pairwiseCands(prefix.join(bigDocs, Seq("doc_id"), "left_semi"))
+        .distinct(),
+      sets, sets, threshold)
+    grouped.unionByName(legacy)
   }
 
   /** Directed containment pairs: C(src → dst) = |src ∩ dst| / |src| ≥

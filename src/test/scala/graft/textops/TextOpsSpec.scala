@@ -62,6 +62,56 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got === truth) // scores exact, not estimates, and full recall
   }
 
+  test("component-grouped verification ≡ broadcast verification (forced shuffle path)") {
+    // broadcastDocLimit = 0 forces verifyJaccardByComponent; the default
+    // limit takes the broadcast pair-join. Identical output row sets —
+    // on both the banding-candidate (minhash) and prefix-filter (ngram)
+    // pipelines — is the contract the 250k-doc corpus relies on.
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    val viaGroup = rows(Dedup.minhashLshVerified(corpus, "doc_id", "text",
+      shingleK = 3, numHashes = 32, bands = 16, threshold = 0.5,
+      broadcastDocLimit = 0L))
+    val viaBroadcast = rows(Dedup.minhashLshVerified(corpus, "doc_id", "text",
+      shingleK = 3, numHashes = 32, bands = 16, threshold = 0.5))
+    assert(viaGroup === viaBroadcast)
+    val ngGroup = rows(Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      shingleK = 3, threshold = 0.5, broadcastDocLimit = 0L))
+    val ngBroadcast = rows(Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      shingleK = 3, threshold = 0.5))
+    assert(ngGroup === ngBroadcast)
+    assert(ngGroup.nonEmpty)
+    // and with a 1-shingle component cap every component is "oversized",
+    // so the whole corpus routes through the pairwise-candidate fallback
+    // — output must still be identical (routing, never semantics)
+    val ngFallback = rows(Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      shingleK = 3, threshold = 0.5, broadcastDocLimit = 0L,
+      maxComponentShingles = 1L))
+    assert(ngFallback === ngBroadcast)
+  }
+
+  test("component-grouped verification: oversized components fall back, same output") {
+    // all-pairs candidates weld the corpus into ONE component; a
+    // 1-shingle cap then routes everything through the legacy pair-join
+    // branch while the default cap keeps it grouped — the guard must be
+    // pure routing, never semantics
+    val sh = Dedup.shingledHashed(corpus, "doc_id", "text", 3)
+    val sets = sh.groupBy("doc_id")
+      .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n"))
+    val ids = sets.select(col("doc_id"))
+    val cands = ids.select(col("doc_id").as("id_a"))
+      .crossJoin(ids.select(col("doc_id").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSet
+    val legacy = rows(Dedup.verifyJaccardByComponent(cands, sets, 0.3,
+      maxComponentShingles = 1L))
+    val grouped = rows(Dedup.verifyJaccardByComponent(cands, sets, 0.3))
+    assert(legacy === grouped)
+    assert(grouped.contains((0L, 1L, 1.0)))
+  }
+
   test("nearDedupKeep keeps one min-id survivor per dup cluster, singletons intact") {
     // cluster {0,1,2} (exact pair + near-dup), singletons 3..9, plus a
     // shingle-less doc (2 words < shingleK) that must survive alone even
