@@ -645,7 +645,12 @@ object ScaleProbe {
           col("ts"), col("event_type"), col("value"))
       val dir = java.nio.file.Files
         .createTempDirectory("graft_probe_stream100").toString
-      big.repartition(40).write.mode("overwrite").parquet(dir)
+      // range-partition by event time so the path-ordered file feed
+      // replays roughly time-ordered, like a real stream: a hash-staged
+      // feed lets batch 1 drag the watermark to max(ts)−delay and
+      // silently drops ~80% of later files' rows as late — a drop
+      // probe, not a state probe
+      big.repartitionByRange(40, col("ts")).write.mode("overwrite").parquet(dir)
       println(s"staged streaming100 events: ${spark.read.parquet(dir).count()}")
       val prevPart = spark.conf.get("spark.sql.shuffle.partitions")
       val prevProv = spark.conf.getOption(
