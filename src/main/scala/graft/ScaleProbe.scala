@@ -152,6 +152,13 @@ object ScaleProbe {
         Dedup.minhashLshVerified(cached,
         "doc_id", "text", shingleK = 3, numHashes = 32, bands = 8,
         threshold = 0.5, broadcastDocLimit = lim).count())
+      spark.catalog.clearCache()
+      cached.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached.count()
+      time(s"containment_${if (forced) "grouped" else "broadcast"}_${copies}x")(
+        Dedup.containmentPairs(cached,
+        "doc_id", "text", shingleK = 3, threshold = 0.8,
+        broadcastDocLimit = lim).count())
       cached.unpersist()
       spark.conf.set("spark.sql.shuffle.partitions", "64")
     }

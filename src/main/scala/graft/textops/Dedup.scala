@@ -628,7 +628,8 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        shingleK: Int = 3, threshold: Double = 0.8,
                        maxShingleFreq: Int = 1000,
-                       broadcastDocLimit: Long = 200000L): DataFrame = {
+                       broadcastDocLimit: Long = 200000L,
+                       maxComponentShingles: Long = 1000000L): DataFrame = {
     // exact-dup classes + member-weighted doc frequency, exactly as in
     // ngramJaccardPairs (see comments there)
     val (reps, members) = collapseExact(df, idCol, textCol)
@@ -651,17 +652,29 @@ object Dedup {
     // prefix (extra candidates), never a shorter one (lost recall)
     val prefix = indexed.filter(
       col("__pos") <= col("__n") - ceil(col("__n") * lit(threshold) - lit(1e-9)) + 1)
-    val cands = prefix.as("x").join(indexed.as("y"), Seq("sh"))
-      .filter(col("x.doc_id") =!= col("y.doc_id"))
-      .select(col("x.doc_id").as("id_src"), col("y.doc_id").as("id_dst"))
+    def pairwiseCands(px: DataFrame, iy: DataFrame): DataFrame =
+      px.as("x").join(iy.as("y"), Seq("sh"))
+        .filter(col("x.doc_id") =!= col("y.doc_id"))
+        .select(col("x.doc_id").as("id_src"), col("y.doc_id").as("id_dst"))
     val sets = capped.groupBy("doc_id")
       .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val small = sets.count() <= broadcastDocLimit
-    val (setsS, setsD, pairs) =
-      if (small) (broadcast(sets), broadcast(sets), cands)
-      else (sets, sets, cands.distinct())
-    val repPairs = pairs
+    val repPairs =
+      if (sets.count() <= broadcastDocLimit)
+        containmentJoinVerify(pairwiseCands(prefix, indexed),
+          broadcast(sets), broadcast(sets), threshold)
+      else
+        verifyContainmentByComponent(prefix, indexed, capped, sets,
+          threshold, pairwiseCands, maxComponentShingles)
+    expandPairs(repPairs, members, capped.select("doc_id").distinct(),
+      "containment", directed = true)
+  }
+
+  /** Pair-at-a-time containment verification — the directed twin of
+    * [[joinVerify]] (score divides by the SOURCE size only). */
+  private def containmentJoinVerify(pairs: DataFrame, setsS: DataFrame,
+      setsD: DataFrame, threshold: Double): DataFrame =
+    pairs
       .join(setsS.select(col("doc_id").as("id_src"), col("set").as("set_s"),
         col("n").as("n_s")), "id_src")
       .join(setsD.select(col("doc_id").as("id_dst"), col("set").as("set_d")), "id_dst")
@@ -671,8 +684,75 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .select("id_src", "id_dst", "containment")
       .distinct()
-    expandPairs(repPairs, members, capped.select("doc_id").distinct(),
-      "containment", directed = true)
+
+  /** Large-corpus containment verification by component — the directed
+    * analog of [[verifyPrefixByComponent]]. A pair with C(src→dst) ≥ t
+    * must share a shingle inside src's PREFIX (else the overlap tops
+    * out below ⌈t·|src|⌉), so components of the graph whose per-shingle
+    * stars span the FULL capped postings of every shingle occurring in
+    * ≥1 prefix cover all true pairs; within a component every ORDERED
+    * doc pair is scored locally (one merge-intersect per unordered
+    * pair, both directions emitted if qualifying). Oversized components
+    * fall back to the source-prefix × full-index pairwise join
+    * restricted to their docs. Output is row-identical to the pairwise
+    * path: covered ⊇ true pairs, sub-threshold scores drop either way. */
+  private[textops] def verifyContainmentByComponent(prefix: DataFrame,
+      indexed: DataFrame, capped: DataFrame, sets: DataFrame,
+      threshold: Double,
+      pairwiseCands: (DataFrame, DataFrame) => DataFrame,
+      maxComponentShingles: Long = 1000000L): DataFrame = {
+    val spark = prefix.sparkSession
+    import spark.implicits._
+    val prefixShingles = prefix.select("sh").distinct()
+    val stars = capped.join(prefixShingles, Seq("sh"), "left_semi")
+      .withColumn("__root", min(col("doc_id")).over(Window.partitionBy("sh")))
+      .filter(col("doc_id") =!= col("__root"))
+      .select(col("__root").as("id_a"), col("doc_id").as("id_b"))
+      .distinct()
+    val comp = graft.operators.ConnectedComponents
+      .componentsStarContraction(stars, "id_a", "id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val setsC = sets.join(comp.select(col("id").as("doc_id"), col("comp")),
+      "doc_id")
+    val big = setsC.groupBy("comp").agg(sum(col("n")).as("__tot"))
+      .filter(col("__tot") > maxComponentShingles)
+      .select("comp")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grouped = setsC.join(big, Seq("comp"), "left_anti")
+      .select(col("comp"), col("doc_id"), col("set"))
+      .as[(Long, Long, Array[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val docs = it.map { case (_, id, set) =>
+          java.util.Arrays.sort(set); (id, set)
+        }.toArray.sortInPlaceBy(_._1)
+        for {
+          i <- docs.indices.iterator
+          j <- (i + 1 until docs.length).iterator
+          (a, sa) = docs(i)
+          (b, sb) = docs(j)
+          c = {
+            var x = 0; var y = 0; var n = 0
+            while (x < sa.length && y < sb.length) {
+              if (sa(x) < sb(y)) x += 1
+              else if (sa(x) > sb(y)) y += 1
+              else { n += 1; x += 1; y += 1 }
+            }
+            n
+          }
+          // one intersect, both directions — each divides by ITS source
+          (s, d, cont) <- Iterator(
+            (a, b, c.toDouble / sa.length.toDouble),
+            (b, a, c.toDouble / sb.length.toDouble))
+          if cont >= threshold
+        } yield (s, d, cont)
+      }.toDF("id_src", "id_dst", "containment")
+    val bigDocs = setsC.join(big, Seq("comp"), "left_semi").select("doc_id")
+    val legacy = containmentJoinVerify(
+      pairwiseCands(prefix.join(bigDocs, Seq("doc_id"), "left_semi"),
+        indexed.join(bigDocs, Seq("doc_id"), "left_semi")).distinct(),
+      sets, sets, threshold)
+    grouped.unionByName(legacy)
   }
 
   /** 64-bit SimHash over word shingles: bit i is the sign of the weighted

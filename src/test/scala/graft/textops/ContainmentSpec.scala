@@ -53,6 +53,28 @@ class ContainmentSpec extends AnyFunSuite {
     assert(got === brute(0.5))
   }
 
+  test("component-grouped containment ≡ broadcast ≡ forced fallback") {
+    val words = (1 to 40).map(i => s"t$i")
+    val docs = (0 until 12).map { d =>
+      (d.toLong, words.slice(d, d + 12 + d % 4).mkString(" "))
+    }.toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_src", "id_dst", "containment")
+        .as[(Long, Long, Double)].collect().toSet
+    val viaBroadcast = rows(Dedup.containmentPairs(docs, "doc_id", "text",
+      shingleK = 3, threshold = 0.5))
+    val viaGroup = rows(Dedup.containmentPairs(docs, "doc_id", "text",
+      shingleK = 3, threshold = 0.5, broadcastDocLimit = 0L))
+    assert(viaGroup === viaBroadcast)
+    // cap=1 marks every component oversized → the pairwise fallback
+    // must still produce the identical row set (routing, not semantics)
+    val viaFallback = rows(Dedup.containmentPairs(docs, "doc_id", "text",
+      shingleK = 3, threshold = 0.5, broadcastDocLimit = 0L,
+      maxComponentShingles = 1L))
+    assert(viaFallback === viaBroadcast)
+    assert(viaBroadcast.nonEmpty)
+  }
+
   test("semantic dedup pairs near-identical vectors within cells") {
     // three well-separated axis clusters, 3 vectors each, plus noise dims
     def v(axis: Int, eps: Float): Seq[Float] =
