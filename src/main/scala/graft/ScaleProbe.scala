@@ -140,25 +140,31 @@ object ScaleProbe {
       val cached = big.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       println(s"docsDistinctGrouped: ${cached.count()}")
       val forced = !families.contains("distbroad")
+      val only = families.collectFirst {
+        case f if f.startsWith("only") => f.stripPrefix("only") }
+      def want(op: String) = only.forall(_ == op)
       val lim = if (forced) 0L else 10000000L
-      time(s"ngram_${if (forced) "grouped" else "broadcast"}_${copies}x")(
-        Dedup.ngramJaccardPairs(cached,
-        "doc_id", "text", shingleK = 3, threshold = 0.5,
-        broadcastDocLimit = lim).count())
+      if (want("ngram"))
+        time(s"ngram_${if (forced) "grouped" else "broadcast"}_${copies}x")(
+          Dedup.ngramJaccardPairs(cached,
+          "doc_id", "text", shingleK = 3, threshold = 0.5,
+          broadcastDocLimit = lim).count())
       spark.catalog.clearCache()
       cached.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       cached.count() // rewarm the corpus outside the timer
-      time(s"minhash_${if (forced) "grouped" else "broadcast"}_${copies}x")(
-        Dedup.minhashLshVerified(cached,
-        "doc_id", "text", shingleK = 3, numHashes = 32, bands = 8,
-        threshold = 0.5, broadcastDocLimit = lim).count())
+      if (want("minhash"))
+        time(s"minhash_${if (forced) "grouped" else "broadcast"}_${copies}x")(
+          Dedup.minhashLshVerified(cached,
+          "doc_id", "text", shingleK = 3, numHashes = 32, bands = 8,
+          threshold = 0.5, broadcastDocLimit = lim).count())
       spark.catalog.clearCache()
       cached.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       cached.count()
-      time(s"containment_${if (forced) "grouped" else "broadcast"}_${copies}x")(
-        Dedup.containmentPairs(cached,
-        "doc_id", "text", shingleK = 3, threshold = 0.8,
-        broadcastDocLimit = lim).count())
+      if (want("containment"))
+        time(s"containment_${if (forced) "grouped" else "broadcast"}_${copies}x")(
+          Dedup.containmentPairs(cached,
+          "doc_id", "text", shingleK = 3, threshold = 0.8,
+          broadcastDocLimit = lim).count())
       cached.unpersist()
       spark.conf.set("spark.sql.shuffle.partitions", "64")
     }

@@ -401,6 +401,22 @@ object Dedup {
     * boilerplate cluster that collapseExact didn't fold, or a banding
     * chain) fall back to the pair-join path instead of risking a
     * single fat task: the size guard is data-driven, per component. */
+
+  /** Dev-only: env-gated sizing printout for the component verify
+    * paths (GRAFT_VERIFY_DEBUG=1) — comp/doc counts and how much falls
+    * back. The counts run only when enabled; production plans are
+    * untouched. */
+  private def debugComp(tag: String, comp: DataFrame, setsC: DataFrame,
+                        big: DataFrame): Unit =
+    if (sys.env.contains("GRAFT_VERIFY_DEBUG")) {
+      val nComp = comp.select("comp").distinct().count()
+      val nDocs = comp.count()
+      val nBig = big.count()
+      val nBigDocs = setsC.join(big, Seq("comp"), "left_semi").count()
+      println(s"[verify-debug] $tag: comps=$nComp docs=$nDocs " +
+        s"bigComps=$nBig bigDocs=$nBigDocs")
+    }
+
   private[textops] def verifyJaccardByComponent(cands: DataFrame, sets: DataFrame,
       threshold: Double,
       maxComponentShingles: Long = 1000000L): DataFrame = {
@@ -419,6 +435,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairsC = pairs.join(comp.select(col("id").as("id_a"), col("comp")),
       "id_a")
+    debugComp("pairlist", comp, setsC, big)
     val grouped = {
       val pk = pairsC.join(big, Seq("comp"), "left_anti")
         .select(col("comp"), col("id_a"), col("id_b"))
@@ -445,6 +462,10 @@ object Dedup {
         }
       }.toDF("id_a", "id_b", "jaccard")
     }
+    // plain (sort-merge) joins for the fallback: an r8 experiment with
+    // shuffle_hash hints here twice exhausted disk where the unhinted
+    // plan fit — the SMJ plan spills less in practice on the
+    // array-payload join chain
     val legacy = joinVerify(
       pairsC.join(big, Seq("comp"), "left_semi").select("id_a", "id_b"),
       sets, sets, threshold)
@@ -531,86 +552,10 @@ object Dedup {
         joinVerify(pairwiseCands(prefix), broadcast(sets), broadcast(sets),
           threshold)
       else
-        verifyPrefixByComponent(prefix, sets, threshold, pairwiseCands,
+        verifyJaccardByComponent(pairwiseCands(prefix), sets, threshold,
           maxComponentShingles)
     expandPairs(repPairs, members, capped.select("doc_id").distinct(),
       "jaccard", directed = false)
-  }
-
-  /** Large-corpus exact verification for the PREFIX-FILTER pipeline —
-    * stronger than [[verifyJaccardByComponent]] because the prefix
-    * filter's recall guarantee lets it skip materializing candidate
-    * PAIRS altogether. The r8 250k-doc probe showed the pairwise
-    * prefix self-join itself is the residual cliff: boilerplate
-    * clusters emit every pair once PER shared prefix shingle (~1.7B
-    * rows into the distinct) before verification even starts.
-    *
-    * Replacement: each prefix shingle contributes a STAR (min-doc →
-    * member, |postings|−1 rows, not C(|postings|,2)) — which preserves
-    * exactly the connectivity of the "shares a prefix shingle" graph.
-    * Star-contraction components over those edges then group the
-    * corpus, sets ship ONCE into their component's task, and ALL local
-    * doc pairs are merge-intersected there. Output is identical to the
-    * pairwise join by the AllPairs theorem: any pair with J ≥ t shares
-    * a prefix shingle, hence lands in one component and is scored;
-    * scored pairs below t are dropped exactly as the pairwise path
-    * drops them after its own verify. Components whose shingle mass
-    * exceeds `maxComponentShingles` fall back to the pairwise
-    * candidate join RESTRICTED to their docs (`pairwiseCands` over the
-    * semi-joined prefix) + the pair-at-a-time shuffle verify — the
-    * quadratic local loop is bounded by the cap, the fallback by the
-    * positional filter. */
-  private[textops] def verifyPrefixByComponent(prefix: DataFrame,
-      sets: DataFrame, threshold: Double,
-      pairwiseCands: DataFrame => DataFrame,
-      maxComponentShingles: Long = 1000000L): DataFrame = {
-    val spark = prefix.sparkSession
-    import spark.implicits._
-    val stars = prefix
-      .withColumn("__root", min(col("doc_id")).over(Window.partitionBy("sh")))
-      .filter(col("doc_id") =!= col("__root"))
-      .select(col("__root").as("id_a"), col("doc_id").as("id_b"))
-      .distinct()
-    val comp = graft.operators.ConnectedComponents
-      .componentsStarContraction(stars, "id_a", "id_b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val setsC = sets.join(comp.select(col("id").as("doc_id"), col("comp")),
-      "doc_id")
-    val big = setsC.groupBy("comp").agg(sum(col("n")).as("__tot"))
-      .filter(col("__tot") > maxComponentShingles)
-      .select("comp")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val grouped = setsC.join(big, Seq("comp"), "left_anti")
-      .select(col("comp"), col("doc_id"), col("set"))
-      .as[(Long, Long, Array[Long])]
-      .groupByKey(_._1)
-      .flatMapGroups { (_, it) =>
-        val docs = it.map { case (_, id, set) =>
-          java.util.Arrays.sort(set); (id, set)
-        }.toArray.sortInPlaceBy(_._1)
-        for {
-          i <- docs.indices.iterator
-          j <- (i + 1 until docs.length).iterator
-          (a, sa) = docs(i)
-          (b, sb) = docs(j)
-          jac = {
-            var x = 0; var y = 0; var c = 0
-            while (x < sa.length && y < sb.length) {
-              if (sa(x) < sb(y)) x += 1
-              else if (sa(x) > sb(y)) y += 1
-              else { c += 1; x += 1; y += 1 }
-            }
-            c.toDouble / (sa.length + sb.length - c).toDouble
-          }
-          if jac >= threshold
-        } yield (a, b, jac)
-      }.toDF("id_a", "id_b", "jaccard")
-    val bigDocs = setsC.join(big, Seq("comp"), "left_semi").select("doc_id")
-    val legacy = joinVerify(
-      pairwiseCands(prefix.join(bigDocs, Seq("doc_id"), "left_semi"))
-        .distinct(),
-      sets, sets, threshold)
-    grouped.unionByName(legacy)
   }
 
   /** Directed containment pairs: C(src → dst) = |src ∩ dst| / |src| ≥
@@ -652,9 +597,19 @@ object Dedup {
     // prefix (extra candidates), never a shorter one (lost recall)
     val prefix = indexed.filter(
       col("__pos") <= col("__n") - ceil(col("__n") * lit(threshold) - lit(1e-9)) + 1)
+    // directed positional filter (the PPJoin bound adapted to
+    // containment): from a shared shingle at rare-first positions
+    // (pos_s, pos_d), the remaining overlap is at most
+    // min(n_s − pos_s, n_d − pos_d) + 1, which must reach ⌈t·n_s⌉ for
+    // C(src→dst) ≥ t. A true pair's FIRST common shingle always passes
+    // (the whole overlap lies at or after it in both orders), so recall
+    // is exact; same 1e-9 ceil slack, erring toward keeping.
     def pairwiseCands(px: DataFrame, iy: DataFrame): DataFrame =
       px.as("x").join(iy.as("y"), Seq("sh"))
         .filter(col("x.doc_id") =!= col("y.doc_id"))
+        .filter(least(col("x.__n") - col("x.__pos"),
+            col("y.__n") - col("y.__pos")) + 1 >=
+          ceil(col("x.__n") * lit(threshold) - lit(1e-9)))
         .select(col("x.doc_id").as("id_src"), col("y.doc_id").as("id_dst"))
     val sets = capped.groupBy("doc_id")
       .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n"))
@@ -664,8 +619,8 @@ object Dedup {
         containmentJoinVerify(pairwiseCands(prefix, indexed),
           broadcast(sets), broadcast(sets), threshold)
       else
-        verifyContainmentByComponent(prefix, indexed, capped, sets,
-          threshold, pairwiseCands, maxComponentShingles)
+        verifyDirectedByComponent(pairwiseCands(prefix, indexed), sets,
+          threshold, maxComponentShingles)
     expandPairs(repPairs, members, capped.select("doc_id").distinct(),
       "containment", directed = true)
   }
@@ -685,32 +640,22 @@ object Dedup {
       .select("id_src", "id_dst", "containment")
       .distinct()
 
-  /** Large-corpus containment verification by component — the directed
-    * analog of [[verifyPrefixByComponent]]. A pair with C(src→dst) ≥ t
-    * must share a shingle inside src's PREFIX (else the overlap tops
-    * out below ⌈t·|src|⌉), so components of the graph whose per-shingle
-    * stars span the FULL capped postings of every shingle occurring in
-    * ≥1 prefix cover all true pairs; within a component every ORDERED
-    * doc pair is scored locally (one merge-intersect per unordered
-    * pair, both directions emitted if qualifying). Oversized components
-    * fall back to the source-prefix × full-index pairwise join
-    * restricted to their docs. Output is row-identical to the pairwise
-    * path: covered ⊇ true pairs, sub-threshold scores drop either way. */
-  private[textops] def verifyContainmentByComponent(prefix: DataFrame,
-      indexed: DataFrame, capped: DataFrame, sets: DataFrame,
-      threshold: Double,
-      pairwiseCands: (DataFrame, DataFrame) => DataFrame,
+  /** Directed analog of [[verifyJaccardByComponent]]: identical
+    * component grouping over the (undirected view of the) candidate
+    * edges, but each LISTED (src, dst) pair scores overlap/|src| —
+    * containment's asymmetric score. Only listed pairs are emitted, so
+    * output is row-identical to [[containmentJoinVerify]] over the same
+    * candidates; oversized components fall back to it (with
+    * shuffle_hash sets builds — never sort the pair stream). */
+  private[textops] def verifyDirectedByComponent(cands: DataFrame,
+      sets: DataFrame, threshold: Double,
       maxComponentShingles: Long = 1000000L): DataFrame = {
-    val spark = prefix.sparkSession
+    val spark = cands.sparkSession
     import spark.implicits._
-    val prefixShingles = prefix.select("sh").distinct()
-    val stars = capped.join(prefixShingles, Seq("sh"), "left_semi")
-      .withColumn("__root", min(col("doc_id")).over(Window.partitionBy("sh")))
-      .filter(col("doc_id") =!= col("__root"))
-      .select(col("__root").as("id_a"), col("doc_id").as("id_b"))
-      .distinct()
+    val pairs = cands.distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val comp = graft.operators.ConnectedComponents
-      .componentsStarContraction(stars, "id_a", "id_b")
+      .componentsStarContraction(pairs, "id_src", "id_dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val setsC = sets.join(comp.select(col("id").as("doc_id"), col("comp")),
       "doc_id")
@@ -718,39 +663,38 @@ object Dedup {
       .filter(col("__tot") > maxComponentShingles)
       .select("comp")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val grouped = setsC.join(big, Seq("comp"), "left_anti")
-      .select(col("comp"), col("doc_id"), col("set"))
-      .as[(Long, Long, Array[Long])]
-      .groupByKey(_._1)
-      .flatMapGroups { (_, it) =>
-        val docs = it.map { case (_, id, set) =>
-          java.util.Arrays.sort(set); (id, set)
-        }.toArray.sortInPlaceBy(_._1)
-        for {
-          i <- docs.indices.iterator
-          j <- (i + 1 until docs.length).iterator
-          (a, sa) = docs(i)
-          (b, sb) = docs(j)
-          c = {
-            var x = 0; var y = 0; var n = 0
-            while (x < sa.length && y < sb.length) {
-              if (sa(x) < sb(y)) x += 1
-              else if (sa(x) > sb(y)) y += 1
-              else { n += 1; x += 1; y += 1 }
-            }
-            n
+    val pairsC = pairs.join(comp.select(col("id").as("id_src"), col("comp")),
+      "id_src")
+    debugComp("containment", comp, setsC, big)
+    val grouped = {
+      val pk = pairsC.join(big, Seq("comp"), "left_anti")
+        .select(col("comp"), col("id_src"), col("id_dst"))
+        .as[(Long, Long, Long)].groupByKey(_._1)
+      val sk = setsC.join(big, Seq("comp"), "left_anti")
+        .select(col("comp"), col("doc_id"), col("set"))
+        .as[(Long, Long, Array[Long])].groupByKey(_._1)
+      pk.cogroup(sk) { case (_, ps, ss) =>
+        val m = new java.util.HashMap[Long, Array[Long]]()
+        ss.foreach { case (_, id, set) =>
+          java.util.Arrays.sort(set); m.put(id, set)
+        }
+        ps.flatMap { case (_, srcId, dstId) =>
+          val sa = m.get(srcId); val sb = m.get(dstId)
+          var i = 0; var j = 0; var c = 0
+          while (i < sa.length && j < sb.length) {
+            if (sa(i) < sb(j)) i += 1
+            else if (sa(i) > sb(j)) j += 1
+            else { c += 1; i += 1; j += 1 }
           }
-          // one intersect, both directions — each divides by ITS source
-          (s, d, cont) <- Iterator(
-            (a, b, c.toDouble / sa.length.toDouble),
-            (b, a, c.toDouble / sb.length.toDouble))
-          if cont >= threshold
-        } yield (s, d, cont)
+          // same arithmetic as containmentJoinVerify: one division by |src|
+          val cont = c.toDouble / sa.length.toDouble
+          if (cont >= threshold) Iterator.single((srcId, dstId, cont))
+          else Iterator.empty
+        }
       }.toDF("id_src", "id_dst", "containment")
-    val bigDocs = setsC.join(big, Seq("comp"), "left_semi").select("doc_id")
+    }
     val legacy = containmentJoinVerify(
-      pairwiseCands(prefix.join(bigDocs, Seq("doc_id"), "left_semi"),
-        indexed.join(bigDocs, Seq("doc_id"), "left_semi")).distinct(),
+      pairsC.join(big, Seq("comp"), "left_semi").select("id_src", "id_dst"),
       sets, sets, threshold)
     grouped.unionByName(legacy)
   }
