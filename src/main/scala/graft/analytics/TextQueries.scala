@@ -431,6 +431,74 @@ object TextQueries {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // p4b — token-budget sharding on the REAL BPE counts (the t11
+  // tokenizer feeding the p4 packer): per source, docs pack greedily in
+  // doc_id order into ~2000-token shards, with each doc's budget the
+  // true merge-table token count instead of the whitespace proxy.
+  // Shard boundaries move wherever the two counts disagree, so the
+  // entry pins the composition end to end; docs whose normalized text
+  // is empty contribute 0 tokens but still occupy their slot (left
+  // join + coalesce — same row universe as p4).
+  private val pBpeShards: QFn = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs(s, dir).select(col("doc_id"),
+        explode(split(TF.normText(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("seg", graft.functions.BpeMerges.bpe_segment(col("w")))
+      .groupBy("doc_id")
+      .agg(sum(size(split(col("seg"), " ")).cast("long")).as("tok"))
+    val d = docs(s, dir).select(col("source"), col("doc_id"))
+      .join(toks, Seq("doc_id"), "left")
+      .withColumn("tok", coalesce(col("tok"), lit(0L)))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("shard",
+        floor((col("cum") - col("tok")).cast("double") / 2000.0).cast("int"))
+      .groupBy("source", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("shard_tokens"))
+      .orderBy("source", "shard")
+  }
+  private def bpeShardSql: String = {
+    val norm = TF.normTextSql("text")
+    s"""WITH RECURSIVE
+       |merges(a, b, rnk) AS (VALUES ${graft.functions.BpeMerges.sqlValues}),
+       |w AS (SELECT doc_id, unnest(string_split($norm, ' ')) AS w
+       |  FROM documents),
+       |ww AS (SELECT doc_id, w FROM w WHERE length(w) > 0),
+       |vocab AS (SELECT DISTINCT w FROM ww),
+       |enc(w, toks) AS (
+       |  SELECT w, list_transform(range(1, length(w) + 1), i -> w[i])
+       |  FROM vocab
+       |  UNION ALL
+       |  SELECT e.w, list_filter(list_transform(range(1, len(e.toks) + 1), i ->
+       |      CASE WHEN i < len(e.toks) AND e.toks[i] = m.a AND e.toks[i+1] = m.b
+       |             THEN e.toks[i] || e.toks[i+1]
+       |           WHEN i > 1 AND e.toks[i-1] = m.a AND e.toks[i] = m.b THEN NULL
+       |           ELSE e.toks[i] END), x -> x IS NOT NULL)
+       |  FROM enc e JOIN merges m ON m.rnk = (
+       |    SELECT MIN(m2.rnk) FROM merges m2
+       |    WHERE list_contains(
+       |      list_transform(range(1, len(e.toks)),
+       |        i -> e.toks[i] || '|' || e.toks[i+1]),
+       |      m2.a || '|' || m2.b))),
+       |fin AS (SELECT w, CAST(len(toks) AS BIGINT) AS np FROM enc e
+       |  WHERE NOT EXISTS (SELECT 1 FROM merges m2
+       |    WHERE list_contains(list_transform(range(1, len(e.toks)),
+       |      i -> e.toks[i] || '|' || e.toks[i+1]), m2.a || '|' || m2.b))),
+       |dt AS (SELECT doc_id, CAST(SUM(np) AS BIGINT) AS tok
+       |  FROM ww JOIN fin USING (w) GROUP BY 1),
+       |d AS (SELECT source, documents.doc_id, COALESCE(tok, 0) AS tok
+       |  FROM documents LEFT JOIN dt ON documents.doc_id = dt.doc_id),
+       |c AS (SELECT source, doc_id, tok,
+       |  SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+       |                 ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+       |SELECT source,
+       |CAST(floor(CAST(cum - tok AS DOUBLE) / 2000.0) AS INT) AS shard,
+       |COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS shard_tokens
+       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   private val tDecontaminate: QFn = (s, dir) => {
     val sh = Dedup.shingledHashedPortable(docs(s, dir), "doc_id", "text", 5)
     val evalSet = sh.filter(col("doc_id") < 20).select("sh").distinct()
@@ -1445,6 +1513,7 @@ object TextQueries {
     "p_hash_split" -> pSplit,
     "p_stratified_sample" -> pStratified,
     "p_token_shards" -> pShards,
+    "p_bpe_token_shards" -> pBpeShards,
     "t_token_count" -> tTokens,
     "t_lang_id" -> tLangId,
     "t_quality_score" -> tQuality,
@@ -1489,6 +1558,7 @@ object TextQueries {
     "p_hash_split" -> pSplitSql,
     "p_stratified_sample" -> pStratifiedSql,
     "p_token_shards" -> pShardsSql,
+    "p_bpe_token_shards" -> bpeShardSql,
     "t_token_count" -> tTokensSql,
     "t_lang_id" -> tLangIdSql,
     "t_quality_score" -> tQualitySql,
