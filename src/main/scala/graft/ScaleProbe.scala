@@ -165,6 +165,11 @@ object ScaleProbe {
           Dedup.containmentPairs(cached,
           "doc_id", "text", shingleK = 3, threshold = 0.8,
           broadcastDocLimit = lim).count())
+      if (want("keep"))
+        time(s"near_dedup_keep_dist_${copies}x")(
+          Dedup.nearDedupKeep(cached,
+          "doc_id", "text", shingleK = 3, numHashes = 32, bands = 8,
+          threshold = 0.5, broadcastDocLimit = lim).count())
       cached.unpersist()
       spark.conf.set("spark.sql.shuffle.partitions", "64")
     }

@@ -128,8 +128,16 @@ object ConnectedComponents {
       canon(e.join(m, "u").select(col("v").as("u"), col("m").as("v"))
         .union(m.select(col("u"), col("m").as("v"))))
     }
-    var cur = canon(edges.select(col(aCol).cast("long").as("u"),
-        col(bCol).cast("long").as("v")))
+    // materialize the raw edge projection BEFORE canon: canon's
+    // greatest/least/filter constraints over a union-shaped input (e.g.
+    // a dedup verifier's grouped∪fallback pair set, or expandPairs'
+    // intra∪cross union) trip Catalyst's Union.rewriteConstraints with
+    // a "key not found" on a contraction-internal attribute; an RDD
+    // boundary makes the iterative plan self-contained
+    val raw = edges.select(col(aCol).cast("long").as("u"),
+        col(bCol).cast("long").as("v"))
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    var cur = canon(raw)
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
     var converged = false
     var i = 0

@@ -249,8 +249,18 @@ object Dedup {
                     shingleK: Int = 3, numHashes: Int = 32,
                     bands: Int = 16, threshold: Double = 0.5,
                     broadcastDocLimit: Long = 200000L): DataFrame = {
-    val (repPairs, members, live) = minhashVerifiedParts(df, idCol, textCol,
+    val (repPairs0, members, live) = minhashVerifiedParts(df, idCol, textCol,
       shingleK, numHashes, bands, threshold, broadcastDocLimit)
+    // materialize the pair set before the iterative clustering: beyond
+    // broadcastDocLimit the verified pairs are a union of the
+    // cogroup-verified and fallback branches, and feeding that union
+    // into star contraction's canon step trips Catalyst's
+    // Union.rewriteConstraints ("key not found" on a contraction-
+    // internal attribute — found by the 250k-doc probe). The checkpoint
+    // replaces the plan with an RDD scan, which also cuts the heavy
+    // verify lineage before the O(log)-round iteration re-reads it.
+    val repPairs = repPairs0.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val liveReps = live.select(col("doc_id").as("__rep"))
     // classes whose rep has no shingles never pair: every member is its
     // own survivor (the closure-over-pairs contract; see scaladoc)

@@ -126,6 +126,15 @@ class TextOpsSpec extends AnyFunSuite {
     (3L to 9L).foreach(i => assert(kept(i) === 1L))
     assert(kept(10L) === 1L && kept(11L) === 1L)  // no shingles → no pairs
     assert(kept.values.sum === withShort.count()) // sizes partition corpus
+    // the large-corpus path (grouped∪fallback verify union → second
+    // star contraction) must produce the same kept corpus — this is the
+    // plan shape that tripped Catalyst's Union.rewriteConstraints
+    // before the pre-clustering checkpoint (250k-doc probe regression)
+    val keptForced = Dedup.nearDedupKeep(withShort, "doc_id", "text",
+      shingleK = 3, numHashes = 32, bands = 16, threshold = 0.5,
+      broadcastDocLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(keptForced === kept)
   }
 
   test("prefix filtering loses no pairs vs an unfiltered quadratic join") {
