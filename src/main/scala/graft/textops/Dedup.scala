@@ -251,14 +251,13 @@ object Dedup {
                     broadcastDocLimit: Long = 200000L): DataFrame = {
     val (repPairs0, members, live) = minhashVerifiedParts(df, idCol, textCol,
       shingleK, numHashes, bands, threshold, broadcastDocLimit)
-    // materialize the pair set before the iterative clustering: beyond
-    // broadcastDocLimit the verified pairs are a union of the
-    // cogroup-verified and fallback branches, and feeding that union
-    // into star contraction's canon step trips Catalyst's
-    // Union.rewriteConstraints ("key not found" on a contraction-
-    // internal attribute — found by the 250k-doc probe). The checkpoint
-    // replaces the plan with an RDD scan, which also cuts the heavy
-    // verify lineage before the O(log)-round iteration re-reads it.
+    // materialize the pair set before the iterative clustering: the
+    // checkpoint replaces the heavy verify plan (cogroup beyond
+    // broadcastDocLimit) with an RDD scan, cutting its lineage before
+    // the O(log)-round star contraction re-reads it — and keeping
+    // contraction's self-unions away from complex verify subplans
+    // (the r8 probe hit Union.rewriteConstraints "key not found" when
+    // a union-shaped verify output fed the canon step un-checkpointed).
     val repPairs = repPairs0.localCheckpoint(true,
       org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val liveReps = live.select(col("doc_id").as("__rep"))
@@ -389,98 +388,136 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
       .distinct()
 
-  /** Component-grouped exact verification — the >broadcastDocLimit
-    * path. The r7 probe showed the pair-join form's cost is NOT the
-    * 6.8M intersections but the exchange hauling a ~4 KB set array
-    * once per PAIR (~27 GB at 250k docs): near-dup candidates are
+  /** Component+block-grouped exact verification — the
+    * >broadcastDocLimit path. The r7 probe showed the pair-join form's
+    * cost is NOT the intersections but the exchange hauling a ~4 KB set
+    * array once per PAIR (~27 GB at 250k docs): near-dup candidates are
     * cliques-ish, so the same arrays ship over and over. Grouping by
     * connected component of the CANDIDATE GRAPH (star contraction,
     * O(log) rounds over 16-byte edges) lets every doc's set move ONCE
     * into its component's task, where a sorted-merge intersect scores
     * all of the component's pairs locally: exchange volume drops from
-    * O(pairs·|set|) to O(docs·|set|) — input-sized, like the rest of
-    * the pipeline.
+    * O(pairs·|set|) to O(docs·|set|) — input-sized.
     *
-    * Components are a compute partition, not a semantic one — every
-    * candidate pair has both endpoints in one component by
-    * construction, each pair is scored with the same intersect/union
-    * arithmetic (one IEEE division), and only explicitly listed pairs
-    * are emitted, so output is row-identical to [[joinVerify]]
-    * (spec-enforced). Components whose total shingle mass exceeds
-    * `maxComponentShingles` (~8 MB of longs at the default — a giant
-    * boilerplate cluster that collapseExact didn't fold, or a banding
-    * chain) fall back to the pair-join path instead of risking a
-    * single fat task: the size guard is data-driven, per component. */
-
-  /** Dev-only: env-gated sizing printout for the component verify
-    * paths (GRAFT_VERIFY_DEBUG=1) — comp/doc counts and how much falls
-    * back. The counts run only when enabled; production plans are
-    * untouched. */
-  private def debugComp(tag: String, comp: DataFrame, setsC: DataFrame,
-                        big: DataFrame): Unit =
-    if (sys.env.contains("GRAFT_VERIFY_DEBUG")) {
-      val nComp = comp.select("comp").distinct().count()
-      val nDocs = comp.count()
-      val nBig = big.count()
-      val nBigDocs = setsC.join(big, Seq("comp"), "left_semi").count()
-      println(s"[verify-debug] $tag: comps=$nComp docs=$nDocs " +
-        s"bigComps=$nBig bigDocs=$nBigDocs")
-    }
-
-  private[textops] def verifyJaccardByComponent(cands: DataFrame, sets: DataFrame,
-      threshold: Double,
-      maxComponentShingles: Long = 1000000L): DataFrame = {
+    * Components whose shingle mass exceeds `maxComponentShingles`
+    * (~8 MB of longs at the default — a boilerplate cluster or a
+    * banding/organic-edge chain, like the r8 ngram probe's 241k-doc
+    * component) do NOT fall back to the pair-join: grouping needs
+    * CO-LOCATION, not connectivity, so any partition of the pair list
+    * is semantically valid as long as each group ships the sets of its
+    * own pairs' endpoints. Oversized components therefore SUBDIVIDE by
+    * id-range blocks of the left endpoint. Near-dup cluster members
+    * have correlated ids in practice (versions and re-crawls land near
+    * each other — and every replication-style probe's construction),
+    * so id-range blocks keep cluster locality where a hash would
+    * scatter it; the worst case (uncorrelated ids inside an oversized
+    * component) degrades to ≤ pair-level shipping on the right
+    * endpoint only — the old fallback's cost floor — never a single
+    * fat task.
+    *
+    * Grouping is a compute partition, not a semantic one: each listed
+    * pair is scored exactly once (its group is a function of the
+    * pair), with the same intersect/size arithmetic as the broadcast
+    * path (one IEEE division), so output is row-identical to
+    * [[joinVerify]] / [[containmentJoinVerify]] (spec-enforced). */
+  private def groupedPairVerify(cands: DataFrame, sets: DataFrame,
+      aCol: String, bCol: String, directed: Boolean, threshold: Double,
+      outCol: String, maxComponentShingles: Long): DataFrame = {
     val spark = cands.sparkSession
     import spark.implicits._
     val pairs = cands.distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val comp = graft.operators.ConnectedComponents
-      .componentsStarContraction(pairs, "id_a", "id_b")
+      .componentsStarContraction(pairs, aCol, bCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bounded stats over the already-materialized sets index: average
+    // set size prices the id-range width so a block's LEFT-endpoint
+    // mass lands near maxComponentShingles
+    val stats = sets.agg(coalesce(sum(col("n")), lit(0L)),
+      count(lit(1))).head()
+    val avgN = math.max(1L, stats.getLong(0) / math.max(1L, stats.getLong(1)))
+    val idsPerBlock = math.max(1L, maxComponentShingles / avgN)
     val setsC = sets.join(comp.select(col("id").as("doc_id"), col("comp")),
       "doc_id")
     val big = setsC.groupBy("comp").agg(sum(col("n")).as("__tot"))
       .filter(col("__tot") > maxComponentShingles)
       .select("comp")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairsC = pairs.join(comp.select(col("id").as("id_a"), col("comp")),
-      "id_a")
-    debugComp("pairlist", comp, setsC, big)
-    val grouped = {
-      val pk = pairsC.join(big, Seq("comp"), "left_anti")
-        .select(col("comp"), col("id_a"), col("id_b"))
-        .as[(Long, Long, Long)].groupByKey(_._1)
-      val sk = setsC.join(big, Seq("comp"), "left_anti")
-        .select(col("comp"), col("doc_id"), col("set"))
-        .as[(Long, Long, Array[Long])].groupByKey(_._1)
-      pk.cogroup(sk) { case (_, ps, ss) =>
-        val m = new java.util.HashMap[Long, Array[Long]]()
-        ss.foreach { case (_, id, set) =>
-          java.util.Arrays.sort(set); m.put(id, set)
-        }
-        ps.flatMap { case (_, a, b) =>
-          val sa = m.get(a); val sb = m.get(b)
+    // group key: the component for right-sized components; an id-range
+    // block of the LEFT endpoint inside oversized ones. Block keys sit
+    // below -1 so they cannot collide with component keys (a component
+    // id is a min member id, ≥ 0 for every corpus here); a collision
+    // would only merge two groups — still correct, just lumpier tasks.
+    val gkey = when(col("__big").isNotNull,
+        lit(-1L) - expr(s"CAST($aCol AS BIGINT) div ${idsPerBlock}L"))
+      .otherwise(col("comp"))
+    val keyed = pairs
+      .join(comp.select(col("id").as(aCol), col("comp")), aCol)
+      .join(big.withColumn("__big", lit(true)), Seq("comp"), "left")
+      .select(gkey.as("__g"), col(aCol), col(bCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // each group needs exactly its own pairs' endpoint sets: a left
+    // endpoint ships once (its block is fixed by its id), a right
+    // endpoint once per distinct group its partners pull it into
+    val need = keyed.select(col("__g"), col(aCol).as("doc_id"))
+      .unionByName(keyed.select(col("__g"), col(bCol).as("doc_id")))
+      .distinct()
+    val setsG = sets.join(need, "doc_id")
+    debugGroups("grouped-verify", comp, big, keyed)
+    val pk = keyed.as[(Long, Long, Long)].groupByKey(_._1)
+    val sk = setsG.select(col("__g"), col("doc_id"), col("set"))
+      .as[(Long, Long, Array[Long])].groupByKey(_._1)
+    pk.cogroup(sk) { case (_, ps, ss) =>
+      val m = new java.util.HashMap[Long, Array[Long]]()
+      ss.foreach { case (_, id, set) =>
+        java.util.Arrays.sort(set); m.put(id, set)
+      }
+      ps.flatMap { case (_, a, b) =>
+        val sa = m.get(a); val sb = m.get(b)
+        // a candidate may reference a doc with no row in `sets` (no
+        // surviving shingles): the broadcast path's inner joins drop
+        // such pairs, so skip — never NPE — to match exactly
+        if (sa == null || sb == null) Iterator.empty
+        else {
           var i = 0; var j = 0; var c = 0
           while (i < sa.length && j < sb.length) {
             if (sa(i) < sb(j)) i += 1
             else if (sa(i) > sb(j)) j += 1
             else { c += 1; i += 1; j += 1 }
           }
-          // same arithmetic as joinVerify: int sizes → double, one division
-          val jac = c.toDouble / (sa.length + sb.length - c).toDouble
-          if (jac >= threshold) Iterator.single((a, b, jac)) else Iterator.empty
+          // same arithmetic as the broadcast verifiers: int sizes →
+          // double, one IEEE division (by the union for Jaccard, by
+          // |src| for containment)
+          val score =
+            if (directed) c.toDouble / sa.length.toDouble
+            else c.toDouble / (sa.length + sb.length - c).toDouble
+          if (score >= threshold) Iterator.single((a, b, score))
+          else Iterator.empty
         }
-      }.toDF("id_a", "id_b", "jaccard")
-    }
-    // plain (sort-merge) joins for the fallback: an r8 experiment with
-    // shuffle_hash hints here twice exhausted disk where the unhinted
-    // plan fit — the SMJ plan spills less in practice on the
-    // array-payload join chain
-    val legacy = joinVerify(
-      pairsC.join(big, Seq("comp"), "left_semi").select("id_a", "id_b"),
-      sets, sets, threshold)
-    grouped.unionByName(legacy)
+      }
+    }.toDF(aCol, bCol, outCol)
   }
+
+  /** Dev-only: env-gated sizing printout for the grouped verify path
+    * (GRAFT_VERIFY_DEBUG=1) — component/doc counts, how many
+    * components subdivide into blocks, and the final group count. The
+    * counts run only when enabled; production plans are untouched. */
+  private def debugGroups(tag: String, comp: DataFrame, big: DataFrame,
+                          keyed: DataFrame): Unit =
+    if (sys.env.contains("GRAFT_VERIFY_DEBUG")) {
+      val nComp = comp.select("comp").distinct().count()
+      val nDocs = comp.count()
+      val nBig = big.count()
+      val nGroups = keyed.select("__g").distinct().count()
+      println(s"[verify-debug] $tag: comps=$nComp docs=$nDocs " +
+        s"bigComps=$nBig groups=$nGroups")
+    }
+
+  private[textops] def verifyJaccardByComponent(cands: DataFrame, sets: DataFrame,
+      threshold: Double,
+      maxComponentShingles: Long = 1000000L): DataFrame =
+    groupedPairVerify(cands, sets, "id_a", "id_b", directed = false,
+      threshold, "jaccard", maxComponentShingles)
 
   /** Exact n-gram Jaccard pairs via an AllPairs-style prefix-filtered
     * inverted index (Bayardo, Ma & Srikant, "Scaling Up All Pairs
@@ -651,63 +688,16 @@ object Dedup {
       .distinct()
 
   /** Directed analog of [[verifyJaccardByComponent]]: identical
-    * component grouping over the (undirected view of the) candidate
-    * edges, but each LISTED (src, dst) pair scores overlap/|src| —
-    * containment's asymmetric score. Only listed pairs are emitted, so
-    * output is row-identical to [[containmentJoinVerify]] over the same
-    * candidates; oversized components fall back to it (with
-    * shuffle_hash sets builds — never sort the pair stream). */
+    * component+block grouping over the (undirected view of the)
+    * candidate edges, but each LISTED (src, dst) pair scores
+    * overlap/|src| — containment's asymmetric score. Only listed pairs
+    * are emitted, so output is row-identical to
+    * [[containmentJoinVerify]] over the same candidates. */
   private[textops] def verifyDirectedByComponent(cands: DataFrame,
       sets: DataFrame, threshold: Double,
-      maxComponentShingles: Long = 1000000L): DataFrame = {
-    val spark = cands.sparkSession
-    import spark.implicits._
-    val pairs = cands.distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val comp = graft.operators.ConnectedComponents
-      .componentsStarContraction(pairs, "id_src", "id_dst")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val setsC = sets.join(comp.select(col("id").as("doc_id"), col("comp")),
-      "doc_id")
-    val big = setsC.groupBy("comp").agg(sum(col("n")).as("__tot"))
-      .filter(col("__tot") > maxComponentShingles)
-      .select("comp")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairsC = pairs.join(comp.select(col("id").as("id_src"), col("comp")),
-      "id_src")
-    debugComp("containment", comp, setsC, big)
-    val grouped = {
-      val pk = pairsC.join(big, Seq("comp"), "left_anti")
-        .select(col("comp"), col("id_src"), col("id_dst"))
-        .as[(Long, Long, Long)].groupByKey(_._1)
-      val sk = setsC.join(big, Seq("comp"), "left_anti")
-        .select(col("comp"), col("doc_id"), col("set"))
-        .as[(Long, Long, Array[Long])].groupByKey(_._1)
-      pk.cogroup(sk) { case (_, ps, ss) =>
-        val m = new java.util.HashMap[Long, Array[Long]]()
-        ss.foreach { case (_, id, set) =>
-          java.util.Arrays.sort(set); m.put(id, set)
-        }
-        ps.flatMap { case (_, srcId, dstId) =>
-          val sa = m.get(srcId); val sb = m.get(dstId)
-          var i = 0; var j = 0; var c = 0
-          while (i < sa.length && j < sb.length) {
-            if (sa(i) < sb(j)) i += 1
-            else if (sa(i) > sb(j)) j += 1
-            else { c += 1; i += 1; j += 1 }
-          }
-          // same arithmetic as containmentJoinVerify: one division by |src|
-          val cont = c.toDouble / sa.length.toDouble
-          if (cont >= threshold) Iterator.single((srcId, dstId, cont))
-          else Iterator.empty
-        }
-      }.toDF("id_src", "id_dst", "containment")
-    }
-    val legacy = containmentJoinVerify(
-      pairsC.join(big, Seq("comp"), "left_semi").select("id_src", "id_dst"),
-      sets, sets, threshold)
-    grouped.unionByName(legacy)
-  }
+      maxComponentShingles: Long = 1000000L): DataFrame =
+    groupedPairVerify(cands, sets, "id_src", "id_dst", directed = true,
+      threshold, "containment", maxComponentShingles)
 
   /** 64-bit SimHash over word shingles: bit i is the sign of the weighted
     * sum of shingle-hash bits. Column-level convenience for tests; the

@@ -91,11 +91,12 @@ class TextOpsSpec extends AnyFunSuite {
     assert(ngFallback === ngBroadcast)
   }
 
-  test("component-grouped verification: oversized components fall back, same output") {
+  test("component-grouped verification: oversized components subdivide, same output") {
     // all-pairs candidates weld the corpus into ONE component; a
-    // 1-shingle cap then routes everything through the legacy pair-join
-    // branch while the default cap keeps it grouped — the guard must be
-    // pure routing, never semantics
+    // 1-shingle cap then routes every pair through the id-range block
+    // subdivision (one block per doc at that cap) while the default cap
+    // keeps it component-grouped — the size guard must be pure routing,
+    // never semantics
     val sh = Dedup.shingledHashed(corpus, "doc_id", "text", 3)
     val sets = sh.groupBy("doc_id")
       .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n"))
@@ -105,10 +106,10 @@ class TextOpsSpec extends AnyFunSuite {
       .filter(col("id_a") < col("id_b"))
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.as[(Long, Long, Double)].collect().toSet
-    val legacy = rows(Dedup.verifyJaccardByComponent(cands, sets, 0.3,
+    val blocked = rows(Dedup.verifyJaccardByComponent(cands, sets, 0.3,
       maxComponentShingles = 1L))
     val grouped = rows(Dedup.verifyJaccardByComponent(cands, sets, 0.3))
-    assert(legacy === grouped)
+    assert(blocked === grouped)
     assert(grouped.contains((0L, 1L, 1.0)))
   }
 
