@@ -280,6 +280,224 @@ object Dedup {
     clustered.unionByName(singles)
   }
 
+  // --------------------------------------------- incremental near-dedup
+  //
+  // The daily-ingest shape: the corpus's LSH state persists as a
+  // partitioned warehouse index, and each incoming batch probes ONLY its
+  // own buckets — batch-sized work against a 100 TB corpus, the batch
+  // analog of the watermark delta-load discipline
+  // (/root/reference/scripts/silver/proc_load_silver.sql:95,242).
+
+  /** Persist a corpus's MinHash/LSH near-dup index as warehouse tables —
+    * the dedup analog of [[Similarity.ivfPqPersist]]'s build/probe split:
+    *
+    *   `<table>_meta`  — 1 row of the sketch parameters (a probe reads
+    *                     them back, so index and probe can never skew)
+    *   `<table>_bands` — (band, band_hash, doc_id) PARTITIONED BY `pb`
+    *                     (= band·nBuckets + band_hash mod nBuckets): a
+    *                     batch's candidate lookup prunes to exactly the
+    *                     partitions its own band keys hash into
+    *   `<table>_sets`  — (doc_id, set, n) hashed-shingle sets
+    *                     PARTITIONED BY `dbucket` (= doc_id mod
+    *                     nSetBuckets): exact verification prunes to the
+    *                     partitions holding its candidates' sets
+    *
+    * Band rows are per-DOC (no exact-dup collapse): k identical copies
+    * cost k index rows, and a batch probe that hits the class emits all
+    * k pairs — output-sized, since every one of those pairs is a true
+    * result. Docs whose text yields no shingles have no rows (they can
+    * never pair — the [[minhashLshVerified]] contract). */
+  def nearDedupIndexPersist(df: DataFrame, idCol: String, textCol: String,
+      wh: graft.etl.Warehouse, layer: String, table: String,
+      shingleK: Int = 3, numHashes: Int = 32, bands: Int = 16,
+      nBuckets: Int = 64, nSetBuckets: Int = 64): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    wh.overwrite(Seq((shingleK, numHashes, bands, nBuckets, nSetBuckets))
+      .toDF("shingle_k", "num_hashes", "bands", "n_buckets", "n_set_buckets"),
+      layer, s"${table}_meta")
+    val sh = shingledHashed(df, idCol, textCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keys = bandedKeys(minhashFromShingles(sh, numHashes), numHashes,
+      bands, keepSig = false)
+    wh.overwritePartitioned(keys.withColumn("pb", pbKey(nBuckets)),
+      layer, s"${table}_bands", Seq("pb"))
+    wh.overwritePartitioned(
+      sh.groupBy("doc_id")
+        .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n"))
+        .withColumn("dbucket", pmod(col("doc_id"), lit(nSetBuckets.toLong))),
+      layer, s"${table}_sets", Seq("dbucket"))
+    sh.unpersist()
+  }
+
+  /** Append new docs to a persisted index without touching existing
+    * rows: band keys and shingle sets land in their `pb`/`dbucket`
+    * partitions (parquet partitioned append). Per-doc index rows depend
+    * only on the doc's own text, so probe-after-append is byte-identical
+    * to a probe of a from-scratch index over the union corpus
+    * (spec-enforced). Caller contract: ids disjoint from the indexed
+    * corpus — typically the SURVIVORS of [[nearDedupIncrementKeep]]. */
+  def nearDedupIndexAppend(df: DataFrame, idCol: String, textCol: String,
+      wh: graft.etl.Warehouse, layer: String, table: String): Unit = {
+    val (shingleK, numHashes, bands, nBuckets, nSetBuckets) =
+      readIndexMeta(df.sparkSession, wh, layer, table)
+    val sh = shingledHashed(df, idCol, textCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keys = bandedKeys(minhashFromShingles(sh, numHashes), numHashes,
+      bands, keepSig = false)
+    wh.appendPartitioned(keys.withColumn("pb", pbKey(nBuckets)),
+      layer, s"${table}_bands", Seq("pb"))
+    wh.appendPartitioned(
+      sh.groupBy("doc_id")
+        .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n"))
+        .withColumn("dbucket", pmod(col("doc_id"), lit(nSetBuckets.toLong))),
+      layer, s"${table}_sets", Seq("dbucket"))
+    sh.unpersist()
+  }
+
+  private def pbKey(nBuckets: Int): Column =
+    (col("band") * nBuckets + pmod(col("band_hash"), lit(nBuckets.toLong)))
+      .cast("int")
+
+  private def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      wh: graft.etl.Warehouse, layer: String,
+      table: String): (Int, Int, Int, Int, Int) = {
+    val m = wh.read(spark, layer, s"${table}_meta")
+      .select("shingle_k", "num_hashes", "bands", "n_buckets",
+        "n_set_buckets").head()
+    (m.getInt(0), m.getInt(1), m.getInt(2), m.getInt(3), m.getInt(4))
+  }
+
+  /** Batch→corpus verified pairs from a persisted index, batch-sized by
+    * construction: the batch's band keys are computed fresh, their
+    * DISTINCT `pb` values (bounded by bands·nBuckets, a driver-side
+    * list like [[Similarity.ivfPqProbePersisted]]'s probe cells) prune
+    * the `_bands` scan to only the batch's buckets, and the candidates'
+    * `dbucket` values (bounded by nSetBuckets) prune the `_sets` scan
+    * the same way — `.explain` shows both `PartitionFilters`
+    * (spec-asserted). Returns (__cid, __bid, jaccard): one row per
+    * verified corpus↔batch pair, scored with exactly [[joinVerify]]'s
+    * arithmetic. Caller contract: batch ids disjoint from indexed ids
+    * (self-hits are dropped defensively). */
+  private def incrementCrossPairs(batch: DataFrame, idCol: String,
+      textCol: String, wh: graft.etl.Warehouse, layer: String,
+      table: String, threshold: Double): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val (shingleK, numHashes, bands, nBuckets, nSetBuckets) =
+      readIndexMeta(spark, wh, layer, table)
+    val shB = shingledHashed(batch, idCol, textCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keysB = bandedKeys(minhashFromShingles(shB, numHashes), numHashes,
+      bands, keepSig = false)
+      .withColumn("pb", pbKey(nBuckets))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bounded collects: ≤ bands·nBuckets pb values / ≤ nSetBuckets
+    // dbucket values by construction — never data-scaled
+    val pbs = keysB.select("pb").distinct().as[Int].collect().sorted
+    val idx = wh.read(spark, layer, s"${table}_bands")
+      .filter(col("pb").isin(pbs.map(Int.box): _*))
+    val cross = idx
+      .select(col("band"), col("band_hash"), col("doc_id").as("__cid"))
+      .join(keysB.select(col("band"), col("band_hash"),
+        col("doc_id").as("__bid")), Seq("band", "band_hash"))
+      .filter(col("__cid") =!= col("__bid"))
+      .select("__cid", "__bid").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dbs = cross
+      .select(pmod(col("__cid"), lit(nSetBuckets.toLong)).cast("int").as("db"))
+      .distinct().as[Int].collect().sorted
+    val corpusSets = wh.read(spark, layer, s"${table}_sets")
+      .filter(col("dbucket").isin(dbs.map(Int.box): _*))
+    val batchSets = shB.groupBy("doc_id")
+      .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n"))
+    // joinVerify's arithmetic exactly (int sizes → double, one IEEE
+    // division), so incremental scores are bit-identical to a rebuild's
+    cross
+      .join(corpusSets.select(col("doc_id").as("__cid"),
+        col("set").as("set_a"), col("n").as("n_a")), "__cid")
+      .join(batchSets.select(col("doc_id").as("__bid"),
+        col("set").as("set_b"), col("n").as("n_b")), "__bid")
+      .withColumn("__i", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("jaccard", col("__i").cast("double")
+        / (col("n_a") + col("n_b") - col("__i")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("__cid", "__bid", "jaccard")
+  }
+
+  /** Incremental near-dedup PAIRS: everything a full corpus-rebuild
+    * ([[minhashLshVerified]] over corpus ∪ batch) would emit that
+    * touches a batch id — byte-identical, without re-running the corpus
+    * side. Batch↔corpus pairs come from the partition-pruned index
+    * probe ([[incrementCrossPairs]]); batch↔batch pairs from the
+    * standard verified pipeline over the batch alone (banding collides
+    * pairwise, so neither half depends on the rest of the corpus).
+    * Returns (id_a, id_b, jaccard) with id_a < id_b. */
+  def nearDedupIncrementPairs(batch: DataFrame, idCol: String,
+      textCol: String, wh: graft.etl.Warehouse, layer: String,
+      table: String, threshold: Double): DataFrame = {
+    val (shingleK, numHashes, bands, _, _) =
+      readIndexMeta(batch.sparkSession, wh, layer, table)
+    val cross = incrementCrossPairs(batch, idCol, textCol, wh, layer,
+      table, threshold)
+      .select(least(col("__cid"), col("__bid")).as("id_a"),
+        greatest(col("__cid"), col("__bid")).as("id_b"), col("jaccard"))
+      .distinct()
+    val internal = minhashLshVerified(batch, idCol, textCol, shingleK,
+      numHashes, bands, threshold)
+    internal.unionByName(cross)
+  }
+
+  /** Incremental near-dedup KEEP — the ingest policy: the corpus always
+    * wins. A batch cluster (connected component of batch-internal
+    * verified pairs) is dropped ENTIRELY if any member near-matches an
+    * indexed corpus doc (its content already exists); otherwise its
+    * min-id member survives, carrying the cluster's member count.
+    * Returns (doc_id, cluster_size) — the batch docs to ingest, ready
+    * for [[nearDedupIndexAppend]].
+    *
+    * Note this intentionally differs from re-running [[nearDedupKeep]]
+    * over corpus ∪ batch: a rebuild may elect a batch doc as its
+    * cluster's min-id survivor and drop an already-kept corpus doc —
+    * an ingest pipeline must never un-keep the corpus. Shingle-less
+    * batch docs survive as singletons (they can never pair; run exact
+    * incremental dedup first if byte-identity should drop them). */
+  def nearDedupIncrementKeep(batch: DataFrame, idCol: String,
+      textCol: String, wh: graft.etl.Warehouse, layer: String,
+      table: String, threshold: Double): DataFrame = {
+    val (shingleK, numHashes, bands, _, _) =
+      readIndexMeta(batch.sparkSession, wh, layer, table)
+    val matched = incrementCrossPairs(batch, idCol, textCol, wh, layer,
+      table, threshold)
+      .select(col("__bid").as("__mid")).distinct()
+    val (repPairs0, members, live) = minhashVerifiedParts(batch, idCol,
+      textCol, shingleK, numHashes, bands, threshold, 200000L)
+    // same checkpoint-before-iteration discipline as [[nearDedupKeep]]
+    val repPairs = repPairs0.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val liveReps = live.select(col("doc_id").as("__rep"))
+    val singles = members.join(liveReps, Seq("__rep"), "left_anti")
+      .select(col("__mid").as("doc_id"), lit(1L).as("cluster_size"))
+    val classSizes = members.join(liveReps, Seq("__rep"), "left_semi")
+      .groupBy("__rep").agg(count(lit(1)).as("__csize"))
+    val comp = graft.operators.ConnectedComponents
+      .componentsStarContraction(repPairs, "id_a", "id_b")
+      .select(col("id").as("__rep"), col("comp"))
+    val repComp = classSizes.join(comp, Seq("__rep"), "left")
+      .select(col("__rep"), coalesce(col("comp"), col("__rep")).as("__comp"),
+        col("__csize"))
+    // a matched member taints its rep (exact copies share its sets, so
+    // they matched too), and a tainted rep drops its whole component
+    val matchedReps = members.join(matched, Seq("__mid"), "left_semi")
+      .select(col("__rep")).distinct()
+    val matchedComps = repComp.join(matchedReps, Seq("__rep"), "left_semi")
+      .select(col("__comp")).distinct()
+    val kept = repComp.join(matchedComps, Seq("__comp"), "left_anti")
+      .groupBy(col("__comp").as("doc_id"))
+      .agg(sum(col("__csize")).cast(LongType).as("cluster_size"))
+    kept.unionByName(singles)
+  }
+
   /** Exact-duplicate collapse — the stage every production near-dup
     * pipeline runs FIRST (a 100-TB crawl's dominant redundancy is exact
     * boilerplate copies). Partitions the corpus into identical-
@@ -419,51 +637,94 @@ object Dedup {
     * pair is scored exactly once (its group is a function of the
     * pair), with the same intersect/size arithmetic as the broadcast
     * path (one IEEE division), so output is row-identical to
-    * [[joinVerify]] / [[containmentJoinVerify]] (spec-enforced). */
+    * [[joinVerify]] / [[containmentJoinVerify]] (spec-enforced).
+    *
+    * `useComponents = false` skips the candidate-graph clustering
+    * entirely and keys EVERY pair by its left-endpoint id-range block —
+    * the right mode when the candidate graph is known to chain (the
+    * prefix-filter family): see the block comment inside. */
   private def groupedPairVerify(cands: DataFrame, sets: DataFrame,
       aCol: String, bCol: String, directed: Boolean, threshold: Double,
-      outCol: String, maxComponentShingles: Long): DataFrame = {
+      outCol: String, maxComponentShingles: Long,
+      useComponents: Boolean): DataFrame = {
     val spark = cands.sparkSession
     import spark.implicits._
     val pairs = cands.distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val comp = graft.operators.ConnectedComponents
-      .componentsStarContraction(pairs, aCol, bCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bounded stats over the already-materialized sets index: average
     // set size prices the id-range width so a block's LEFT-endpoint
-    // mass lands near maxComponentShingles
+    // mass lands near maxComponentShingles — but the width is ALSO
+    // capped so oversized mass splits into at least ~4 blocks per core
+    // (the r9 probe's lesson: mass-only sizing cut a 241k-doc component
+    // into 14 blocks and starved 32 cores; blocks are nearly free to
+    // multiply, since cluster ids are correlated and a clique's sets
+    // stay within its own block either way)
     val stats = sets.agg(coalesce(sum(col("n")), lit(0L)),
       count(lit(1))).head()
     val avgN = math.max(1L, stats.getLong(0) / math.max(1L, stats.getLong(1)))
-    val idsPerBlock = math.max(1L, maxComponentShingles / avgN)
-    val setsC = sets.join(comp.select(col("id").as("doc_id"), col("comp")),
-      "doc_id")
-    val big = setsC.groupBy("comp").agg(sum(col("n")).as("__tot"))
-      .filter(col("__tot") > maxComponentShingles)
-      .select("comp")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // group key: the component for right-sized components; an id-range
-    // block of the LEFT endpoint inside oversized ones. Block keys sit
-    // below -1 so they cannot collide with component keys (a component
-    // id is a min member id, ≥ 0 for every corpus here); a collision
-    // would only merge two groups — still correct, just lumpier tasks.
-    val gkey = when(col("__big").isNotNull,
-        lit(-1L) - expr(s"CAST($aCol AS BIGINT) div ${idsPerBlock}L"))
-      .otherwise(col("comp"))
-    val keyed = pairs
-      .join(comp.select(col("id").as(aCol), col("comp")), aCol)
-      .join(big.withColumn("__big", lit(true)), Seq("comp"), "left")
-      .select(gkey.as("__g"), col(aCol), col(bCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // each group needs exactly its own pairs' endpoint sets: a left
-    // endpoint ships once (its block is fixed by its id), a right
-    // endpoint once per distinct group its partners pull it into
-    val need = keyed.select(col("__g"), col(aCol).as("doc_id"))
-      .unionByName(keyed.select(col("__g"), col(bCol).as("doc_id")))
-      .distinct()
-    val setsG = sets.join(need, "doc_id")
-    debugGroups("grouped-verify", comp, big, keyed)
+    val range = pairs.agg(min(col(aCol)), max(col(aCol))).head()
+    val idSpan =
+      if (range.isNullAt(0)) 1L else range.getLong(1) - range.getLong(0) + 1L
+    val parBlocks = spark.sessionState.conf.numShufflePartitions * 4L
+    val idsPerBlock = math.max(1L, math.min(maxComponentShingles / avgN,
+      (idSpan + parBlocks - 1L) / parBlocks))
+    def blockOf(c: String): Column =
+      lit(-1L) - expr(s"CAST($c AS BIGINT) div ${idsPerBlock}L")
+    val (keyed, setsG) = if (useComponents) {
+      val comp = graft.operators.ConnectedComponents
+        .componentsStarContraction(pairs, aCol, bCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val setsC = sets.join(comp.select(col("id").as("doc_id"), col("comp")),
+        "doc_id")
+      val big = setsC.groupBy("comp").agg(sum(col("n")).as("__tot"))
+        .filter(col("__tot") > maxComponentShingles)
+        .select("comp")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // group key: the component for right-sized components; an id-range
+      // block of the LEFT endpoint inside oversized ones. Block keys sit
+      // below -1 so they cannot collide with component keys (a component
+      // id is a min member id, ≥ 0 for every corpus here); a collision
+      // would only merge two groups — still correct, just lumpier tasks.
+      val gkey = when(col("__big").isNotNull, blockOf(aCol))
+        .otherwise(col("comp"))
+      val k = pairs
+        .join(comp.select(col("id").as(aCol), col("comp")), aCol)
+        .join(big.withColumn("__big", lit(true)), Seq("comp"), "left")
+        .select(gkey.as("__g"), col(aCol), col(bCol))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // each group needs exactly its own pairs' endpoint sets: a left
+      // endpoint ships once (its block is fixed by its id), a right
+      // endpoint once per distinct group its partners pull it into
+      val need = k.select(col("__g"), col(aCol).as("doc_id"))
+        .unionByName(k.select(col("__g"), col(bCol).as("doc_id")))
+        .distinct()
+      debugGroups("grouped-verify", Some(comp), Some(big), k)
+      (k, sets.join(need, "doc_id").select("__g", "doc_id", "set"))
+    } else {
+      // BLOCK-ONLY grouping — the prefix-filter family's path. Its
+      // candidate graphs chain into one giant component through organic
+      // sub-threshold co-occurrences (measured at 250k distinct docs:
+      // 297M candidate pairs, 6.8M true — one 241k-doc component), so
+      // star contraction is O(log) ROUNDS of shuffle over the full
+      // candidate edge set that buys nothing. Blocks need no graph at
+      // all: the group key is a projection of the left id, left sets
+      // map straight to their own block (no join), and only right
+      // endpoints take a distinct — the candidate stream crosses the
+      // wire twice total (dedup + cogroup) instead of CC-rounds + 4.
+      val k = pairs.select(blockOf(aCol).as("__g"), col(aCol), col(bCol))
+      // right endpoints outside their partner's block ship per distinct
+      // (group, id); a right endpoint inside its own block is already
+      // covered by the left mapping
+      val needR = k.filter(col("__g") =!= blockOf(bCol))
+        .select(col("__g"), col(bCol).as("doc_id"))
+        .distinct()
+      val setsLeft = sets.select(blockOf("doc_id").as("__g"),
+        col("doc_id"), col("set"))
+      val setsAll = setsLeft.unionByName(
+        sets.join(needR, "doc_id").select("__g", "doc_id", "set"))
+      debugGroups("grouped-verify-blocks", None, None, k)
+      (k, setsAll)
+    }
     val pk = keyed.as[(Long, Long, Long)].groupByKey(_._1)
     val sk = setsG.select(col("__g"), col("doc_id"), col("set"))
       .as[(Long, Long, Array[Long])].groupByKey(_._1)
@@ -502,22 +763,28 @@ object Dedup {
     * (GRAFT_VERIFY_DEBUG=1) — component/doc counts, how many
     * components subdivide into blocks, and the final group count. The
     * counts run only when enabled; production plans are untouched. */
-  private def debugGroups(tag: String, comp: DataFrame, big: DataFrame,
-                          keyed: DataFrame): Unit =
+  private def debugGroups(tag: String, comp: Option[DataFrame],
+                          big: Option[DataFrame], keyed: DataFrame): Unit =
     if (sys.env.contains("GRAFT_VERIFY_DEBUG")) {
-      val nComp = comp.select("comp").distinct().count()
-      val nDocs = comp.count()
-      val nBig = big.count()
+      def timed[A](b: => A): (A, Long) = {
+        val t0 = System.nanoTime(); val r = b
+        (r, (System.nanoTime() - t0) / 1000000L)
+      }
+      val (nPairs, tP) = timed(keyed.count())
+      val compStats = comp.map { c =>
+        val nComp = c.select("comp").distinct().count()
+        s"comps=$nComp docs=${c.count()} bigComps=${big.get.count()} "
+      }.getOrElse("")
       val nGroups = keyed.select("__g").distinct().count()
-      println(s"[verify-debug] $tag: comps=$nComp docs=$nDocs " +
-        s"bigComps=$nBig groups=$nGroups")
+      println(s"[verify-debug] $tag: pairs=$nPairs (${tP}ms incl key) " +
+        s"${compStats}groups=$nGroups")
     }
 
   private[textops] def verifyJaccardByComponent(cands: DataFrame, sets: DataFrame,
-      threshold: Double,
-      maxComponentShingles: Long = 1000000L): DataFrame =
+      threshold: Double, maxComponentShingles: Long = 1000000L,
+      useComponents: Boolean = true): DataFrame =
     groupedPairVerify(cands, sets, "id_a", "id_b", directed = false,
-      threshold, "jaccard", maxComponentShingles)
+      threshold, "jaccard", maxComponentShingles, useComponents)
 
   /** Exact n-gram Jaccard pairs via an AllPairs-style prefix-filtered
     * inverted index (Bayardo, Ma & Srikant, "Scaling Up All Pairs
@@ -599,8 +866,13 @@ object Dedup {
         joinVerify(pairwiseCands(prefix), broadcast(sets), broadcast(sets),
           threshold)
       else
+        // block-only grouping (no CC): prefix-filter candidate graphs
+        // chain into one giant component via organic sub-threshold
+        // co-occurrences (measured: 297M candidates / 6.8M true at 250k
+        // distinct docs), so star contraction over the candidate edge
+        // set is pure overhead here — see groupedPairVerify
         verifyJaccardByComponent(pairwiseCands(prefix), sets, threshold,
-          maxComponentShingles)
+          maxComponentShingles, useComponents = false)
     expandPairs(repPairs, members, capped.select("doc_id").distinct(),
       "jaccard", directed = false)
   }
@@ -666,8 +938,9 @@ object Dedup {
         containmentJoinVerify(pairwiseCands(prefix, indexed),
           broadcast(sets), broadcast(sets), threshold)
       else
+        // block-only grouping, same rationale as ngramJaccardPairs
         verifyDirectedByComponent(pairwiseCands(prefix, indexed), sets,
-          threshold, maxComponentShingles)
+          threshold, maxComponentShingles, useComponents = false)
     expandPairs(repPairs, members, capped.select("doc_id").distinct(),
       "containment", directed = true)
   }
@@ -695,9 +968,10 @@ object Dedup {
     * [[containmentJoinVerify]] over the same candidates. */
   private[textops] def verifyDirectedByComponent(cands: DataFrame,
       sets: DataFrame, threshold: Double,
-      maxComponentShingles: Long = 1000000L): DataFrame =
+      maxComponentShingles: Long = 1000000L,
+      useComponents: Boolean = true): DataFrame =
     groupedPairVerify(cands, sets, "id_src", "id_dst", directed = true,
-      threshold, "containment", maxComponentShingles)
+      threshold, "containment", maxComponentShingles, useComponents)
 
   /** 64-bit SimHash over word shingles: bit i is the sign of the weighted
     * sum of shingle-hash bits. Column-level convenience for tests; the

@@ -109,7 +109,15 @@ class TextOpsSpec extends AnyFunSuite {
     val blocked = rows(Dedup.verifyJaccardByComponent(cands, sets, 0.3,
       maxComponentShingles = 1L))
     val grouped = rows(Dedup.verifyJaccardByComponent(cands, sets, 0.3))
+    // and the CC-free block-only mode (the prefix-filter family's path)
+    // must emit the identical rows at any block width
+    val blockOnly = rows(Dedup.verifyJaccardByComponent(cands, sets, 0.3,
+      useComponents = false))
+    val blockOnlyTiny = rows(Dedup.verifyJaccardByComponent(cands, sets, 0.3,
+      maxComponentShingles = 1L, useComponents = false))
     assert(blocked === grouped)
+    assert(blockOnly === grouped)
+    assert(blockOnlyTiny === grouped)
     assert(grouped.contains((0L, 1L, 1.0)))
   }
 
