@@ -807,6 +807,121 @@ object Frontier29Queries {
   }
 
   // ------------------------------------------------------------------
+  // t_bpe_trained — corpus-trained BPE END TO END: train a 48-rule
+  // merge table from the even-doc_id half of the corpus
+  // (textops/BpeTrainer: per round, one distributed pair count over the
+  // vocab + a 1-row argmax collect + a boundary-aware positional array
+  // merge), feed the trained table into the codegen greedy encoder
+  // (functions/BpeSegmentWith), and tokenize the HELD-OUT odd half.
+  // This proves the vocab-build → encode loop, not just encode:
+  // t_bpe_merges trains 3 rounds for the table's own sake, and
+  // t_bpe_tokenize applies a committed table. The DuckDB oracle replays
+  // BOTH halves — 48 unrolled train rounds (argmax with the same
+  // (cnt DESC, a, b) tie-break and a ≠ b restriction, positional list
+  // merge, LEFT JOIN so an exhausted round is a no-op exactly like the
+  // trainer's early stop) and then the recursive-CTE greedy encode over
+  // the held-out vocab, parameterized by the TRAINED rules instead of
+  // the committed table. Output pins exact segmentations via the same
+  // md5 seg_sig as t_bpe_tokenize.
+  // ------------------------------------------------------------------
+  private val bpeTrainRounds = 48
+  private val tBpeTrained: QFn = (s, dir) => {
+    val docsAll = t(s, dir, "documents")
+    val rules = graft.textops.BpeTrainer.train(
+      docsAll.filter(col("doc_id") % 2 === 0), "text", bpeTrainRounds)
+    val words = docsAll.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"),
+        explode(split(TF.normText(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    words
+      .withColumn("seg",
+        graft.functions.BpeSegmentWith.bpe_segment_with(col("w"), rules))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+           sum(size(split(col("seg"), " ")).cast("long")).as("n_bpe_tokens"),
+           sum(pmod(graft.textops.Dedup.md5Hash64(col("seg")),
+             lit(1000000007L))).as("seg_sig"))
+      .orderBy("doc_id")
+  }
+  private def tBpeTrainedSql: String = {
+    val norm = TF.normTextSql("text")
+    // one unrolled training round: pair counts (a <> b) → argmax with
+    // the trainer's exact tie-break → positional all-occurrence merge;
+    // LEFT JOIN ON TRUE keeps v unchanged when no pair remains (the
+    // trainer's early stop)
+    // every per-round CTE is MATERIALIZED: DuckDB would otherwise
+    // INLINE the v1→v48 chain at each of its references (each t$n pulls
+    // the whole prefix), blowing the plan up exponentially — the
+    // un-hinted form exhausted 20k file descriptors before planning
+    def round(n: Int): String =
+      s"""p$n AS MATERIALIZED (SELECT a, b, SUM(f) AS cnt FROM (
+         |    SELECT f, tk[i] AS a, tk[i+1] AS b
+         |    FROM (SELECT f, tk, unnest(range(1, len(tk))) AS i FROM v$n))
+         |  WHERE a <> b GROUP BY 1, 2),
+         |t$n AS MATERIALIZED (SELECT a, b FROM p$n
+         |  QUALIFY row_number() OVER (ORDER BY cnt DESC, a, b) = 1),
+         |v${n + 1} AS MATERIALIZED (SELECT v.w,
+         |    CASE WHEN t.a IS NULL THEN v.tk
+         |      ELSE list_filter(list_transform(range(1, len(v.tk) + 1), i ->
+         |        CASE WHEN i < len(v.tk) AND v.tk[i] = t.a AND v.tk[i+1] = t.b
+         |               THEN v.tk[i] || v.tk[i+1]
+         |             WHEN i > 1 AND v.tk[i-1] = t.a AND v.tk[i] = t.b
+         |               THEN NULL
+         |             ELSE v.tk[i] END), x -> x IS NOT NULL)
+         |    END AS tk, v.f
+         |  FROM v$n v LEFT JOIN t$n t ON TRUE)""".stripMargin
+    val rounds = (1 to bpeTrainRounds).map(round).mkString(",\n")
+    val mergesUnion = (1 to bpeTrainRounds)
+      .map(n => s"SELECT a, b, $n AS rnk FROM t$n").mkString("\nUNION ALL ")
+    def h64(x: String) = {
+      val hi = s"CAST(('0x' || substring(md5($x), 1, 8)) AS BIGINT)"
+      val lo = s"CAST(('0x' || substring(md5($x), 9, 8)) AS BIGINT)"
+      s"(($hi - (CASE WHEN $hi >= 2147483648 THEN 4294967296 ELSE 0 END))" +
+        s" * 4294967296 + $lo)"
+    }
+    val segH = s"(((${h64("seg")} % 1000000007) + 1000000007) % 1000000007)"
+    s"""WITH RECURSIVE
+       |tw AS (SELECT unnest(string_split($norm, ' ')) AS w
+       |  FROM documents WHERE doc_id % 2 = 0),
+       |vocab0 AS MATERIALIZED (SELECT w, COUNT(*) AS f FROM tw
+       |  WHERE length(w) > 0 GROUP BY 1),
+       |v1 AS MATERIALIZED (SELECT w,
+       |    list_transform(range(1, length(w) + 1), i -> w[i]) AS tk, f
+       |  FROM vocab0),
+       |$rounds,
+       |merges(a, b, rnk) AS MATERIALIZED ($mergesUnion),
+       |hw AS (SELECT doc_id, unnest(string_split($norm, ' ')) AS w
+       |  FROM documents WHERE doc_id % 2 = 1),
+       |hww AS MATERIALIZED (SELECT doc_id, w FROM hw WHERE length(w) > 0),
+       |hvocab AS (SELECT DISTINCT w FROM hww),
+       |enc(w, toks) AS (
+       |  SELECT w, list_transform(range(1, length(w) + 1), i -> w[i])
+       |  FROM hvocab
+       |  UNION ALL
+       |  SELECT e.w, list_filter(list_transform(range(1, len(e.toks) + 1), i ->
+       |      CASE WHEN i < len(e.toks) AND e.toks[i] = m.a AND e.toks[i+1] = m.b
+       |             THEN e.toks[i] || e.toks[i+1]
+       |           WHEN i > 1 AND e.toks[i-1] = m.a AND e.toks[i] = m.b THEN NULL
+       |           ELSE e.toks[i] END), x -> x IS NOT NULL)
+       |  FROM enc e JOIN merges m ON m.rnk = (
+       |    SELECT MIN(m2.rnk) FROM merges m2
+       |    WHERE list_contains(
+       |      list_transform(range(1, len(e.toks)),
+       |        i -> e.toks[i] || '|' || e.toks[i+1]),
+       |      m2.a || '|' || m2.b))),
+       |fin AS (SELECT w, array_to_string(toks, ' ') AS seg,
+       |    CAST(len(toks) AS BIGINT) AS np FROM enc e
+       |  WHERE NOT EXISTS (SELECT 1 FROM merges m2
+       |    WHERE list_contains(list_transform(range(1, len(e.toks)),
+       |      i -> e.toks[i] || '|' || e.toks[i+1]), m2.a || '|' || m2.b)))
+       |SELECT doc_id, COUNT(*) AS n_words,
+       |CAST(SUM(np) AS BIGINT) AS n_bpe_tokens,
+       |CAST(SUM($segH) AS BIGINT) AS seg_sig
+       |FROM hww JOIN fin USING (w)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // w32_seasonal_indices — classical multiplicative seasonal indices
   // for monthly revenue: each month's ratio to its CENTERED 12-month
   // moving average (the 2×12 MA — halves on the end months, the
@@ -885,11 +1000,13 @@ object Frontier29Queries {
   val queries: Map[String, QFn] = Map(
     "i25_accumulating_snapshot" -> i25AccumulatingSnapshot,
     "t_bpe_merges" -> tBpeMerges,
+    "t_bpe_trained" -> tBpeTrained,
     "w32_seasonal_indices" -> w32SeasonalIndices)
 
   val oracleSql: Map[String, String] = Map(
     "i25_accumulating_snapshot" -> i25AccumulatingSnapshotSql,
     "t_bpe_merges" -> tBpeMergesSql,
+    "t_bpe_trained" -> tBpeTrainedSql,
     "w32_seasonal_indices" -> w32SeasonalIndicesSql)
 }
 

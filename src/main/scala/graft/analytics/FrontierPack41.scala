@@ -1171,14 +1171,67 @@ object Frontier45Queries {
        |ORDER BY p.qid""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // mm_container_meta — container METADATA without codecs: duration,
+  // resolution, sample rate, track count parsed from the blob BYTES of
+  // well-formed WAV (RIFF chunks) and MP4 (ISO-BMFF boxes) containers.
+  // The payload codecs aren't in the JVM — the point is that the
+  // metadata never needed them: both layouts are public byte formats,
+  // and the parse is pure column expressions (one hex projection +
+  // bounded chunk/box walks via `aggregate`) — fully codegen, no UDF,
+  // no mapPartitions. Blobs are generated executor-side from id-derived
+  // parameters with LAYOUT VARIANCE (LIST chunks in every third WAV,
+  // `free` boxes in every second MP4), so a fixed-offset reader would
+  // mis-parse: the walks are load-bearing. The oracle is closed-form
+  // from the generator parameters (the mm_audio_pcm pattern): duration
+  // is one exact integer division rendered at round-6 — no
+  // transcendental in sight (SURVEY §11 frozen-transcendental
+  // checklist: rule 1, exact route).
+  // ------------------------------------------------------------------
+  private val mmContainerMeta: QFn = (s, dir) => {
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+    val media = graft.textops.Multimodal.containerMediaTable(ids, "doc_id")
+    graft.textops.Multimodal.containerMeta(media).orderBy("media_id")
+  }
+  private val mmContainerMetaSql =
+    """WITH k AS (SELECT doc_id, doc_id // 2 AS k, doc_id % 2 = 0 AS is_wav
+      |  FROM documents),
+      |f AS (SELECT doc_id AS media_id, is_wav,
+      |    CASE k % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |      WHEN 2 THEN 22050 ELSE 44100 END AS wav_rate,
+      |    1 + k % 2 AS wav_ch,
+      |    500 + (k % 7) * 137 AS wav_samples,
+      |    CASE k % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+      |      ELSE 90000 END AS ts,
+      |    1 + k % 3 AS n_traks,
+      |    320 + 16 * (k % 8) AS mp4_w,
+      |    240 + 16 * (k % 6) AS mp4_h,
+      |    k FROM k)
+      |SELECT media_id,
+      |  CASE WHEN is_wav THEN 'wav' ELSE 'mp4' END AS format,
+      |  CAST(CASE WHEN is_wav THEN wav_ch ELSE n_traks END AS BIGINT)
+      |    AS n_tracks,
+      |  CAST(CASE WHEN is_wav THEN wav_rate ELSE 0 END AS BIGINT)
+      |    AS sample_rate,
+      |  round(CASE WHEN is_wav
+      |      THEN CAST(wav_samples AS DOUBLE) * 1000.0
+      |        / CAST(wav_rate AS DOUBLE)
+      |      ELSE CAST(ts * (1 + k % 5) + (k % 97) AS DOUBLE) * 1000.0
+      |        / CAST(ts AS DOUBLE) END, 6) AS duration_ms_r,
+      |  CAST(CASE WHEN is_wav THEN 0 ELSE mp4_w END AS BIGINT) AS width,
+      |  CAST(CASE WHEN is_wav THEN 0 ELSE mp4_h END AS BIGINT) AS height
+      |FROM f ORDER BY media_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "d_bbit_minhash" -> dBbitMinhash,
     "mm_audio_pcm" -> mmAudioPcm,
+    "mm_container_meta" -> mmContainerMeta,
     "ml_ranking_metrics" -> mlRankingMetrics)
 
   val oracleSql: Map[String, String] = Map(
     "d_bbit_minhash" -> dBbitMinhashSql,
     "mm_audio_pcm" -> mmAudioPcmSql,
+    "mm_container_meta" -> mmContainerMetaSql,
     "ml_ranking_metrics" -> mlRankingMetricsSql)
 }
 

@@ -860,6 +860,107 @@ object TextQueries {
        |ORDER BY id_src, id_dst""".stripMargin
   }
 
+  // d8 — incremental near-dedup against a PERSISTED band index: the
+  // daily-ingest shape (the corpus is 100 TB, the batch is not). The
+  // corpus's MinHash band keys + shingle sets persist as warehouse
+  // parquet partitioned by bucket (Dedup.nearDedupIndexPersist); the
+  // batch probes ONLY its own buckets (partition-pruned scans,
+  // plan-asserted in IncrementalDedupSpec) and verifies exactly.
+  // Batch = every 5th doc re-ingested under a new id: a third verbatim
+  // (exact dups), a third with one appended token (near dups, J =
+  // n/(n+1)), a third with reversed word order (genuinely new content —
+  // trigram shingles of a reversed sequence share ~nothing). Oracle:
+  // the full exact-Jaccard pair join over corpus ∪ batch, restricted to
+  // pairs touching a batch id — the corpus-rebuild contract the
+  // incremental path must match byte-for-byte.
+  private def incBatch(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        when(col("doc_id") % 15 === 0, col("text"))
+          .when(col("doc_id") % 15 === 5, concat(col("text"), lit(" vtwo")))
+          .otherwise(concat_ws(" ", reverse(split(col("text"), " "))))
+          .as("text"))
+
+  /** Deterministic per-SF index path + overwrite — no per-run tmp-dir
+    * leak (the r8 ADVICE note on aIvfPqPersisted). */
+  private def incIndexWh(s: SparkSession, dir: String): graft.etl.Warehouse = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val wh = graft.etl.Warehouse(
+      s"${sys.props("java.io.tmpdir")}/graft_ndidx$key")
+    Dedup.nearDedupIndexPersist(docs(s, dir), "doc_id", "text",
+      wh, "gold", "nd", shingleK = 3, numHashes = 32, bands = 8,
+      nBuckets = 16, nSetBuckets = 16)
+    wh
+  }
+
+  private val dNearIncrement: QFn = (s, dir) => {
+    val wh = incIndexWh(s, dir)
+    Dedup.nearDedupIncrementPairs(incBatch(s, dir), "doc_id", "text",
+      wh, "gold", "nd", threshold = 0.5).orderBy("id_a", "id_b")
+  }
+
+  // d8b — the KEEP side of the same ingest: corpus always wins. A batch
+  // cluster (component of batch-internal pairs) dies entirely if any
+  // member near-matches an indexed corpus doc; otherwise its min-id
+  // member survives with the cluster's member count. Oracle replays the
+  // policy: recursive-CTE components over the batch-internal pair set,
+  // dropped where the component touches a batch↔corpus pair.
+  private val dNearIncrementKeep: QFn = (s, dir) => {
+    val wh = incIndexWh(s, dir)
+    Dedup.nearDedupIncrementKeep(incBatch(s, dir), "doc_id", "text",
+      wh, "gold", "nd", threshold = 0.5).orderBy("doc_id")
+  }
+
+  private val incDocsAllSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 10000000 AS doc_id,
+      |  CASE WHEN doc_id % 15 = 0 THEN text
+      |       WHEN doc_id % 15 = 5 THEN text || ' vtwo'
+      |       ELSE array_to_string(list_reverse(string_split(text, ' ')), ' ')
+      |  END AS text
+      |FROM documents WHERE doc_id % 5 = 0""".stripMargin
+
+  /** The corpus∪batch exact-Jaccard pair join, unordered — the shared
+    * CTE body of both incremental oracles. Built from [[jaccardPairsSql]]
+    * by swapping its source for the docs_all union (the replace runs
+    * BEFORE the union text is prepended, so it can't touch it). */
+  private def incPairsSqlBase: String =
+    jaccardPairsSql(k = 3, threshold = 0.5, cap = None)
+      .replace("ORDER BY id_a, id_b", "")
+      .replace("FROM documents", "FROM docs_all")
+      .replace("WITH w AS", s"WITH docs_all AS (\n$incDocsAllSql),\nw AS")
+
+  private val dNearIncrementSql =
+    s"""WITH p AS ($incPairsSqlBase)
+       |SELECT id_a, id_b, jaccard FROM p
+       |WHERE id_a >= 10000000 OR id_b >= 10000000
+       |ORDER BY id_a, id_b""".stripMargin
+
+  private val dNearIncrementKeepSql =
+    s"""WITH RECURSIVE p AS ($incPairsSqlBase),
+       |bp AS (SELECT id_a, id_b FROM p
+       |       WHERE id_a >= 10000000 AND id_b >= 10000000),
+       |xp AS (SELECT CASE WHEN id_a >= 10000000 THEN id_a ELSE id_b END AS bid
+       |       FROM p
+       |       WHERE (id_a >= 10000000) <> (id_b >= 10000000)),
+       |batchdocs AS (SELECT doc_id + 10000000 AS doc_id FROM documents
+       |              WHERE doc_id % 5 = 0),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM bp
+       |          UNION SELECT id_b, id_a FROM bp),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM batchdocs
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       |comp AS (SELECT src AS doc_id, MIN(dst) AS component
+       |         FROM reach GROUP BY 1),
+       |matched AS (SELECT DISTINCT c.component FROM comp c
+       |            JOIN xp ON c.doc_id = xp.bid)
+       |SELECT component AS doc_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |FROM comp
+       |WHERE component NOT IN (SELECT component FROM matched)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private def sqlArr(p: Array[Double]): String =
     p.mkString("[", ", ", "]") + "::DOUBLE[]"
 
@@ -1259,7 +1360,11 @@ object TextQueries {
       dim = 64, nlist = 8, iterations = 1)
     val books = Similarity.pqTrain(corpus, "vec_id", "embedding",
       dim = 64, m = 4, k = 8, iterations = 1)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+    // deterministic per-SF path + overwrite, not a fresh temp dir per
+    // execution: bench/verify re-runs reuse (and rewrite) one location
+    // instead of leaking index artifacts into /tmp (r8 ADVICE)
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_annidx" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_")
     val wh = graft.etl.Warehouse(tmp)
     Similarity.ivfPqPersist(corpus, "vec_id", "embedding", centroids, books,
       wh, "gold", "ann_index")
@@ -1537,6 +1642,8 @@ object TextQueries {
     "d_ngram_jaccard" -> dJaccard,
     "d_embedding_dup" -> dEmbDup,
     "d_containment" -> dContainment,
+    "d_near_dedup_increment" -> dNearIncrement,
+    "d_near_dedup_increment_keep" -> dNearIncrementKeep,
     "d_semantic_dedup" -> dSemantic,
     "ann_brute_force_topk" -> aBrute,
     "ann_l2_topk" -> aBruteL2,
@@ -1582,6 +1689,8 @@ object TextQueries {
     "d_ngram_jaccard" -> dJaccardSql,
     "d_embedding_dup" -> dEmbDupSql,
     "d_containment" -> dContainmentSql,
+    "d_near_dedup_increment" -> dNearIncrementSql,
+    "d_near_dedup_increment_keep" -> dNearIncrementKeepSql,
     "d_semantic_dedup" -> dSemanticSql,
     "ann_brute_force_topk" -> aBruteSql,
     "ann_l2_topk" -> aBruteL2Sql,

@@ -41,6 +41,14 @@ final case class Warehouse(root: String) {
   def append(df: DataFrame, layer: String, table: String): Unit =
     df.write.mode("append").parquet(path(layer, table))
 
+  /** Partitioned append — new rows land in their partition directories
+    * without touching existing files (the index-maintenance primitive:
+    * ingest survivors join a persisted index in place). */
+  def appendPartitioned(df: DataFrame, layer: String, table: String,
+                        partCols: Seq[String]): Unit =
+    df.write.mode("append").partitionBy(partCols: _*)
+      .parquet(path(layer, table))
+
   /** Compaction — the columnstore REORGANIZE analog
     * (proc_load_silver.sql:277-283): rewrite a table into `targetFiles`
     * files so accumulating small appends don't degrade scan parallelism

@@ -98,32 +98,14 @@ case class BpeSegment(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** The committed BPE merge table + the greedy encoder both engines
-  * share. Rules are ranked by position (applied lowest-rank-first, the
-  * training order of a real tokenizer); later rules reference tokens
-  * earlier rules produce (`th`+`e`, `in`+`g`, `the`+`r`).
-  *
-  * INVARIANT the oracle depends on: every rule has a ≠ b. With unequal
-  * sides, occurrences of a pair within one merge step can never
-  * overlap, which is what lets the DuckDB replay mark merge starts and
-  * consumed positions with two independent positional predicates. The
-  * Scala encoder below is the fully general left-to-right scan (it
-  * would handle a == b too); [[table]] just never needs it. */
-object BpeMerges {
+/** Greedy merge-table BPE encoder over an ARBITRARY rule table — the
+  * engine behind both the committed-table [[BpeSegment]] and the
+  * corpus-trained [[BpeSegmentWith]]. Serializable so a trained table
+  * ships to executors as part of the expression (a plan-literal
+  * artifact, like ANN codebooks — never a shuffle). */
+final class BpeEncoder(val rules: Seq[(String, String)]) extends Serializable {
 
-  val table: Seq[(String, String)] = Seq(
-    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
-    ("e", "r"), ("o", "n"), ("r", "e"), ("o", "r"), ("s", "t"),
-    ("e", "n"), ("a", "t"), ("e", "s"), ("o", "u"), ("i", "t"),
-    ("a", "l"), ("in", "g"), ("e", "d"), ("a", "r"), ("o", "f"),
-    ("t", "o"), ("l", "e"), ("c", "h"), ("s", "h"), ("q", "u"),
-    ("w", "h"), ("l", "y"), ("u", "s"), ("i", "s"), ("o", "m"),
-    ("i", "c"), ("the", "r"))
-  require(table.forall { case (a, b) => a != b },
-    "BPE merge rules must have distinct sides (oracle precondition)")
-
-  private val rank: Map[(String, String), Int] =
-    table.zipWithIndex.toMap
+  private val rank: Map[(String, String), Int] = rules.zipWithIndex.toMap
 
   /** Greedy BPE encode; returns the pieces. Words are the post-normText
     * ASCII alnum tokens, so per-char splitting needs no codepoint care. */
@@ -140,7 +122,7 @@ object BpeMerges {
       }
       if (best == Int.MaxValue) done = true
       else {
-        val (pa, pb) = table(best)
+        val (pa, pb) = rules(best)
         val out = Array.newBuilder[String]
         var j = 0
         while (j < toks.length) {
@@ -155,9 +137,80 @@ object BpeMerges {
     toks
   }
 
-  /** UTF8String bridge for codegen ([[BpeSegment]]). */
+  /** UTF8String bridge for codegen. */
   def segmentUtf8(s: UTF8String): UTF8String =
     UTF8String.fromString(segment(s.toString).mkString(" "))
+}
+
+/** Greedy BPE segmentation with a caller-supplied (e.g. corpus-TRAINED)
+  * merge table — [[BpeSegment]]'s twin where the rules are a plan
+  * artifact instead of the committed [[BpeMerges.table]]. Codegen
+  * references the encoder through `addReferenceObj`, so the per-row
+  * path is the same compiled scan either way. */
+case class BpeSegmentWith(child: Expression, rules: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_segment_with expects string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = StringType
+
+  @transient private lazy val enc = new BpeEncoder(rules)
+
+  protected override def nullSafeEval(input: Any): Any =
+    enc.segmentUtf8(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEncoder", enc,
+      classOf[BpeEncoder].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.segmentUtf8($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpeSegmentWith {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Column API: greedy BPE segmentation under `rules`, space-joined. */
+  def bpe_segment_with(c: Column, rules: Seq[(String, String)]): Column =
+    ColumnBridge.column(
+      BpeSegmentWith(ColumnBridge.expression(c), rules))
+}
+
+/** The committed BPE merge table + the greedy encoder both engines
+  * share. Rules are ranked by position (applied lowest-rank-first, the
+  * training order of a real tokenizer); later rules reference tokens
+  * earlier rules produce (`th`+`e`, `in`+`g`, `the`+`r`).
+  *
+  * INVARIANT the oracle depends on: every rule has a ≠ b. With unequal
+  * sides, occurrences of a pair within one merge step can never
+  * overlap, which is what lets the DuckDB replay mark merge starts and
+  * consumed positions with two independent positional predicates. The
+  * Scala encoder ([[BpeEncoder]]) is the fully general left-to-right
+  * scan (it would handle a == b too); [[table]] just never needs it. */
+object BpeMerges {
+
+  val table: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("o", "r"), ("s", "t"),
+    ("e", "n"), ("a", "t"), ("e", "s"), ("o", "u"), ("i", "t"),
+    ("a", "l"), ("in", "g"), ("e", "d"), ("a", "r"), ("o", "f"),
+    ("t", "o"), ("l", "e"), ("c", "h"), ("s", "h"), ("q", "u"),
+    ("w", "h"), ("l", "y"), ("u", "s"), ("i", "s"), ("o", "m"),
+    ("i", "c"), ("the", "r"))
+  require(table.forall { case (a, b) => a != b },
+    "BPE merge rules must have distinct sides (oracle precondition)")
+
+  private val encoder = new BpeEncoder(table)
+
+  /** Greedy BPE encode over the committed table; returns the pieces. */
+  def segment(word: String): Array[String] = encoder.segment(word)
+
+  /** UTF8String bridge for codegen ([[BpeSegment]]). */
+  def segmentUtf8(s: UTF8String): UTF8String = encoder.segmentUtf8(s)
 
   /** The merge table as a DuckDB VALUES body `('a','b',rank), …` — the
     * oracle generator, so SQL and Scala can never disagree. */

@@ -51,7 +51,15 @@ class UserProgressProcessor
 }
 
 /** Per-user timer state: event count + first-seen ms + the expiry of
-  * the currently-registered milestone timer (Long.MinValue = none). */
+  * the currently-registered milestone timer (Long.MinValue = none).
+  *
+  * STATE-FORMAT NOTE: r8 repurposed the third slot (registered: Boolean
+  * → timerMs: Long), which is incompatible with any transformWithState
+  * checkpoint written before that change — a restore would misread the
+  * encoded state. All probes/specs here stage FRESH checkpoint dirs, so
+  * nothing restores across the break; a deployment that keeps
+  * checkpoints must instead ADD a field (append-compatible) or discard
+  * checkpoints when the schema changes. */
 case class TimerAccum(n: Long, firstMs: Long, timerMs: Long)
 
 /** Milestone emission payload: the user's cumulative count at the

@@ -369,4 +369,235 @@ object Multimodal {
       floor(col("width") * scale).cast(IntegerType).as("out_width"),
       floor(col("height") * scale).cast(IntegerType).as("out_height"))
   }
+
+  // ---- container METADATA without codecs (WAV/RIFF + MP4 box walks) ----
+  //
+  // The H.264/AAC PAYLOAD needs codecs the JVM doesn't ship — but the
+  // CONTAINER layout is a public byte format (RIFF chunks; ISO-BMFF
+  // boxes), and duration / resolution / sample rate / track count live
+  // entirely in it. These operators parse generated-but-well-formed
+  // blobs with PURE COLUMN EXPRESSIONS (one hex projection + bounded
+  // chunk/box walks via `aggregate` over a step sequence) — fully
+  // codegen, no UDF, no mapPartitions: the 100 TB shape for "scan a
+  // billion media files and index their metadata".
+
+  private def strHex(s: String): String =
+    s.getBytes("ISO-8859-1").map(b => f"${b & 0xFF}%02X").mkString
+
+  /** Minimal well-formed WAV from id-derived parameters (k = id div 2,
+    * since [[containerMediaTable]] routes even ids here — parameters on
+    * raw id mod would never vary). Layout VARIES: every third k carries
+    * a LIST/INFO chunk between the RIFF header and fmt — a fixed-offset
+    * reader mis-parses those, so the chunk walk must be real. Closed
+    * forms for the oracle:
+    *   sample_rate = [8000,16000,22050,44100][k mod 4]
+    *   channels    = 1 + (k mod 2)
+    *   n_samples   = 500 + (k mod 7) * 137      (16-bit PCM)
+    */
+  def generateWav(id: Long): Array[Byte] = {
+    val k = java.lang.Math.floorDiv(id, 2L)
+    val rate = Array(8000, 16000, 22050, 44100)(
+      java.lang.Math.floorMod(k, 4L).toInt)
+    val channels = 1 + java.lang.Math.floorMod(k, 2L).toInt
+    val nSamples = 500 + java.lang.Math.floorMod(k, 7L).toInt * 137
+    val dataLen = nSamples * channels * 2
+    val withList = java.lang.Math.floorMod(k, 3L) == 0L
+    val listLen = if (withList) 8 + 12 else 0
+    val bb = java.nio.ByteBuffer
+      .allocate(12 + listLen + 24 + 8 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(s: String): Unit = bb.put(s.getBytes("ISO-8859-1"))
+    tag("RIFF"); bb.putInt(4 + listLen + 24 + 8 + dataLen); tag("WAVE")
+    if (withList) { tag("LIST"); bb.putInt(12); tag("INFO")
+      tag("ISFT"); bb.putInt(0) }
+    tag("fmt "); bb.putInt(16)
+    bb.putShort(1.toShort)                    // PCM
+    bb.putShort(channels.toShort)
+    bb.putInt(rate)
+    bb.putInt(rate * channels * 2)            // byte rate
+    bb.putShort((channels * 2).toShort)       // block align
+    bb.putShort(16.toShort)                   // bits per sample
+    tag("data"); bb.putInt(dataLen)
+    // silent PCM payload: the metadata lives in the size field
+    bb.array()
+  }
+
+  /** Minimal well-formed MP4 (ISO-BMFF): ftyp [free] moov(mvhd trak(tkhd)×k) mdat.
+    * Layout varies (every second k = id div 2 carries a `free` box
+    * before moov). Closed forms for the oracle:
+    *   timescale = [600,1000,90000][k mod 3]
+    *   duration  = timescale * (1 + k mod 5) + (k mod 97)   (ticks)
+    *   n_tracks  = 1 + (k mod 3)
+    *   width     = 320 + 16 * (k mod 8); height = 240 + 16 * (k mod 6)
+    */
+  def generateMp4(id: Long): Array[Byte] = {
+    val k = java.lang.Math.floorDiv(id, 2L)
+    val timescale = Array(600, 1000, 90000)(
+      java.lang.Math.floorMod(k, 3L).toInt)
+    val durTicks = timescale.toLong * (1 + java.lang.Math.floorMod(k, 5L)) +
+      java.lang.Math.floorMod(k, 97L)
+    val nTraks = 1 + java.lang.Math.floorMod(k, 3L).toInt
+    val width = 320 + 16 * java.lang.Math.floorMod(k, 8L).toInt
+    val height = 240 + 16 * java.lang.Math.floorMod(k, 6L).toInt
+    val withFree = java.lang.Math.floorMod(k, 2L) == 0L
+    val freeLen = if (withFree) 16 else 0
+    val trakLen = 8 + 92                       // trak(tkhd)
+    val moovLen = 8 + 108 + nTraks * trakLen   // moov(mvhd traks)
+    val bb = java.nio.ByteBuffer
+      .allocate(16 + freeLen + moovLen + 8)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    def tag(s: String): Unit = bb.put(s.getBytes("ISO-8859-1"))
+    bb.putInt(16); tag("ftyp"); tag("isom"); bb.putInt(0)
+    if (withFree) { bb.putInt(16); tag("free"); bb.putLong(0L) }
+    bb.putInt(moovLen); tag("moov")
+    bb.putInt(108); tag("mvhd")
+    bb.putInt(0)                               // version 0 + flags
+    bb.putInt(0); bb.putInt(0)                 // ctime, mtime
+    bb.putInt(timescale)
+    bb.putInt(durTicks.toInt)
+    bb.putInt(0x00010000); bb.putShort(0x0100.toShort); bb.putShort(0)
+    (0 until 2).foreach(_ => bb.putInt(0))     // reserved
+    val matrix = Array(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+    matrix.foreach(bb.putInt)
+    (0 until 6).foreach(_ => bb.putInt(0))     // pre_defined
+    bb.putInt(nTraks + 1)                      // next_track_ID
+    (1 to nTraks).foreach { tid =>
+      bb.putInt(trakLen); tag("trak")
+      bb.putInt(92); tag("tkhd")
+      bb.putInt(7)                             // version 0, flags=enabled
+      bb.putInt(0); bb.putInt(0)               // ctime, mtime
+      bb.putInt(tid); bb.putInt(0)             // track_ID, reserved
+      bb.putInt(durTicks.toInt)
+      bb.putLong(0L)                           // reserved
+      bb.putShort(0); bb.putShort(0); bb.putShort(0); bb.putShort(0)
+      matrix.foreach(bb.putInt)
+      bb.putInt(width << 16); bb.putInt(height << 16) // 16.16 fixed
+    }
+    bb.putInt(8); tag("mdat")                  // empty payload
+    bb.array()
+  }
+
+  /** Media table of container blobs: even ids are WAV, odd ids MP4 —
+    * generated executor-side like [[imageMediaTable]]. */
+  def containerMediaTable(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    val rows = ids.select(col(idCol).cast(LongType)).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val wav = java.lang.Math.floorMod(id, 2L) == 0L
+        val blob = if (wav) generateWav(id) else generateMp4(id)
+        Row(id, blob,
+          Row(if (wav) "audio/wav" else "video/mp4",
+            blob.length.toLong, "synthetic"))
+      }
+    }
+    spark.createDataFrame(rows, mediaSchema)
+  }
+
+  // expression-level byte readers over the hex projection (pos is a
+  // 0-based BYTE offset Column; hex() is 2 chars per byte, 1-based)
+  private def bytesAt(hx: Column, pos: Column, n: Int): Column =
+    hx.substr((pos * 2 + 1).cast(IntegerType), lit(2 * n))
+  private def u32be(hx: Column, pos: Column): Column =
+    conv(bytesAt(hx, pos, 4), 16, 10).cast(LongType)
+  private def u32le(hx: Column, pos: Column): Column =
+    conv(concat(bytesAt(hx, pos + 3, 1), bytesAt(hx, pos + 2, 1),
+      bytesAt(hx, pos + 1, 1), bytesAt(hx, pos, 1)), 16, 10).cast(LongType)
+  private def u16le(hx: Column, pos: Column): Column =
+    conv(concat(bytesAt(hx, pos + 1, 1), bytesAt(hx, pos, 1)), 16, 10)
+      .cast(LongType)
+
+  /** Bounded RIFF chunk walk: position of the first chunk whose 4-byte
+    * type matches, starting at byte 12, or -1. Chunks advance by
+    * 8 + size + pad-to-even (RIFF sizes exclude the 8-byte header). */
+  private def riffChunkPos(hx: Column, typ: String, maxSteps: Int = 8): Column =
+    aggregate(sequence(lit(1), lit(maxSteps)),
+      struct(lit(12L).as("off"), lit(-1L).as("pos")),
+      (st, _) => {
+        val off = st.getField("off")
+        val pos = st.getField("pos")
+        val done = pos >= 0 || off * 2 + 8 > length(hx)
+        val tp = bytesAt(hx, off, 4)
+        val sz = u32le(hx, off + 4)
+        struct(
+          when(done, off)
+            .otherwise(off + 8 + sz + pmod(sz, lit(2L))).as("off"),
+          when(pos >= 0, pos)
+            .when(!done && tp === lit(strHex(typ)), off)
+            .otherwise(lit(-1L)).as("pos"))
+      }).getField("pos")
+
+  /** Bounded ISO-BMFF box walk within [start, end): position of the
+    * first box of `typ` (or -1), and the count of boxes of `typ`.
+    * Boxes advance by their BE size (which includes the header). */
+  private def mp4BoxScan(hx: Column, start: Column, end: Column,
+                         typ: String, maxSteps: Int = 8): Column =
+    aggregate(sequence(lit(1), lit(maxSteps)),
+      struct(start.as("off"), lit(-1L).as("pos"), lit(0L).as("cnt")),
+      (st, _) => {
+        val off = st.getField("off")
+        val pos = st.getField("pos")
+        val cnt = st.getField("cnt")
+        val done = off + 8 > end
+        val tp = bytesAt(hx, off + 4, 4)
+        val sz = u32be(hx, off)
+        val hit = !done && tp === lit(strHex(typ))
+        struct(
+          when(done, off).otherwise(off + sz).as("off"),
+          when(pos >= 0, pos).when(hit, off).otherwise(lit(-1L)).as("pos"),
+          (cnt + when(hit, 1L).otherwise(0L)).as("cnt"))
+      })
+
+  val containerMetaSchema: Seq[String] = Seq("media_id", "format",
+    "n_tracks", "sample_rate", "duration_ms_r", "width", "height")
+
+  /** Container metadata extraction — duration, resolution, sample rate,
+    * track count — from the blob bytes alone, as codegen expressions:
+    * WAV blobs take the RIFF chunk walk (fmt + data chunks; robust to
+    * interleaved LIST chunks), MP4 blobs the box walk (moov → mvhd +
+    * trak → tkhd; robust to free boxes). Walks are bounded at 8
+    * boxes/chunks per level — beyond any blob these generators emit;
+    * a production variant raises the bound, the shape is unchanged.
+    * Duration is one exact integer division rendered at round-6. */
+  def containerMeta(media: DataFrame): DataFrame = {
+    val hx = col("__hx")
+    val base = media.select(col("media_id"), hex(col("blob")).as("__hx"))
+    val isWav = bytesAt(hx, lit(8L), 4) === lit(strHex("WAVE")) &&
+      bytesAt(hx, lit(0L), 4) === lit(strHex("RIFF"))
+    // WAV: fmt fields + data size → n_samples → duration
+    val fmtPos = riffChunkPos(hx, "fmt ")
+    val dataPos = riffChunkPos(hx, "data")
+    val wavCh = u16le(hx, fmtPos + 10)
+    val wavRate = u32le(hx, fmtPos + 12)
+    val wavBits = u16le(hx, fmtPos + 22)
+    val wavSamples = u32le(hx, dataPos + 4) / (wavCh * (wavBits / 8))
+    // MP4: moov → mvhd (timescale, duration) + trak count + first tkhd
+    val top = mp4BoxScan(hx, lit(0L), length(hx) / 2, "moov")
+    val moovPos = top.getField("pos")
+    val moovEnd = moovPos + u32be(hx, moovPos)
+    val mvhdPos = mp4BoxScan(hx, moovPos + 8, moovEnd, "mvhd").getField("pos")
+    val trakScan = mp4BoxScan(hx, moovPos + 8, moovEnd, "trak")
+    val trakPos = trakScan.getField("pos")
+    val tkhdPos = mp4BoxScan(hx, trakPos + 8,
+      trakPos + u32be(hx, trakPos), "tkhd").getField("pos")
+    val timescale = u32be(hx, mvhdPos + 8 + 12)
+    val durTicks = u32be(hx, mvhdPos + 8 + 16)
+    base.select(
+      col("media_id"),
+      when(isWav, "wav").otherwise("mp4").as("format"),
+      when(isWav, wavCh).otherwise(trakScan.getField("cnt"))
+        .cast(LongType).as("n_tracks"),
+      when(isWav, wavRate).otherwise(0L).cast(LongType).as("sample_rate"),
+      round(when(isWav,
+          wavSamples.cast(DoubleType) * 1000.0 / wavRate.cast(DoubleType))
+        .otherwise(
+          durTicks.cast(DoubleType) * 1000.0 / timescale.cast(DoubleType)),
+        6).as("duration_ms_r"),
+      when(isWav, 0L)
+        .otherwise(shiftright(u32be(hx, tkhdPos + 8 + 76), 16))
+        .cast(LongType).as("width"),
+      when(isWav, 0L)
+        .otherwise(shiftright(u32be(hx, tkhdPos + 8 + 80), 16))
+        .cast(LongType).as("height"))
+  }
 }

@@ -1,0 +1,114 @@
+package graft.textops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.etl.TestSessions
+
+/** Incremental near-dedup against a persisted band index: the probe must
+  * (1) return exactly the corpus-rebuild pair set restricted to batch
+  * ids, (2) read the index through partition-pruned scans (never the
+  * corpus), and (3) keep probe-after-append byte-identical to a
+  * from-scratch index over the union corpus.
+  */
+class IncrementalDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSessions.spark
+  import spark.implicits._
+
+  // corpus with exact dups (ids 0/1), near dups (2≈3), and distinct
+  // docs; ids 100+ form the incoming batch: 100 = exact re-ingest of 0,
+  // 101 = near dup of 4, 102/103 = a new near-dup cluster, 104 = novel,
+  // 105 = too short to shingle (survives as a singleton by contract)
+  private val corpusRows = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog in the warm morning sun"),
+    (1L, "the quick brown fox jumps over the lazy dog in the warm morning sun"),
+    (2L, "pack my box with five dozen liquor jugs before the long trip south"),
+    (3L, "pack my box with five dozen liquor jugs before the long trip north"),
+    (4L, "sphinx of black quartz judge my vow said the museum curator quietly"),
+    (5L, "how vexingly quick daft zebras jump when the keeper opens the gate"))
+  private val batchRows = Seq(
+    (100L, "the quick brown fox jumps over the lazy dog in the warm morning sun"),
+    (101L, "sphinx of black quartz judge my vow said the museum curator loudly"),
+    (102L, "a completely fresh batch document about distributed query engines today"),
+    (103L, "a completely fresh batch document about distributed query engines tonight"),
+    (104L, "unrelated content with entirely different words nowhere near anything else"),
+    (105L, "tiny doc"))
+  private lazy val corpus = corpusRows.toDF("doc_id", "text")
+  private lazy val batch = batchRows.toDF("doc_id", "text")
+
+  private def freshWh(tag: String) = graft.etl.Warehouse(
+    java.nio.file.Files.createTempDirectory(s"graft_ndidx_$tag").toString)
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+
+  test("increment pairs == rebuild pairs restricted to batch ids") {
+    val wh = freshWh("pairs")
+    Dedup.nearDedupIndexPersist(corpus, "doc_id", "text", wh, "gold", "nd",
+      shingleK = 3, numHashes = 32, bands = 8, nBuckets = 8, nSetBuckets = 4)
+    val inc = pairSet(Dedup.nearDedupIncrementPairs(batch, "doc_id", "text",
+      wh, "gold", "nd", threshold = 0.5))
+    val rebuild = pairSet(Dedup.minhashLshVerified(
+      corpus.unionByName(batch), "doc_id", "text",
+      shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5))
+      .filter { case (a, b, _) => a >= 100L || b >= 100L }
+    assert(inc === rebuild)
+    // the batch finds its corpus dups: 100 matches the exact class {0,1}
+    assert(inc.exists { case (a, b, j) => a == 0L && b == 100L && j == 1.0 })
+    assert(inc.exists { case (a, b, j) => a == 1L && b == 100L && j == 1.0 })
+    assert(inc.exists { case (a, b, j) => a == 4L && b == 101L && j >= 0.5 })
+    // and its internal cluster, but never corpus↔corpus pairs
+    assert(inc.exists { case (a, b, _) => a == 102L && b == 103L })
+    assert(inc.forall { case (a, b, _) => a >= 100L || b >= 100L })
+  }
+
+  test("probe scans are partition-pruned and never touch the corpus") {
+    val wh = freshWh("prune")
+    Dedup.nearDedupIndexPersist(corpus, "doc_id", "text", wh, "gold", "nd",
+      shingleK = 3, numHashes = 32, bands = 8, nBuckets = 8, nSetBuckets = 4)
+    val probe = Dedup.nearDedupIncrementPairs(batch, "doc_id", "text",
+      wh, "gold", "nd", threshold = 0.5)
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    // both index scans carry PartitionFilters on their bucket columns
+    assert(plan.contains("PartitionFilters"))
+    assert(plan.contains("pb"))
+    assert(plan.contains("dbucket"))
+  }
+
+  test("keep: corpus wins, batch clusters collapse, shingle-less survive") {
+    val wh = freshWh("keep")
+    Dedup.nearDedupIndexPersist(corpus, "doc_id", "text", wh, "gold", "nd",
+      shingleK = 3, numHashes = 32, bands = 8, nBuckets = 8, nSetBuckets = 4)
+    val kept = Dedup.nearDedupIncrementKeep(batch, "doc_id", "text",
+      wh, "gold", "nd", threshold = 0.5)
+      .as[(Long, Long)].collect().toMap
+    // 100 (exact corpus dup) and 101 (near corpus dup) are dropped;
+    // the new cluster {102,103} keeps its min id with size 2; 104 is
+    // novel; 105 has no shingles and survives as a singleton
+    assert(kept === Map(102L -> 2L, 104L -> 1L, 105L -> 1L))
+  }
+
+  test("append: probe after append == probe of a from-scratch union index") {
+    val whInc = freshWh("appinc")
+    Dedup.nearDedupIndexPersist(corpus, "doc_id", "text", whInc, "gold", "nd",
+      shingleK = 3, numHashes = 32, bands = 8, nBuckets = 8, nSetBuckets = 4)
+    val survivors = batch.filter(col("doc_id").isin(102L, 104L, 105L))
+    Dedup.nearDedupIndexAppend(survivors, "doc_id", "text",
+      whInc, "gold", "nd")
+    val whFull = freshWh("appfull")
+    Dedup.nearDedupIndexPersist(corpus.unionByName(survivors), "doc_id",
+      "text", whFull, "gold", "nd",
+      shingleK = 3, numHashes = 32, bands = 8, nBuckets = 8, nSetBuckets = 4)
+    // a second batch that near-matches an appended doc must hit it
+    val batch2 = Seq(
+      (200L, "a completely fresh batch document about distributed query engines today ok"),
+      (201L, "yet another brand new subject matter entirely on its own")
+    ).toDF("doc_id", "text")
+    val viaInc = pairSet(Dedup.nearDedupIncrementPairs(batch2, "doc_id",
+      "text", whInc, "gold", "nd", threshold = 0.5))
+    val viaFull = pairSet(Dedup.nearDedupIncrementPairs(batch2, "doc_id",
+      "text", whFull, "gold", "nd", threshold = 0.5))
+    assert(viaInc === viaFull)
+    assert(viaInc.exists { case (a, b, _) => a == 102L && b == 200L })
+  }
+}
