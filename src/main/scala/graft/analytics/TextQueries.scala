@@ -1284,7 +1284,16 @@ object TextQueries {
         col("code_2"), col("code_3"), round(col("adc"), 6).as("adc_r"))
       .orderBy("adc_r", "vec_id")
   }
-  private val aIvfPqSql: String = {
+  private val aIvfPqSql: String = aIvfPqSqlFor("vec_id <> 0")
+
+  /** IVF-PQ oracle builder with SEPARATE train and encode corpora: the
+    * train CTEs (k-means init/assign/means, PQ codebooks) run over
+    * `corpus_tr`, while the encode/probe CTEs (final assignment, codes,
+    * ADC scoring) run over corpus_all (vec_id <> 0) — which is what the
+    * append-without-retrain entry needs (frozen books from the base
+    * corpus, codes over base ∪ delta). With trainFilter = the full
+    * corpus the two coincide (ann_ivf_pq_topk / _persisted). */
+  private def aIvfPqSqlFor(trainFilter: String): String = {
     val sd = 16; val m = 4; val kk = 8
     def l2sq(xOf: Int => String, cOf: Int => String) =
       (0 until sd).map { j =>
@@ -1296,32 +1305,33 @@ object TextQueries {
       val asgF = l2sq(j => s"v.x[${lo + j}]", j => s"f.c[${j + 1}]")
       val qtab = l2sq(j => s"q.qx[${lo + j}]", j => s"f.c[${j + 1}]")
       s"""init_$s AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, x[$lo:$hi] AS c
-         |  FROM (SELECT * FROM corpus ORDER BY vec_id LIMIT $kk)),
+         |  FROM (SELECT * FROM corpus_tr ORDER BY vec_id LIMIT $kk)),
          |a1_$s AS (SELECT v.vec_id, v.x,
          |  (SELECT i.cid FROM init_$s i ORDER BY sqrt($asgInit) ASC, i.cid ASC LIMIT 1) AS cid
-         |  FROM corpus v),
+         |  FROM corpus_tr v),
          |sums_$s AS (SELECT cid, i, CAST(SUM(CAST(xe AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*) AS mu
          |  FROM (SELECT cid, unnest(x[$lo:$hi]) AS xe, generate_subscripts(x[$lo:$hi], 1) AS i FROM a1_$s)
          |  GROUP BY cid, i),
          |cent_$s AS (SELECT cid, list(CAST(CAST(mu AS FLOAT) AS DOUBLE) ORDER BY i) AS c FROM sums_$s GROUP BY cid),
          |a2_$s AS (SELECT v.vec_id,
          |  (SELECT f.cid FROM cent_$s f ORDER BY sqrt($asgF) ASC, f.cid ASC LIMIT 1) AS cid
-         |  FROM corpus v),
+         |  FROM corpus_all v),
          |qtab_$s AS (SELECT f.cid, $qtab AS d2 FROM cent_$s f CROSS JOIN q)""".stripMargin
     }
     val codeCols = (0 until m).map(s => s"a2_$s.cid AS code_$s").mkString(", ")
     val codeJoins = (1 until m).map(s => s"JOIN a2_$s USING (vec_id)").mkString(" ")
     val tabJoins = (0 until m).map(s => s"JOIN qtab_$s t$s ON t$s.cid = c.code_$s").mkString(" ")
     val adcSum = (0 until m).map(s => s"t$s.d2").reduce((a, b) => s"($a + $b)")
-    s"""WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+    s"""WITH corpus_all AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
        |  FROM embeddings WHERE vec_id <> 0),
+       |corpus_tr AS (SELECT vec_id, x FROM corpus_all WHERE $trainFilter),
        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qx FROM embeddings WHERE vec_id = 0),
        |ivfinit AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, x AS c
-       |         FROM (SELECT * FROM corpus ORDER BY vec_id LIMIT 8)),
+       |         FROM (SELECT * FROM corpus_tr ORDER BY vec_id LIMIT 8)),
        |ivfa1 AS (SELECT v.vec_id, v.x,
        |         (SELECT i.cid FROM ivfinit i
        |          ORDER BY COALESCE(${cosSql("v.x", "i.c")}, -1e308) DESC, i.cid ASC LIMIT 1) AS cid
-       |       FROM corpus v),
+       |       FROM corpus_tr v),
        |ivfsums AS (SELECT cid, i, CAST(SUM(CAST(xe AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*) AS m
        |         FROM (SELECT cid, unnest(x) AS xe, generate_subscripts(x,1) AS i FROM ivfa1)
        |         GROUP BY cid, i),
@@ -1332,7 +1342,7 @@ object TextQueries {
        |ivfa2 AS (SELECT v.vec_id, v.x,
        |         (SELECT f.cid FROM ivfcent_f f
        |          ORDER BY COALESCE(${cosSql("v.x", "f.c")}, -1e308) DESC, f.cid ASC LIMIT 1) AS cid
-       |       FROM corpus v),
+       |       FROM corpus_all v),
        |${(0 until m).map(subCtes).mkString(",\n")},
        |codes AS (SELECT a2_0.vec_id, $codeCols FROM a2_0 $codeJoins),
        |scored AS (SELECT c.vec_id, code_0, code_1, code_2, code_3,
@@ -1374,6 +1384,40 @@ object TextQueries {
         col("code_2"), col("code_3"), round(col("adc"), 6).as("adc_r"))
       .orderBy("adc_r", "vec_id")
   }
+
+  // a5d — APPEND-WITHOUT-RETRAIN index maintenance: the base corpus
+  // (vec_id % 10 <> 7) builds and persists the index; the delta (every
+  // vec_id ending in 7 — ~10%) appends through the FROZEN artifacts
+  // (Similarity.ivfPqAppend: assign to persisted centroids, encode with
+  // persisted books, land in `cell=` partitions via partitioned
+  // append); the probe then answers over base ∪ delta from the
+  // artifacts alone. Probe-after-append ≡ a from-scratch encode of the
+  // union under the same codebooks (IvfSpec-enforced bit-identity);
+  // the oracle replays train on the BASE and encode on the UNION
+  // (aIvfPqSqlFor's split corpora).
+  private val aIvfPqAppend: QFn = (s, dir) => {
+    val all = embs(s, dir).filter(col("vec_id") =!= 0)
+    val base = all.filter(col("vec_id") % 10 =!= 7)
+    val delta = all.filter(col("vec_id") % 10 === 7)
+    val centroids = Similarity.ivfTrain(base, "vec_id", "embedding",
+      dim = 64, nlist = 8, iterations = 1)
+    val books = Similarity.pqTrain(base, "vec_id", "embedding",
+      dim = 64, m = 4, k = 8, iterations = 1)
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_annappend" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val wh = graft.etl.Warehouse(tmp)
+    // persist OVERWRITES the codes table, so the append below lands
+    // exactly once per execution — re-runs stay idempotent
+    Similarity.ivfPqPersist(base, "vec_id", "embedding", centroids, books,
+      wh, "gold", "ann_idx")
+    Similarity.ivfPqAppend(delta, "vec_id", "embedding", wh, "gold", "ann_idx")
+    Similarity.ivfPqProbePersisted(s, wh, "gold", "ann_idx", "vec_id",
+        queryVec(s, dir), k = 10, nprobe = 3)
+      .select(col("vec_id"), col("code_0"), col("code_1"),
+        col("code_2"), col("code_3"), round(col("adc"), 6).as("adc_r"))
+      .orderBy("adc_r", "vec_id")
+  }
+  private val aIvfPqAppendSql = aIvfPqSqlFor("vec_id % 10 <> 7")
 
   // a4 — k-NN majority-vote classification: vectors 0-19 are held-out
   // queries, the rest vote with their labels through exact cosine top-5
@@ -1652,6 +1696,7 @@ object TextQueries {
     "ann_pq_topk" -> aPq,
     "ann_ivf_pq_topk" -> aIvfPq,
     "ann_ivf_pq_persisted" -> aIvfPqPersisted,
+    "ann_ivf_pq_append" -> aIvfPqAppend,
     "ann_knn_classify" -> aKnn,
     "mm_blob_stats" -> mBlob,
     "mm_frame_sample" -> mFrames,
@@ -1699,6 +1744,7 @@ object TextQueries {
     "ann_pq_topk" -> aPqSql,
     "ann_ivf_pq_topk" -> aIvfPqSql,
     "ann_ivf_pq_persisted" -> aIvfPqSql,
+    "ann_ivf_pq_append" -> aIvfPqAppendSql,
     "ann_knn_classify" -> aKnnSql,
     "mm_blob_stats" -> mBlobSql,
     "mm_frame_sample" -> mFramesSql,

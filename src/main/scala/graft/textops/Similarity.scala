@@ -400,6 +400,33 @@ object Similarity {
     wh.overwritePartitioned(coded, layer, s"${table}_codes", Seq("cell"))
   }
 
+  /** Append vectors to a persisted IVF-PQ index WITHOUT retraining —
+    * the index-maintenance half of the build/probe split: new vectors
+    * assign to the FROZEN coarse centroids and encode with the FROZEN
+    * codebooks (both read back from the artifact, so append can never
+    * skew from the original build), and the code rows land in their
+    * `cell=` partitions via partitioned append — existing files
+    * untouched. Because a vector's (cell, codes) row depends only on
+    * the frozen artifacts and its own embedding, probe-after-append is
+    * bit-identical to probing a from-scratch encode of the union corpus
+    * under the same codebooks (spec-enforced). Caller contract: ids
+    * disjoint from the indexed corpus. */
+  def ivfPqAppend(df: DataFrame, idCol: String, vecCol: String,
+                  wh: graft.etl.Warehouse, layer: String,
+                  table: String): Unit = {
+    val spark = df.sparkSession
+    val centroids = wh.read(spark, layer, s"${table}_centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val books: Seq[Map[Int, Array[Double]]] =
+      wh.read(spark, layer, s"${table}_books").collect()
+        .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+        .map(_._2.map(r => r.getInt(1) -> r.getSeq[Double](2).toArray).toMap)
+    val coded = pqEncode(assignToCentroid(df, vecCol, centroids), vecCol, books)
+      .select(col(idCol) +: col("__cid").as("cell") +:
+        books.indices.map(s => col(s"__code_$s").as(s"code_$s")): _*)
+    wh.appendPartitioned(coded, layer, s"${table}_codes", Seq("cell"))
+  }
+
   /** Probe a persisted IVF-PQ index WITHOUT touching the corpus or the
     * build: centroids/books read back (bounded artifacts, collected
     * once), probe cells ranked on the driver, and the codes scan is
