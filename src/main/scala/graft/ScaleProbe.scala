@@ -174,6 +174,125 @@ object ScaleProbe {
       spark.conf.set("spark.sql.shuffle.partitions", "64")
     }
 
+    // Incremental near-dedup probe — the daily-ingest cost model. The
+    // 250k-DISTINCT corpus (dedupdistinct construction) persists its
+    // band index ONCE (corpus-sized, the amortized build); a 1% batch
+    // (2,500 docs: a third exact re-ingests, a third near-dup versions,
+    // a third reversed = genuinely new) then probes it. Pass bar: the
+    // increment costs ~batch-sized work — an order of magnitude under
+    // the corpus-sized verified near-dedup it replaces (the
+    // minhash_verified_distinct50 number, ~100 s on this box).
+    if (families("increment")) {
+      spark.conf.set("spark.sql.shuffle.partitions", "128")
+      val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val big = base
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), lit(49L))).as("rep"))
+        .select((col("doc_id") * 50L + col("rep")).as("doc_id"),
+          concat(col("text"), lit(" v"), col("rep")).as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"docsIncrement: ${big.count()}")
+      val wh = graft.etl.Warehouse(java.nio.file.Files
+        .createTempDirectory("graft_probe_ndidx").toString)
+      time("nd_index_build_250k") {
+        Dedup.nearDedupIndexPersist(big, "doc_id", "text", wh, "gold", "nd",
+          shingleK = 3, numHashes = 32, bands = 8)
+        spark.read.parquet(wh.path("gold", "nd_bands")).count()
+      }
+      // the daily job sizes its shuffle to the BATCH, not the corpus
+      // (AQE coalesces, but the explicit knob removes the tail): the
+      // corpus never re-shingles — only its skinny index rows scan
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      def mkBatch(n: Long) = big.filter(col("doc_id") < n)
+        .select((col("doc_id") + 100000000L).as("doc_id"),
+          when(col("doc_id") % 3 === 0, col("text"))
+            .when(col("doc_id") % 3 === 1, concat(col("text"), lit(" vnew")))
+            .otherwise(concat_ws(" ", reverse(split(col("text"), " "))))
+            .as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val batch = mkBatch(2500)
+      println(s"batch: ${batch.count()}")
+      time("nd_increment_pairs_1pct") {
+        Dedup.nearDedupIncrementPairs(batch, "doc_id", "text",
+          wh, "gold", "nd", threshold = 0.5).count()
+      }
+      time("nd_increment_keep_1pct") {
+        Dedup.nearDedupIncrementKeep(batch, "doc_id", "text",
+          wh, "gold", "nd", threshold = 0.5).count()
+      }
+      val batchS = mkBatch(250)
+      println(s"batchS: ${batchS.count()}")
+      time("nd_increment_pairs_01pct") {
+        Dedup.nearDedupIncrementPairs(batchS, "doc_id", "text",
+          wh, "gold", "nd", threshold = 0.5).count()
+      }
+      big.unpersist(); batch.unpersist(); batchS.unpersist()
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+    }
+
+    // End-to-end curation pipeline at 100×: 500k docs (every sf0.1 doc
+    // exactly replicated 100× — the crawl's dominant redundancy shape)
+    // through lang gate (heuristic langId, not the label) → quality
+    // gate → exact-dup collapse → verified near-dedup keep → real-BPE
+    // token sharding. Per-stage attrition + wall-clock so a cliff in
+    // ANY stage is attributable; the funnel must shrink work
+    // monotonically (gates scan 500k, near-dedup sees only distinct
+    // survivors, the packer only kept docs).
+    if (families("curation100")) {
+      spark.conf.set("spark.sql.shuffle.partitions", "128")
+      val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val big = base
+        .select(col("doc_id"), col("lang"), col("source"), col("text"),
+          explode(sequence(lit(0L), lit(99L))).as("rep"))
+        .select((col("doc_id") * 100L + col("rep")).as("doc_id"),
+          col("lang"), col("source"), col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n0 = big.count()
+      println(s"curation docs: $n0")
+      val tAll0 = System.nanoTime()
+      val langGated = big
+        .filter(graft.textops.TextFunctions.langId(col("text")) === "en")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("cur_lang_gate_500k")(langGated.count())
+      val qualGated = langGated
+        .filter(graft.textops.TextFunctions.qualityScore(col("text")) >= 0.5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("cur_quality_gate")(qualGated.count())
+      val exact = Dedup.exactDedup(qualGated, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"), col("n_copies"))
+        .join(qualGated.select(col("doc_id"), col("source"), col("text")),
+          "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("cur_exact_collapse")(exact.count())
+      val kept = Dedup.nearDedupKeep(exact, "doc_id", "text",
+          shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5)
+        .join(exact.select(col("doc_id"), col("source"), col("text")),
+          "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("cur_near_dedup_keep")(kept.count())
+      time("cur_bpe_token_shards") {
+        val toks = kept.select(col("source"), col("doc_id"),
+            explode(split(graft.textops.TextFunctions.normText(col("text")),
+              " ")).as("w"))
+          .filter(length(col("w")) > 0)
+          .withColumn("seg", graft.functions.BpeMerges.bpe_segment(col("w")))
+          .groupBy("source", "doc_id")
+          .agg(sum(size(split(col("seg"), " ")).cast("long")).as("tok"))
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        toks.withColumn("cum", sum(col("tok")).over(w))
+          .withColumn("shard",
+            floor((col("cum") - col("tok")).cast("double") / 2000.0))
+          .groupBy("source", "shard").count().count()
+      }
+      val totalS = (System.nanoTime() - tAll0) / 1e9
+      println(f"CURATION total ${totalS}%.2f s for $n0 docs = " +
+        f"${n0 / totalS}%.0f docs/s end-to-end")
+      big.unpersist()
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+    }
+
     if (families("events")) {
       import org.apache.spark.sql.expressions.Window
       val base = Tables.load(spark, "/root/testdata/sf0.1", "events")
