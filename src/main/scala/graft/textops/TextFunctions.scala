@@ -61,7 +61,7 @@ object TextFunctions {
     s"CAST(length($padded) - length(replace($padded, '$w', '')) AS DOUBLE) / ${w.length}.0"
   }
 
-  private val stopwords: Seq[(String, Seq[String])] = Seq(
+  private[graft] val stopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "is"),
     "de" -> Seq("der", "und", "die", "das", "ist"),
     "es" -> Seq("el", "los", "las", "es", "una"),
@@ -87,11 +87,25 @@ object TextFunctions {
       s"(CAST(length($c) - length(regexp_replace($c, '[^ -~]', '', 'g')) AS DOUBLE) * 3.0)")
   }
 
-  private val langOrder = Seq("en", "de", "es", "fr", "zh")
+  private[graft] val langOrder = Seq("en", "de", "es", "fr", "zh")
 
-  /** Heuristic language ID: argmax of [[langScores]] with a deterministic
-    * precedence order; all-zero scores → 'und'. */
-  def langId(c: Column): Column = {
+  /** Heuristic language ID — the NATIVE one-pass expression
+    * ([[graft.functions.LangIdNative]]): per-language stopword counts +
+    * the non-ASCII zh weight and the argmax in one compiled scan. The
+    * composable form below rebuilt the padded document through 21
+    * `regexp_replace` passes, each re-embedded several times in the
+    * argmax tree — the curation100 probe measured the lang gate at
+    * 146 s over 500k docs, 70% of the whole pipeline. Semantics are
+    * IDENTICAL by construction (same non-overlapping left-to-right
+    * occurrence count the replace arithmetic yields; spec-enforced
+    * against [[langIdComposable]]), so the unchanged SQL oracle still
+    * hash-matches. */
+  def langId(c: Column): Column = graft.functions.LangIdHelper.lang_id(c)
+
+  /** The built-ins-only twin of [[langId]] — argmax of [[langScores]]
+    * with deterministic precedence; kept as the reference
+    * implementation the native expression is tested against. */
+  def langIdComposable(c: Column): Column = {
     val s = langScores(c)
     val all = langOrder.map(s)
     val top = all.reduce((a, b) => greatest(a, b))

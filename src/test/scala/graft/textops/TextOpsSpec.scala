@@ -363,6 +363,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(5L) === "und")
   }
 
+  test("native langId ≡ composable argmax (incl. overlap/CJK/tie corners)") {
+    val df = Seq(
+      // adjacent stopwords: " the the the " — padded-replace counting
+      // is NON-overlapping (2 hits, not 3); both forms must agree
+      (1L, "the the the"),
+      (2L, "und und und und"),
+      (3L, "the der el le"),                       // 4-way tie → precedence
+      (4L, ""),
+      (5L, "12345 67890 !!!"),
+      (6L, "你好世界 the and of to is"), // CJK + en mix
+      (7L, "THE AND OF TO IS"),                    // lowering path
+      (8L, "a" * 2000 + " the "),                  // long doc
+      (9L, "est est une les le la dans")
+    ).toDF("doc_id", "text")
+    val both = df.select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("native"),
+        TextFunctions.langIdComposable(col("text")).as("composable"))
+      .as[(Long, String, String)].collect()
+    both.foreach { case (id, n, c) => assert(n === c, s"doc $id") }
+  }
+
   test("PII redaction scrubs every planted kind and counts them once") {
     val df = Seq(
       (1L, "mail a.user+x@sub.example.org then call 555-123-4567 done"),
