@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native BPE-ish token estimate — bit-identical to the composable
@@ -200,6 +200,77 @@ object LangIdHelper {
   /** Column API: native one-pass language ID. */
   def lang_id(c: Column): Column =
     ColumnBridge.column(LangIdNative(ColumnBridge.expression(c)))
+}
+
+/** Native one-pass quality score — bit-identical to the composable
+  * `alphaRatio·0.4 + (1−digitRatio)·0.2 + lengthTerm·0.2 + wordTerm·0.2`
+  * (three `regexp_replace` rewrites + a normText split per document),
+  * but as one code-point scan of the original string plus one of the
+  * lowered string (word runs must count AFTER lowering — exotic
+  * uppercase like U+212A lowers INTO [a-z0-9]). The word count
+  * replicates `size(split(normText(c), " "))` exactly: the number of
+  * maximal [a-z0-9] runs, floored at 1 because splitting an empty
+  * normalized string yields one empty token. Double arithmetic uses
+  * the same left-associated IEEE order as the Column tree. */
+case class QualityScoreNative(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"quality_score expects string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = DoubleType
+
+  protected override def nullSafeEval(input: Any): Any =
+    QualityScoreHelper.score(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.QualityScoreHelper.score($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object QualityScoreHelper {
+  def score(s: UTF8String): Double = {
+    val str = s.toString
+    var len = 0L
+    var alpha = 0L
+    var digits = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      len += 1
+      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')) alpha += 1
+      else if (cp >= '0' && cp <= '9') digits += 1
+      i += Character.charCount(cp)
+    }
+    // word runs over the LOWERED string (normText lowers first)
+    val lower = s.toLowerCase.toString
+    var runs = 0L
+    var inRun = false
+    var j = 0
+    while (j < lower.length) {
+      val cp = lower.codePointAt(j)
+      val alnum = (cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9')
+      if (alnum && !inRun) runs += 1
+      inRun = alnum
+      j += Character.charCount(cp)
+    }
+    val words = math.max(runs, 1L)
+    val lenD = len.toDouble
+    val alphaRatio = alpha.toDouble / math.max(lenD, 1.0)
+    val digitRatio = digits.toDouble / math.max(lenD, 1.0)
+    val lengthTerm = math.min(lenD / 500.0, 1.0)
+    val wordTerm = math.min(words.toDouble / 50.0, 1.0)
+    alphaRatio * 0.4 + (1.0 - digitRatio) * 0.2 +
+      lengthTerm * 0.2 + wordTerm * 0.2
+  }
+
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Column API: native one-pass quality score. */
+  def quality_score(c: Column): Column =
+    ColumnBridge.column(QualityScoreNative(ColumnBridge.expression(c)))
 }
 
 /** Greedy merge-table BPE encoder over an ARBITRARY rule table — the

@@ -384,6 +384,27 @@ class TextOpsSpec extends AnyFunSuite {
     both.foreach { case (id, n, c) => assert(n === c, s"doc $id") }
   }
 
+  test("native qualityScore ≡ composable (bit-identical doubles)") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, ""),
+      (3L, "    "),
+      (4L, "12345 67-89 !!!"),
+      (5L, "a" * 600),
+      (6L, ("word " * 60).trim),
+      (7L, "MiXeD CaSe 123 text, with.punct!"),
+      (8L, "你好 world 123")
+    ).toDF("doc_id", "text")
+    val both = df.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("native"),
+        TextFunctions.qualityScoreComposable(col("text")).as("composable"))
+      .as[(Long, Double, Double)].collect()
+    both.foreach { case (id, n, c) =>
+      assert(java.lang.Double.doubleToLongBits(n) ===
+        java.lang.Double.doubleToLongBits(c), s"doc $id: $n vs $c")
+    }
+  }
+
   test("PII redaction scrubs every planted kind and counts them once") {
     val df = Seq(
       (1L, "mail a.user+x@sub.example.org then call 555-123-4567 done"),
