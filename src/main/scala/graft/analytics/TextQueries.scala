@@ -882,14 +882,35 @@ object TextQueries {
           .as("text"))
 
   /** Deterministic per-SF index path + overwrite — no per-run tmp-dir
-    * leak (the r8 ADVICE note on aIvfPqPersisted). */
+    * leak (the r8 ADVICE note on aIvfPqPersisted) — and BUILD-ONCE:
+    * the entire point of the incremental operator is that the corpus
+    * index is a standing artifact the daily batch probes, so the entry
+    * rebuilds it only when the corpus it was built from changed. The
+    * guard is a content fingerprint (row count + id/byte sums — one
+    * cheap corpus aggregate), persisted beside the index: a driver
+    * testdata regeneration or parameter change rebuilds, a second
+    * entry / bench pass reuses. */
   private def incIndexWh(s: SparkSession, dir: String): graft.etl.Warehouse = {
+    import s.implicits._
     val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val wh = graft.etl.Warehouse(
       s"${sys.props("java.io.tmpdir")}/graft_ndidx$key")
-    Dedup.nearDedupIndexPersist(docs(s, dir), "doc_id", "text",
-      wh, "gold", "nd", shingleK = 3, numHashes = 32, bands = 8,
-      nBuckets = 16, nSetBuckets = 16)
+    val d = docs(s, dir)
+    val r = d.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)),
+      coalesce(sum(length(col("text")).cast("long")), lit(0L))).head()
+    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 32, 8, 16, 16))
+      .toDF("n", "id_sum", "len_sum", "k", "nh", "b", "nb", "nsb")
+    val fresh = wh.exists("gold", "nd_fp") &&
+      (try {
+        wh.read(s, "gold", "nd_fp").collect().toSeq ==
+          fp.collect().toSeq
+      } catch { case _: Throwable => false })
+    if (!fresh) {
+      Dedup.nearDedupIndexPersist(d, "doc_id", "text",
+        wh, "gold", "nd", shingleK = 3, numHashes = 32, bands = 8,
+        nBuckets = 16, nSetBuckets = 16)
+      wh.overwrite(fp, "gold", "nd_fp")
+    }
     wh
   }
 
