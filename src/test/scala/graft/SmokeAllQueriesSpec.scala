@@ -173,6 +173,14 @@ class SmokeAllQueriesSpec extends AnyFunSuite {
       s"oracleSql without a query: ${orphans.toSeq.sorted.mkString(", ")}")
   }
 
+  test("no entry name is defined by more than one pack (shadowing guard)") {
+    // `++` merges silently let a later pack SHADOW an earlier entry's
+    // definition — the ledger count stays right while one
+    // implementation quietly stops being tested (r9 near-miss)
+    assert(SparkEntry.duplicateNames.isEmpty,
+      s"duplicated entry names: ${SparkEntry.duplicateNames.mkString(", ")}")
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"smoke: $name") {
       val df = fn(spark, sf)
