@@ -83,6 +83,18 @@ final case class Warehouse(root: String) {
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** [[rebuild]] preserving a partition layout — the compaction path
+    * for partitioned-append tables (persisted indexes): rewrite into
+    * the same `partitionBy` directories, then swap atomically. */
+  def rebuildPartitioned(df: DataFrame, layer: String, table: String,
+                         partCols: Seq[String]): Unit = {
+    val target = Paths.get(path(layer, table))
+    val tmp = Paths.get(path(layer, table + "._tmp"))
+    df.write.mode("overwrite").partitionBy(partCols: _*).parquet(tmp.toString)
+    if (Files.exists(target)) deleteRecursively(target)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (Files.isDirectory(p))

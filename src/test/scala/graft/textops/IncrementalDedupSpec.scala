@@ -88,6 +88,70 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(kept === Map(102L -> 2L, 104L -> 1L, 105L -> 1L))
   }
 
+  test("compaction: probes byte-identical before and after, fewer files") {
+    val wh = freshWh("compact")
+    Dedup.nearDedupIndexPersist(corpus, "doc_id", "text", wh, "gold", "nd",
+      shingleK = 3, numHashes = 32, bands = 8, nBuckets = 8, nSetBuckets = 4)
+    // three appends pile files into the partitions
+    Seq(50L, 60L, 70L).foreach { base =>
+      val extra = Seq((base,
+        s"fresh appended content number $base about storage compaction today"))
+        .toDF("doc_id", "text")
+      Dedup.nearDedupIndexAppend(extra, "doc_id", "text", wh, "gold", "nd")
+    }
+    val before = pairSet(Dedup.nearDedupIncrementPairs(batch, "doc_id",
+      "text", wh, "gold", "nd", threshold = 0.5))
+    def nFiles = {
+      def cnt(p: String) = {
+        val d = new java.io.File(p)
+        if (!d.exists) 0
+        else {
+          def walk(f: java.io.File): Int =
+            if (f.isDirectory) f.listFiles().map(walk).sum
+            else if (f.getName.endsWith(".parquet")) 1 else 0
+          walk(d)
+        }
+      }
+      cnt(wh.path("gold", "nd_bands")) + cnt(wh.path("gold", "nd_sets"))
+    }
+    val filesBefore = nFiles
+    Dedup.nearDedupIndexCompact(spark, wh, "gold", "nd")
+    val after = pairSet(Dedup.nearDedupIncrementPairs(batch, "doc_id",
+      "text", wh, "gold", "nd", threshold = 0.5))
+    assert(after === before)
+    assert(nFiles < filesBefore)
+  }
+
+  test("streaming ingest loop: each batch dedups against what earlier batches kept") {
+    val wh = freshWh("stream")
+    Dedup.nearDedupIndexPersist(corpus, "doc_id", "text", wh, "gold", "nd",
+      shingleK = 3, numHashes = 32, bands = 8, nBuckets = 8, nSetBuckets = 4)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ndstream_ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    val src =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = Dedup.nearDedupIngestStream(
+      src.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      wh, "gold", "nd", threshold = 0.5, ckpt)
+    // batch 1: 200 = exact dup of corpus doc 0 (dropped);
+    //          201 = brand-new content (kept, appended to the index)
+    src.addData(
+      (200L, "the quick brown fox jumps over the lazy dog in the warm morning sun"),
+      (201L, "streaming ingest pipelines deduplicate against their own history forever"))
+    q.processAllAvailable()
+    // batch 2: 202 = near dup of 201 — kept by the PREVIOUS batch, so
+    //          the index must have grown mid-stream; 203 = new (kept)
+    src.addData(
+      (202L, "streaming ingest pipelines deduplicate against their own history forever ok"),
+      (203L, "entirely separate subject matter appears in the second micro batch"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.read.parquet(wh.path("gold", "nd_kept"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(201L, 203L))
+  }
+
   test("append: probe after append == probe of a from-scratch union index") {
     val whInc = freshWh("appinc")
     Dedup.nearDedupIndexPersist(corpus, "doc_id", "text", whInc, "gold", "nd",
