@@ -230,6 +230,101 @@ object ScaleProbe {
       spark.conf.set("spark.sql.shuffle.partitions", "64")
     }
 
+    // dev-only: one stream-shaped batch through the BATCH keep API
+    // against a fresh index — isolates data effects from foreachBatch
+    if (families("ingestdebug")) {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val big = base
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), lit(49L))).as("rep"))
+        .select((col("doc_id") * 50L + col("rep")).as("doc_id"),
+          concat(col("text"), lit(" v"), col("rep")).as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"docs: ${big.count()}")
+      val wh = graft.etl.Warehouse(java.nio.file.Files
+        .createTempDirectory("graft_probe_ingdbg").toString)
+      Dedup.nearDedupIndexPersist(big, "doc_id", "text", wh, "gold", "nd",
+        shingleK = 3, numHashes = 32, bands = 8)
+      val k = 0
+      val b = big.filter(col("doc_id") < 2500)
+        .select((col("doc_id") + 100000000L + k * 10000L).as("doc_id"),
+          when(col("doc_id") % 3 === 0, col("text"))
+            .when(col("doc_id") % 3 === 1,
+              concat(col("text"), lit(s" vnew$k")))
+            .otherwise(concat_ws(" ",
+              reverse(split(concat(col("text"), lit(s" b$k")), " "))))
+            .as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"batch: ${b.count()}")
+      val pairs = Dedup.nearDedupIncrementPairs(b, "doc_id", "text",
+        wh, "gold", "nd", threshold = 0.5)
+      println(s"pairs: ${pairs.count()}")
+      val kept = Dedup.nearDedupIncrementKeep(b, "doc_id", "text",
+        wh, "gold", "nd", threshold = 0.5)
+      println(s"kept: ${kept.count()}")
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+    }
+
+    // The streaming ingest LOOP against the 250k index: 5 micro-batches
+    // of 2,500 docs drain through nearDedupIngestStream (file source,
+    // one file per trigger). Each batch is a third exact corpus dups, a
+    // third near-dup versions, a third reversed-text docs that are
+    // near-dups of EVERY batch's reversed third — so exactly one
+    // batch's reversed docs survive and the rest die against index
+    // rows that were APPENDED mid-stream. Pass bar: per-batch cost flat
+    // (the single-increment probe's ~batch-sized work, not growing with
+    // the kept history), and the cross-batch drop counts proving the
+    // loop actually feeds itself.
+    if (families("ingeststream")) {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val big = base
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), lit(49L))).as("rep"))
+        .select((col("doc_id") * 50L + col("rep")).as("doc_id"),
+          concat(col("text"), lit(" v"), col("rep")).as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"docsIngest: ${big.count()}")
+      val wh = graft.etl.Warehouse(java.nio.file.Files
+        .createTempDirectory("graft_probe_ingestidx").toString)
+      time("ingest_index_build_250k") {
+        Dedup.nearDedupIndexPersist(big, "doc_id", "text", wh, "gold", "nd",
+          shingleK = 3, numHashes = 32, bands = 8)
+        spark.read.parquet(wh.path("gold", "nd_bands")).count()
+      }
+      val stageDir = java.nio.file.Files
+        .createTempDirectory("graft_probe_ingest").toString
+      (0 until 5).foreach { k =>
+        big.filter(col("doc_id") < 2500)
+          .select((col("doc_id") + 100000000L + k * 10000L).as("doc_id"),
+            when(col("doc_id") % 3 === 0, col("text"))
+              .when(col("doc_id") % 3 === 1,
+                concat(col("text"), lit(s" vnew$k")))
+              .otherwise(concat_ws(" ",
+                reverse(split(concat(col("text"), lit(s" b$k")), " "))))
+              .as("text"))
+          .coalesce(1).write.mode("append").parquet(stageDir)
+      }
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_probe_ingest_ckpt").toString
+      time("ingest_stream_5x2500") {
+        val src = spark.readStream
+          .schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(stageDir)
+        val q = Dedup.nearDedupIngestStream(src, "doc_id", "text",
+          wh, "gold", "nd", threshold = 0.5, ckpt)
+        q.processAllAvailable(); q.stop()
+        spark.read.parquet(wh.path("gold", "nd_kept")).count()
+      }
+      spark.read.parquet(wh.path("gold", "nd_kept"))
+        .groupBy("epoch").count().orderBy("epoch").collect()
+        .foreach(r => println(s"INGEST epoch ${r.getLong(0)}: kept ${r.getLong(1)}"))
+      big.unpersist()
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+    }
+
     // End-to-end curation pipeline at 100×: 500k docs (every sf0.1 doc
     // exactly replicated 100× — the crawl's dominant redundancy shape)
     // through lang gate (heuristic langId, not the label) → quality

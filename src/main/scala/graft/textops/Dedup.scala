@@ -543,14 +543,20 @@ object Dedup {
         try {
           val kept = nearDedupIncrementKeep(batch, idCol, textCol,
             wh, layer, table, threshold)
+          // EAGER checkpoint, not a lazy persist: the keep pipeline
+          // READS the index this loop is about to APPEND to, so any
+          // re-evaluation after the append would see the batch's own
+          // survivors as corpus matches and drop everything (found by
+          // the 250k ingest probe: the epoch-0 sink landed 0 of its 50
+          // survivors). The checkpoint freezes the survivor rows to an
+          // RDD snapshot BEFORE the first index mutation; both appends
+          // then consume immutable data.
           val keptDocs = batch
             .join(kept.withColumnRenamed("doc_id", idCol), idCol)
-            .persist()
-          try {
-            nearDedupIndexAppend(keptDocs, idCol, textCol, wh, layer, table)
-            wh.append(keptDocs.withColumn("epoch", lit(epoch)),
-              layer, s"${table}_kept")
-          } finally keptDocs.unpersist()
+            .localCheckpoint(true)
+          nearDedupIndexAppend(keptDocs, idCol, textCol, wh, layer, table)
+          wh.append(keptDocs.withColumn("epoch", lit(epoch)),
+            layer, s"${table}_kept")
         } finally batch.unpersist()
         ()
       }

@@ -141,15 +141,30 @@ class IncrementalDedupSpec extends AnyFunSuite {
       (201L, "streaming ingest pipelines deduplicate against their own history forever"))
     q.processAllAvailable()
     // batch 2: 202 = near dup of 201 — kept by the PREVIOUS batch, so
-    //          the index must have grown mid-stream; 203 = new (kept)
+    //          the index must have grown mid-stream; 203 = new (kept);
+    //          204/205 = an intra-batch near-dup CLUSTER of new content
+    //          — the regression case for the eager-checkpoint fix: the
+    //          keep pipeline reads the index the loop appends to, so a
+    //          lazy survivor frame re-evaluated after the append sees
+    //          205 matching the just-appended 204 and drops the whole
+    //          cluster from the sink (204 must survive)
     src.addData(
       (202L, "streaming ingest pipelines deduplicate against their own history forever ok"),
-      (203L, "entirely separate subject matter appears in the second micro batch"))
+      (203L, "entirely separate subject matter appears in the second micro batch"),
+      (204L, "clustered novel documents arriving together inside a single micro batch here"),
+      (205L, "clustered novel documents arriving together inside a single micro batch now"))
     q.processAllAvailable()
     q.stop()
     val kept = spark.read.parquet(wh.path("gold", "nd_kept"))
       .select("doc_id").as[Long].collect().toSet
-    assert(kept === Set(201L, 203L))
+    assert(kept === Set(201L, 203L, 204L))
+    // and the index stayed CONSISTENT: every kept doc has band rows AND
+    // a set row (the pre-fix failure left bands without sink rows)
+    val bandDocs = spark.read.parquet(wh.path("gold", "nd_bands"))
+      .select("doc_id").as[Long].collect().toSet
+    val setDocs = spark.read.parquet(wh.path("gold", "nd_sets"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.subsetOf(bandDocs) && kept.subsetOf(setDocs))
   }
 
   test("append: probe after append == probe of a from-scratch union index") {
