@@ -93,9 +93,15 @@ object Bench {
     // regenerate that file on the reference machine, or the normalized
     // number goes stale loudly in review rather than silently here.
     // Raw `value` stays the authoritative metric either way.
+    // Resolved from SPARK_GRAFT_CALIB_REF, else the CWD — and the
+    // fallback to built-in constants is LOUD (r9 ADVICE): a bench run
+    // launched from the wrong directory warns on stderr instead of
+    // silently reverting to stale normalization constants.
+    val calibRefPath = sys.env.getOrElse("SPARK_GRAFT_CALIB_REF",
+      "calibration_ref.json")
     val (calibRefJvm, calibRefSpark) = (try {
       val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("calibration_ref.json")), "UTF-8")
+        java.nio.file.Paths.get(calibRefPath)), "UTF-8")
       def f(k: String): Option[Double] =
         ("\"" + k + "\"\\s*:\\s*([0-9.]+)").r
           .findFirstMatchIn(txt).map(_.group(1).toDouble)
@@ -103,7 +109,12 @@ object Bench {
         case (Some(j), Some(s)) => Some((j, s))
         case _ => None
       }
-    } catch { case _: Throwable => None }).getOrElse((0.460, 0.455))
+    } catch { case _: Throwable => None }).getOrElse {
+      System.err.println(s"[bench] WARNING: $calibRefPath unreadable; " +
+        "normalizing with built-in fallback constants (0.460/0.455) — " +
+        "normalized_total may be stale (raw total is unaffected)")
+      (0.460, 0.455)
+    }
     val calibFactor = math.sqrt(
       (calibRefJvm / math.min(calibBefore._1, calibAfter._1)) *
       (calibRefSpark / math.min(calibBefore._2, calibAfter._2)))

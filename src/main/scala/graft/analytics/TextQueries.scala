@@ -898,8 +898,11 @@ object TextQueries {
     val d = docs(s, dir)
     val r = d.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)),
       coalesce(sum(length(col("text")).cast("long")), lit(0L))).head()
-    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 32, 8, 16, 16))
-      .toDF("n", "id_sum", "len_sum", "k", "nh", "b", "nb", "nsb")
+    // `ver` = index FORMAT version: bumping it forces a rebuild of any
+    // standing index written under an older layout (v2 added the
+    // `epoch` sub-partition for exactly-once streaming appends)
+    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 32, 8, 16, 16, 2))
+      .toDF("n", "id_sum", "len_sum", "k", "nh", "b", "nb", "nsb", "ver")
     val fresh = wh.exists("gold", "nd_fp") &&
       (try {
         wh.read(s, "gold", "nd_fp").collect().toSeq ==

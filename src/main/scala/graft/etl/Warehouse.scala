@@ -49,6 +49,20 @@ final case class Warehouse(root: String) {
     df.write.mode("append").partitionBy(partCols: _*)
       .parquet(path(layer, table))
 
+  /** Idempotent partitioned append via DYNAMIC partition overwrite: only
+    * the partitions present in `df` are replaced, everything else is
+    * untouched — so a replayed write of the same keyed data (an epoch
+    * retry) overwrites its own partitions instead of double-appending.
+    * [[graft.streaming.EventStream.exactlyOnceBatchWriter]]'s discipline
+    * as a warehouse primitive; the caller keys `partCols` by the replay
+    * unit (e.g. an `epoch` column). */
+  def overwritePartitionsDynamic(df: DataFrame, layer: String,
+                                 table: String, partCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCols: _*)
+      .parquet(path(layer, table))
+
   /** Compaction — the columnstore REORGANIZE analog
     * (proc_load_silver.sql:277-283): rewrite a table into `targetFiles`
     * files so accumulating small appends don't degrade scan parallelism
@@ -76,11 +90,9 @@ final case class Warehouse(root: String) {
   /** Atomic rebuild of a table whose new content is derived from its own
     * current content: materialize to a tmp dir, swap, drop the old copy. */
   def rebuild(df: DataFrame, layer: String, table: String): Unit = {
-    val target = Paths.get(path(layer, table))
     val tmp = Paths.get(path(layer, table + "._tmp"))
     df.write.mode("overwrite").parquet(tmp.toString)
-    if (Files.exists(target)) deleteRecursively(target)
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    swapIn(layer, table, tmp)
   }
 
   /** [[rebuild]] preserving a partition layout — the compaction path
@@ -88,11 +100,26 @@ final case class Warehouse(root: String) {
     * the same `partitionBy` directories, then swap atomically. */
   def rebuildPartitioned(df: DataFrame, layer: String, table: String,
                          partCols: Seq[String]): Unit = {
-    val target = Paths.get(path(layer, table))
     val tmp = Paths.get(path(layer, table + "._tmp"))
     df.write.mode("overwrite").partitionBy(partCols: _*).parquet(tmp.toString)
-    if (Files.exists(target)) deleteRecursively(target)
+    swapIn(layer, table, tmp)
+  }
+
+  /** Swap a fully-written tmp dir into place: rename the live table
+    * aside, rename tmp in, then delete the old copy. The no-table window
+    * is a single rename (old→aside ↔ tmp→live), not the delete-then-move
+    * gap the naive form had (r9 ADVICE): a crash mid-swap leaves at
+    * worst `table._old` to reclaim, never a lost table. A stale `._old`
+    * from a prior crash is reclaimed up front. */
+  private def swapIn(layer: String, table: String,
+                     tmp: java.nio.file.Path): Unit = {
+    val target = Paths.get(path(layer, table))
+    val old = Paths.get(path(layer, table + "._old"))
+    if (Files.exists(old)) deleteRecursively(old)
+    if (Files.exists(target))
+      Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    if (Files.exists(old)) deleteRecursively(old)
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {

@@ -34,6 +34,23 @@ import org.apache.spark.sql.types.LongType
 object Dedup {
   import TextFunctions._
 
+  /** Collects the MEMORY_AND_DISK frames a pipeline pins so batch-scoped
+    * callers — the streaming ingest loop, which would otherwise leak one
+    * cache set per epoch into CacheManager and grow /tmp/blockmgr without
+    * bound (r9 ADVICE) — can release them once the batch result is
+    * materialized. The no-op default keeps session-lifetime caching for
+    * the one-shot batch operators (bench isolates them with
+    * clearCache()). */
+  private[textops] final class PersistTracker(active: Boolean) {
+    private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def add(df: DataFrame): DataFrame = { if (active) frames += df; df }
+    def unpersistAll(): Unit = { frames.foreach(_.unpersist()); frames.clear() }
+  }
+  private[textops] object PersistTracker {
+    val noop = new PersistTracker(false)
+    def live() = new PersistTracker(true)
+  }
+
   /** Exact dedup on the normalized-text fingerprint: one row per distinct
     * content, keeping the smallest id; `n_copies` counts collapsed rows. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -202,14 +219,15 @@ object Dedup {
     * quadratic in cluster size — the r7 probe's 27M-pair output). */
   private def minhashVerifiedParts(df: DataFrame, idCol: String,
       textCol: String, shingleK: Int, numHashes: Int, bands: Int,
-      threshold: Double, broadcastDocLimit: Long)
+      threshold: Double, broadcastDocLimit: Long,
+      tracker: PersistTracker = PersistTracker.noop)
       : (DataFrame, DataFrame, DataFrame) = {
     // exact-dup classes first ([[collapseExact]]): k identical copies
     // would otherwise collide in EVERY band and put C(k,2) pairs per
     // band through the bucket join; reps make that one class.
-    val (reps, members) = collapseExact(df, idCol, textCol)
-    val sh = shingledHashed(reps, idCol, textCol, shingleK)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (reps, members) = collapseExact(df, idCol, textCol, tracker)
+    val sh = tracker.add(shingledHashed(reps, idCol, textCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // signature-free bucket join: duplicate pair rows (same pair, many
     // shared bands) flow into verification as-is and dedupe on the
     // survivor side — cheaper than a distinct over signature arrays.
@@ -220,7 +238,8 @@ object Dedup {
     val cands = a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-    val repPairs = verifyJaccard(cands, sh, threshold, broadcastDocLimit)
+    val repPairs = verifyJaccard(cands, sh, threshold, broadcastDocLimit,
+      tracker)
     (repPairs, members, sh.select("doc_id").distinct())
   }
 
@@ -306,7 +325,13 @@ object Dedup {
     * cost k index rows, and a batch probe that hits the class emits all
     * k pairs — output-sized, since every one of those pairs is a true
     * result. Docs whose text yields no shingles have no rows (they can
-    * never pair — the [[minhashLshVerified]] contract). */
+    * never pair — the [[minhashLshVerified]] contract).
+    *
+    * Both tables carry an `epoch` sub-partition (base build = −1):
+    * streaming appends key their rows by epoch so a replayed epoch
+    * overwrites ITSELF (see [[nearDedupIndexAppend]]) — the
+    * exactly-once discipline — and probes can exclude an in-flight
+    * epoch's own rows. */
   def nearDedupIndexPersist(df: DataFrame, idCol: String, textCol: String,
       wh: graft.etl.Warehouse, layer: String, table: String,
       shingleK: Int = 3, numHashes: Int = 32, bands: Int = 16,
@@ -320,54 +345,87 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keys = bandedKeys(minhashFromShingles(sh, numHashes), numHashes,
       bands, keepSig = false)
-    wh.overwritePartitioned(keys.withColumn("pb", pbKey(nBuckets)),
-      layer, s"${table}_bands", Seq("pb"))
+    wh.overwritePartitioned(keys.withColumn("pb", pbKey(nBuckets))
+        .withColumn("epoch", lit(-1L)),
+      layer, s"${table}_bands", Seq("pb", "epoch"))
     wh.overwritePartitioned(
       sh.groupBy("doc_id")
         .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n"))
-        .withColumn("dbucket", pmod(col("doc_id"), lit(nSetBuckets.toLong))),
-      layer, s"${table}_sets", Seq("dbucket"))
+        .withColumn("dbucket", pmod(col("doc_id"), lit(nSetBuckets.toLong)))
+        .withColumn("epoch", lit(-1L)),
+      layer, s"${table}_sets", Seq("dbucket", "epoch"))
     sh.unpersist()
   }
 
   /** Append new docs to a persisted index without touching existing
     * rows: band keys and shingle sets land in their `pb`/`dbucket`
-    * partitions (parquet partitioned append). Per-doc index rows depend
-    * only on the doc's own text, so probe-after-append is byte-identical
-    * to a probe of a from-scratch index over the union corpus
-    * (spec-enforced). Caller contract: ids disjoint from the indexed
-    * corpus — typically the SURVIVORS of [[nearDedupIncrementKeep]]. */
+    * partitions. Per-doc index rows depend only on the doc's own text,
+    * so probe-after-append is byte-identical to a probe of a
+    * from-scratch index over the union corpus (spec-enforced). Caller
+    * contract: ids disjoint from the indexed corpus — typically the
+    * SURVIVORS of [[nearDedupIncrementKeep]].
+    *
+    * `epoch` ≥ 0 makes the append IDEMPOTENT: rows land keyed by
+    * (bucket, epoch) via dynamic partition overwrite, so a replay of
+    * the same epoch (streaming retry) replaces its own partitions
+    * instead of double-appending. The default −1 is a plain partitioned
+    * append into the base epoch (one-shot batch maintenance, where the
+    * caller owns retry semantics). */
   def nearDedupIndexAppend(df: DataFrame, idCol: String, textCol: String,
-      wh: graft.etl.Warehouse, layer: String, table: String): Unit = {
+      wh: graft.etl.Warehouse, layer: String, table: String,
+      epoch: Long = -1L): Unit = {
     val (shingleK, numHashes, bands, nBuckets, nSetBuckets) =
       readIndexMeta(df.sparkSession, wh, layer, table)
     val sh = shingledHashed(df, idCol, textCol, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keys = bandedKeys(minhashFromShingles(sh, numHashes), numHashes,
       bands, keepSig = false)
-    wh.appendPartitioned(keys.withColumn("pb", pbKey(nBuckets)),
-      layer, s"${table}_bands", Seq("pb"))
-    wh.appendPartitioned(
-      sh.groupBy("doc_id")
-        .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n"))
-        .withColumn("dbucket", pmod(col("doc_id"), lit(nSetBuckets.toLong))),
-      layer, s"${table}_sets", Seq("dbucket"))
+      .withColumn("pb", pbKey(nBuckets)).withColumn("epoch", lit(epoch))
+    val sets = sh.groupBy("doc_id")
+      .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n"))
+      .withColumn("dbucket", pmod(col("doc_id"), lit(nSetBuckets.toLong)))
+      .withColumn("epoch", lit(epoch))
+    if (epoch >= 0L) {
+      wh.overwritePartitionsDynamic(keys, layer, s"${table}_bands",
+        Seq("pb", "epoch"))
+      wh.overwritePartitionsDynamic(sets, layer, s"${table}_sets",
+        Seq("dbucket", "epoch"))
+    } else {
+      wh.appendPartitioned(keys, layer, s"${table}_bands", Seq("pb", "epoch"))
+      wh.appendPartitioned(sets, layer, s"${table}_sets",
+        Seq("dbucket", "epoch"))
+    }
     sh.unpersist()
   }
 
   /** Compact a persisted index in place: every [[nearDedupIndexAppend]]
-    * adds a file per touched partition, and a year of daily batches
-    * leaves thousands of tiny files per bucket — degraded scan
-    * parallelism, the same failure mode [[graft.etl.Warehouse.compact]]
-    * exists for. Rewrites both tables partition-preserving (atomic
-    * rebuild, coalesced within partitions); probes are byte-identical
-    * before and after (spec-enforced) because row content is untouched. */
+    * adds files per touched (bucket, epoch) partition, and a year of
+    * daily batches leaves thousands of tiny files per bucket — degraded
+    * scan parallelism, the same failure mode
+    * [[graft.etl.Warehouse.compact]] exists for. Rewrites both tables
+    * partition-preserving (atomic rebuild, coalesced within partitions);
+    * probes are byte-identical before and after (spec-enforced) because
+    * row content is untouched.
+    *
+    * `foldEpochsBelow` additionally FOLDS committed epoch
+    * sub-partitions into the base epoch (−1), bounding directory count
+    * across a long-running ingest. Folding an epoch forfeits its replay
+    * idempotence, so the ingest loop passes its CURRENT epoch: under
+    * Structured Streaming only the last uncommitted batch can replay,
+    * and a replay of epoch N sees the same rows whether earlier epochs
+    * are folded or not (its reads exclude only epoch N, whose
+    * partitions are never folded by `foldEpochsBelow = N`). */
   def nearDedupIndexCompact(spark: org.apache.spark.sql.SparkSession,
-      wh: graft.etl.Warehouse, layer: String, table: String): Unit = {
+      wh: graft.etl.Warehouse, layer: String, table: String,
+      foldEpochsBelow: Long = Long.MinValue): Unit = {
     def rewrite(t: String, partCol: String): Unit =
       wh.rebuildPartitioned(
-        wh.read(spark, layer, t).repartition(col(partCol)),
-        layer, t, Seq(partCol))
+        wh.read(spark, layer, t)
+          .withColumn("epoch",
+            when(col("epoch") < lit(foldEpochsBelow), lit(-1L))
+              .otherwise(col("epoch").cast(LongType)))
+          .repartition(col(partCol)),
+        layer, t, Seq(partCol, "epoch"))
     rewrite(s"${table}_bands", "pb")
     rewrite(s"${table}_sets", "dbucket")
   }
@@ -395,25 +453,32 @@ object Dedup {
     * (spec-asserted). Returns (__cid, __bid, jaccard): one row per
     * verified corpus↔batch pair, scored with exactly [[joinVerify]]'s
     * arithmetic. Caller contract: batch ids disjoint from indexed ids
-    * (self-hits are dropped defensively). */
+    * (self-hits are dropped defensively). `excludeEpoch` drops that
+    * epoch's own index rows from both scans — how a REPLAYED streaming
+    * epoch recomputes against exactly the pre-epoch corpus instead of
+    * matching its first attempt's survivors. */
   private def incrementCrossPairs(batch: DataFrame, idCol: String,
       textCol: String, wh: graft.etl.Warehouse, layer: String,
-      table: String, threshold: Double): DataFrame = {
+      table: String, threshold: Double,
+      tracker: PersistTracker = PersistTracker.noop,
+      excludeEpoch: Long = Long.MinValue): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
     val (shingleK, numHashes, bands, nBuckets, nSetBuckets) =
       readIndexMeta(spark, wh, layer, table)
-    val shB = shingledHashed(batch, idCol, textCol, shingleK)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val keysB = bandedKeys(minhashFromShingles(shB, numHashes), numHashes,
-      bands, keepSig = false)
+    val shB = tracker.add(shingledHashed(batch, idCol, textCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val keysB = tracker.add(
+      bandedKeys(minhashFromShingles(shB, numHashes), numHashes,
+        bands, keepSig = false)
       .withColumn("pb", pbKey(nBuckets))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // bounded collects: ≤ bands·nBuckets pb values / ≤ nSetBuckets
     // dbucket values by construction — never data-scaled
     val pbs = keysB.select("pb").distinct().as[Int].collect().sorted
     val idx = wh.read(spark, layer, s"${table}_bands")
-      .filter(col("pb").isin(pbs.map(Int.box): _*))
+      .filter(col("pb").isin(pbs.map(Int.box): _*) &&
+        col("epoch") =!= lit(excludeEpoch))
     val cross = idx
       .select(col("band"), col("band_hash"), col("doc_id").as("__cid"))
       .join(keysB.select(col("band"), col("band_hash"),
@@ -421,11 +486,13 @@ object Dedup {
       .filter(col("__cid") =!= col("__bid"))
       .select("__cid", "__bid").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tracker.add(cross)
     val dbs = cross
       .select(pmod(col("__cid"), lit(nSetBuckets.toLong)).cast("int").as("db"))
       .distinct().as[Int].collect().sorted
     val corpusSets = wh.read(spark, layer, s"${table}_sets")
-      .filter(col("dbucket").isin(dbs.map(Int.box): _*))
+      .filter(col("dbucket").isin(dbs.map(Int.box): _*) &&
+        col("epoch") =!= lit(excludeEpoch))
     val batchSets = shB.groupBy("doc_id")
       .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n"))
     // joinVerify's arithmetic exactly (int sizes → double, one IEEE
@@ -481,14 +548,30 @@ object Dedup {
     * incremental dedup first if byte-identity should drop them). */
   def nearDedupIncrementKeep(batch: DataFrame, idCol: String,
       textCol: String, wh: graft.etl.Warehouse, layer: String,
-      table: String, threshold: Double): DataFrame = {
+      table: String, threshold: Double,
+      broadcastDocLimit: Long = 200000L): DataFrame =
+    nearDedupIncrementKeepTracked(batch, idCol, textCol, wh, layer, table,
+      threshold, broadcastDocLimit, PersistTracker.noop)
+
+  /** [[nearDedupIncrementKeep]] with a persist tracker — the ingest
+    * loop's entry point, so each epoch's pinned frames are released
+    * once the survivors are checkpointed. `broadcastDocLimit` tunes the
+    * batch-internal verify's broadcast/shuffle switch, same default and
+    * meaning as [[nearDedupKeep]] / [[minhashLshVerified]] (r9 ADVICE:
+    * it was hardcoded here while the siblings exposed it). */
+  private[textops] def nearDedupIncrementKeepTracked(batch: DataFrame,
+      idCol: String, textCol: String, wh: graft.etl.Warehouse,
+      layer: String, table: String, threshold: Double,
+      broadcastDocLimit: Long, tracker: PersistTracker,
+      excludeEpoch: Long = Long.MinValue): DataFrame = {
     val (shingleK, numHashes, bands, _, _) =
       readIndexMeta(batch.sparkSession, wh, layer, table)
     val matched = incrementCrossPairs(batch, idCol, textCol, wh, layer,
-      table, threshold)
+      table, threshold, tracker, excludeEpoch)
       .select(col("__bid").as("__mid")).distinct()
     val (repPairs0, members, live) = minhashVerifiedParts(batch, idCol,
-      textCol, shingleK, numHashes, bands, threshold, 200000L)
+      textCol, shingleK, numHashes, bands, threshold, broadcastDocLimit,
+      tracker)
     // same checkpoint-before-iteration discipline as [[nearDedupKeep]]
     val repPairs = repPairs0.localCheckpoint(true,
       org.apache.spark.storage.StorageLevel.DISK_ONLY)
@@ -525,42 +608,77 @@ object Dedup {
     * altitude: the per-batch work IS the batch operator, and the sink
     * sees exactly the surviving rows.
     *
-    * Delivery note (stated, not hidden): on an epoch retry foreachBatch
-    * re-runs, and plain-parquet appends are not transactional — this
-    * loop is at-least-once. A production deployment puts the two
-    * appends behind a transactional table format or dedupes on read by
-    * the recorded `epoch` column; the engine-side shape is identical. */
+    * Delivery is effectively EXACTLY-ONCE over plain parquet: every
+    * write this loop performs — both index appends and the `_kept`
+    * sink — is keyed by the epoch and lands via dynamic partition
+    * overwrite, and the keep pipeline EXCLUDES its own epoch's index
+    * rows, so a replayed epoch (crash between sink write and checkpoint
+    * commit — the at-least-once gap) recomputes the identical survivor
+    * set against the identical pre-epoch corpus and overwrites its own
+    * partitions byte-for-row. Kill-and-replay is spec-enforced
+    * (IncrementalDedupSpec). `compactEvery` > 0 additionally compacts
+    * the index every that-many epochs, folding committed epochs into
+    * the base partition so file/directory count stays bounded across a
+    * long-running ingest ([[nearDedupIndexCompact]]; probes are
+    * row-identical across a compaction). */
   def nearDedupIngestStream(batches: DataFrame, idCol: String,
       textCol: String, wh: graft.etl.Warehouse, layer: String,
-      table: String, threshold: Double,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      table: String, threshold: Double, checkpointDir: String,
+      broadcastDocLimit: Long = 200000L,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     batches.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        epoch: Long) =>
-        val batch = b.select(col(idCol).cast(LongType).as(idCol),
-          col(textCol)).persist()
-        try {
-          val kept = nearDedupIncrementKeep(batch, idCol, textCol,
-            wh, layer, table, threshold)
-          // EAGER checkpoint, not a lazy persist: the keep pipeline
-          // READS the index this loop is about to APPEND to, so any
-          // re-evaluation after the append would see the batch's own
-          // survivors as corpus matches and drop everything (found by
-          // the 250k ingest probe: the epoch-0 sink landed 0 of its 50
-          // survivors). The checkpoint freezes the survivor rows to an
-          // RDD snapshot BEFORE the first index mutation; both appends
-          // then consume immutable data.
-          val keptDocs = batch
-            .join(kept.withColumnRenamed("doc_id", idCol), idCol)
-            .localCheckpoint(true)
-          nearDedupIndexAppend(keptDocs, idCol, textCol, wh, layer, table)
-          wh.append(keptDocs.withColumn("epoch", lit(epoch)),
-            layer, s"${table}_kept")
-        } finally batch.unpersist()
-        ()
+        nearDedupIngestBatch(b.toDF(), epoch, idCol, textCol, wh, layer,
+          table, threshold, broadcastDocLimit, compactEvery)
       }
       .start()
+
+  /** One epoch of the ingest loop — extracted so kill-and-replay is
+    * directly testable (invoke twice with the same epoch; the sink and
+    * index must be unchanged by the second run). See
+    * [[nearDedupIngestStream]] for the exactly-once argument. */
+  private[textops] def nearDedupIngestBatch(b: DataFrame, epoch: Long,
+      idCol: String, textCol: String, wh: graft.etl.Warehouse,
+      layer: String, table: String, threshold: Double,
+      broadcastDocLimit: Long = 200000L, compactEvery: Int = 0): Unit = {
+    val tracker = PersistTracker.live()
+    val batch = b.select(col(idCol).cast(LongType).as(idCol),
+      col(textCol)).persist()
+    try {
+      val kept = nearDedupIncrementKeepTracked(batch, idCol, textCol,
+        wh, layer, table, threshold, broadcastDocLimit, tracker,
+        excludeEpoch = epoch)
+      // EAGER checkpoint, not a lazy persist: the keep pipeline READS
+      // the index this loop is about to APPEND to. The own-epoch
+      // exclusion already makes a re-evaluation correct, but the
+      // checkpoint still freezes the survivor rows to an RDD snapshot
+      // BEFORE the first index mutation — one evaluation, cut lineage,
+      // and no dependence on scan-refresh timing (the r9 250k probe's
+      // read-own-writes bug class stays structurally impossible).
+      val keptDocs = batch
+        .join(kept.withColumnRenamed("doc_id", idCol), idCol)
+        .localCheckpoint(true)
+      // the epoch's pinned frames served their purpose once the
+      // survivors are materialized — release BEFORE the writes so a
+      // long-running stream holds at most one epoch's cache (r9 ADVICE:
+      // these leaked per-epoch into /tmp/blockmgr)
+      tracker.unpersistAll()
+      nearDedupIndexAppend(keptDocs, idCol, textCol, wh, layer, table,
+        epoch = epoch)
+      wh.overwritePartitionsDynamic(
+        keptDocs.withColumn("epoch", lit(epoch)),
+        layer, s"${table}_kept", Seq("epoch"))
+      if (compactEvery > 0 && epoch > 0 && epoch % compactEvery == 0)
+        nearDedupIndexCompact(batch.sparkSession, wh, layer, table,
+          foldEpochsBelow = epoch)
+    } finally {
+      tracker.unpersistAll()
+      batch.unpersist()
+    }
+    ()
+  }
 
   /** Exact-duplicate collapse — the stage every production near-dup
     * pipeline runs FIRST (a 100-TB crawl's dominant redundancy is exact
@@ -578,15 +696,16 @@ object Dedup {
     * Returns (reps: idCol, textCol, __csize; members: __rep, __mid) —
     * ids as Long, rep = min member id, one corpus-wide exchange each.
     */
-  private def collapseExact(df: DataFrame, idCol: String,
-                            textCol: String): (DataFrame, DataFrame) = {
+  private def collapseExact(df: DataFrame, idCol: String, textCol: String,
+      tracker: PersistTracker = PersistTracker.noop)
+      : (DataFrame, DataFrame) = {
     val w = Window.partitionBy(normText(col(textCol)))
     val tagged = df
       .select(col(idCol).cast(LongType).as("__mid"), col(textCol))
       .withColumn("__rep", min(col("__mid")).over(w))
       .withColumn("__csize", count(lit(1)).over(w))
-    val members = tagged.select(col("__rep"), col("__mid"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val members = tracker.add(tagged.select(col("__rep"), col("__mid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val reps = tagged.filter(col("__mid") === col("__rep"))
       .select(col("__mid").as(idCol), col(textCol), col("__csize"))
     (reps, members)
@@ -641,14 +760,16 @@ object Dedup {
     * DataFrames MEMORY_AND_DISK for the session (LRU-evictable; batch
     * callers scoring many corpora should spark.catalog.clearCache()). */
   private def verifyJaccard(cands: DataFrame, sh: DataFrame, threshold: Double,
-                            broadcastDocLimit: Long): DataFrame = {
-    val sets = sh.groupBy("doc_id")
+                            broadcastDocLimit: Long,
+                            tracker: PersistTracker = PersistTracker.noop)
+      : DataFrame = {
+    val sets = tracker.add(sh.groupBy("doc_id")
       .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     if (sets.count() <= broadcastDocLimit)
       joinVerify(cands, broadcast(sets), broadcast(sets), threshold)
     else
-      verifyJaccardByComponent(cands, sets, threshold)
+      verifyJaccardByComponent(cands, sets, threshold, tracker = tracker)
   }
 
   /** Pair-at-a-time exact verification: each candidate row joins both
@@ -710,11 +831,12 @@ object Dedup {
   private def groupedPairVerify(cands: DataFrame, sets: DataFrame,
       aCol: String, bCol: String, directed: Boolean, threshold: Double,
       outCol: String, maxComponentShingles: Long,
-      useComponents: Boolean): DataFrame = {
+      useComponents: Boolean,
+      tracker: PersistTracker = PersistTracker.noop): DataFrame = {
     val spark = cands.sparkSession
     import spark.implicits._
-    val pairs = cands.distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = tracker.add(cands.distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // bounded stats over the already-materialized sets index: average
     // set size prices the id-range width so a block's LEFT-endpoint
     // mass lands near maxComponentShingles — but the width is ALSO
@@ -735,15 +857,15 @@ object Dedup {
     def blockOf(c: String): Column =
       lit(-1L) - expr(s"CAST($c AS BIGINT) div ${idsPerBlock}L")
     val (keyed, setsG) = if (useComponents) {
-      val comp = graft.operators.ConnectedComponents
+      val comp = tracker.add(graft.operators.ConnectedComponents
         .componentsStarContraction(pairs, aCol, bCol)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val setsC = sets.join(comp.select(col("id").as("doc_id"), col("comp")),
         "doc_id")
-      val big = setsC.groupBy("comp").agg(sum(col("n")).as("__tot"))
+      val big = tracker.add(setsC.groupBy("comp").agg(sum(col("n")).as("__tot"))
         .filter(col("__tot") > maxComponentShingles)
         .select("comp")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // group key: the component for right-sized components; an id-range
       // block of the LEFT endpoint inside oversized ones. Block keys sit
       // below -1 so they cannot collide with component keys (a component
@@ -751,11 +873,11 @@ object Dedup {
       // would only merge two groups — still correct, just lumpier tasks.
       val gkey = when(col("__big").isNotNull, blockOf(aCol))
         .otherwise(col("comp"))
-      val k = pairs
+      val k = tracker.add(pairs
         .join(comp.select(col("id").as(aCol), col("comp")), aCol)
         .join(big.withColumn("__big", lit(true)), Seq("comp"), "left")
         .select(gkey.as("__g"), col(aCol), col(bCol))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // each group needs exactly its own pairs' endpoint sets: a left
       // endpoint ships once (its block is fixed by its id), a right
       // endpoint once per distinct group its partners pull it into
@@ -846,9 +968,10 @@ object Dedup {
 
   private[textops] def verifyJaccardByComponent(cands: DataFrame, sets: DataFrame,
       threshold: Double, maxComponentShingles: Long = 1000000L,
-      useComponents: Boolean = true): DataFrame =
+      useComponents: Boolean = true,
+      tracker: PersistTracker = PersistTracker.noop): DataFrame =
     groupedPairVerify(cands, sets, "id_a", "id_b", directed = false,
-      threshold, "jaccard", maxComponentShingles, useComponents)
+      threshold, "jaccard", maxComponentShingles, useComponents, tracker)
 
   /** Exact n-gram Jaccard pairs via an AllPairs-style prefix-filtered
     * inverted index (Bayardo, Ma & Srikant, "Scaling Up All Pairs

@@ -516,7 +516,10 @@ object Multimodal {
       (st, _) => {
         val off = st.getField("off")
         val pos = st.getField("pos")
-        val done = pos >= 0 || off * 2 + 8 > length(hx)
+        // 16 hex chars = the full 8-byte chunk header: a blob truncated
+        // mid-header terminates the walk instead of conv-ing a short
+        // substring into null/garbage sizes (r9 ADVICE)
+        val done = pos >= 0 || off * 2 + 16 > length(hx)
         val tp = bytesAt(hx, off, 4)
         val sz = u32le(hx, off + 4)
         struct(
@@ -538,9 +541,13 @@ object Multimodal {
         val off = st.getField("off")
         val pos = st.getField("pos")
         val cnt = st.getField("cnt")
-        val done = off + 8 > end
         val tp = bytesAt(hx, off + 4, 4)
         val sz = u32be(hx, off)
+        // box sizes include their 8-byte header, so sz < 8 (or a null
+        // from a truncated read) is malformed and would stall the walk
+        // in place — terminate cleanly instead (r9 ADVICE); sz == 8 is a
+        // valid empty box and advances normally
+        val done = off + 8 > end || sz.isNull || sz < 8
         val hit = !done && tp === lit(strHex(typ))
         struct(
           when(done, off).otherwise(off + sz).as("off"),

@@ -167,6 +167,121 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(kept.subsetOf(bandDocs) && kept.subsetOf(setDocs))
   }
 
+  // one observable index/sink snapshot: kept rows, band rows, and set
+  // rows with the set arrays SORTED (collect_list order is not
+  // deterministic across runs; content is)
+  private def ingestState(wh: graft.etl.Warehouse) = {
+    val kept = spark.read.parquet(wh.path("gold", "nd_kept"))
+      .select(col("doc_id"), col("epoch").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    val bands = spark.read.parquet(wh.path("gold", "nd_bands"))
+      .select(col("doc_id"), col("band"), col("band_hash"))
+      .as[(Long, Int, Long)].collect().toSeq.sorted
+    val sets = spark.read.parquet(wh.path("gold", "nd_sets"))
+      .select(col("doc_id"), sort_array(col("set")), col("n"))
+      .as[(Long, Seq[Long], Long)].collect().toSeq.sortBy(_._1)
+    (kept, bands, sets)
+  }
+
+  test("kill-and-replay: a replayed epoch leaves sink and index unchanged") {
+    val wh = freshWh("replay")
+    Dedup.nearDedupIndexPersist(corpus, "doc_id", "text", wh, "gold", "nd",
+      shingleK = 3, numHashes = 32, bands = 8, nBuckets = 8, nSetBuckets = 4)
+    Dedup.nearDedupIngestBatch(batch, epoch = 0L, "doc_id", "text",
+      wh, "gold", "nd", threshold = 0.5)
+    val afterFirst = ingestState(wh)
+    // full replay of the committed epoch (crash after all writes but
+    // before the checkpoint commit): every write is epoch-keyed dynamic
+    // overwrite and the keep pipeline excludes its own epoch's index
+    // rows, so the second run recomputes the identical survivors and
+    // overwrites its own partitions — nothing doubles, nothing vanishes
+    Dedup.nearDedupIngestBatch(batch, epoch = 0L, "doc_id", "text",
+      wh, "gold", "nd", threshold = 0.5)
+    assert(ingestState(wh) === afterFirst)
+    // partial-failure replay: epoch 1 crashes after the index append
+    // but before the sink write — simulated by running just the append
+    // half — then the epoch replays in full
+    val batch2 = Seq(
+      (300L, "replayed epochs must not double count their own survivors ever"),
+      (301L, "replayed epochs must not double count their own survivors once"))
+      .toDF("doc_id", "text")
+    val survivors2 = batch2.filter(col("doc_id") === 300L)
+    Dedup.nearDedupIndexAppend(survivors2, "doc_id", "text",
+      wh, "gold", "nd", epoch = 1L)
+    Dedup.nearDedupIngestBatch(batch2, epoch = 1L, "doc_id", "text",
+      wh, "gold", "nd", threshold = 0.5)
+    val replayed = ingestState(wh)
+    // clean-path control: the same two epochs with no crash anywhere
+    val whClean = freshWh("replayclean")
+    Dedup.nearDedupIndexPersist(corpus, "doc_id", "text", whClean, "gold",
+      "nd", shingleK = 3, numHashes = 32, bands = 8, nBuckets = 8,
+      nSetBuckets = 4)
+    Dedup.nearDedupIngestBatch(batch, epoch = 0L, "doc_id", "text",
+      whClean, "gold", "nd", threshold = 0.5)
+    Dedup.nearDedupIngestBatch(batch2, epoch = 1L, "doc_id", "text",
+      whClean, "gold", "nd", threshold = 0.5)
+    assert(replayed === ingestState(whClean))
+    // 300/301 are an intra-batch near-dup cluster: min id survives, and
+    // the half-appended 300 did NOT make 301's cluster look like corpus
+    assert(replayed._1.contains((300L, 1L)) && !replayed._1.exists(_._1 == 301L))
+  }
+
+  test("auto-compaction cadence: files bounded across epochs, probes identical") {
+    val wh = freshWh("cadence")
+    Dedup.nearDedupIndexPersist(corpus, "doc_id", "text", wh, "gold", "nd",
+      shingleK = 3, numHashes = 32, bands = 8, nBuckets = 8, nSetBuckets = 4)
+    def nFiles = {
+      def cnt(p: String) = {
+        def walk(f: java.io.File): Int =
+          if (f.isDirectory) f.listFiles().map(walk).sum
+          else if (f.getName.endsWith(".parquet")) 1 else 0
+        val d = new java.io.File(p); if (d.exists) walk(d) else 0
+      }
+      cnt(wh.path("gold", "nd_bands")) + cnt(wh.path("gold", "nd_sets"))
+    }
+    // 6 epochs of novel docs, compacting every 2: epoch sub-partitions
+    // fold into the base epoch on cadence, so the index never carries
+    // more than compactEvery epochs' worth of small files
+    val counts = (0 to 5).map { e =>
+      val b = Seq((400L + e,
+        s"novel cadence document number $e with its own distinct wording"))
+        .toDF("doc_id", "text")
+      Dedup.nearDedupIngestBatch(b, epoch = e.toLong, "doc_id", "text",
+        wh, "gold", "nd", threshold = 0.5, compactEvery = 2)
+      nFiles
+    }
+    // after the last compaction (epoch 4) only epochs {-1, 4, 5} can
+    // hold files: growth since then is bounded by the cadence, not the
+    // epoch count
+    val epochs = spark.read.parquet(wh.path("gold", "nd_bands"))
+      .select(col("epoch").cast("long")).distinct().as[Long].collect().toSet
+    assert(epochs.subsetOf(Set(-1L, 4L, 5L)))
+    // a compaction must actually SHRINK the file count (epoch 4 folds
+    // epochs −1..3), and post-compaction growth is one epoch's appends,
+    // not the accumulated history
+    assert(counts(4) < counts(3), s"file counts per epoch: $counts")
+    assert(counts.last <= counts(4) + 16, s"file counts per epoch: $counts")
+    // the index content survived the folds: a probe equals one against
+    // a from-scratch index over corpus ∪ all six survivors
+    val allDocs = corpus.unionByName((0 to 5).map { e =>
+      Seq((400L + e,
+        s"novel cadence document number $e with its own distinct wording"))
+        .toDF("doc_id", "text")
+    }.reduce(_ unionByName _))
+    val whFull = freshWh("cadencefull")
+    Dedup.nearDedupIndexPersist(allDocs, "doc_id", "text", whFull, "gold",
+      "nd", shingleK = 3, numHashes = 32, bands = 8, nBuckets = 8,
+      nSetBuckets = 4)
+    val probe = Seq((500L,
+      "novel cadence document number 3 with its own distinct wording plus"))
+      .toDF("doc_id", "text")
+    val viaLoop = pairSet(Dedup.nearDedupIncrementPairs(probe, "doc_id",
+      "text", wh, "gold", "nd", threshold = 0.5))
+    val viaFull = pairSet(Dedup.nearDedupIncrementPairs(probe, "doc_id",
+      "text", whFull, "gold", "nd", threshold = 0.5))
+    assert(viaLoop === viaFull && viaLoop.nonEmpty)
+  }
+
   test("append: probe after append == probe of a from-scratch union index") {
     val whInc = freshWh("appinc")
     Dedup.nearDedupIndexPersist(corpus, "doc_id", "text", whInc, "gold", "nd",
