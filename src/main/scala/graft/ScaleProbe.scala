@@ -232,6 +232,155 @@ object ScaleProbe {
 
     // dev-only: one stream-shaped batch through the BATCH keep API
     // against a fresh index — isolates data effects from foreachBatch
+    // KB+-document byte-ratio probe: the r9 SURVEY argued the band
+    // index's bytes-skipped win "only kicks in for realistic KB+
+    // documents" — this MEASURES it instead. 25k docs of ~3 KB (10
+    // distinct segments per base text; 5 near-dup variants per group)
+    // are written to parquet, the MinHash index is built from the
+    // parquet table, and task-level InputMetrics.bytesRead (public
+    // listener API) is recorded for the 1%/0.1% increment probes vs
+    // the corpus-rebuild job they replace. Also prints on-disk sizes
+    // of the corpus vs each index table.
+    if (families("byteratio")) {
+      val read = new java.util.concurrent.atomic.AtomicLong(0L)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskMetrics != null)
+              read.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+        })
+      // listener events are async: settle = poll until two reads agree
+      def settled(): Long = {
+        var prev = -1L; var cur = read.get()
+        while (cur != prev) { Thread.sleep(300); prev = cur; cur = read.get() }
+        cur
+      }
+      def mb(b: Long): String = f"${b / 1048576.0}%9.1f MB"
+      def bytesOf(n: String)(b: => Long): Unit = {
+        val b0 = settled(); val t0 = System.nanoTime(); val r = b
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"BYTES $n%-26s ${mb(settled() - b0)} $dt%8.2f s rows=$r")
+      }
+      def dirMb(p: String): String = {
+        val root = java.nio.file.Paths.get(p)
+        val s = java.nio.file.Files.walk(root).filter(
+          java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        mb(s)
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+      val wh = graft.etl.Warehouse(java.nio.file.Files
+        .createTempDirectory("graft_probe_bytes").toString)
+      val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val kb = base.select(col("doc_id"), expr(
+        "concat_ws(' ', transform(sequence(0, 9), " +
+          "i -> concat(text, ' segment', cast(i AS string))))").as("text"))
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), lit(4L))).as("rep"))
+        .select((col("doc_id") * 5L + col("rep")).as("doc_id"),
+          concat(col("text"), lit(" v"), col("rep")).as("text"))
+      wh.overwrite(kb, "gold", "docs_kb")
+      val corpus = wh.read(spark, "gold", "docs_kb")
+      println(s"docsKb: ${corpus.count()} " +
+        s"avgBytes=${corpus.agg(avg(length(col("text")))).head().getDouble(0).toInt}")
+      bytesOf("kb_index_build") {
+        Dedup.nearDedupIndexPersist(corpus, "doc_id", "text",
+          wh, "gold", "nd", shingleK = 3, numHashes = 32, bands = 8)
+        spark.read.parquet(wh.path("gold", "nd_bands")).count()
+      }
+      println(s"  corpus parquet ${dirMb(wh.path("gold", "docs_kb"))}  " +
+        s"bands ${dirMb(wh.path("gold", "nd_bands"))}  " +
+        s"sets ${dirMb(wh.path("gold", "nd_sets"))}")
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      def mkBatch(n: Long) = corpus.filter(col("doc_id") < n)
+        .select((col("doc_id") + 100000000L).as("doc_id"),
+          when(col("doc_id") % 3 === 0, col("text"))
+            .when(col("doc_id") % 3 === 1, concat(col("text"), lit(" vnew")))
+            .otherwise(concat_ws(" ", reverse(split(col("text"), " "))))
+            .as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val batch = mkBatch(250); println(s"batch: ${batch.count()}")
+      bytesOf("kb_increment_pairs_1pct") {
+        Dedup.nearDedupIncrementPairs(batch, "doc_id", "text",
+          wh, "gold", "nd", threshold = 0.5).count()
+      }
+      bytesOf("kb_increment_keep_1pct") {
+        Dedup.nearDedupIncrementKeep(batch, "doc_id", "text",
+          wh, "gold", "nd", threshold = 0.5).count()
+      }
+      val batchS = mkBatch(25); println(s"batchS: ${batchS.count()}")
+      bytesOf("kb_increment_pairs_01pct") {
+        Dedup.nearDedupIncrementPairs(batchS, "doc_id", "text",
+          wh, "gold", "nd", threshold = 0.5).count()
+      }
+      // the alternative the increment replaces: full corpus∪batch rebuild
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+      spark.catalog.clearCache()
+      batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      batch.count()
+      bytesOf("kb_rebuild_union") {
+        Dedup.minhashLshVerified(corpus.unionByName(batch), "doc_id",
+          "text", shingleK = 3, numHashes = 32, bands = 8,
+          threshold = 0.5).count()
+      }
+      batch.unpersist(); batchS.unpersist()
+    }
+
+    // Incremental EXACT dedup probe (the prefix-filter family) — the
+    // posting-index analog of "increment": the 250k-DISTINCT corpus
+    // persists its capped/positioned posting index ONCE, then 1% and
+    // 0.1% batches probe it for Jaccard pairs and containment pairs.
+    // Pass bar: the daily batch costs a small fraction of the
+    // corpus-sized jobs it replaces (ngram_jaccard_distinct50 ≈ 204 s,
+    // containment ≈ 216 s on this box).
+    if (families("ngramincrement")) {
+      spark.conf.set("spark.sql.shuffle.partitions", "128")
+      val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val big = base
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), lit(49L))).as("rep"))
+        .select((col("doc_id") * 50L + col("rep")).as("doc_id"),
+          concat(col("text"), lit(" v"), col("rep")).as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"docsNgramIncrement: ${big.count()}")
+      val wh = graft.etl.Warehouse(java.nio.file.Files
+        .createTempDirectory("graft_probe_ngidx").toString)
+      time("ng_index_build_250k") {
+        Dedup.ngramIndexPersist(big, "doc_id", "text", wh, "gold", "ng",
+          shingleK = 3, maxShingleFreq = 1000)
+        spark.read.parquet(wh.path("gold", "ng_post")).count()
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      def mkBatch(n: Long) = big.filter(col("doc_id") < n)
+        .select((col("doc_id") + 100000000L).as("doc_id"),
+          when(col("doc_id") % 3 === 0, col("text"))
+            .when(col("doc_id") % 3 === 1, concat(col("text"), lit(" vnew")))
+            .otherwise(concat_ws(" ", reverse(split(col("text"), " "))))
+            .as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val batch = mkBatch(2500)
+      println(s"batch: ${batch.count()}")
+      time("ng_increment_pairs_1pct") {
+        Dedup.ngramJaccardIncrementPairs(batch, "doc_id", "text",
+          wh, "gold", "ng", threshold = 0.5).count()
+      }
+      time("ct_increment_pairs_1pct") {
+        Dedup.containmentIncrementPairs(batch, "doc_id", "text",
+          wh, "gold", "ng", threshold = 0.8).count()
+      }
+      spark.catalog.clearCache()
+      big.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val batchS = mkBatch(250)
+      println(s"batchS: ${batchS.count()}")
+      time("ng_increment_pairs_01pct") {
+        Dedup.ngramJaccardIncrementPairs(batchS, "doc_id", "text",
+          wh, "gold", "ng", threshold = 0.5).count()
+      }
+      big.unpersist(); batch.unpersist(); batchS.unpersist()
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+    }
+
     if (families("ingestdebug")) {
       spark.conf.set("spark.sql.shuffle.partitions", "32")
       val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")

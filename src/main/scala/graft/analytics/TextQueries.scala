@@ -985,6 +985,108 @@ object TextQueries {
        |WHERE component NOT IN (SELECT component FROM matched)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // d8c/d8d — incremental EXACT dedup (the prefix-filter family)
+  // against the persisted posting index (Dedup.ngramIndexPersist):
+  // same standing-artifact discipline as incIndexWh, separate tables
+  // because the index layout is different (freq dictionary + positioned
+  // postings + sets vs band keys + sets). Statistics are FROZEN at
+  // build time over the corpus (see the Dedup section comment), and
+  // the oracle replays exactly those semantics: shingle document
+  // frequency computed over the CORPUS ONLY, the cap applied with
+  // corpus frequencies to corpus and batch sets alike (an unseen batch
+  // shingle has frequency 0 — kept).
+  private def incNgramIndexWh(s: SparkSession, dir: String): graft.etl.Warehouse = {
+    import s.implicits._
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val wh = graft.etl.Warehouse(
+      s"${sys.props("java.io.tmpdir")}/graft_ngidx$key")
+    val d = docs(s, dir)
+    val r = d.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)),
+      coalesce(sum(length(col("text")).cast("long")), lit(0L))).head()
+    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 1000, 16, 16, 1))
+      .toDF("n", "id_sum", "len_sum", "k", "cap", "npb", "nsb", "ver")
+    val fresh = wh.exists("gold", "ng_fp") &&
+      (try {
+        wh.read(s, "gold", "ng_fp").collect().toSeq == fp.collect().toSeq
+      } catch { case _: Throwable => false })
+    if (!fresh) {
+      Dedup.ngramIndexPersist(d, "doc_id", "text", wh, "gold", "ng",
+        shingleK = 3, maxShingleFreq = 1000,
+        nPostBuckets = 16, nSetBuckets = 16)
+      wh.overwrite(fp, "gold", "ng_fp")
+    }
+    wh
+  }
+
+  private val dNgramIncrement: QFn = (s, dir) => {
+    val wh = incNgramIndexWh(s, dir)
+    Dedup.ngramJaccardIncrementPairs(incBatch(s, dir), "doc_id", "text",
+      wh, "gold", "ng", threshold = 0.5).orderBy("id_a", "id_b")
+  }
+
+  private val dContainIncrement: QFn = (s, dir) => {
+    val wh = incNgramIndexWh(s, dir)
+    Dedup.containmentIncrementPairs(incBatch(s, dir), "doc_id", "text",
+      wh, "gold", "ng", threshold = 0.8).orderBy("id_src", "id_dst")
+  }
+
+  /** Shared frozen-statistics CTE base for the two posting-index
+    * oracles: corpus shingles, CORPUS-ONLY document frequency, and the
+    * capped corpus∪batch doc-shingle rows. MATERIALIZED where a CTE is
+    * referenced more than once (DuckDB inlines per reference). */
+  private def incFrozenSetsSql(k: Int, cap: Int): String = {
+    val norm = TF.normTextSql("text")
+    val shingleOf =
+      s"""unnest(list_transform(range(1, greatest(len(ws) - ${k - 2}, 1)),
+         |    i -> array_to_string(ws[i:i+${k - 1}], ' ')))""".stripMargin
+    s"""cw AS (SELECT doc_id, string_split($norm, ' ') AS ws FROM documents),
+       |csh AS MATERIALIZED (SELECT DISTINCT doc_id, $shingleOf AS shingle
+       |  FROM cw),
+       |freq AS MATERIALIZED (SELECT shingle, COUNT(*) AS f FROM csh
+       |  GROUP BY 1),
+       |batchraw AS (SELECT doc_id + 10000000 AS doc_id,
+       |  CASE WHEN doc_id % 15 = 0 THEN text
+       |       WHEN doc_id % 15 = 5 THEN text || ' vtwo'
+       |       ELSE array_to_string(list_reverse(string_split(text, ' ')), ' ')
+       |  END AS text
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |bw AS (SELECT doc_id, string_split($norm, ' ') AS ws FROM batchraw),
+       |bsh AS (SELECT DISTINCT doc_id, $shingleOf AS shingle FROM bw),
+       |allsh AS MATERIALIZED (
+       |  SELECT c.doc_id, c.shingle FROM csh c JOIN freq USING (shingle)
+       |  WHERE f <= $cap
+       |  UNION ALL
+       |  SELECT b.doc_id, b.shingle FROM bsh b LEFT JOIN freq USING (shingle)
+       |  WHERE COALESCE(f, 0) <= $cap),
+       |sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM allsh
+       |  GROUP BY 1)""".stripMargin
+  }
+
+  private val dNgramIncrementSql =
+    s"""WITH ${incFrozenSetsSql(k = 3, cap = 1000)},
+       |inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS c
+       |          FROM allsh x JOIN allsh y USING (shingle)
+       |          WHERE x.doc_id < y.doc_id AND y.doc_id >= 10000000
+       |          GROUP BY 1, 2)
+       |SELECT id_a, id_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+       |FROM inter JOIN sizes sa ON sa.doc_id = id_a
+       |           JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
+  private val dContainIncrementSql =
+    s"""WITH ${incFrozenSetsSql(k = 3, cap = 1000)},
+       |inter AS (SELECT s.doc_id AS id_src, d.doc_id AS id_dst,
+       |            COUNT(*) AS c
+       |          FROM allsh s JOIN allsh d USING (shingle)
+       |          WHERE s.doc_id <> d.doc_id
+       |            AND (s.doc_id >= 10000000 OR d.doc_id >= 10000000)
+       |          GROUP BY 1, 2)
+       |SELECT id_src, id_dst, CAST(c AS DOUBLE) / ns.n AS containment
+       |FROM inter JOIN sizes ns ON ns.doc_id = id_src
+       |WHERE CAST(c AS DOUBLE) / ns.n >= 0.8
+       |ORDER BY id_src, id_dst""".stripMargin
+
   private def sqlArr(p: Array[Double]): String =
     p.mkString("[", ", ", "]") + "::DOUBLE[]"
 
@@ -1712,6 +1814,8 @@ object TextQueries {
     "d_containment" -> dContainment,
     "d_near_dedup_increment" -> dNearIncrement,
     "d_near_dedup_increment_keep" -> dNearIncrementKeep,
+    "d_ngram_increment" -> dNgramIncrement,
+    "d_containment_increment" -> dContainIncrement,
     "d_semantic_dedup" -> dSemantic,
     "ann_brute_force_topk" -> aBrute,
     "ann_l2_topk" -> aBruteL2,
@@ -1760,6 +1864,8 @@ object TextQueries {
     "d_containment" -> dContainmentSql,
     "d_near_dedup_increment" -> dNearIncrementSql,
     "d_near_dedup_increment_keep" -> dNearIncrementKeepSql,
+    "d_ngram_increment" -> dNgramIncrementSql,
+    "d_containment_increment" -> dContainIncrementSql,
     "d_semantic_dedup" -> dSemanticSql,
     "ann_brute_force_topk" -> aBruteSql,
     "ann_l2_topk" -> aBruteL2Sql,

@@ -680,6 +680,295 @@ object Dedup {
     ()
   }
 
+  // --------------------------------- incremental exact-similarity dedup
+  //
+  // The persisted-index daily-ingest shape for the PREFIX-FILTER family
+  // (exact n-gram Jaccard / containment — [[ngramJaccardPairs]] /
+  // [[containmentPairs]]): the corpus's capped inverted index persists
+  // as warehouse tables and a batch probes it, so the two most
+  // expensive distinct-corpus jobs in the repo become batch-sized per
+  // day instead of corpus-sized — the same watermark delta-load
+  // discipline as the MinHash index above, applied to the exact family.
+  //
+  // FROZEN-STATISTICS semantics (stated, not hidden): the shingle
+  // document frequencies — and with them the boilerplate cap and the
+  // rare-first total order — are frozen at index build time over the
+  // corpus. A batch shingle unseen in the corpus has frequency 0
+  // (rarest, always kept); a shingle the corpus already capped out
+  // stays capped for batch docs too. This makes every probe
+  // deterministic and exactly oracle-able (the DuckDB twin replays the
+  // corpus-frequency cap), at the cost of a stated divergence from a
+  // full corpus∪batch rebuild: a shingle whose UNION frequency crosses
+  // `maxShingleFreq` would be dropped by the rebuild but kept here
+  // (and vice versa never — frequencies only grow). A periodic
+  // rebuild ([[ngramIndexPersist]] over the accumulated corpus)
+  // refreshes the statistics, exactly as a production system re-freezes
+  // its IDF dictionary on a cadence.
+
+  /** Persist a corpus's exact-similarity posting index:
+    *
+    *   `<table>_meta` — 1 row of (shingle_k, max_freq, buckets): probes
+    *                    read parameters back, so index/probe never skew
+    *   `<table>_freq` — (sh, freq) for EVERY distinct corpus shingle,
+    *                    including capped-out ones (a probe must KNOW a
+    *                    shingle is boilerplate to drop it from batch
+    *                    sets), PARTITIONED BY `sbucket` (= sh mod
+    *                    nPostBuckets). The frozen-order dictionary.
+    *   `<table>_post` — (sh, doc_id, __pos, __n): the FULL capped
+    *                    postings with each doc's rare-first position and
+    *                    capped size, partitioned by `sbucket`. Storing
+    *                    full postings (not just a prefix) costs ~2× the
+    *                    prefix rows at t=0.5 but makes the probe
+    *                    THRESHOLD-FREE — a prefix at any probe threshold
+    *                    is the row filter `__pos ≤ __n − ⌈t·__n⌉ + 1`
+    *                    over stored columns — and gives containment its
+    *                    full-postings destination side from the same
+    *                    table.
+    *   `<table>_sets` — (doc_id, set, n) capped shingle-set arrays
+    *                    partitioned by `dbucket` (= doc_id mod
+    *                    nSetBuckets): exact verification prunes to the
+    *                    partitions holding its candidates' sets.
+    *
+    * At 100 TB the postings/freq tables are the skinny (16–32 B/row)
+    * derivative of the text — a probe scans bucket-pruned slices of
+    * them instead of re-shingling the corpus text. */
+  def ngramIndexPersist(df: DataFrame, idCol: String, textCol: String,
+      wh: graft.etl.Warehouse, layer: String, table: String,
+      shingleK: Int = 3, maxShingleFreq: Int = 1000,
+      nPostBuckets: Int = 64, nSetBuckets: Int = 64): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    wh.overwrite(Seq((shingleK, maxShingleFreq, nPostBuckets, nSetBuckets))
+      .toDF("shingle_k", "max_freq", "n_post_buckets", "n_set_buckets"),
+      layer, s"${table}_meta")
+    val sh = shingledHashed(df, idCol, textCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // frozen document frequency: plain per-doc count (shingledHashed is
+    // distinct per doc), the member-weighted freq of the batch operator
+    // without the rep collapse — identical values, append-friendly rows
+    val freqTab = sh.groupBy("sh").agg(count(lit(1)).as("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    wh.overwritePartitioned(
+      freqTab.withColumn("sbucket",
+        pmod(col("sh"), lit(nPostBuckets.toLong)).cast("int")),
+      layer, s"${table}_freq", Seq("sbucket"))
+    val capped = sh.join(freqTab, "sh")
+      .filter(col("freq") <= maxShingleFreq)
+      .select("doc_id", "sh", "freq")
+    // __pos and __n share one sorted window, as in [[ngramJaccardPairs]]
+    val rareFirst = Window.partitionBy("doc_id").orderBy("freq", "sh")
+    val posted = capped
+      .withColumn("__pos", row_number().over(rareFirst))
+      .withColumn("__n", count(lit(1)).over(rareFirst.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select("sh", "doc_id", "__pos", "__n")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    wh.overwritePartitioned(
+      posted.withColumn("sbucket",
+        pmod(col("sh"), lit(nPostBuckets.toLong)).cast("int")),
+      layer, s"${table}_post", Seq("sbucket"))
+    wh.overwritePartitioned(
+      posted.groupBy("doc_id")
+        .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n"))
+        .withColumn("dbucket", pmod(col("doc_id"), lit(nSetBuckets.toLong))),
+      layer, s"${table}_sets", Seq("dbucket"))
+    posted.unpersist(); freqTab.unpersist(); sh.unpersist()
+  }
+
+  private def readNgramIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      wh: graft.etl.Warehouse, layer: String,
+      table: String): (Int, Int, Int, Int) = {
+    val m = wh.read(spark, layer, s"${table}_meta")
+      .select("shingle_k", "max_freq", "n_post_buckets", "n_set_buckets")
+      .head()
+    (m.getInt(0), m.getInt(1), m.getInt(2), m.getInt(3))
+  }
+
+  /** The shared probe-side pipeline: the batch's capped, positioned
+    * postings under the index's FROZEN statistics. Returns
+    * (postings: doc_id, sh, __pos, __n, sbucket — persisted;
+    *  sets: doc_id, set, n — persisted). Frequencies come from a
+    * bucket-pruned `_freq` join (coalesce to 0 for corpus-unseen
+    * shingles: rarest, always kept), so the batch and the index share
+    * ONE total order (freq, sh) and the prefix/positional theorems hold
+    * across the corpus↔batch join exactly as within the batch. */
+  private def batchPostings(batch: DataFrame, idCol: String,
+      textCol: String, wh: graft.etl.Warehouse, layer: String,
+      table: String, shingleK: Int, maxShingleFreq: Int, nPostBuckets: Int,
+      tracker: PersistTracker): (DataFrame, DataFrame) = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val shB = tracker.add(
+      shingledHashed(batch, idCol, textCol, shingleK)
+        .withColumn("sbucket",
+          pmod(col("sh"), lit(nPostBuckets.toLong)).cast("int"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // bounded collect: ≤ nPostBuckets values by construction. A diverse
+    // batch touches every bucket (the freq join is then a full skinny
+    // dictionary scan — still bytes-proportional to the DICTIONARY, not
+    // the corpus text); a homogeneous batch prunes hard.
+    val sbs = shB.select("sbucket").distinct().as[Int].collect().sorted
+    val freq = wh.read(spark, layer, s"${table}_freq")
+      .filter(col("sbucket").isin(sbs.map(Int.box): _*))
+      .select("sh", "freq")
+    val cappedB = shB.join(freq, Seq("sh"), "left")
+      .withColumn("freq", coalesce(col("freq"), lit(0L)))
+      .filter(col("freq") <= maxShingleFreq)
+    val rareFirst = Window.partitionBy("doc_id").orderBy("freq", "sh")
+    val postB = tracker.add(cappedB
+      .withColumn("__pos", row_number().over(rareFirst))
+      .withColumn("__n", count(lit(1)).over(rareFirst.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select("doc_id", "sh", "__pos", "__n", "sbucket")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val setsB = tracker.add(postB.groupBy("doc_id")
+      .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    (postB, setsB)
+  }
+
+  /** Prefix row-filter at probe threshold `t` over positioned postings
+    * — same 1e-9 ceil slack as [[ngramJaccardPairs]] (err toward a
+    * longer prefix: extra candidates, never lost recall). */
+  private def prefixRows(p: DataFrame, t: Double): DataFrame =
+    p.filter(col("__pos") <=
+      col("__n") - ceil(col("__n") * lit(t) - lit(1e-9)) + 1)
+
+  /** Incremental exact n-gram Jaccard: every pair a full
+    * [[ngramJaccardPairs]] rebuild over corpus ∪ batch would emit that
+    * touches a batch id — under the index's frozen statistics (see the
+    * section comment) — without re-shingling the corpus. Batch↔corpus
+    * candidates join the batch's prefix rows against the bucket-pruned
+    * `_post` scan (both sides prefix-filtered, PPJoin positional bound);
+    * batch↔batch candidates self-join the batch prefix. Both verify
+    * exactly against the capped sets with [[joinVerify]]'s arithmetic
+    * — bit-identical scores to a rebuild. Returns (id_a, id_b, jaccard)
+    * with id_a < id_b. */
+  def ngramJaccardIncrementPairs(batch: DataFrame, idCol: String,
+      textCol: String, wh: graft.etl.Warehouse, layer: String,
+      table: String, threshold: Double = 0.5,
+      broadcastDocLimit: Long = 200000L,
+      maxComponentShingles: Long = 1000000L): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val (shingleK, maxFreq, nPostBuckets, nSetBuckets) =
+      readNgramIndexMeta(spark, wh, layer, table)
+    val tracker = PersistTracker.noop // session-lifetime, as the batch ops
+    val (postB, setsB) = batchPostings(batch, idCol, textCol, wh, layer,
+      table, shingleK, maxFreq, nPostBuckets, tracker)
+    val prefB = prefixRows(postB, threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bounded collect: ≤ nPostBuckets prefix buckets → `_post` scan
+    // prunes to exactly the partitions the batch's prefixes hash into
+    val psbs = prefB.select("sbucket").distinct().as[Int].collect().sorted
+    val postC = prefixRows(
+      wh.read(spark, layer, s"${table}_post")
+        .filter(col("sbucket").isin(psbs.map(Int.box): _*)),
+      threshold)
+    def alpha = ceil((col("x.__n") + col("y.__n"))
+      * lit(threshold / (1 + threshold)) - lit(1e-9))
+    def posOk = least(col("x.__n") - col("x.__pos"),
+      col("y.__n") - col("y.__pos")) + 1 >= alpha
+    val crossCands = postC.as("x").join(prefB.as("y"), Seq("sh"))
+      .filter(col("x.doc_id") =!= col("y.doc_id") && posOk)
+      .select(col("x.doc_id").as("__cid"), col("y.doc_id").as("__bid"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bounded collect: ≤ nSetBuckets → `_sets` scan prunes to the
+    // candidates' buckets
+    val dbs = crossCands
+      .select(pmod(col("__cid"), lit(nSetBuckets.toLong)).cast("int").as("db"))
+      .distinct().as[Int].collect().sorted
+    val setsC = wh.read(spark, layer, s"${table}_sets")
+      .filter(col("dbucket").isin(dbs.map(Int.box): _*))
+    val cross = crossCands
+      .join(setsC.select(col("doc_id").as("__cid"), col("set").as("set_a"),
+        col("n").as("n_a")), "__cid")
+      .join(setsB.select(col("doc_id").as("__bid"), col("set").as("set_b"),
+        col("n").as("n_b")), "__bid")
+      .withColumn("__i", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("jaccard", col("__i").cast("double")
+        / (col("n_a") + col("n_b") - col("__i")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(least(col("__cid"), col("__bid")).as("id_a"),
+        greatest(col("__cid"), col("__bid")).as("id_b"), col("jaccard"))
+      .distinct()
+    val selfCands = prefB.as("x").join(prefB.as("y"), Seq("sh"))
+      .filter(col("x.doc_id") < col("y.doc_id") && posOk)
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+    val internal =
+      if (setsB.count() <= broadcastDocLimit)
+        joinVerify(selfCands, broadcast(setsB), broadcast(setsB), threshold)
+      else
+        verifyJaccardByComponent(selfCands, setsB, threshold,
+          maxComponentShingles, useComponents = false)
+    internal.unionByName(cross)
+  }
+
+  /** Incremental directed containment — the [[containmentPairs]] twin
+    * of [[ngramJaccardIncrementPairs]]: every C(src→dst) ≥ t pair a
+    * full rebuild over corpus ∪ batch would emit that touches a batch
+    * id, under frozen statistics. Three candidate joins, each
+    * prefix-on-the-SOURCE side only (containment's asymmetric filter):
+    * batch-src × corpus full postings, corpus-prefix × batch full
+    * postings, batch-prefix × batch full postings — the full corpus
+    * postings come from the same `_post` table the Jaccard probe
+    * prefix-filters, which is why the index stores them whole. */
+  def containmentIncrementPairs(batch: DataFrame, idCol: String,
+      textCol: String, wh: graft.etl.Warehouse, layer: String,
+      table: String, threshold: Double = 0.8): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val (shingleK, maxFreq, nPostBuckets, nSetBuckets) =
+      readNgramIndexMeta(spark, wh, layer, table)
+    val (postB, setsB) = batchPostings(batch, idCol, textCol, wh, layer,
+      table, shingleK, maxFreq, nPostBuckets, PersistTracker.noop)
+    val prefB = prefixRows(postB, threshold)
+    // the batch's FULL buckets bound every corpus-side scan: a corpus
+    // posting can only candidate-match through a shingle the batch has
+    val sbs = postB.select("sbucket").distinct().as[Int].collect().sorted
+    val postC = wh.read(spark, layer, s"${table}_post")
+      .filter(col("sbucket").isin(sbs.map(Int.box): _*))
+    val prefC = prefixRows(postC, threshold)
+    // directed positional bound, exactly [[containmentPairs]]': overlap
+    // from a shared shingle at (pos_s, pos_d) is ≤ min(n_s−pos_s,
+    // n_d−pos_d)+1 and must reach ⌈t·n_s⌉
+    def posOk = least(col("x.__n") - col("x.__pos"),
+      col("y.__n") - col("y.__pos")) + 1 >=
+      ceil(col("x.__n") * lit(threshold) - lit(1e-9))
+    def cands(src: DataFrame, dst: DataFrame): DataFrame =
+      src.as("x").join(dst.as("y"), Seq("sh"))
+        .filter(col("x.doc_id") =!= col("y.doc_id") && posOk)
+        .select(col("x.doc_id").as("id_src"), col("y.doc_id").as("id_dst"))
+    val all = cands(prefB, postC)            // batch → corpus
+      .unionByName(cands(prefC, postB))      // corpus → batch
+      .unionByName(cands(prefB, postB))      // batch → batch
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dbs = all
+      .select(pmod(col("id_src"), lit(nSetBuckets.toLong)).cast("int").as("d"))
+      .unionByName(all.select(
+        pmod(col("id_dst"), lit(nSetBuckets.toLong)).cast("int").as("d")))
+      .distinct().as[Int].collect().sorted
+    val setsC = wh.read(spark, layer, s"${table}_sets")
+      .filter(col("dbucket").isin(dbs.map(Int.box): _*))
+      .select("doc_id", "set", "n")
+    // either endpoint may be corpus or batch: resolve each side against
+    // the union of the pruned corpus sets and the batch sets
+    val sets = setsC.unionByName(setsB)
+    all
+      .join(sets.select(col("doc_id").as("id_src"), col("set").as("set_s"),
+        col("n").as("n_s")), "id_src")
+      .join(sets.select(col("doc_id").as("id_dst"),
+        col("set").as("set_d")), "id_dst")
+      .withColumn("containment",
+        size(array_intersect(col("set_s"), col("set_d"))).cast("double")
+          / col("n_s").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("id_src", "id_dst", "containment")
+      .distinct()
+  }
+
   /** Exact-duplicate collapse — the stage every production near-dup
     * pipeline runs FIRST (a 100-TB crawl's dominant redundancy is exact
     * boilerplate copies). Partitions the corpus into identical-
