@@ -272,10 +272,15 @@ object ScaleProbe {
       spark.conf.set("spark.sql.shuffle.partitions", "64")
       val wh = graft.etl.Warehouse(java.nio.file.Files
         .createTempDirectory("graft_probe_bytes").toString)
+      // ~3 KB docs with UNIQUE content per base doc (the real ~50-word
+      // text + 450 doc-keyed hashed filler words — repeated-segment
+      // padding would parquet-compress 16× and fake the byte story),
+      // 5 near-dup variants per group (one appended token, J ≈ 0.998)
       val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-      val kb = base.select(col("doc_id"), expr(
-        "concat_ws(' ', transform(sequence(0, 9), " +
-          "i -> concat(text, ' segment', cast(i AS string))))").as("text"))
+      val kb = base.select(col("doc_id"), concat(col("text"), lit(" "),
+          expr("array_join(transform(sequence(0, 449), " +
+            "i -> concat('w', abs(xxhash64(doc_id, i)) % 30000)), ' ')"))
+          .as("text"))
         .select(col("doc_id"), col("text"),
           explode(sequence(lit(0L), lit(4L))).as("rep"))
         .select((col("doc_id") * 5L + col("rep")).as("doc_id"),

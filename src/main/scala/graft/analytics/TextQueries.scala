@@ -1545,6 +1545,80 @@ object TextQueries {
   }
   private val aIvfPqAppendSql = aIvfPqSqlFor("vec_id % 10 <> 7")
 
+  // a5e — DRIFT-SIGNAL index maintenance: the build persists per-cell
+  // assignment-cosine quantiles (`_stats`); a deliberately shifted
+  // batch (negated embeddings — cosine flips sign, maximal drift) is
+  // assigned to the FROZEN centroids and its per-cell median compared
+  // against the build's. The oracle replays the whole chain: seeded
+  // 1-pass Lloyd → float-rounded assignment codebook → per-cell
+  // quantile_cont medians for build AND batch → gap + tripped flag.
+  // exactQuantiles=true swaps percentile_approx (the mergeable-sketch
+  // scale path) for the exact interpolated percentile so quantile_cont
+  // replays it; gaps are rounded to 2dp (the decision observable —
+  // interpolation ulp noise can't flip them) and the drifted flag uses
+  // the raw value.
+  private val aIvfDrift: QFn = (s, dir) => {
+    val corpus = embs(s, dir).filter(col("vec_id") =!= 0)
+    val centroids = Similarity.ivfTrain(corpus, "vec_id", "embedding",
+      dim = 64, nlist = 8, iterations = 1)
+    val books = Similarity.pqTrain(corpus, "vec_id", "embedding",
+      dim = 64, m = 4, k = 8, iterations = 1)
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_anndrift" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val wh = graft.etl.Warehouse(tmp)
+    Similarity.ivfPqPersist(corpus, "vec_id", "embedding", centroids,
+      books, wh, "gold", "ann_drift", exactQuantiles = true)
+    val batch = embs(s, dir).filter(col("vec_id") % 10 === 3)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    Similarity.ivfPqDriftSignal(batch, "vec_id", "embedding",
+        wh, "gold", "ann_drift", exactQuantiles = true)
+      .select(col("cell"), col("n_build"), col("n_batch"),
+        round(col("gap"), 2).as("gap_r"),
+        (col("gap") > 0.5).as("drifted"))
+      .orderBy("cell")
+  }
+  private val aIvfDriftSql: String = {
+    def scored(src: String) =
+      s"""SELECT v.vec_id,
+         |  (SELECT f.cid FROM cent_f f
+         |   ORDER BY COALESCE(${cosSql("v.x", "f.c")}, -1e308) DESC,
+         |     f.cid ASC LIMIT 1) AS cid,
+         |  (SELECT COALESCE(${cosSql("v.x", "f.c")}, -1e308) FROM cent_f f
+         |   ORDER BY COALESCE(${cosSql("v.x", "f.c")}, -1e308) DESC,
+         |     f.cid ASC LIMIT 1) AS score
+         |FROM $src v""".stripMargin
+    s"""WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+       |  FROM embeddings WHERE vec_id <> 0),
+       |init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, x AS c
+       |         FROM (SELECT * FROM corpus ORDER BY vec_id LIMIT 8)),
+       |a1 AS (SELECT v.vec_id, v.x,
+       |         (SELECT i.cid FROM init i
+       |          ORDER BY COALESCE(${cosSql("v.x", "i.c")}, -1e308) DESC, i.cid ASC LIMIT 1) AS cid
+       |       FROM corpus v),
+       |sums AS (SELECT cid, i, CAST(SUM(CAST(xe AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*) AS m
+       |         FROM (SELECT cid, unnest(x) AS xe, generate_subscripts(x,1) AS i FROM a1)
+       |         GROUP BY cid, i),
+       |cent_f AS MATERIALIZED (SELECT cid, list(CAST(CAST(m AS FLOAT) AS DOUBLE) ORDER BY i) AS c
+       |          FROM sums GROUP BY cid),
+       |a2 AS (${scored("corpus")}),
+       |bstats AS (SELECT cid AS cell, COUNT(*) AS n_build,
+       |             quantile_cont(score, 0.5) AS q50b
+       |           FROM a2 GROUP BY 1),
+       |batch AS (SELECT vec_id + 1000000 AS vec_id,
+       |            list_transform(CAST(embedding AS DOUBLE[]), v -> -v) AS x
+       |          FROM embeddings WHERE vec_id % 10 = 3),
+       |a3 AS (${scored("batch")}),
+       |bat AS (SELECT cid AS cell, COUNT(*) AS n_batch,
+       |          quantile_cont(score, 0.5) AS q50x
+       |        FROM a3 GROUP BY 1)
+       |SELECT b.cell, s.n_build, b.n_batch,
+       |  ROUND(COALESCE(s.q50b - b.q50x, 1.0), 2) AS gap_r,
+       |  (COALESCE(s.q50b - b.q50x, 1.0) > 0.5) AS drifted
+       |FROM bat b LEFT JOIN bstats s ON s.cell = b.cell
+       |ORDER BY b.cell""".stripMargin
+  }
+
   // a4 — k-NN majority-vote classification: vectors 0-19 are held-out
   // queries, the rest vote with their labels through exact cosine top-5
   // (ties: higher cosine, then lower vec_id; vote ties: lower label).
@@ -1825,6 +1899,7 @@ object TextQueries {
     "ann_ivf_pq_topk" -> aIvfPq,
     "ann_ivf_pq_persisted" -> aIvfPqPersisted,
     "ann_ivf_pq_append" -> aIvfPqAppend,
+    "ann_ivf_drift" -> aIvfDrift,
     "ann_knn_classify" -> aKnn,
     "mm_blob_stats" -> mBlob,
     "mm_frame_sample" -> mFrames,
@@ -1875,6 +1950,7 @@ object TextQueries {
     "ann_ivf_pq_topk" -> aIvfPqSql,
     "ann_ivf_pq_persisted" -> aIvfPqSql,
     "ann_ivf_pq_append" -> aIvfPqAppendSql,
+    "ann_ivf_drift" -> aIvfDriftSql,
     "ann_knn_classify" -> aKnnSql,
     "mm_blob_stats" -> mBlobSql,
     "mm_frame_sample" -> mFramesSql,

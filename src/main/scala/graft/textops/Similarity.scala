@@ -124,7 +124,13 @@ object Similarity {
     * cosines — the codebook is a literal, so assignment is one codegen'd
     * projection (no shuffle, no UDF). */
   private def assignToCentroid(df: DataFrame, vecCol: String,
-                               centroids: Map[Int, Array[Double]]): DataFrame = {
+                               centroids: Map[Int, Array[Double]]): DataFrame =
+    assignToCentroidScored(df, vecCol, centroids).drop("__score")
+
+  /** [[assignToCentroid]] keeping the winning cosine as `__score` — the
+    * assignment-quality observable the drift signal is built from. */
+  private def assignToCentroidScored(df: DataFrame, vecCol: String,
+      centroids: Map[Int, Array[Double]]): DataFrame = {
     val scores = centroids.toSeq.sortBy(_._1).map { case (cid, c) =>
       cid -> cosineNative(col(vecCol),
         array(c.map(v => lit(v.toFloat)): _*)).as(s"__s$cid")
@@ -138,7 +144,7 @@ object Similarity {
     val cid = scores.map(_._1).foldRight(lit(-1)) { (c, rest) =>
       when(s(c) === best, lit(c)).otherwise(rest)
     }
-    withScores.withColumn("__cid", cid)
+    withScores.withColumn("__cid", cid).withColumn("__score", best)
       .drop(scores.map(_._1).map(c => s"__s$c"): _*)
   }
 
@@ -381,11 +387,20 @@ object Similarity {
     * of the index is ever read, and the fat embedding column is in
     * neither artifact. Centroids/books persist as full doubles
     * (lossless), so a probe replays bit-identical scoring. */
+  /** Assignment-cosine quantile: the scale path is percentile_approx
+    * (mergeable sketch — a cell's members are data-scaled and must
+    * never buffer in one aggregation group at 100 TB); `exact` switches
+    * to the exact interpolated percentile so the drift-signal ledger
+    * entry can be replayed bit-for-bit by DuckDB's quantile_cont. */
+  private def pctl(c: Column, p: Double, exact: Boolean): Column =
+    if (exact) percentile(c, lit(p))
+    else percentile_approx(c, lit(p), lit(10000))
+
   def ivfPqPersist(df: DataFrame, idCol: String, vecCol: String,
                    centroids: Map[Int, Array[Double]],
                    books: Seq[Map[Int, Array[Double]]],
                    wh: graft.etl.Warehouse, layer: String,
-                   table: String): Unit = {
+                   table: String, exactQuantiles: Boolean = false): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
     wh.overwrite(centroids.toSeq.sortBy(_._1)
@@ -394,10 +409,25 @@ object Similarity {
     wh.overwrite(books.zipWithIndex.flatMap { case (cb, s) =>
       cb.toSeq.sortBy(_._1).map { case (cid, c) => (s, cid, c.toSeq) }
     }.toDF("subspace", "cid", "centroid"), layer, s"${table}_books")
-    val coded = pqEncode(assignToCentroid(df, vecCol, centroids), vecCol, books)
+    val assigned = assignToCentroidScored(df, vecCol, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // `_stats`: per-cell assignment-cosine quantiles at BUILD time —
+    // nlist rows, one bounded aggregate. The drift signal
+    // ([[ivfPqDriftSignal]]) compares a batch's quantiles against these
+    // to decide append-frozen vs retrain. percentile_approx (not exact
+    // percentile): a cell's members are data-scaled and must never
+    // buffer in one aggregation group at 100 TB.
+    wh.overwrite(
+      assigned.groupBy(col("__cid").as("cell"))
+        .agg(count(lit(1)).as("n"),
+          pctl(col("__score"), 0.5, exactQuantiles).as("q50"),
+          pctl(col("__score"), 0.1, exactQuantiles).as("q10")),
+      layer, s"${table}_stats")
+    val coded = pqEncode(assigned.drop("__score"), vecCol, books)
       .select(col(idCol) +: col("__cid").as("cell") +:
         books.indices.map(s => col(s"__code_$s").as(s"code_$s")): _*)
     wh.overwritePartitioned(coded, layer, s"${table}_codes", Seq("cell"))
+    assigned.unpersist()
   }
 
   /** Append vectors to a persisted IVF-PQ index WITHOUT retraining —
@@ -425,6 +455,69 @@ object Similarity {
       .select(col(idCol) +: col("__cid").as("cell") +:
         books.indices.map(s => col(s"__code_$s").as(s"code_$s")): _*)
     wh.appendPartitioned(coded, layer, s"${table}_codes", Seq("cell"))
+  }
+
+  /** Per-cell DRIFT SIGNAL for append-without-retrain maintenance:
+    * assign the incoming batch to the FROZEN centroids and compare its
+    * per-cell median assignment cosine against the build's persisted
+    * `_stats` quantiles. Returns one row per batch-touched cell —
+    * (cell, n_build, q50_build, n_batch, q50_batch, gap) with
+    * gap = q50_build − q50_batch (positive = the batch sits FARTHER
+    * from its centroid than the build corpus did — the codebook no
+    * longer describes the data). A cell the build never populated
+    * (n_build null) is maximal drift by definition: gap coalesces to
+    * 1.0. Cost: one batch-sized aggregate + an nlist-row join — the
+    * "cheap bounded aggregate" a maintenance cron can afford per
+    * batch. */
+  def ivfPqDriftSignal(batch: DataFrame, idCol: String, vecCol: String,
+                       wh: graft.etl.Warehouse, layer: String,
+                       table: String,
+                       exactQuantiles: Boolean = false): DataFrame = {
+    val spark = batch.sparkSession
+    val centroids = wh.read(spark, layer, s"${table}_centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val b = assignToCentroidScored(batch, vecCol, centroids)
+      .groupBy(col("__cid").as("cell"))
+      .agg(count(lit(1)).as("n_batch"),
+        pctl(col("__score"), 0.5, exactQuantiles).as("q50_batch"))
+    wh.read(spark, layer, s"${table}_stats")
+      .select(col("cell"), col("n").as("n_build"),
+        col("q50").as("q50_build"))
+      .join(b, Seq("cell"), "right")
+      .withColumn("gap",
+        coalesce(col("q50_build") - col("q50_batch"), lit(1.0)))
+  }
+
+  /** Maintenance policy around the drift signal: if the batch-weighted
+    * mean gap exceeds `gapThreshold`, RETRAIN — rebuild centroids and
+    * codebooks over corpus ∪ batch and re-persist the whole index
+    * (returns true); otherwise append through the frozen artifacts
+    * ([[ivfPqAppend]], returns false). The corpus embeddings come from
+    * the caller (the embedding table is the durable input; the index is
+    * its derivative), so a retrain is exactly the original build at the
+    * new corpus — probes after it are bit-identical to a from-scratch
+    * deployment, which is what the recover-after-retrain spec asserts
+    * (IvfDriftSpec). */
+  def ivfPqRetrainIfDrifted(corpus: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, dim: Int, nlist: Int, m: Int,
+      ksub: Int, wh: graft.etl.Warehouse, layer: String, table: String,
+      gapThreshold: Double = 0.05, iterations: Int = 1): Boolean = {
+    val row = ivfPqDriftSignal(batch, idCol, vecCol, wh, layer, table)
+      .agg((sum(col("gap") * col("n_batch")) / sum(col("n_batch")))
+        .as("g")).head()
+    val gap = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+    if (gap > gapThreshold) {
+      val union = corpus.unionByName(batch)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cents = ivfTrain(union, idCol, vecCol, dim, nlist, iterations)
+      val books = pqTrain(union, idCol, vecCol, dim, m, ksub, iterations)
+      ivfPqPersist(union, idCol, vecCol, cents, books, wh, layer, table)
+      union.unpersist()
+      true
+    } else {
+      ivfPqAppend(batch, idCol, vecCol, wh, layer, table)
+      false
+    }
   }
 
   /** Probe a persisted IVF-PQ index WITHOUT touching the corpus or the
