@@ -479,6 +479,82 @@ object ScaleProbe {
       spark.conf.set("spark.sql.shuffle.partitions", "64")
     }
 
+    // The curation pipeline as a CONTINUOUS STREAM over the same 500k
+    // input as curation100: bootstrap = reps 0-29 (150k docs) through
+    // the batch build (gates → nearDedupKeep → index persist), then 7
+    // micro-batches of 50k docs (reps 30-99, id-ordered) drain through
+    // CurationStream.curationIngestStream — gates → incremental
+    // near-dedup against the growing index → exactly-once kept/funnel
+    // sinks. Pass bars: per-epoch duration flat across epochs (the
+    // daily cost must not grow with kept history), and the stream's
+    // total funnel (lang/quality/kept) EQUAL to the batch pipeline's
+    // over the same input (exact-replica clusters + id-ordered epochs
+    // make the kept sets identical by the min-id argument).
+    if (families("curationstream")) {
+      spark.conf.set("spark.sql.shuffle.partitions", "128")
+      val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      def slice(lo: Long, hi: Long) = base
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(lo), lit(hi))).as("rep"))
+        .select((col("doc_id") * 100L + col("rep")).as("doc_id"), col("text"))
+      val wh = graft.etl.Warehouse(java.nio.file.Files
+        .createTempDirectory("graft_probe_curstream").toString)
+      time("curstream_bootstrap_150k") {
+        graft.textops.CurationStream.curationBootstrap(slice(0L, 29L),
+          "doc_id", "text", wh, "gold", "cur", threshold = 0.5, bands = 8)
+        wh.read(spark, "gold", "cur_kept").count()
+      }
+      val stageDir = java.nio.file.Files
+        .createTempDirectory("graft_probe_curstage").toString
+      (0 until 7).foreach { k =>
+        slice(30L + k * 10L, 39L + k * 10L)
+          .coalesce(1).write.mode("append").parquet(stageDir)
+      }
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_probe_cur_ckpt").toString
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      var progress: Array[org.apache.spark.sql.streaming.StreamingQueryProgress] = Array()
+      time("curstream_7x50k") {
+        val q = graft.textops.CurationStream.curationIngestStream(
+          spark.readStream.schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", "1").parquet(stageDir),
+          "doc_id", "text", wh, "gold", "cur", threshold = 0.5, ckpt)
+        q.processAllAvailable()
+        progress = q.recentProgress
+        q.stop()
+        wh.read(spark, "gold", "cur_kept").count()
+      }
+      progress.filter(_.numInputRows > 0).foreach(p =>
+        println(f"CURSTREAM epoch ${p.batchId} ${p.numInputRows} rows " +
+          f"${p.durationMs.get("triggerExecution") / 1000.0}%.1f s"))
+      val funnel = wh.read(spark, "gold", "cur_funnel")
+        .agg(sum("n_in"), sum("n_lang"), sum("n_quality"), sum("n_kept"))
+        .head()
+      println(s"CURSTREAM funnel in=${funnel.getLong(0)} " +
+        s"lang=${funnel.getLong(1)} qual=${funnel.getLong(2)} " +
+        s"kept=${funnel.getLong(3)}")
+      // the batch pipeline over the same input — counts must MATCH
+      spark.conf.set("spark.sql.shuffle.partitions", "128")
+      val all = slice(0L, 99L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nIn = all.count()
+      val lG = all.filter(graft.textops.TextFunctions.langId(col("text")) === "en")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nLang = lG.count()
+      val qG = lG.filter(
+          graft.textops.TextFunctions.qualityScore(col("text")) >= 0.5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nQual = qG.count()
+      val nKept = Dedup.nearDedupKeep(qG, "doc_id", "text", shingleK = 3,
+        numHashes = 32, bands = 8, threshold = 0.5).count()
+      println(s"CURSTREAM batch   in=$nIn lang=$nLang qual=$nQual kept=$nKept")
+      println(s"CURSTREAM equal=${funnel.getLong(0) == nIn &&
+        funnel.getLong(1) == nLang && funnel.getLong(2) == nQual &&
+        funnel.getLong(3) == nKept}")
+      all.unpersist(); lG.unpersist(); qG.unpersist()
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+    }
+
     // End-to-end curation pipeline at 100×: 500k docs (every sf0.1 doc
     // exactly replicated 100× — the crawl's dominant redundancy shape)
     // through lang gate (heuristic langId, not the label) → quality

@@ -1087,6 +1087,106 @@ object TextQueries {
        |WHERE CAST(c AS DOUBLE) / ns.n >= 0.8
        |ORDER BY id_src, id_dst""".stripMargin
 
+  // pipe5 — the curation pipeline as a STREAM: bootstrap (4/5 of the
+  // corpus through gates → batch near-dedup keep → persisted index)
+  // then one streamed epoch (the re-ingest batch through gates →
+  // incremental near-dedup against the bootstrap survivors'
+  // index → exactly-once kept/funnel sinks). Output = the funnel
+  // table: per-epoch (n_in, n_lang, n_quality, n_kept). The oracle
+  // replays the WHOLE composition in SQL: both gates (langIdSql /
+  // qualityScoreSql twins), exact-Jaccard pairs over the gated union,
+  // recursive-CTE components for the bootstrap keep, and the
+  // corpus-wins increment policy for the epoch (a batch cluster dies
+  // iff it touches a pair into a KEPT bootstrap doc — the index holds
+  // survivors only, so only those pairs count).
+  private val pipeCurationStream: QFn = (s, dir) => {
+    val initial = docs(s, dir).filter(col("doc_id") % 5 =!= 0)
+      .select("doc_id", "text")
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val wh = graft.etl.Warehouse(
+      s"${sys.props("java.io.tmpdir")}/graft_curwh$key")
+    // every execution rewrites the complete state (index overwrite +
+    // dynamic overwrite of both epochs' kept/funnel rows) — idempotent
+    graft.textops.CurationStream.curationBootstrap(initial, "doc_id",
+      "text", wh, "gold", "cur", threshold = 0.5, bands = 8,
+      nBuckets = 16, nSetBuckets = 16)
+    graft.textops.CurationStream.curationIngestBatch(incBatch(s, dir),
+      0L, "doc_id", "text", wh, "gold", "cur", threshold = 0.5)
+    wh.read(s, "gold", "cur_funnel")
+      .select("epoch", "n_in", "n_lang", "n_quality", "n_kept")
+      .orderBy("epoch")
+  }
+  private val pipeCurationStreamSql: String = {
+    val norm = TF.normTextSql("text")
+    val lang = TF.langIdSql("text")
+    val qual = TF.qualityScoreSql("text")
+    s"""WITH RECURSIVE
+       |corpus0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+       |batch0 AS (SELECT doc_id + 10000000 AS doc_id,
+       |  CASE WHEN doc_id % 15 = 0 THEN text
+       |       WHEN doc_id % 15 = 5 THEN text || ' vtwo'
+       |       ELSE array_to_string(list_reverse(string_split(text, ' ')), ' ')
+       |  END AS text
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |cl AS MATERIALIZED (SELECT * FROM corpus0 WHERE $lang = 'en'),
+       |cg AS MATERIALIZED (SELECT * FROM cl WHERE $qual >= 0.5),
+       |bl AS MATERIALIZED (SELECT * FROM batch0 WHERE $lang = 'en'),
+       |bg AS MATERIALIZED (SELECT * FROM bl WHERE $qual >= 0.5),
+       |w AS (SELECT doc_id, string_split($norm, ' ') AS ws
+       |      FROM (SELECT * FROM cg UNION ALL SELECT * FROM bg)),
+       |sh AS MATERIALIZED (SELECT DISTINCT doc_id,
+       |  unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+       |    i -> array_to_string(ws[i:i+2], ' '))) AS shingle
+       |  FROM w),
+       |sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS c
+       |          FROM sh x JOIN sh y USING (shingle)
+       |          WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+       |p AS MATERIALIZED (SELECT id_a, id_b FROM inter
+       |     JOIN sizes sa ON sa.doc_id = id_a
+       |     JOIN sizes sb ON sb.doc_id = id_b
+       |     WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+       |pc AS (SELECT id_a, id_b FROM p WHERE id_b < 10000000),
+       |edges_c AS (SELECT id_a AS a, id_b AS b FROM pc
+       |            UNION SELECT id_b, id_a FROM pc),
+       |reach_c(src, dst) AS (
+       |  SELECT a, a FROM (SELECT a FROM edges_c UNION SELECT b FROM edges_c)
+       |  UNION
+       |  SELECT r.src, e.b FROM reach_c r JOIN edges_c e ON r.dst = e.a),
+       |comp_c AS (SELECT src AS doc_id, MIN(dst) AS component
+       |           FROM reach_c GROUP BY 1),
+       |kept_c AS MATERIALIZED (
+       |  SELECT DISTINCT COALESCE(c.component, d.doc_id) AS doc_id
+       |  FROM cg d LEFT JOIN comp_c c ON d.doc_id = c.doc_id),
+       |bp AS (SELECT id_a, id_b FROM p WHERE id_a >= 10000000),
+       |xp AS (SELECT p.id_b AS bid FROM p JOIN kept_c k ON p.id_a = k.doc_id
+       |       WHERE p.id_b >= 10000000),
+       |edges_b AS (SELECT id_a AS a, id_b AS b FROM bp
+       |            UNION SELECT id_b, id_a FROM bp),
+       |reach_b(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM bg
+       |  UNION
+       |  SELECT r.src, e.b FROM reach_b r JOIN edges_b e ON r.dst = e.a),
+       |comp_b AS (SELECT src AS doc_id, MIN(dst) AS component
+       |           FROM reach_b GROUP BY 1),
+       |matched AS (SELECT DISTINCT c.component FROM comp_b c
+       |            JOIN xp ON c.doc_id = xp.bid),
+       |kept_b AS (SELECT DISTINCT component AS doc_id FROM comp_b
+       |           WHERE component NOT IN (SELECT component FROM matched))
+       |SELECT CAST(-1 AS BIGINT) AS epoch,
+       |  (SELECT COUNT(*) FROM corpus0) AS n_in,
+       |  (SELECT COUNT(*) FROM cl) AS n_lang,
+       |  (SELECT COUNT(*) FROM cg) AS n_quality,
+       |  (SELECT COUNT(*) FROM kept_c) AS n_kept
+       |UNION ALL
+       |SELECT CAST(0 AS BIGINT),
+       |  (SELECT COUNT(*) FROM batch0),
+       |  (SELECT COUNT(*) FROM bl),
+       |  (SELECT COUNT(*) FROM bg),
+       |  (SELECT COUNT(*) FROM kept_b)
+       |ORDER BY epoch""".stripMargin
+  }
+
   private def sqlArr(p: Array[Double]): String =
     p.mkString("[", ", ", "]") + "::DOUBLE[]"
 
@@ -1859,6 +1959,7 @@ object TextQueries {
     "pipe_corpus_curation" -> pipeCuration,
     "pipe_rag_ingest" -> pipeRagIngest,
     "pipe_hybrid_search" -> pipeHybrid,
+    "pipe_curation_stream" -> pipeCurationStream,
     "p_hash_split" -> pSplit,
     "p_stratified_sample" -> pStratified,
     "p_token_shards" -> pShards,
@@ -1910,6 +2011,7 @@ object TextQueries {
     "pipe_corpus_curation" -> pipeCurationSql,
     "pipe_rag_ingest" -> pipeRagIngestSql,
     "pipe_hybrid_search" -> pipeHybridSql,
+    "pipe_curation_stream" -> pipeCurationStreamSql,
     "p_hash_split" -> pSplitSql,
     "p_stratified_sample" -> pStratifiedSql,
     "p_token_shards" -> pShardsSql,

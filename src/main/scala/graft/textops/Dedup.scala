@@ -834,6 +834,37 @@ object Dedup {
     p.filter(col("__pos") <=
       col("__n") - ceil(col("__n") * lit(t) - lit(1e-9)) + 1)
 
+  /** Append new docs to a persisted posting index WITHOUT refreshing
+    * statistics: the batch's postings are positioned under the FROZEN
+    * (freq, sh) order (exactly the probe's own pipeline —
+    * [[batchPostings]]), so rows land in their `sbucket`/`dbucket`
+    * partitions fully consistent with every existing row and every
+    * future probe. `_freq` is deliberately untouched: appended content
+    * does not move the frozen order (a probe of old and new docs stays
+    * one total order), at the stated cost that a shingle turning into
+    * boilerplate POST-build keeps escaping the cap until the next
+    * rebuild ([[ngramIndexPersist]] over the accumulated corpus — the
+    * statistics-refresh cadence a production deployment schedules).
+    * Caller contract: ids disjoint from indexed docs — typically a
+    * batch's survivors. */
+  def ngramIndexAppend(df: DataFrame, idCol: String, textCol: String,
+      wh: graft.etl.Warehouse, layer: String, table: String): Unit = {
+    val (shingleK, maxFreq, nPostBuckets, nSetBuckets) =
+      readNgramIndexMeta(df.sparkSession, wh, layer, table)
+    val tracker = PersistTracker.live()
+    try {
+      val (postB, setsB) = batchPostings(df, idCol, textCol, wh, layer,
+        table, shingleK, maxFreq, nPostBuckets, tracker)
+      wh.appendPartitioned(
+        postB.select("sh", "doc_id", "__pos", "__n", "sbucket"),
+        layer, s"${table}_post", Seq("sbucket"))
+      wh.appendPartitioned(
+        setsB.withColumn("dbucket",
+          pmod(col("doc_id"), lit(nSetBuckets.toLong))),
+        layer, s"${table}_sets", Seq("dbucket"))
+    } finally tracker.unpersistAll()
+  }
+
   /** Incremental exact n-gram Jaccard: every pair a full
     * [[ngramJaccardPairs]] rebuild over corpus ∪ batch would emit that
     * touches a batch id — under the index's frozen statistics (see the

@@ -110,6 +110,31 @@ class PostingIndexSpec extends AnyFunSuite {
     assert(inc.exists { case (a, b, j) => a == 1L && b == 100L && j == 1.0 })
   }
 
+  test("append: probe after append == full rebuild over the union") {
+    // cap never binds on these texts, so the frozen-statistics probe is
+    // exactly the union rebuild restricted to batch2 ids — including
+    // pairs against the APPENDED batch1 docs
+    val wh = freshWh("append")
+    build(wh)
+    Dedup.ngramIndexAppend(batch, "doc_id", "text", wh, "gold", "ng")
+    val batch2 = Seq(
+      (300L, batchRows.find(_._1 == 102L).get._2), // exact copy of appended 102
+      (301L, "genuinely novel follow up content sharing nothing with any earlier document"))
+      .toDF("doc_id", "text")
+    val inc = pairSet(Dedup.ngramJaccardIncrementPairs(batch2, "doc_id",
+      "text", wh, "gold", "ng", threshold = 0.5),
+      ("id_a", "id_b", "jaccard"))
+    val rebuild = pairSet(Dedup.ngramJaccardPairs(
+      corpus.unionByName(batch).unionByName(batch2), "doc_id", "text",
+      shingleK = 3, threshold = 0.5), ("id_a", "id_b", "jaccard"))
+      .filter { case (a, b, _) => a >= 300L || b >= 300L }
+    assert(inc === rebuild)
+    // 300 found its appended twin (and 102's near-dup cluster mate 103)
+    assert(inc.exists { case (a, b, j) => a == 102L && b == 300L && j == 1.0 })
+    assert(inc.exists { case (a, b, _) => a == 103L && b == 300L })
+    assert(!inc.exists { case (a, b, _) => a == 301L || b == 301L })
+  }
+
   test("build-time cap drops boilerplate from corpus AND batch sets") {
     // cap = 1: the exact-dup class {0,1} caps out entirely (freq 2), so
     // the re-ingested copy 100 has no capped shingles either — no pair.
