@@ -479,9 +479,15 @@ object Dedup {
     val idx = wh.read(spark, layer, s"${table}_bands")
       .filter(col("pb").isin(pbs.map(Int.box): _*) &&
         col("epoch") =!= lit(excludeEpoch))
+    // a small batch's band keys BROADCAST into the index join so the
+    // pruned `_bands` scan streams map-side instead of shuffling
+    // (keysB is persisted — the count is a cached-scan job; big
+    // backfill batches keep the shuffle join)
+    val keysBr =
+      if (keysB.count() <= 2000000L) broadcast(keysB) else keysB
     val cross = idx
       .select(col("band"), col("band_hash"), col("doc_id").as("__cid"))
-      .join(keysB.select(col("band"), col("band_hash"),
+      .join(keysBr.select(col("band"), col("band_hash"),
         col("doc_id").as("__bid")), Seq("band", "band_hash"))
       .filter(col("__cid") =!= col("__bid"))
       .select("__cid", "__bid").distinct()
@@ -495,9 +501,13 @@ object Dedup {
         col("epoch") =!= lit(excludeEpoch))
     val batchSets = shB.groupBy("doc_id")
       .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n"))
+    // candidate pairs broadcast into the corpus-sets join when small —
+    // the shuffle alternative moves the fat set arrays to meet a few
+    // thousand pair rows (cross is persisted; the count is cached)
+    val crossB = if (cross.count() <= 2000000L) broadcast(cross) else cross
     // joinVerify's arithmetic exactly (int sizes → double, one IEEE
     // division), so incremental scores are bit-identical to a rebuild's
-    cross
+    crossB
       .join(corpusSets.select(col("doc_id").as("__cid"),
         col("set").as("set_a"), col("n").as("n_a")), "__cid")
       .join(batchSets.select(col("doc_id").as("__bid"),
@@ -795,7 +805,8 @@ object Dedup {
   private def batchPostings(batch: DataFrame, idCol: String,
       textCol: String, wh: graft.etl.Warehouse, layer: String,
       table: String, shingleK: Int, maxShingleFreq: Int, nPostBuckets: Int,
-      tracker: PersistTracker): (DataFrame, DataFrame) = {
+      tracker: PersistTracker,
+      broadcastShingleLimit: Long = 2000000L): (DataFrame, DataFrame) = {
     val spark = batch.sparkSession
     import spark.implicits._
     val shB = tracker.add(
@@ -811,7 +822,21 @@ object Dedup {
     val freq = wh.read(spark, layer, s"${table}_freq")
       .filter(col("sbucket").isin(sbs.map(Int.box): _*))
       .select("sh", "freq")
-    val cappedB = shB.join(freq, Seq("sh"), "left")
+    // The dictionary join is the small-batch floor: a shuffle join
+    // exchanges the (pruned) dictionary even when the batch has a few
+    // thousand shingles. Below the limit, keep the dictionary scan
+    // MAP-SIDE: a broadcast left-semi prunes it to exactly the batch's
+    // shingles (no exchange of dictionary rows), and the now-tiny
+    // survivor set broadcasts back into the left join. Above the limit
+    // the plain shuffle join is the right shape (both sides large).
+    val nShB = shB.count()
+    val cappedB0 =
+      if (nShB <= broadcastShingleLimit) {
+        val freqB = freq.join(broadcast(shB.select("sh").distinct()),
+          Seq("sh"), "left_semi")
+        shB.join(broadcast(freqB), Seq("sh"), "left")
+      } else shB.join(freq, Seq("sh"), "left")
+    val cappedB = cappedB0
       .withColumn("freq", coalesce(col("freq"), lit(0L)))
       .filter(col("freq") <= maxShingleFreq)
     val rareFirst = Window.partitionBy("doc_id").orderBy("freq", "sh")
@@ -879,14 +904,16 @@ object Dedup {
       textCol: String, wh: graft.etl.Warehouse, layer: String,
       table: String, threshold: Double = 0.5,
       broadcastDocLimit: Long = 200000L,
-      maxComponentShingles: Long = 1000000L): DataFrame = {
+      maxComponentShingles: Long = 1000000L,
+      broadcastShingleLimit: Long = 2000000L): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
     val (shingleK, maxFreq, nPostBuckets, nSetBuckets) =
       readNgramIndexMeta(spark, wh, layer, table)
     val tracker = PersistTracker.noop // session-lifetime, as the batch ops
     val (postB, setsB) = batchPostings(batch, idCol, textCol, wh, layer,
-      table, shingleK, maxFreq, nPostBuckets, tracker)
+      table, shingleK, maxFreq, nPostBuckets, tracker,
+      broadcastShingleLimit)
     val prefB = prefixRows(postB, threshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bounded collect: ≤ nPostBuckets prefix buckets → `_post` scan
@@ -900,7 +927,14 @@ object Dedup {
       * lit(threshold / (1 + threshold)) - lit(1e-9))
     def posOk = least(col("x.__n") - col("x.__pos"),
       col("y.__n") - col("y.__pos")) + 1 >= alpha
-    val crossCands = postC.as("x").join(prefB.as("y"), Seq("sh"))
+    // a small batch BROADCASTS into the corpus-posting join: the pruned
+    // `_post` scan streams map-side instead of shuffling millions of
+    // corpus posting rows against a few thousand batch rows — the other
+    // half of the small-batch floor (with the dictionary semi-join)
+    val prefBr =
+      if (prefB.count() <= broadcastShingleLimit) broadcast(prefB)
+      else prefB
+    val crossCands = postC.as("x").join(prefBr.as("y"), Seq("sh"))
       .filter(col("x.doc_id") =!= col("y.doc_id") && posOk)
       .select(col("x.doc_id").as("__cid"), col("y.doc_id").as("__bid"))
       .distinct()
@@ -912,7 +946,14 @@ object Dedup {
       .distinct().as[Int].collect().sorted
     val setsC = wh.read(spark, layer, s"${table}_sets")
       .filter(col("dbucket").isin(dbs.map(Int.box): _*))
-    val cross = crossCands
+    // candidate pairs broadcast into the corpus-sets join when small:
+    // the alternative shuffles the fat set ARRAYS — the most expensive
+    // bytes in the index — to co-locate with a few thousand pair rows
+    val crossCandsB =
+      if (crossCands.count() <= broadcastShingleLimit)
+        broadcast(crossCands)
+      else crossCands
+    val cross = crossCandsB
       .join(setsC.select(col("doc_id").as("__cid"), col("set").as("set_a"),
         col("n").as("n_a")), "__cid")
       .join(setsB.select(col("doc_id").as("__bid"), col("set").as("set_b"),
@@ -947,13 +988,20 @@ object Dedup {
     * prefix-filters, which is why the index stores them whole. */
   def containmentIncrementPairs(batch: DataFrame, idCol: String,
       textCol: String, wh: graft.etl.Warehouse, layer: String,
-      table: String, threshold: Double = 0.8): DataFrame = {
+      table: String, threshold: Double = 0.8,
+      broadcastShingleLimit: Long = 2000000L): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
     val (shingleK, maxFreq, nPostBuckets, nSetBuckets) =
       readNgramIndexMeta(spark, wh, layer, table)
     val (postB, setsB) = batchPostings(batch, idCol, textCol, wh, layer,
-      table, shingleK, maxFreq, nPostBuckets, PersistTracker.noop)
+      table, shingleK, maxFreq, nPostBuckets, PersistTracker.noop,
+      broadcastShingleLimit)
+    // a small batch broadcasts into every corpus-posting join (see
+    // [[ngramJaccardIncrementPairs]]) — postB is persisted, so the
+    // count is one cached-scan job
+    val bSmall = postB.count() <= broadcastShingleLimit
+    def maybeB(df: DataFrame): DataFrame = if (bSmall) broadcast(df) else df
     val prefB = prefixRows(postB, threshold)
     // the batch's FULL buckets bound every corpus-side scan: a corpus
     // posting can only candidate-match through a shingle the batch has
@@ -971,9 +1019,9 @@ object Dedup {
       src.as("x").join(dst.as("y"), Seq("sh"))
         .filter(col("x.doc_id") =!= col("y.doc_id") && posOk)
         .select(col("x.doc_id").as("id_src"), col("y.doc_id").as("id_dst"))
-    val all = cands(prefB, postC)            // batch → corpus
-      .unionByName(cands(prefC, postB))      // corpus → batch
-      .unionByName(cands(prefB, postB))      // batch → batch
+    val all = cands(maybeB(prefB), postC)          // batch → corpus
+      .unionByName(cands(prefC, maybeB(postB)))    // corpus → batch
+      .unionByName(cands(prefB, postB))            // batch → batch
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dbs = all

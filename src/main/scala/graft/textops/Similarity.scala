@@ -140,7 +140,14 @@ object Similarity {
     // (bestId, bestScore) fold would nest the partial best into both
     // branches — a 2^nlist expression-tree blowup that dominates planning.)
     def s(cid: Int) = coalesce(col(s"__s$cid"), lit(Double.MinValue))
-    val best = greatest(scores.map(c => s(c._1)): _*)
+    // greatest() requires ≥ 2 args — degrade for the 0/1-centroid edge
+    // (empty training corpus / nlist = 1), where `best` is now always
+    // materialized as __score (it was a lazily-unused Column before)
+    val best = scores.map(c => s(c._1)) match {
+      case Seq()    => lit(Double.MinValue)
+      case Seq(one) => one
+      case many     => greatest(many: _*)
+    }
     val cid = scores.map(_._1).foldRight(lit(-1)) { (c, rest) =>
       when(s(c) === best, lit(c)).otherwise(rest)
     }
