@@ -1030,6 +1030,49 @@ object TextQueries {
       wh, "gold", "ng", threshold = 0.8).orderBy("id_src", "id_dst")
   }
 
+  // d8e — frozen-statistics STALENESS: the share of the batch's
+  // shingle mass unseen by (or capped out of) the frozen dictionary —
+  // the observable that triggers the IDF-refresh rebuild
+  // (Dedup.ngramRebuildIfStale). Exactly oracle-able: one left join +
+  // counting aggregate, the division replayed as the same IEEE
+  // double/double op.
+  private val dNgramStaleness: QFn = (s, dir) => {
+    val wh = incNgramIndexWh(s, dir)
+    Dedup.ngramIndexStaleness(incBatch(s, dir), "doc_id", "text",
+      wh, "gold", "ng")
+  }
+  private val dNgramStalenessSql: String = {
+    val norm = TF.normTextSql("text")
+    val shingleOf =
+      s"""unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+         |    i -> array_to_string(ws[i:i+2], ' ')))""".stripMargin
+    s"""WITH cw AS (SELECT doc_id, string_split($norm, ' ') AS ws FROM documents),
+       |csh AS MATERIALIZED (SELECT DISTINCT doc_id, $shingleOf AS shingle
+       |  FROM cw),
+       |freq AS MATERIALIZED (SELECT shingle, COUNT(*) AS f FROM csh
+       |  GROUP BY 1),
+       |batchraw AS (SELECT doc_id + 10000000 AS doc_id,
+       |  CASE WHEN doc_id % 15 = 0 THEN text
+       |       WHEN doc_id % 15 = 5 THEN text || ' vtwo'
+       |       ELSE array_to_string(list_reverse(string_split(text, ' ')), ' ')
+       |  END AS text
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |bw AS (SELECT doc_id, string_split($norm, ' ') AS ws FROM batchraw),
+       |bsh AS (SELECT DISTINCT doc_id, $shingleOf AS shingle FROM bw),
+       |j AS (SELECT b.doc_id, b.shingle, f.f
+       |      FROM bsh b LEFT JOIN freq f USING (shingle))
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_postings,
+       |  CAST(SUM(CASE WHEN f IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_unseen,
+       |  CAST(SUM(CASE WHEN f IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS unseen_frac,
+       |  CAST(SUM(CASE WHEN f > 1000 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_capped,
+       |  CAST(SUM(CASE WHEN f > 1000 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS capped_frac
+       |FROM j""".stripMargin
+  }
+
   /** Shared frozen-statistics CTE base for the two posting-index
     * oracles: corpus shingles, CORPUS-ONLY document frequency, and the
     * capped corpus∪batch doc-shingle rows. MATERIALIZED where a CTE is
@@ -2006,6 +2049,7 @@ object TextQueries {
     "d_near_dedup_increment_keep" -> dNearIncrementKeep,
     "d_ngram_increment" -> dNgramIncrement,
     "d_containment_increment" -> dContainIncrement,
+    "d_ngram_staleness" -> dNgramStaleness,
     "d_semantic_dedup" -> dSemantic,
     "ann_brute_force_topk" -> aBrute,
     "ann_l2_topk" -> aBruteL2,
@@ -2058,6 +2102,7 @@ object TextQueries {
     "d_near_dedup_increment_keep" -> dNearIncrementKeepSql,
     "d_ngram_increment" -> dNgramIncrementSql,
     "d_containment_increment" -> dContainIncrementSql,
+    "d_ngram_staleness" -> dNgramStalenessSql,
     "d_semantic_dedup" -> dSemanticSql,
     "ann_brute_force_topk" -> aBruteSql,
     "ann_l2_topk" -> aBruteL2Sql,

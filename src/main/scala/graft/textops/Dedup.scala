@@ -890,6 +890,79 @@ object Dedup {
     } finally tracker.unpersistAll()
   }
 
+  /** STALENESS SIGNAL for the frozen statistics — the posting-index
+    * analog of [[Similarity.ivfPqDriftSignal]]: as the corpus drifts
+    * from the build snapshot, a growing share of incoming shingle mass
+    * is UNSEEN by the frozen dictionary (frequency 0 — always kept,
+    * always "rarest"), which erodes both the boilerplate cap (new
+    * boilerplate can never cap out) and the rare-first order's
+    * selectivity (unseen mass crowds the prefixes). Returns one row:
+    * (n_postings, n_unseen, unseen_frac, n_capped, capped_frac) for
+    * the batch under the frozen dictionary — one batch-sized aggregate
+    * with the same bucket-pruned map-side dictionary join as a probe.
+    * At build time unseen_frac is 0 by definition, so the number IS
+    * the drift. */
+  def ngramIndexStaleness(batch: DataFrame, idCol: String,
+      textCol: String, wh: graft.etl.Warehouse, layer: String,
+      table: String,
+      broadcastShingleLimit: Long = 2000000L): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val (shingleK, maxFreq, nPostBuckets, _) =
+      readNgramIndexMeta(spark, wh, layer, table)
+    val shB = shingledHashed(batch, idCol, textCol, shingleK)
+      .withColumn("sbucket",
+        pmod(col("sh"), lit(nPostBuckets.toLong)).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sbs = shB.select("sbucket").distinct().as[Int].collect().sorted
+      val freq = wh.read(spark, layer, s"${table}_freq")
+        .filter(col("sbucket").isin(sbs.map(Int.box): _*))
+        .select("sh", "freq")
+      val joined =
+        if (shB.count() <= broadcastShingleLimit) {
+          val freqB = freq.join(broadcast(shB.select("sh").distinct()),
+            Seq("sh"), "left_semi")
+          shB.join(broadcast(freqB), Seq("sh"), "left")
+        } else shB.join(freq, Seq("sh"), "left")
+      joined.agg(
+        count(lit(1)).as("n_postings"),
+        sum(when(col("freq").isNull, 1L).otherwise(0L)).as("n_unseen"),
+        (sum(when(col("freq").isNull, 1L).otherwise(0L)).cast("double")
+          / count(lit(1)).cast("double")).as("unseen_frac"),
+        sum(when(col("freq") > maxFreq, 1L).otherwise(0L)).as("n_capped"),
+        (sum(when(col("freq") > maxFreq, 1L).otherwise(0L)).cast("double")
+          / count(lit(1)).cast("double")).as("capped_frac"))
+    } finally shB.unpersist()
+  }
+
+  /** Statistics-refresh policy around [[ngramIndexStaleness]]: if the
+    * batch's unseen shingle-mass fraction exceeds `unseenThreshold`,
+    * REBUILD the index over the accumulated corpus (the caller owns the
+    * durable text — the index is its derivative), re-freezing
+    * frequencies, cap, and order at the new snapshot; otherwise append
+    * the batch through the frozen statistics ([[ngramIndexAppend]]).
+    * Returns true when a rebuild happened — the IDF-dictionary refresh
+    * cadence as a one-call policy. */
+  def ngramRebuildIfStale(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, wh: graft.etl.Warehouse,
+      layer: String, table: String,
+      unseenThreshold: Double = 0.5): Boolean = {
+    val row = ngramIndexStaleness(batch, idCol, textCol, wh, layer, table)
+      .head()
+    val frac = if (row.isNullAt(2)) 0.0 else row.getDouble(2)
+    if (frac > unseenThreshold) {
+      val (shingleK, maxFreq, nPostBuckets, nSetBuckets) =
+        readNgramIndexMeta(batch.sparkSession, wh, layer, table)
+      ngramIndexPersist(corpus.unionByName(batch), idCol, textCol,
+        wh, layer, table, shingleK, maxFreq, nPostBuckets, nSetBuckets)
+      true
+    } else {
+      ngramIndexAppend(batch, idCol, textCol, wh, layer, table)
+      false
+    }
+  }
+
   /** Incremental exact n-gram Jaccard: every pair a full
     * [[ngramJaccardPairs]] rebuild over corpus ∪ batch would emit that
     * touches a batch id — under the index's frozen statistics (see the

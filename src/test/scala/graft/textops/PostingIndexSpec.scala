@@ -135,6 +135,32 @@ class PostingIndexSpec extends AnyFunSuite {
     assert(!inc.exists { case (a, b, _) => a == 301L || b == 301L })
   }
 
+  test("staleness: novel vocabulary trips a rebuild, in-distribution appends") {
+    val wh = freshWh("stale")
+    build(wh)
+    // exact re-ingest: every shingle known — staleness 0, append path
+    val inDist = Seq((400L, corpusRows.head._2)).toDF("doc_id", "text")
+    val s0 = Dedup.ngramIndexStaleness(inDist, "doc_id", "text",
+      wh, "gold", "ng").head()
+    assert(s0.getDouble(2) === 0.0)
+    assert(!Dedup.ngramRebuildIfStale(corpus, inDist, "doc_id", "text",
+      wh, "gold", "ng"))
+    // novel vocabulary: all shingle mass unseen — staleness 1, rebuild
+    val novel = Seq((500L,
+      "wholly novel vocabulary cluster zeta omega theta lambda sigma gamma delta"))
+      .toDF("doc_id", "text")
+    val s1 = Dedup.ngramIndexStaleness(novel, "doc_id", "text",
+      wh, "gold", "ng").head()
+    assert(s1.getDouble(2) === 1.0)
+    assert(Dedup.ngramRebuildIfStale(corpus.unionByName(inDist), novel,
+      "doc_id", "text", wh, "gold", "ng"))
+    // the rebuild re-froze statistics at the new snapshot: the same
+    // batch now reads fully in-distribution
+    val s2 = Dedup.ngramIndexStaleness(novel, "doc_id", "text",
+      wh, "gold", "ng").head()
+    assert(s2.getDouble(2) === 0.0)
+  }
+
   test("build-time cap drops boilerplate from corpus AND batch sets") {
     // cap = 1: the exact-dup class {0,1} caps out entirely (freq 2), so
     // the re-ingested copy 100 has no capped shingles either — no pair.
