@@ -1030,6 +1030,46 @@ object TextQueries {
       wh, "gold", "ng", threshold = 0.8).orderBy("id_src", "id_dst")
   }
 
+  // d8f — the KEEP side of the posting-index ingest: corpus always
+  // wins, exactly the dNearIncrementKeep policy replayed over the
+  // frozen-cap exact-pair base (components of batch-internal pairs;
+  // a component dies if any member pairs with an indexed corpus doc;
+  // survivors = min-id member + cluster size; pair-less docs are
+  // singletons).
+  private val dNgramIncrementKeep: QFn = (s, dir) => {
+    val wh = incNgramIndexWh(s, dir)
+    Dedup.ngramJaccardIncrementKeep(incBatch(s, dir), "doc_id", "text",
+      wh, "gold", "ng", threshold = 0.5).orderBy("doc_id")
+  }
+  private val dNgramIncrementKeepSql =
+    s"""WITH RECURSIVE ${incFrozenSetsSql(k = 3, cap = 1000)},
+       |inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS c
+       |          FROM allsh x JOIN allsh y USING (shingle)
+       |          WHERE x.doc_id < y.doc_id AND y.doc_id >= 10000000
+       |          GROUP BY 1, 2),
+       |p AS (SELECT id_a, id_b FROM inter
+       |      JOIN sizes sa ON sa.doc_id = id_a
+       |      JOIN sizes sb ON sb.doc_id = id_b
+       |      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+       |bp AS (SELECT id_a, id_b FROM p WHERE id_a >= 10000000),
+       |xp AS (SELECT id_b AS bid FROM p WHERE id_a < 10000000),
+       |batchdocs AS (SELECT doc_id + 10000000 AS doc_id FROM documents
+       |              WHERE doc_id % 5 = 0),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM bp
+       |          UNION SELECT id_b, id_a FROM bp),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM batchdocs
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       |comp AS (SELECT src AS doc_id, MIN(dst) AS component
+       |         FROM reach GROUP BY 1),
+       |matched AS (SELECT DISTINCT c.component FROM comp c
+       |            JOIN xp ON c.doc_id = xp.bid)
+       |SELECT component AS doc_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |FROM comp
+       |WHERE component NOT IN (SELECT component FROM matched)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // d8e — frozen-statistics STALENESS: the share of the batch's
   // shingle mass unseen by (or capped out of) the frozen dictionary —
   // the observable that triggers the IDF-refresh rebuild
@@ -2050,6 +2090,7 @@ object TextQueries {
     "d_ngram_increment" -> dNgramIncrement,
     "d_containment_increment" -> dContainIncrement,
     "d_ngram_staleness" -> dNgramStaleness,
+    "d_ngram_increment_keep" -> dNgramIncrementKeep,
     "d_semantic_dedup" -> dSemantic,
     "ann_brute_force_topk" -> aBrute,
     "ann_l2_topk" -> aBruteL2,
@@ -2103,6 +2144,7 @@ object TextQueries {
     "d_ngram_increment" -> dNgramIncrementSql,
     "d_containment_increment" -> dContainIncrementSql,
     "d_ngram_staleness" -> dNgramStalenessSql,
+    "d_ngram_increment_keep" -> dNgramIncrementKeepSql,
     "d_semantic_dedup" -> dSemanticSql,
     "ann_brute_force_topk" -> aBruteSql,
     "ann_l2_topk" -> aBruteL2Sql,

@@ -979,6 +979,23 @@ object Dedup {
       broadcastDocLimit: Long = 200000L,
       maxComponentShingles: Long = 1000000L,
       broadcastShingleLimit: Long = 2000000L): DataFrame = {
+    val (cross, internal) = ngramIncrementParts(batch, idCol, textCol,
+      wh, layer, table, threshold, broadcastDocLimit,
+      maxComponentShingles, broadcastShingleLimit)
+    internal.unionByName(cross
+      .select(least(col("__cid"), col("__bid")).as("id_a"),
+        greatest(col("__cid"), col("__bid")).as("id_b"), col("jaccard"))
+      .distinct())
+  }
+
+  /** The shared probe body: (cross: __cid, __bid, jaccard — directed
+    * corpus→batch; internal: id_a, id_b, jaccard — batch-internal,
+    * id_a < id_b). */
+  private def ngramIncrementParts(batch: DataFrame, idCol: String,
+      textCol: String, wh: graft.etl.Warehouse, layer: String,
+      table: String, threshold: Double, broadcastDocLimit: Long,
+      maxComponentShingles: Long,
+      broadcastShingleLimit: Long): (DataFrame, DataFrame) = {
     val spark = batch.sparkSession
     import spark.implicits._
     val (shingleK, maxFreq, nPostBuckets, nSetBuckets) =
@@ -1035,9 +1052,7 @@ object Dedup {
       .withColumn("jaccard", col("__i").cast("double")
         / (col("n_a") + col("n_b") - col("__i")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(least(col("__cid"), col("__bid")).as("id_a"),
-        greatest(col("__cid"), col("__bid")).as("id_b"), col("jaccard"))
-      .distinct()
+      .select("__cid", "__bid", "jaccard")
     val selfCands = prefB.as("x").join(prefB.as("y"), Seq("sh"))
       .filter(col("x.doc_id") < col("y.doc_id") && posOk)
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
@@ -1047,7 +1062,44 @@ object Dedup {
       else
         verifyJaccardByComponent(selfCands, setsB, threshold,
           maxComponentShingles, useComponents = false)
-    internal.unionByName(cross)
+    (cross, internal)
+  }
+
+  /** Incremental exact-dedup KEEP — the ingest policy over the posting
+    * index, the exact-family twin of [[nearDedupIncrementKeep]]: a
+    * batch cluster (connected component of batch-internal verified
+    * pairs) is dropped ENTIRELY if any member pairs with an indexed
+    * corpus doc; otherwise its min-id member survives with the cluster
+    * size. Docs with no pairs (including shingle-less ones) survive as
+    * singletons. Same stated divergence from a full rebuild as the
+    * MinHash twin: the corpus always wins. Returns
+    * (doc_id, cluster_size). */
+  def ngramJaccardIncrementKeep(batch: DataFrame, idCol: String,
+      textCol: String, wh: graft.etl.Warehouse, layer: String,
+      table: String, threshold: Double = 0.5,
+      broadcastDocLimit: Long = 200000L,
+      maxComponentShingles: Long = 1000000L,
+      broadcastShingleLimit: Long = 2000000L): DataFrame = {
+    val (cross, internal) = ngramIncrementParts(batch, idCol, textCol,
+      wh, layer, table, threshold, broadcastDocLimit,
+      maxComponentShingles, broadcastShingleLimit)
+    val matched = cross.select(col("__bid").as(idCol)).distinct()
+    // checkpoint-before-iteration, as every keep operator: the verify
+    // plan must not be re-evaluated per contraction round
+    val pairs = internal.select("id_a", "id_b").localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val comp = graft.operators.ConnectedComponents
+      .componentsStarContraction(pairs, "id_a", "id_b")
+      .select(col("id").as(idCol), col("comp"))
+    val withComp = batch
+      .select(col(idCol).cast(LongType).as(idCol))
+      .join(comp, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("__comp"))
+    val matchedComps = withComp.join(matched, Seq(idCol), "left_semi")
+      .select("__comp").distinct()
+    withComp.join(matchedComps, Seq("__comp"), "left_anti")
+      .groupBy(col("__comp").as("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("cluster_size"))
   }
 
   /** Incremental directed containment — the [[containmentPairs]] twin

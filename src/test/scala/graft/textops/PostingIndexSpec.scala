@@ -135,6 +135,18 @@ class PostingIndexSpec extends AnyFunSuite {
     assert(!inc.exists { case (a, b, _) => a == 301L || b == 301L })
   }
 
+  test("increment keep: corpus wins, batch clusters collapse, singletons survive") {
+    val wh = freshWh("keep")
+    build(wh)
+    val kept = Dedup.ngramJaccardIncrementKeep(batch, "doc_id", "text",
+        wh, "gold", "ng", threshold = 0.5)
+      .as[(Long, Long)].collect().toMap
+    // 100 (exact corpus dup) and 101 (near corpus dup) die; the new
+    // cluster {102,103} keeps its min id with size 2; 104 is novel;
+    // 105 has no shingles and survives as a singleton
+    assert(kept === Map(102L -> 2L, 104L -> 1L, 105L -> 1L))
+  }
+
   test("staleness: novel vocabulary trips a rebuild, in-distribution appends") {
     val wh = freshWh("stale")
     build(wh)
