@@ -374,6 +374,10 @@ object ScaleProbe {
         Dedup.containmentIncrementPairs(batch, "doc_id", "text",
           wh, "gold", "ng", threshold = 0.8).count()
       }
+      time("ng_increment_keep_1pct") {
+        Dedup.ngramJaccardIncrementKeep(batch, "doc_id", "text",
+          wh, "gold", "ng", threshold = 0.5).count()
+      }
       spark.catalog.clearCache()
       big.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val batchS = mkBatch(250)
