@@ -332,6 +332,108 @@ object ScaleProbe {
       batch.unpersist(); batchS.unpersist()
     }
 
+    // Byte-ratio probe for the POSTING index (the r10 verdict's item 3):
+    // the same KB+-document corpus and InputMetrics measurement as
+    // `byteratio`, applied to the exact prefix-filter family — bytes
+    // read by the 1%/0.1% increment probes and the keep, vs the
+    // corpus∪batch ngramJaccardPairs rebuild they replace, plus on-disk
+    // sizes of _freq/_post/_sets vs the corpus parquet (the stated
+    // "_sets is ~6× the corpus" caveat, measured here for THIS family,
+    // and the dictionary-scan small-batch floor made visible as the
+    // 0.1% batch's byte count).
+    if (families("ngbyteratio")) {
+      val read = new java.util.concurrent.atomic.AtomicLong(0L)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskMetrics != null)
+              read.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+        })
+      def settled(): Long = {
+        var prev = -1L; var cur = read.get()
+        while (cur != prev) { Thread.sleep(300); prev = cur; cur = read.get() }
+        cur
+      }
+      def mb(b: Long): String = f"${b / 1048576.0}%9.1f MB"
+      def bytesOf(n: String)(b: => Long): Unit = {
+        val b0 = settled(); val t0 = System.nanoTime(); val r = b
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"BYTES $n%-26s ${mb(settled() - b0)} $dt%8.2f s rows=$r")
+      }
+      def dirMb(p: String): String = {
+        val root = java.nio.file.Paths.get(p)
+        val s = java.nio.file.Files.walk(root).filter(
+          java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        mb(s)
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+      val wh = graft.etl.Warehouse(java.nio.file.Files
+        .createTempDirectory("graft_probe_ngbytes").toString)
+      // same unique-content ~3 KB docs as `byteratio` (doc-keyed hashed
+      // filler — repeated segments would parquet-compress and fake the
+      // byte story), 5 near-dup variants per group
+      val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val kb = base.select(col("doc_id"), concat(col("text"), lit(" "),
+          expr("array_join(transform(sequence(0, 449), " +
+            "i -> concat('w', abs(xxhash64(doc_id, i)) % 30000)), ' ')"))
+          .as("text"))
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), lit(4L))).as("rep"))
+        .select((col("doc_id") * 5L + col("rep")).as("doc_id"),
+          concat(col("text"), lit(" v"), col("rep")).as("text"))
+      wh.overwrite(kb, "gold", "docs_kb")
+      val corpus = wh.read(spark, "gold", "docs_kb")
+      println(s"docsKb: ${corpus.count()} " +
+        s"avgBytes=${corpus.agg(avg(length(col("text")))).head().getDouble(0).toInt}")
+      bytesOf("ng_index_build") {
+        Dedup.ngramIndexPersist(corpus, "doc_id", "text",
+          wh, "gold", "ng", shingleK = 3, maxShingleFreq = 1000)
+        spark.read.parquet(wh.path("gold", "ng_post")).count()
+      }
+      println(s"  corpus parquet ${dirMb(wh.path("gold", "docs_kb"))}  " +
+        s"freq ${dirMb(wh.path("gold", "ng_freq"))}  " +
+        s"post ${dirMb(wh.path("gold", "ng_post"))}  " +
+        s"sets ${dirMb(wh.path("gold", "ng_sets"))}")
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      def mkBatch(n: Long) = corpus.filter(col("doc_id") < n)
+        .select((col("doc_id") + 100000000L).as("doc_id"),
+          when(col("doc_id") % 3 === 0, col("text"))
+            .when(col("doc_id") % 3 === 1, concat(col("text"), lit(" vnew")))
+            .otherwise(concat_ws(" ", reverse(split(col("text"), " "))))
+            .as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val batch = mkBatch(250); println(s"batch: ${batch.count()}")
+      bytesOf("ng_increment_pairs_1pct") {
+        Dedup.ngramJaccardIncrementPairs(batch, "doc_id", "text",
+          wh, "gold", "ng", threshold = 0.5).count()
+      }
+      bytesOf("ng_increment_keep_1pct") {
+        Dedup.ngramJaccardIncrementKeep(batch, "doc_id", "text",
+          wh, "gold", "ng", threshold = 0.5).count()
+      }
+      bytesOf("ct_increment_pairs_1pct") {
+        Dedup.containmentIncrementPairs(batch, "doc_id", "text",
+          wh, "gold", "ng", threshold = 0.8).count()
+      }
+      val batchS = mkBatch(25); println(s"batchS: ${batchS.count()}")
+      bytesOf("ng_increment_pairs_01pct") {
+        Dedup.ngramJaccardIncrementPairs(batchS, "doc_id", "text",
+          wh, "gold", "ng", threshold = 0.5).count()
+      }
+      // the alternative the increment replaces: full corpus∪batch rebuild
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+      spark.catalog.clearCache()
+      batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      batch.count()
+      bytesOf("ng_rebuild_union") {
+        Dedup.ngramJaccardPairs(corpus.unionByName(batch), "doc_id",
+          "text", shingleK = 3, threshold = 0.5).count()
+      }
+      batch.unpersist(); batchS.unpersist()
+    }
+
     // Incremental EXACT dedup probe (the prefix-filter family) — the
     // posting-index analog of "increment": the 250k-DISTINCT corpus
     // persists its capped/positioned posting index ONCE, then 1% and
@@ -494,7 +596,15 @@ object ScaleProbe {
     // total funnel (lang/quality/kept) EQUAL to the batch pipeline's
     // over the same input (exact-replica clusters + id-ordered epochs
     // make the kept sets identical by the min-id argument).
-    if (families("curationstream")) {
+    // `curationstream` = the MinHash family (the r10 probe);
+    // `curationexact` = the same probe on the EXACT posting-index
+    // family (CurationStream.ExactNgramFamily) — same pass bars, plus
+    // the zero-recall-loss dedup stage. The batch baseline uses the
+    // matching family's batch keep.
+    Seq(("curationstream", graft.textops.CurationStream.MinHashFamily),
+        ("curationexact", graft.textops.CurationStream.ExactNgramFamily))
+      .foreach { case (fam, family) => if (families(fam)) {
+      val tag = if (fam == "curationexact") "CUREXACT" else "CURSTREAM"
       spark.conf.set("spark.sql.shuffle.partitions", "128")
       val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       def slice(lo: Long, hi: Long) = base
@@ -502,42 +612,45 @@ object ScaleProbe {
           explode(sequence(lit(lo), lit(hi))).as("rep"))
         .select((col("doc_id") * 100L + col("rep")).as("doc_id"), col("text"))
       val wh = graft.etl.Warehouse(java.nio.file.Files
-        .createTempDirectory("graft_probe_curstream").toString)
-      time("curstream_bootstrap_150k") {
+        .createTempDirectory(s"graft_probe_$fam").toString)
+      time(s"${fam}_bootstrap_150k") {
         graft.textops.CurationStream.curationBootstrap(slice(0L, 29L),
-          "doc_id", "text", wh, "gold", "cur", threshold = 0.5, bands = 8)
+          "doc_id", "text", wh, "gold", "cur", threshold = 0.5, bands = 8,
+          family = family)
         wh.read(spark, "gold", "cur_kept").count()
       }
       val stageDir = java.nio.file.Files
-        .createTempDirectory("graft_probe_curstage").toString
+        .createTempDirectory(s"graft_probe_${fam}_stage").toString
       (0 until 7).foreach { k =>
         slice(30L + k * 10L, 39L + k * 10L)
           .coalesce(1).write.mode("append").parquet(stageDir)
       }
       val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_probe_cur_ckpt").toString
+        .createTempDirectory(s"graft_probe_${fam}_ckpt").toString
       spark.conf.set("spark.sql.shuffle.partitions", "32")
       var progress: Array[org.apache.spark.sql.streaming.StreamingQueryProgress] = Array()
-      time("curstream_7x50k") {
+      time(s"${fam}_7x50k") {
         val q = graft.textops.CurationStream.curationIngestStream(
           spark.readStream.schema("doc_id LONG, text STRING")
             .option("maxFilesPerTrigger", "1").parquet(stageDir),
-          "doc_id", "text", wh, "gold", "cur", threshold = 0.5, ckpt)
+          "doc_id", "text", wh, "gold", "cur", threshold = 0.5, ckpt,
+          family = family)
         q.processAllAvailable()
         progress = q.recentProgress
         q.stop()
         wh.read(spark, "gold", "cur_kept").count()
       }
       progress.filter(_.numInputRows > 0).foreach(p =>
-        println(f"CURSTREAM epoch ${p.batchId} ${p.numInputRows} rows " +
+        println(f"$tag epoch ${p.batchId} ${p.numInputRows} rows " +
           f"${p.durationMs.get("triggerExecution") / 1000.0}%.1f s"))
       val funnel = wh.read(spark, "gold", "cur_funnel")
         .agg(sum("n_in"), sum("n_lang"), sum("n_quality"), sum("n_kept"))
         .head()
-      println(s"CURSTREAM funnel in=${funnel.getLong(0)} " +
+      println(s"$tag funnel in=${funnel.getLong(0)} " +
         s"lang=${funnel.getLong(1)} qual=${funnel.getLong(2)} " +
         s"kept=${funnel.getLong(3)}")
-      // the batch pipeline over the same input — counts must MATCH
+      // the matching family's batch pipeline over the same input —
+      // counts must MATCH
       spark.conf.set("spark.sql.shuffle.partitions", "128")
       val all = slice(0L, 99L)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -549,15 +662,21 @@ object ScaleProbe {
           graft.textops.TextFunctions.qualityScore(col("text")) >= 0.5)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nQual = qG.count()
-      val nKept = Dedup.nearDedupKeep(qG, "doc_id", "text", shingleK = 3,
-        numHashes = 32, bands = 8, threshold = 0.5).count()
-      println(s"CURSTREAM batch   in=$nIn lang=$nLang qual=$nQual kept=$nKept")
-      println(s"CURSTREAM equal=${funnel.getLong(0) == nIn &&
+      val nKept = family match {
+        case graft.textops.CurationStream.MinHashFamily =>
+          Dedup.nearDedupKeep(qG, "doc_id", "text", shingleK = 3,
+            numHashes = 32, bands = 8, threshold = 0.5).count()
+        case graft.textops.CurationStream.ExactNgramFamily =>
+          Dedup.ngramJaccardKeep(qG, "doc_id", "text", shingleK = 3,
+            threshold = 0.5).count()
+      }
+      println(s"$tag batch   in=$nIn lang=$nLang qual=$nQual kept=$nKept")
+      println(s"$tag equal=${funnel.getLong(0) == nIn &&
         funnel.getLong(1) == nLang && funnel.getLong(2) == nQual &&
         funnel.getLong(3) == nKept}")
       all.unpersist(); lG.unpersist(); qG.unpersist()
       spark.conf.set("spark.sql.shuffle.partitions", "64")
-    }
+    }}
 
     // End-to-end curation pipeline at 100×: 500k docs (every sf0.1 doc
     // exactly replicated 100× — the crawl's dominant redundancy shape)

@@ -1003,7 +1003,9 @@ object TextQueries {
     val d = docs(s, dir)
     val r = d.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)),
       coalesce(sum(length(col("text")).cast("long")), lit(0L))).head()
-    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 1000, 16, 16, 1))
+    // ver=2: the r11 layout added the `epoch` sub-partition to
+    // _post/_sets (exactly-once streaming appends) — r10 indexes rebuild
+    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 1000, 16, 16, 2))
       .toDF("n", "id_sum", "len_sum", "k", "cap", "npb", "nsb", "ver")
     val fresh = wh.exists("gold", "ng_fp") &&
       (try {
@@ -1283,6 +1285,232 @@ object TextQueries {
        |  (SELECT COUNT(*) FROM bg),
        |  (SELECT COUNT(*) FROM kept_b)
        |ORDER BY epoch""".stripMargin
+  }
+
+  // pipe6 — the same curation stream with the EXACT posting-index
+  // family (CurationStream.ExactNgramFamily): the dedup stage is the
+  // frozen-statistics posting-index increment+keep (zero recall loss)
+  // instead of the MinHash band probe. The boilerplate cap is set far
+  // above any shingle frequency at these SFs (stated cap-free), so
+  // frozen statistics coincide with the union's and the oracle is the
+  // SAME end-to-end replay as pipe_curation_stream — both gates,
+  // exact-Jaccard pairs over the gated union, recursive-CTE bootstrap
+  // keep, corpus-wins epoch policy. The two entries deliberately share
+  // one oracle: what differs (and is under test) is the ENGINE path.
+  private val pipeCurationExact: QFn = (s, dir) => {
+    import s.implicits._
+    val initial = docs(s, dir).filter(col("doc_id") % 5 =!= 0)
+      .select("doc_id", "text")
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val wh = graft.etl.Warehouse(
+      s"${sys.props("java.io.tmpdir")}/graft_curexwh$key")
+    val r = initial.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)),
+      coalesce(sum(length(col("text")).cast("long")), lit(0L))).head()
+    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 1000000, 16, 16, 1))
+      .toDF("n", "id_sum", "len_sum", "k", "cap", "npb", "nsb", "ver")
+    val fresh = wh.exists("gold", "curex_fp") &&
+      (try {
+        wh.read(s, "gold", "curex_fp").collect().toSeq == fp.collect().toSeq
+      } catch { case _: Throwable => false })
+    if (!fresh) {
+      graft.textops.CurationStream.curationBootstrap(initial, "doc_id",
+        "text", wh, "gold", "cur", threshold = 0.5,
+        nBuckets = 16, nSetBuckets = 16,
+        family = graft.textops.CurationStream.ExactNgramFamily,
+        maxShingleFreq = 1000000)
+      wh.overwrite(fp, "gold", "curex_fp")
+    }
+    graft.textops.CurationStream.curationIngestBatch(incBatch(s, dir),
+      0L, "doc_id", "text", wh, "gold", "cur", threshold = 0.5,
+      family = graft.textops.CurationStream.ExactNgramFamily)
+    wh.read(s, "gold", "cur_funnel")
+      .select("epoch", "n_in", "n_lang", "n_quality", "n_kept")
+      .orderBy("epoch")
+  }
+  private val pipeCurationExactSql: String = pipeCurationStreamSql
+
+  // d9 — QUANTIFIED keep divergence (the r10 verdict's reconciliation
+  // ask): both incremental keeps STATE that the corpus-wins policy can
+  // keep an extra member vs a full rebuild when near-dup similarity
+  // CHAINS instead of forming cliques — this entry measures that
+  // divergence as a rate. Deliberate chains: X = the doc text,
+  // Y = X ⊕ m doc-keyed filler words, Z = Y ⊕ m more, with
+  // m = ⌈0.75·(|words|−2)⌉ so J(X,Y) ≥ 0.5 and J(Y,Z) ≥ 0.5 but
+  // J(X,Z) < 0.5. Bootstrap keeps X (Y dies against it) and indexes
+  // the SURVIVORS; the streamed batch Z then matches nothing indexed
+  // (its only near-neighbor Y was never indexed) and is kept — while
+  // the corpus∪batch rebuild collapses the whole {X,Y,Z} chain to X.
+  // Output: one row of kept-set sizes, the symmetric difference split
+  // into extra/missing, and (extra+missing)/rebuild as the rate.
+  // Cap-free (stated) so frozen == union statistics and the oracle
+  // replays BOTH sides exactly with full shingle sets: recursive-CTE
+  // components for the bootstrap keep, the epoch's corpus-wins policy
+  // scoped to pairs into kept docs, and the full-rebuild closure.
+  private def divChain(s: SparkSession, dir: String): DataFrame = {
+    val nsh = greatest(
+      size(split(TF.normText(col("text")), " ")) - 2, lit(0))
+    val m = ceil(nsh.cast("double") * lit(0.75)).cast("int")
+    def filler(tag: String): Column =
+      when(m > lit(0), concat(lit(" "), array_join(
+        transform(sequence(lit(1), greatest(m, lit(1))),
+          i => concat(lit("zq"), col("doc_id").cast("string"),
+            lit(tag), i.cast("string"))), " ")))
+      .otherwise(lit(""))
+    docs(s, dir).filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("text"),
+        filler("a").as("fa"), filler("c").as("fc"))
+  }
+  private val dKeepDivergence: QFn = (s, dir) => {
+    import s.implicits._
+    val b = divChain(s, dir)
+    val xs = b.select((col("doc_id") * 4).as("doc_id"), col("text"))
+    val ys = b.select((col("doc_id") * 4 + 1).as("doc_id"),
+      concat(col("text"), col("fa")).as("text"))
+    val zs = b.select((col("doc_id") * 4 + 2 + 10000000L).as("doc_id"),
+      concat(col("text"), col("fa"), col("fc")).as("text"))
+    val corpus = xs.unionByName(ys)
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val wh = graft.etl.Warehouse(
+      s"${sys.props("java.io.tmpdir")}/graft_divwh$key")
+    val r = corpus.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)),
+      coalesce(sum(length(col("text")).cast("long")), lit(0L))).head()
+    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 1000000, 16, 16, 1))
+      .toDF("n", "id_sum", "len_sum", "k", "cap", "npb", "nsb", "ver")
+    val fresh = wh.exists("gold", "div_fp") &&
+      (try {
+        wh.read(s, "gold", "div_fp").collect().toSeq == fp.collect().toSeq
+      } catch { case _: Throwable => false })
+    if (!fresh) {
+      // standing artifacts, all pure functions of the fingerprinted
+      // corpus: the bootstrap kept set, the posting index over its
+      // survivors, and the full-rebuild baseline the stream reconciles
+      // against — only the streamed probe + tally run per execution
+      val boot = Dedup.ngramJaccardKeep(corpus, "doc_id", "text",
+        shingleK = 3, threshold = 0.5, maxShingleFreq = 1000000)
+      val keptDocs = corpus
+        .join(boot.select("doc_id"), "doc_id").localCheckpoint(true)
+      Dedup.ngramIndexPersist(keptDocs, "doc_id", "text", wh, "gold",
+        "div", shingleK = 3, maxShingleFreq = 1000000,
+        nPostBuckets = 16, nSetBuckets = 16)
+      wh.overwrite(keptDocs.select("doc_id"), "gold", "div_kept")
+      wh.overwrite(
+        Dedup.ngramJaccardKeep(corpus.unionByName(zs), "doc_id", "text",
+            shingleK = 3, threshold = 0.5, maxShingleFreq = 1000000)
+          .select("doc_id"),
+        "gold", "div_rebuild")
+      wh.overwrite(fp, "gold", "div_fp")
+    }
+    val streamZ = Dedup.ngramJaccardIncrementKeep(zs, "doc_id", "text",
+      wh, "gold", "div", threshold = 0.5).select("doc_id")
+    val streamed = wh.read(s, "gold", "div_kept").select("doc_id")
+      .unionByName(streamZ).withColumn("s", lit(1))
+    val rebuild = wh.read(s, "gold", "div_rebuild").select("doc_id")
+      .withColumn("r", lit(1))
+    streamed.join(rebuild, Seq("doc_id"), "full_outer")
+      .agg(
+        sum(coalesce(col("s"), lit(0))).cast("long").as("n_stream_kept"),
+        sum(coalesce(col("r"), lit(0))).cast("long").as("n_rebuild_kept"),
+        sum(when(col("r").isNull, 1L).otherwise(0L)).as("n_extra"),
+        sum(when(col("s").isNull, 1L).otherwise(0L)).as("n_missing"),
+        ((sum(when(col("r").isNull, 1L).otherwise(0L)) +
+          sum(when(col("s").isNull, 1L).otherwise(0L))).cast("double") /
+         sum(coalesce(col("r"), lit(0))).cast("double"))
+          .as("divergence_rate"))
+  }
+  private val dKeepDivergenceSql: String = {
+    val norm = TF.normTextSql("text")
+    val shingleOf =
+      s"""unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+         |    i -> array_to_string(ws[i:i+2], ' ')))""".stripMargin
+    s"""WITH RECURSIVE
+       |g AS (SELECT doc_id, text,
+       |  CAST(ceil(0.75 * greatest(len(string_split($norm, ' ')) - 2, 0))
+       |    AS INT) AS m
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |f AS (SELECT doc_id, text,
+       |  CASE WHEN m > 0 THEN ' ' || array_to_string(list_transform(
+       |    range(1, m+1), i -> 'zq' || CAST(doc_id AS VARCHAR) || 'a'
+       |      || CAST(i AS VARCHAR)), ' ') ELSE '' END AS fa,
+       |  CASE WHEN m > 0 THEN ' ' || array_to_string(list_transform(
+       |    range(1, m+1), i -> 'zq' || CAST(doc_id AS VARCHAR) || 'c'
+       |      || CAST(i AS VARCHAR)), ' ') ELSE '' END AS fc
+       |  FROM g),
+       |docsall AS (
+       |  SELECT doc_id*4 AS doc_id, text FROM f
+       |  UNION ALL SELECT doc_id*4+1, text || fa FROM f
+       |  UNION ALL SELECT doc_id*4+2+10000000, text || fa || fc FROM f),
+       |w AS (SELECT doc_id, string_split($norm, ' ') AS ws FROM docsall),
+       |sh AS MATERIALIZED (SELECT DISTINCT doc_id, $shingleOf AS shingle
+       |  FROM w),
+       |sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh
+       |  GROUP BY 1),
+       |inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS c
+       |          FROM sh x JOIN sh y USING (shingle)
+       |          WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+       |p AS MATERIALIZED (SELECT id_a, id_b FROM inter
+       |     JOIN sizes sa ON sa.doc_id = id_a
+       |     JOIN sizes sb ON sb.doc_id = id_b
+       |     WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+       |pc AS (SELECT id_a, id_b FROM p WHERE id_b < 10000000),
+       |edges_c AS (SELECT id_a AS a, id_b AS b FROM pc
+       |            UNION SELECT id_b, id_a FROM pc),
+       |reach_c(src, dst) AS (
+       |  SELECT a, a FROM (SELECT a FROM edges_c UNION SELECT b FROM edges_c)
+       |  UNION
+       |  SELECT r.src, e.b FROM reach_c r JOIN edges_c e ON r.dst = e.a),
+       |comp_c AS (SELECT src AS doc_id, MIN(dst) AS component
+       |           FROM reach_c GROUP BY 1),
+       |corpusdocs AS (SELECT doc_id*4 AS doc_id FROM f
+       |               UNION ALL SELECT doc_id*4+1 FROM f),
+       |kept_c AS MATERIALIZED (
+       |  SELECT DISTINCT COALESCE(c.component, d.doc_id) AS doc_id
+       |  FROM corpusdocs d LEFT JOIN comp_c c ON d.doc_id = c.doc_id),
+       |bp AS (SELECT id_a, id_b FROM p WHERE id_a >= 10000000),
+       |xp AS (SELECT p.id_b AS bid FROM p JOIN kept_c k ON p.id_a = k.doc_id
+       |       WHERE p.id_b >= 10000000),
+       |batchdocs AS (SELECT doc_id*4+2+10000000 AS doc_id FROM f),
+       |edges_b AS (SELECT id_a AS a, id_b AS b FROM bp
+       |            UNION SELECT id_b, id_a FROM bp),
+       |reach_b(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM batchdocs
+       |  UNION
+       |  SELECT r.src, e.b FROM reach_b r JOIN edges_b e ON r.dst = e.a),
+       |comp_b AS (SELECT src AS doc_id, MIN(dst) AS component
+       |           FROM reach_b GROUP BY 1),
+       |matched AS (SELECT DISTINCT c.component FROM comp_b c
+       |            JOIN xp ON c.doc_id = xp.bid),
+       |kept_b AS (SELECT DISTINCT component AS doc_id FROM comp_b
+       |           WHERE component NOT IN (SELECT component FROM matched)),
+       |streamkept AS (SELECT doc_id FROM kept_c
+       |               UNION ALL SELECT doc_id FROM kept_b),
+       |edges_r AS (SELECT id_a AS a, id_b AS b FROM p
+       |            UNION SELECT id_b, id_a FROM p),
+       |reach_r(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM docsall
+       |  UNION
+       |  SELECT r.src, e.b FROM reach_r r JOIN edges_r e ON r.dst = e.a),
+       |comp_r AS (SELECT src AS doc_id, MIN(dst) AS component
+       |           FROM reach_r GROUP BY 1),
+       |kept_r AS MATERIALIZED (SELECT DISTINCT component AS doc_id
+       |  FROM comp_r),
+       |tally AS (SELECT s.doc_id IS NOT NULL AS in_s,
+       |                 r.doc_id IS NOT NULL AS in_r
+       |          FROM streamkept s FULL JOIN kept_r r
+       |            ON s.doc_id = r.doc_id)
+       |SELECT
+       |  CAST(SUM(CASE WHEN in_s THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_stream_kept,
+       |  CAST(SUM(CASE WHEN in_r THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_rebuild_kept,
+       |  CAST(SUM(CASE WHEN in_s AND NOT in_r THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_extra,
+       |  CAST(SUM(CASE WHEN in_r AND NOT in_s THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_missing,
+       |  CAST(SUM(CASE WHEN in_s AND NOT in_r THEN 1 ELSE 0 END)
+       |     + SUM(CASE WHEN in_r AND NOT in_s THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(SUM(CASE WHEN in_r THEN 1 ELSE 0 END) AS DOUBLE)
+       |    AS divergence_rate
+       |FROM tally""".stripMargin
   }
 
   private def sqlArr(p: Array[Double]): String =
@@ -2058,6 +2286,7 @@ object TextQueries {
     "pipe_rag_ingest" -> pipeRagIngest,
     "pipe_hybrid_search" -> pipeHybrid,
     "pipe_curation_stream" -> pipeCurationStream,
+    "pipe_curation_exact" -> pipeCurationExact,
     "p_hash_split" -> pSplit,
     "p_stratified_sample" -> pStratified,
     "p_token_shards" -> pShards,
@@ -2091,6 +2320,7 @@ object TextQueries {
     "d_containment_increment" -> dContainIncrement,
     "d_ngram_staleness" -> dNgramStaleness,
     "d_ngram_increment_keep" -> dNgramIncrementKeep,
+    "d_keep_divergence" -> dKeepDivergence,
     "d_semantic_dedup" -> dSemantic,
     "ann_brute_force_topk" -> aBrute,
     "ann_l2_topk" -> aBruteL2,
@@ -2112,6 +2342,7 @@ object TextQueries {
     "pipe_rag_ingest" -> pipeRagIngestSql,
     "pipe_hybrid_search" -> pipeHybridSql,
     "pipe_curation_stream" -> pipeCurationStreamSql,
+    "pipe_curation_exact" -> pipeCurationExactSql,
     "p_hash_split" -> pSplitSql,
     "p_stratified_sample" -> pStratifiedSql,
     "p_token_shards" -> pShardsSql,
@@ -2145,6 +2376,7 @@ object TextQueries {
     "d_containment_increment" -> dContainIncrementSql,
     "d_ngram_staleness" -> dNgramStalenessSql,
     "d_ngram_increment_keep" -> dNgramIncrementKeepSql,
+    "d_keep_divergence" -> dKeepDivergenceSql,
     "d_semantic_dedup" -> dSemanticSql,
     "ann_brute_force_topk" -> aBruteSql,
     "ann_l2_topk" -> aBruteL2Sql,

@@ -20,8 +20,10 @@ final case class Warehouse(root: String) {
 
   def path(layer: String, table: String): String = s"$root/$layer/$table"
 
-  def read(spark: SparkSession, layer: String, table: String): DataFrame =
+  def read(spark: SparkSession, layer: String, table: String): DataFrame = {
+    recoverIfCrashed(layer, table)
     spark.read.parquet(path(layer, table))
+  }
 
   def exists(layer: String, table: String): Boolean =
     Files.exists(Paths.get(path(layer, table)))
@@ -108,18 +110,36 @@ final case class Warehouse(root: String) {
   /** Swap a fully-written tmp dir into place: rename the live table
     * aside, rename tmp in, then delete the old copy. The no-table window
     * is a single rename (old→aside ↔ tmp→live), not the delete-then-move
-    * gap the naive form had (r9 ADVICE): a crash mid-swap leaves at
-    * worst `table._old` to reclaim, never a lost table. A stale `._old`
-    * from a prior crash is reclaimed up front. */
+    * gap the naive form had (r9 ADVICE) — and a crash INSIDE that window
+    * is recoverable, not just reclaimable: [[recoverIfCrashed]] (run on
+    * every read and on swap entry) restores `._old` to the live path
+    * whenever the live table is missing, so a restart after a mid-swap
+    * crash reads the pre-swap content instead of failing (r10 ADVICE).
+    * `._old` is only deleted after tmp→live succeeded. */
   private def swapIn(layer: String, table: String,
                      tmp: java.nio.file.Path): Unit = {
     val target = Paths.get(path(layer, table))
     val old = Paths.get(path(layer, table + "._old"))
+    recoverIfCrashed(layer, table)
+    // any ._old still present is stale (its swap completed: the live
+    // table exists) — reclaim before taking its name
     if (Files.exists(old)) deleteRecursively(old)
     if (Files.exists(target))
       Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
     if (Files.exists(old)) deleteRecursively(old)
+  }
+
+  /** Crash recovery for [[swapIn]]'s single-rename window: a live table
+    * that vanished while its `._old` copy survives means a swap died
+    * between the two renames — restore the old copy. One existence
+    * check per read; at cluster scale the same contract holds with
+    * object-store list/rename. */
+  private def recoverIfCrashed(layer: String, table: String): Unit = {
+    val target = Paths.get(path(layer, table))
+    val old = Paths.get(path(layer, table + "._old"))
+    if (!Files.exists(target) && Files.exists(old))
+      Files.move(old, target, StandardCopyOption.ATOMIC_MOVE)
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {

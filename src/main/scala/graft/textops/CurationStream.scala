@@ -6,12 +6,14 @@ import org.apache.spark.sql.types.LongType
 
 /** The corpus-curation pipeline as a CONTINUOUS ingest: the batch shape
   * (lang gate → quality gate → dedup → kept corpus; the curation100
-  * probe / `pipe_corpus_curation` entry) recomposed over
-  * [[Dedup.nearDedupIngestBatch]] so each micro-batch gates itself,
-  * near-dedups against everything every earlier epoch kept, and lands
-  * its survivors exactly-once — the end-to-end production shape of a
-  * crawl feed at 100 TB, where "the corpus" is never rebuilt, only
-  * appended to.
+  * probe / `pipe_corpus_curation` entry) recomposed over the
+  * family-selected ingest loop ([[Dedup.nearDedupIngestBatch]] for the
+  * MinHash band index, [[Dedup.ngramIngestBatch]] for the exact
+  * posting index — [[CurationStream.DedupFamily]]) so each micro-batch
+  * gates itself, dedups against everything every earlier epoch kept,
+  * and lands its survivors exactly-once — the end-to-end production
+  * shape of a crawl feed at 100 TB, where "the corpus" is never
+  * rebuilt, only appended to.
   *
   * Per epoch the funnel observables land in `<table>_funnel`
   * (epoch, n_in, n_lang, n_quality, n_kept), keyed by epoch via dynamic
@@ -32,76 +34,138 @@ import org.apache.spark.sql.types.LongType
 object CurationStream {
   import TextFunctions._
 
-  /** One epoch: gate → incremental near-dedup ingest → funnel row.
-    * Extracted from the foreachBatch closure so kill-and-replay is
-    * directly testable (CurationStreamSpec). */
+  /** The dedup stage a curation pipeline pays for (r10 verdict: the
+    * stream was hard-wired to MinHash; a production curator should be
+    * able to pay for exactness). Both families share the identical
+    * gate → keep → exactly-once sink composition — only the index and
+    * its probe differ. */
+  sealed trait DedupFamily
+  /** MinHash band index ([[Dedup.nearDedupIngestBatch]]): sketch
+    * recall — banding escape probability (1−s^r)^b, negligible at
+    * real near-dup similarities — at the lowest probe cost. */
+  case object MinHashFamily extends DedupFamily
+  /** Exact prefix-filter posting index ([[Dedup.ngramIngestBatch]]):
+    * ZERO recall loss under the index's frozen statistics, plus the
+    * in-loop statistics-refresh cadence (`rebuildCheckEvery`). */
+  case object ExactNgramFamily extends DedupFamily
+
+  /** One epoch: gate → incremental dedup ingest (family-selected) →
+    * funnel row. Extracted from the foreachBatch closure so
+    * kill-and-replay is directly testable (CurationStreamSpec).
+    * `rebuildCheckEvery` (exact family only) runs the frozen-statistics
+    * staleness check on the gated batch every that-many epochs and
+    * rebuilds the posting index over the `_kept` corpus when it trips
+    * — the curated corpus IS the kept table, so the loop is
+    * self-contained (no external base corpus needed). */
   def curationIngestBatch(b: DataFrame, epoch: Long, idCol: String,
       textCol: String, wh: graft.etl.Warehouse, layer: String,
       table: String, threshold: Double, langCode: String = "en",
       minQuality: Double = 0.5, broadcastDocLimit: Long = 200000L,
-      compactEvery: Int = 0): Unit = {
+      compactEvery: Int = 0, family: DedupFamily = MinHashFamily,
+      rebuildCheckEvery: Int = 0): Unit = {
     val spark = b.sparkSession
     import spark.implicits._
     val in = b.select(col(idCol).cast(LongType).as(idCol), col(textCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // gate frames release in `finally`: a throwing dedup stage or sink
+    // write must not leak two MEMORY_AND_DISK frames per retried epoch
+    // into CacheManager (r10 ADVICE — the per-epoch /tmp/blockmgr
+    // growth class PersistTracker exists to eliminate)
+    var gated: DataFrame = null
+    var qual: DataFrame = null
     try {
       val nIn = in.count()
       // the gates are single-scan codegen'd expressions (native langId /
       // qualityScore — the curation100-measured forms); one persisted
       // frame feeds both counts and the dedup stage
-      val gated = in
+      gated = in
         .filter(langId(col(textCol)) === langCode)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nLang = gated.count()
-      val qual = gated
+      qual = gated
         .filter(qualityScore(col(textCol)) >= minQuality)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nQual = qual.count()
-      Dedup.nearDedupIngestBatch(qual, epoch, idCol, textCol, wh, layer,
-        table, threshold, broadcastDocLimit, compactEvery)
-      val nKept = wh.read(spark, layer, s"${table}_kept")
-        .filter(col("epoch") === epoch).count()
+      // nKept comes from the epoch's own checkpointed survivors, never
+      // from reading the `_kept` sink back: an epoch (or bootstrap)
+      // whose survivor set is empty writes no partition, and reading a
+      // never-populated parquet dir fails on schema inference — which
+      // would wedge every subsequent epoch (r10 ADVICE)
+      val nKept = family match {
+        case MinHashFamily =>
+          Dedup.nearDedupIngestBatch(qual, epoch, idCol, textCol,
+            wh, layer, table, threshold, broadcastDocLimit, compactEvery)
+        case ExactNgramFamily =>
+          Dedup.ngramIngestBatch(qual, epoch, idCol, textCol,
+            wh, layer, table, threshold, broadcastDocLimit,
+            compactEvery = compactEvery,
+            rebuildCheckEvery = rebuildCheckEvery)
+      }
       wh.overwritePartitionsDynamic(
         Seq((nIn, nLang, nQual, nKept, epoch))
           .toDF("n_in", "n_lang", "n_quality", "n_kept", "epoch"),
         layer, s"${table}_funnel", Seq("epoch"))
-      gated.unpersist(); qual.unpersist()
-    } finally in.unpersist()
+    } finally {
+      if (gated != null) gated.unpersist()
+      if (qual != null) qual.unpersist()
+      in.unpersist()
+    }
     ()
   }
 
   /** Bootstrap the curated corpus + its index from an initial corpus —
     * the one-time batch build the stream then appends to forever: gate
-    * → [[Dedup.nearDedupKeep]] (the batch keep, min-id rep per cluster)
-    * → [[Dedup.nearDedupIndexPersist]] over the SURVIVORS → the kept
-    * sink and funnel rows land under epoch −1 (the base epoch streaming
-    * epochs are disjoint from). */
+    * → the family's batch keep ([[Dedup.nearDedupKeep]] /
+    * [[Dedup.ngramJaccardKeep]], min-id rep per cluster) → the family's
+    * index persist over the SURVIVORS → the kept sink and funnel rows
+    * land under epoch −1 (the base epoch streaming epochs are disjoint
+    * from). For the exact family, `numHashes`/`bands` are unused and
+    * `nBuckets` keys the posting buckets; `maxShingleFreq` is the
+    * frozen boilerplate cap. */
   def curationBootstrap(initial: DataFrame, idCol: String,
       textCol: String, wh: graft.etl.Warehouse, layer: String,
       table: String, threshold: Double, shingleK: Int = 3,
       numHashes: Int = 32, bands: Int = 16, nBuckets: Int = 64,
       nSetBuckets: Int = 64, langCode: String = "en",
-      minQuality: Double = 0.5, broadcastDocLimit: Long = 200000L): Unit = {
+      minQuality: Double = 0.5, broadcastDocLimit: Long = 200000L,
+      family: DedupFamily = MinHashFamily,
+      maxShingleFreq: Int = 1000): Unit = {
     val spark = initial.sparkSession
     import spark.implicits._
     val in = initial.select(col(idCol).cast(LongType).as(idCol),
         col(textCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // gate frames release in `finally` — same leak class as the epoch
+    // path (r10 ADVICE)
+    var gated: DataFrame = null
+    var qual: DataFrame = null
     try {
       val nIn = in.count()
-      val gated = in.filter(langId(col(textCol)) === langCode)
+      gated = in.filter(langId(col(textCol)) === langCode)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nLang = gated.count()
-      val qual = gated.filter(qualityScore(col(textCol)) >= minQuality)
+      qual = gated.filter(qualityScore(col(textCol)) >= minQuality)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nQual = qual.count()
-      val keptDocs = qual.join(
+      val keep = family match {
+        case MinHashFamily =>
           Dedup.nearDedupKeep(qual, idCol, textCol, shingleK, numHashes,
             bands, threshold, broadcastDocLimit)
-            .withColumnRenamed("doc_id", idCol), idCol)
+        case ExactNgramFamily =>
+          Dedup.ngramJaccardKeep(qual, idCol, textCol, shingleK,
+            threshold, maxShingleFreq, broadcastDocLimit)
+      }
+      val keptDocs = qual.join(
+          keep.withColumnRenamed("doc_id", idCol), idCol)
         .localCheckpoint(true)
-      Dedup.nearDedupIndexPersist(keptDocs, idCol, textCol, wh, layer,
-        table, shingleK, numHashes, bands, nBuckets, nSetBuckets)
+      family match {
+        case MinHashFamily =>
+          Dedup.nearDedupIndexPersist(keptDocs, idCol, textCol, wh, layer,
+            table, shingleK, numHashes, bands, nBuckets, nSetBuckets)
+        case ExactNgramFamily =>
+          Dedup.ngramIndexPersist(keptDocs, idCol, textCol, wh, layer,
+            table, shingleK, maxShingleFreq, nBuckets, nSetBuckets)
+      }
       wh.overwritePartitionsDynamic(
         keptDocs.withColumn("epoch", lit(-1L)),
         layer, s"${table}_kept", Seq("epoch"))
@@ -109,8 +173,11 @@ object CurationStream {
         Seq((nIn, nLang, nQual, keptDocs.count(), -1L))
           .toDF("n_in", "n_lang", "n_quality", "n_kept", "epoch"),
         layer, s"${table}_funnel", Seq("epoch"))
-      gated.unpersist(); qual.unpersist()
-    } finally in.unpersist()
+    } finally {
+      if (gated != null) gated.unpersist()
+      if (qual != null) qual.unpersist()
+      in.unpersist()
+    }
   }
 
   /** The continuously-running stream around [[curationIngestBatch]].
@@ -122,15 +189,16 @@ object CurationStream {
       textCol: String, wh: graft.etl.Warehouse, layer: String,
       table: String, threshold: Double, checkpointDir: String,
       langCode: String = "en", minQuality: Double = 0.5,
-      broadcastDocLimit: Long = 200000L,
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+      broadcastDocLimit: Long = 200000L, compactEvery: Int = 0,
+      family: DedupFamily = MinHashFamily, rebuildCheckEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     batches.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        epoch: Long) =>
         curationIngestBatch(b.toDF(), epoch, idCol, textCol, wh, layer,
           table, threshold, langCode, minQuality, broadcastDocLimit,
-          compactEvery)
+          compactEvery, family, rebuildCheckEvery)
       }
       .start()
 }

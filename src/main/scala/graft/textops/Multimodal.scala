@@ -500,6 +500,8 @@ object Multimodal {
     hx.substr((pos * 2 + 1).cast(IntegerType), lit(2 * n))
   private def u32be(hx: Column, pos: Column): Column =
     conv(bytesAt(hx, pos, 4), 16, 10).cast(LongType)
+  private def u64be(hx: Column, pos: Column): Column =
+    conv(bytesAt(hx, pos, 8), 16, 10).cast(LongType)
   private def u32le(hx: Column, pos: Column): Column =
     conv(concat(bytesAt(hx, pos + 3, 1), bytesAt(hx, pos + 2, 1),
       bytesAt(hx, pos + 1, 1), bytesAt(hx, pos, 1)), 16, 10).cast(LongType)
@@ -532,28 +534,55 @@ object Multimodal {
 
   /** Bounded ISO-BMFF box walk within [start, end): position of the
     * first box of `typ` (or -1), and the count of boxes of `typ`.
-    * Boxes advance by their BE size (which includes the header). */
-  private def mp4BoxScan(hx: Column, start: Column, end: Column,
-                         typ: String, maxSteps: Int = 8): Column =
+    * Boxes advance by their effective size: the 32-bit BE size (which
+    * includes the header) in the common case, `end − off` for size 0
+    * (box extends to the end of the enclosing range, necessarily the
+    * last box), and the 64-bit largesize following the type for size 1
+    * — per ISO BMFF, both are valid and the r10 walk over-rejected them,
+    * silently losing every subsequent box (r10 ADVICE). Sizes in [2,8)
+    * (or a null from a truncated read, or a largesize below its own
+    * 16-byte header) remain malformed and terminate the walk cleanly
+    * instead of stalling in place (r9 ADVICE). */
+  private def mp4BoxScan(hx: Column, start: Column, end0: Column,
+                         typ: String, maxSteps: Int = 8): Column = {
+    // callers pass length(hx)/2 (a DOUBLE division) as the range end;
+    // normalize to long so the fold's struct keeps its LongType fields
+    val end = end0.cast(LongType)
     aggregate(sequence(lit(1), lit(maxSteps)),
-      struct(start.as("off"), lit(-1L).as("pos"), lit(0L).as("cnt")),
+      struct(start.cast(LongType).as("off"), lit(-1L).as("pos"),
+        lit(0L).as("cnt")),
       (st, _) => {
         val off = st.getField("off")
         val pos = st.getField("pos")
         val cnt = st.getField("cnt")
         val tp = bytesAt(hx, off + 4, 4)
-        val sz = u32be(hx, off)
-        // box sizes include their 8-byte header, so sz < 8 (or a null
-        // from a truncated read) is malformed and would stall the walk
-        // in place — terminate cleanly instead (r9 ADVICE); sz == 8 is a
-        // valid empty box and advances normally
-        val done = off + 8 > end || sz.isNull || sz < 8
+        val sz32 = u32be(hx, off)
+        val lsz = u64be(hx, off + 8)
+        val sz = when(sz32 === 0, end - off)
+          .when(sz32 === 1, lsz).otherwise(sz32)
+        val done = off + 8 > end || sz32.isNull ||
+          (sz32 === 1 && (off + 16 > end || lsz.isNull || lsz < 16)) ||
+          (sz32 >= 2 && sz32 < 8)
         val hit = !done && tp === lit(strHex(typ))
         struct(
-          when(done, off).otherwise(off + sz).as("off"),
+          when(done, off).otherwise(off + sz).cast(LongType).as("off"),
           when(pos >= 0, pos).when(hit, off).otherwise(lit(-1L)).as("pos"),
           (cnt + when(hit, 1L).otherwise(0L)).as("cnt"))
       })
+  }
+
+  /** Effective end of the box at `pos` — the same size-0/size-1
+    * handling as [[mp4BoxScan]], for callers that descend into a
+    * container box's children. (Children are still assumed to start at
+    * `pos + 8`: a CONTAINER box that itself uses largesize would need
+    * `pos + 16` — unsupported, stated here; leaf payload offsets below
+    * share the assumption.) */
+  private def mp4BoxEnd(hx: Column, pos: Column, outerEnd: Column): Column = {
+    val sz32 = u32be(hx, pos)
+    when(sz32 === 0, outerEnd.cast(LongType))
+      .when(sz32 === 1, pos + u64be(hx, pos + 8))
+      .otherwise(pos + sz32)
+  }
 
   val containerMetaSchema: Seq[String] = Seq("media_id", "format",
     "n_tracks", "sample_rate", "duration_ms_r", "width", "height")
@@ -578,21 +607,38 @@ object Multimodal {
     val wavRate = u32le(hx, fmtPos + 12)
     val wavBits = u16le(hx, fmtPos + 22)
     val wavSamples = u32le(hx, dataPos + 4) / (wavCh * (wavBits / 8))
-    // MP4: moov → mvhd (timescale, duration) + trak count + first tkhd
-    val top = mp4BoxScan(hx, lit(0L), length(hx) / 2, "moov")
-    val moovPos = top.getField("pos")
-    val moovEnd = moovPos + u32be(hx, moovPos)
-    val mvhdPos = mp4BoxScan(hx, moovPos + 8, moovEnd, "mvhd").getField("pos")
-    val trakScan = mp4BoxScan(hx, moovPos + 8, moovEnd, "trak")
-    val trakPos = trakScan.getField("pos")
-    val tkhdPos = mp4BoxScan(hx, trakPos + 8,
-      trakPos + u32be(hx, trakPos), "tkhd").getField("pos")
+    // MP4: moov → mvhd (timescale, duration) + trak count + first tkhd.
+    // Each level's position lands in a PROJECTION column before the
+    // next level references it: the size-0/size-1 handling makes the
+    // range end appear several times inside each scan lambda, and
+    // nesting the raw Column trees through moov → trak → tkhd would
+    // multiply them combinatorially (the staged form keeps every level
+    // a plain attribute reference — linear tree, same runtime).
+    val fileEnd = (length(hx) / 2).cast(LongType)
+    val staged = base
+      .withColumn("__end", fileEnd)
+      .withColumn("__moovPos",
+        mp4BoxScan(hx, lit(0L), col("__end"), "moov").getField("pos"))
+      .withColumn("__moovEnd", mp4BoxEnd(hx, col("__moovPos"), col("__end")))
+      .withColumn("__mvhdPos",
+        mp4BoxScan(hx, col("__moovPos") + 8, col("__moovEnd"), "mvhd")
+          .getField("pos"))
+      .withColumn("__trak",
+        mp4BoxScan(hx, col("__moovPos") + 8, col("__moovEnd"), "trak"))
+      .withColumn("__trakPos", col("__trak").getField("pos"))
+      .withColumn("__tkhdPos",
+        mp4BoxScan(hx, col("__trakPos") + 8,
+          mp4BoxEnd(hx, col("__trakPos"), col("__moovEnd")), "tkhd")
+          .getField("pos"))
+    val trakCnt = col("__trak").getField("cnt")
+    val tkhdPos = col("__tkhdPos")
+    val mvhdPos = col("__mvhdPos")
     val timescale = u32be(hx, mvhdPos + 8 + 12)
     val durTicks = u32be(hx, mvhdPos + 8 + 16)
-    base.select(
+    staged.select(
       col("media_id"),
       when(isWav, "wav").otherwise("mp4").as("format"),
-      when(isWav, wavCh).otherwise(trakScan.getField("cnt"))
+      when(isWav, wavCh).otherwise(trakCnt)
         .cast(LongType).as("n_tracks"),
       when(isWav, wavRate).otherwise(0L).cast(LongType).as("sample_rate"),
       round(when(isWav,

@@ -64,6 +64,41 @@ class ContainerMetaSpec extends AnyFunSuite {
     }
   }
 
+  test("mp4: size-0 (to-EOF) and size-1 (largesize) boxes parse per ISO BMFF") {
+    // hand-built blob the r10 walk over-rejected: ftyp, then a `free`
+    // box using size==1 + 64-bit largesize (24 bytes), then a size==0
+    // moov extending to end-of-file with one mvhd + one trak(tkhd)
+    val bb = java.nio.ByteBuffer.allocate(16 + 24 + 8 + 108 + 100)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    def tag(s: String): Unit = bb.put(s.getBytes("ISO-8859-1"))
+    bb.putInt(16); tag("ftyp"); tag("isom"); bb.putInt(0)
+    bb.putInt(1); tag("free"); bb.putLong(24L); bb.putLong(0L)
+    bb.putInt(0); tag("moov")
+    bb.putInt(108); tag("mvhd")
+    bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    bb.putInt(1000)                            // timescale
+    bb.putInt(2500)                            // duration ticks
+    bb.putInt(0x00010000); bb.putShort(0x0100.toShort); bb.putShort(0)
+    (0 until 2).foreach(_ => bb.putInt(0))
+    val matrix = Array(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+    matrix.foreach(bb.putInt)
+    (0 until 6).foreach(_ => bb.putInt(0))
+    bb.putInt(2)                               // next_track_ID
+    bb.putInt(100); tag("trak")
+    bb.putInt(92); tag("tkhd")
+    bb.putInt(7); bb.putInt(0); bb.putInt(0)
+    bb.putInt(1); bb.putInt(0)
+    bb.putInt(2500)
+    bb.putLong(0L)
+    (0 until 4).foreach(_ => bb.putShort(0))
+    matrix.foreach(bb.putInt)
+    bb.putInt(640 << 16); bb.putInt(480 << 16)
+    val df = Seq((42L, bb.array())).toDF("media_id", "blob")
+    val r = Multimodal.containerMeta(df)
+      .as[(Long, String, Long, Long, Double, Long, Long)].collect().head
+    assert(r === ((42L, "mp4", 1L, 0L, 2500.0, 640L, 480L)))
+  }
+
   test("layout variance is real: free/LIST presence changes byte layout") {
     // k=0 (id 1) has a free box, k=1 (id 3) does not; same track count
     // would otherwise give same-shaped blobs

@@ -111,6 +111,77 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(snapshot() === s1)
   }
 
+  test("exact family: bootstrap + epochs reproduce the exact batch keep, replay-safe") {
+    val wh = freshWh("exact")
+    val initial = initialRows.toDF("doc_id", "text")
+    val b0 = batch0Rows.toDF("doc_id", "text")
+    val b1 = batch1Rows.toDF("doc_id", "text")
+    CurationStream.curationBootstrap(initial, "doc_id", "text",
+      wh, "gold", "cur", threshold = 0.5, nBuckets = 8, nSetBuckets = 4,
+      family = CurationStream.ExactNgramFamily)
+    CurationStream.curationIngestBatch(b0, 0L, "doc_id", "text",
+      wh, "gold", "cur", threshold = 0.5,
+      family = CurationStream.ExactNgramFamily)
+    CurationStream.curationIngestBatch(b1, 1L, "doc_id", "text",
+      wh, "gold", "cur", threshold = 0.5,
+      family = CurationStream.ExactNgramFamily)
+    val streamed = wh.read(spark, "gold", "cur_kept")
+      .select("doc_id").as[Long].collect().toSet
+    // the exact batch pipeline over the SAME total input: with clique
+    // duplicates and id-ordered epochs the kept sets are identical
+    val all = initial.unionByName(b0).unionByName(b1)
+    val batchKept = Dedup.ngramJaccardKeep(gateBatch(all), "doc_id",
+        "text", shingleK = 3, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed === batchKept)
+    assert(!streamed.contains(5L) && !streamed.contains(200L))
+    assert(streamed.contains(201L))
+    // epoch replay is exactly-once on the exact family too: funnel,
+    // sink, and posting index all unchanged by a second run of epoch 1
+    def snapshot() = (
+      wh.read(spark, "gold", "cur_kept").select("doc_id", "epoch")
+        .as[(Long, Long)].collect().toSet,
+      wh.read(spark, "gold", "cur_funnel")
+        .select("epoch", "n_in", "n_kept").as[(Long, Long, Long)]
+        .collect().toSet,
+      wh.read(spark, "gold", "cur_post").count(),
+      wh.read(spark, "gold", "cur_sets").count())
+    val s1 = snapshot()
+    CurationStream.curationIngestBatch(b1, 1L, "doc_id", "text",
+      wh, "gold", "cur", threshold = 0.5,
+      family = CurationStream.ExactNgramFamily)
+    assert(snapshot() === s1)
+  }
+
+  test("an all-dropped epoch writes an honest funnel row and does not wedge the stream") {
+    // every doc in epoch 0 is gated out (non-English gibberish), so the
+    // survivor set is EMPTY: the funnel count must come from the
+    // epoch's own frame, not from reading the sink partition the epoch
+    // never wrote (r10 ADVICE — that read wedged every later epoch)
+    val wh = freshWh("empty")
+    CurationStream.curationBootstrap(initialRows.toDF("doc_id", "text"),
+      "doc_id", "text", wh, "gold", "cur", threshold = 0.5, bands = 8,
+      nBuckets = 8, nSetBuckets = 4)
+    val junk = Seq(
+      (300L, "zzz qqq xxx vvv kkk www yyy nnn mmm ppp rrr ttt sss"),
+      (301L, "qqq zzz vvv xxx www kkk nnn yyy ppp mmm ttt rrr ddd"))
+      .toDF("doc_id", "text")
+    CurationStream.curationIngestBatch(junk, 0L, "doc_id", "text",
+      wh, "gold", "cur", threshold = 0.5)
+    val f0 = wh.read(spark, "gold", "cur_funnel")
+      .filter(col("epoch") === 0L)
+      .select("n_in", "n_lang", "n_quality", "n_kept")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(f0 === ((2L, 0L, 0L, 0L)))
+    // the stream is not wedged: a later epoch processes normally
+    CurationStream.curationIngestBatch(batch0Rows.toDF("doc_id", "text"),
+      1L, "doc_id", "text", wh, "gold", "cur", threshold = 0.5)
+    val kept1 = wh.read(spark, "gold", "cur_kept")
+      .filter(col("epoch") === 1L).select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept1 === Set(102L))
+  }
+
   test("streaming query end-to-end (file source, 1 file per trigger)") {
     val wh = freshWh("stream")
     CurationStream.curationBootstrap(initialRows.toDF("doc_id", "text"),

@@ -173,6 +173,206 @@ class PostingIndexSpec extends AnyFunSuite {
     assert(s2.getDouble(2) === 0.0)
   }
 
+  test("batch keep: ngramJaccardKeep == transitive closure of the exact pairs") {
+    // corpus alone: exact dups {0,1} collapse to 0 (size 2), near dups
+    // {2,3} to 2 (size 2), 4 and 5 are singletons
+    val kept = Dedup.ngramJaccardKeep(corpus, "doc_id", "text",
+        shingleK = 3, threshold = 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(kept === Map(0L -> 2L, 2L -> 2L, 4L -> 1L, 5L -> 1L))
+    // shingle-less docs survive as singletons
+    val withTiny = corpus.unionByName(Seq((9L, "tiny doc")).toDF("doc_id", "text"))
+    val kept2 = Dedup.ngramJaccardKeep(withTiny, "doc_id", "text",
+        shingleK = 3, threshold = 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(kept2 === kept + (9L -> 1L))
+  }
+
+  // one observable index/sink snapshot: kept rows, posting rows, and
+  // set rows with arrays sorted (collect_list order is run-dependent)
+  private def ingestState(wh: graft.etl.Warehouse) = {
+    val kept = spark.read.parquet(wh.path("gold", "ng_kept"))
+      .select(col("doc_id"), col("epoch").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    val post = spark.read.parquet(wh.path("gold", "ng_post"))
+      .select(col("doc_id"), col("sh"), col("__pos"), col("__n"))
+      .as[(Long, Long, Int, Long)].collect().toSeq.sorted
+    val sets = spark.read.parquet(wh.path("gold", "ng_sets"))
+      .select(col("doc_id"), sort_array(col("set")), col("n"))
+      .as[(Long, Seq[Long], Long)].collect().toSeq.sortBy(_._1)
+    (kept, post, sets)
+  }
+
+  test("kill-and-replay: a replayed epoch leaves sink and index unchanged") {
+    val wh = freshWh("replay")
+    build(wh)
+    Dedup.ngramIngestBatch(batch, epoch = 0L, "doc_id", "text",
+      wh, "gold", "ng", threshold = 0.5)
+    val afterFirst = ingestState(wh)
+    // full replay of the committed epoch: every write is epoch-keyed
+    // dynamic overwrite and the keep probe excludes its own epoch's
+    // index rows — nothing doubles, nothing vanishes
+    Dedup.ngramIngestBatch(batch, epoch = 0L, "doc_id", "text",
+      wh, "gold", "ng", threshold = 0.5)
+    assert(ingestState(wh) === afterFirst)
+    // epoch 0 kept exactly the increment-keep survivors: 102 (cluster
+    // min id), 104, 105 — and their postings/sets joined the index
+    assert(afterFirst._1 === Set((102L, 0L), (104L, 0L), (105L, 0L)))
+    assert(afterFirst._2.exists(_._1 == 102L))
+    // partial-failure replay: epoch 1 crashes after the index append
+    // but before the sink write — then replays in full
+    val batch2 = Seq(
+      (300L, "replayed epochs must not double count their own survivors ever"),
+      (301L, "replayed epochs must not double count their own survivors once"))
+      .toDF("doc_id", "text")
+    Dedup.ngramIndexAppend(batch2.filter(col("doc_id") === 300L),
+      "doc_id", "text", wh, "gold", "ng", epoch = 1L)
+    Dedup.ngramIngestBatch(batch2, epoch = 1L, "doc_id", "text",
+      wh, "gold", "ng", threshold = 0.5)
+    val replayed = ingestState(wh)
+    // clean-path control: the same two epochs with no crash anywhere
+    val whClean = freshWh("replayclean")
+    build(whClean)
+    Dedup.ngramIngestBatch(batch, epoch = 0L, "doc_id", "text",
+      whClean, "gold", "ng", threshold = 0.5)
+    Dedup.ngramIngestBatch(batch2, epoch = 1L, "doc_id", "text",
+      whClean, "gold", "ng", threshold = 0.5)
+    assert(replayed === ingestState(whClean))
+    // 300/301 are an intra-batch near-dup cluster: min id survives, and
+    // the half-appended 300 did NOT make 301's cluster look like corpus
+    assert(replayed._1.contains((300L, 1L)) && !replayed._1.exists(_._1 == 301L))
+  }
+
+  test("ingest stream: each batch exact-dedups against what earlier batches kept") {
+    val wh = freshWh("stream")
+    build(wh)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ngstream_ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    val src =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = Dedup.ngramIngestStream(
+      src.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      wh, "gold", "ng", threshold = 0.5, ckpt)
+    // batch 1: 200 = exact dup of corpus doc 0 (dropped); 201 = new
+    src.addData(
+      (200L, "the quick brown fox jumps over the lazy dog in the warm morning sun"),
+      (201L, "streaming ingest pipelines deduplicate against their own history forever"))
+    q.processAllAvailable()
+    // batch 2: 202 = near dup of 201 — kept by the PREVIOUS batch, so
+    // the index must have grown mid-stream; 203 = new
+    src.addData(
+      (202L, "streaming ingest pipelines deduplicate against their own history forever ok"),
+      (203L, "entirely separate subject matter appears in the second micro batch"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.read.parquet(wh.path("gold", "ng_kept"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(201L, 203L))
+  }
+
+  test("auto-compaction cadence: files bounded across epochs, probes identical") {
+    val wh = freshWh("cadence")
+    build(wh)
+    def nFiles = {
+      def cnt(p: String) = {
+        def walk(f: java.io.File): Int =
+          if (f.isDirectory) f.listFiles().map(walk).sum
+          else if (f.getName.endsWith(".parquet")) 1 else 0
+        val d = new java.io.File(p); if (d.exists) walk(d) else 0
+      }
+      cnt(wh.path("gold", "ng_post")) + cnt(wh.path("gold", "ng_sets"))
+    }
+    val counts = (0 to 5).map { e =>
+      val b = Seq((400L + e,
+        s"novel cadence document number $e with its own distinct wording"))
+        .toDF("doc_id", "text")
+      Dedup.ngramIngestBatch(b, epoch = e.toLong, "doc_id", "text",
+        wh, "gold", "ng", threshold = 0.5, compactEvery = 2)
+      nFiles
+    }
+    val epochs = spark.read.parquet(wh.path("gold", "ng_post"))
+      .select(col("epoch").cast("long")).distinct().as[Long].collect().toSet
+    assert(epochs.subsetOf(Set(-1L, 4L, 5L)))
+    assert(counts(4) < counts(3), s"file counts per epoch: $counts")
+    assert(counts.last <= counts(4) + 16, s"file counts per epoch: $counts")
+    // probes are row-identical to a from-scratch index over the union
+    val allDocs = corpus.unionByName((0 to 5).map { e =>
+      Seq((400L + e,
+        s"novel cadence document number $e with its own distinct wording"))
+        .toDF("doc_id", "text")
+    }.reduce(_ unionByName _))
+    val whFull = freshWh("cadencefull")
+    Dedup.ngramIndexPersist(allDocs, "doc_id", "text", whFull, "gold", "ng",
+      shingleK = 3, maxShingleFreq = 1000, nPostBuckets = 8, nSetBuckets = 4)
+    val probe = Seq((500L,
+      "novel cadence document number 3 with its own distinct wording plus"))
+      .toDF("doc_id", "text")
+    val viaLoop = pairSet(Dedup.ngramJaccardIncrementPairs(probe, "doc_id",
+      "text", wh, "gold", "ng", threshold = 0.5), ("id_a", "id_b", "jaccard"))
+    val viaFull = pairSet(Dedup.ngramJaccardIncrementPairs(probe, "doc_id",
+      "text", whFull, "gold", "ng", threshold = 0.5),
+      ("id_a", "id_b", "jaccard"))
+    assert(viaLoop === viaFull && viaLoop.nonEmpty)
+  }
+
+  test("rebuildCheckEvery: a drifting-vocabulary stream trips a mid-stream re-freeze") {
+    val wh = freshWh("drift")
+    build(wh)
+    // epoch 0: novel vocabulary — kept (nothing matches), appended
+    // FROZEN (no check at epoch 0); the frozen dictionary still knows
+    // nothing about it
+    val b0 = Seq(
+      (600L, "freshly drifted vocabulary alpha beta gamma delta epsilon zeta eta theta"),
+      (601L, "freshly drifted vocabulary alpha beta gamma delta epsilon zeta eta iota"))
+      .toDF("doc_id", "text")
+    Dedup.ngramIngestBatch(b0, epoch = 0L, "doc_id", "text",
+      wh, "gold", "ng", threshold = 0.5,
+      rebuildCheckEvery = 1, unseenThreshold = 0.5,
+      baseCorpus = Some(corpus))
+    // under the (still-frozen) build dictionary, a batch from the
+    // drifted distribution reads ~all-unseen
+    val b1 = Seq((610L,
+      "freshly drifted vocabulary alpha beta gamma delta epsilon zeta eta kappa"))
+      .toDF("doc_id", "text")
+    val sBefore = Dedup.ngramIndexStaleness(b1, "doc_id", "text",
+      wh, "gold", "ng").head().getDouble(2)
+    assert(sBefore > 0.5)
+    // epoch 1 runs the check: trips, rebuilds over baseCorpus ∪ kept
+    // epoch 0 — the drifted vocabulary enters the dictionary — then
+    // dedups: 610 near-matches kept 600 and is dropped. (600/601 were
+    // themselves an intra-batch near-dup cluster: 600 kept, size 2.)
+    Dedup.ngramIngestBatch(b1, epoch = 1L, "doc_id", "text",
+      wh, "gold", "ng", threshold = 0.5,
+      rebuildCheckEvery = 1, unseenThreshold = 0.5,
+      baseCorpus = Some(corpus))
+    val kept = spark.read.parquet(wh.path("gold", "ng_kept"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(600L))
+    // statistics re-froze: the same drifted batch now reads in-distribution
+    val sAfter = Dedup.ngramIndexStaleness(b1, "doc_id", "text",
+      wh, "gold", "ng").head().getDouble(2)
+    assert(sAfter < 0.5)
+    // and the rebuilt-mid-stream probe equals a no-drift control where
+    // the index was BUILT over corpus ∪ the kept epoch-0 survivor and
+    // epoch 1 probed plain — the re-freeze left no statistical residue
+    val whCtl = freshWh("driftctl")
+    Dedup.ngramIndexPersist(
+      corpus.unionByName(b0.filter(col("doc_id") === 600L)), "doc_id",
+      "text", whCtl, "gold", "ng", shingleK = 3, maxShingleFreq = 1000,
+      nPostBuckets = 8, nSetBuckets = 4)
+    val viaCtl = pairSet(Dedup.ngramJaccardIncrementPairs(b1, "doc_id",
+      "text", whCtl, "gold", "ng", threshold = 0.5),
+      ("id_a", "id_b", "jaccard"))
+    // 610 was dropped, so epoch 1 appended nothing: the loop's index is
+    // exactly the mid-stream rebuild — probe it plain and compare
+    val viaLoop = pairSet(Dedup.ngramJaccardIncrementPairs(b1, "doc_id",
+      "text", wh, "gold", "ng", threshold = 0.5),
+      ("id_a", "id_b", "jaccard"))
+    assert(viaLoop === viaCtl)
+    assert(viaCtl.exists { case (a, b, _) => a == 600L && b == 610L })
+  }
+
   test("build-time cap drops boilerplate from corpus AND batch sets") {
     // cap = 1: the exact-dup class {0,1} caps out entirely (freq 2), so
     // the re-ingested copy 100 has no capped shingles either — no pair.
