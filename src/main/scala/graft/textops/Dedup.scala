@@ -391,22 +391,34 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keys = bandedKeys(minhashFromShingles(sh, numHashes), numHashes,
       bands, keepSig = false)
-      .withColumn("pb", pbKey(nBuckets)).withColumn("epoch", lit(epoch))
+      .withColumn("pb", pbKey(nBuckets))
     val sets = sh.groupBy("doc_id")
       .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n"))
       .withColumn("dbucket", pmod(col("doc_id"), lit(nSetBuckets.toLong)))
-      .withColumn("epoch", lit(epoch))
+    writeNearDedupIndexRows(keys, sets, wh, layer, table, epoch)
+    sh.unpersist()
+  }
+
+  /** The index-write half of [[nearDedupIndexAppend]]: `keys` carries
+    * `pb`, `sets` carries `dbucket`; epoch ≥ 0 → idempotent dynamic
+    * partition overwrite, −1 → plain append into the base epoch. Shared
+    * with the ingest loop, whose rows come from the keep probe's cached
+    * frames instead of a recomputation. */
+  private def writeNearDedupIndexRows(keys: DataFrame, sets: DataFrame,
+      wh: graft.etl.Warehouse, layer: String, table: String,
+      epoch: Long): Unit = {
+    val k = keys.withColumn("epoch", lit(epoch))
+    val s = sets.withColumn("epoch", lit(epoch))
     if (epoch >= 0L) {
-      wh.overwritePartitionsDynamic(keys, layer, s"${table}_bands",
+      wh.overwritePartitionsDynamic(k, layer, s"${table}_bands",
         Seq("pb", "epoch"))
-      wh.overwritePartitionsDynamic(sets, layer, s"${table}_sets",
+      wh.overwritePartitionsDynamic(s, layer, s"${table}_sets",
         Seq("dbucket", "epoch"))
     } else {
-      wh.appendPartitioned(keys, layer, s"${table}_bands", Seq("pb", "epoch"))
-      wh.appendPartitioned(sets, layer, s"${table}_sets",
+      wh.appendPartitioned(k, layer, s"${table}_bands", Seq("pb", "epoch"))
+      wh.appendPartitioned(s, layer, s"${table}_sets",
         Seq("dbucket", "epoch"))
     }
-    sh.unpersist()
   }
 
   /** Compact a persisted index in place: every [[nearDedupIndexAppend]]
@@ -467,12 +479,19 @@ object Dedup {
     * (self-hits are dropped defensively). `excludeEpoch` drops that
     * epoch's own index rows from both scans — how a REPLAYED streaming
     * epoch recomputes against exactly the pre-epoch corpus instead of
-    * matching its first attempt's survivors. */
+    * matching its first attempt's survivors.
+    *
+    * Also returns the batch's persisted shingle rows (`shB`) and band
+    * keys (`keysB`): both are PER-DOC under the index's parameters, so
+    * the ingest loop can derive its survivors' index rows as a row
+    * subset instead of re-shingling and re-minhashing them
+    * ([[nearDedupIngestBatch]]). */
   private def incrementCrossPairs(batch: DataFrame, idCol: String,
       textCol: String, wh: graft.etl.Warehouse, layer: String,
       table: String, threshold: Double,
       tracker: PersistTracker = PersistTracker.noop,
-      excludeEpoch: Long = Long.MinValue): DataFrame = {
+      excludeEpoch: Long = Long.MinValue)
+      : (DataFrame, DataFrame, DataFrame) = {
     val spark = batch.sparkSession
     import spark.implicits._
     val (shingleK, numHashes, bands, nBuckets, nSetBuckets) =
@@ -518,7 +537,7 @@ object Dedup {
     val crossB = if (cross.count() <= 2000000L) broadcast(cross) else cross
     // joinVerify's arithmetic exactly (int sizes → double, one IEEE
     // division), so incremental scores are bit-identical to a rebuild's
-    crossB
+    val pairs = crossB
       .join(corpusSets.select(col("doc_id").as("__cid"),
         col("set").as("set_a"), col("n").as("n_a")), "__cid")
       .join(batchSets.select(col("doc_id").as("__bid"),
@@ -528,6 +547,7 @@ object Dedup {
         / (col("n_a") + col("n_b") - col("__i")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("__cid", "__bid", "jaccard")
+    (pairs, shB, keysB)
   }
 
   /** Incremental near-dedup PAIRS: everything a full corpus-rebuild
@@ -544,7 +564,7 @@ object Dedup {
     val (shingleK, numHashes, bands, _, _) =
       readIndexMeta(batch.sparkSession, wh, layer, table)
     val cross = incrementCrossPairs(batch, idCol, textCol, wh, layer,
-      table, threshold)
+      table, threshold)._1
       .select(least(col("__cid"), col("__bid")).as("id_a"),
         greatest(col("__cid"), col("__bid")).as("id_b"), col("jaccard"))
       .distinct()
@@ -584,12 +604,26 @@ object Dedup {
       idCol: String, textCol: String, wh: graft.etl.Warehouse,
       layer: String, table: String, threshold: Double,
       broadcastDocLimit: Long, tracker: PersistTracker,
-      excludeEpoch: Long = Long.MinValue): DataFrame = {
+      excludeEpoch: Long = Long.MinValue): DataFrame =
+    nearDedupIncrementKeepParts(batch, idCol, textCol, wh, layer, table,
+      threshold, broadcastDocLimit, tracker, excludeEpoch)._1
+
+  /** [[nearDedupIncrementKeepTracked]] also returning the batch's
+    * persisted shingle rows and band keys, so the ingest loop can
+    * derive the SURVIVORS' index rows as a row subset (per-doc rows —
+    * filtering by survivor id is exactly [[nearDedupIndexAppend]]'s
+    * recomputation, minus the recomputation). */
+  private def nearDedupIncrementKeepParts(batch: DataFrame,
+      idCol: String, textCol: String, wh: graft.etl.Warehouse,
+      layer: String, table: String, threshold: Double,
+      broadcastDocLimit: Long, tracker: PersistTracker,
+      excludeEpoch: Long = Long.MinValue)
+      : (DataFrame, DataFrame, DataFrame) = {
     val (shingleK, numHashes, bands, _, _) =
       readIndexMeta(batch.sparkSession, wh, layer, table)
-    val matched = incrementCrossPairs(batch, idCol, textCol, wh, layer,
-      table, threshold, tracker, excludeEpoch)
-      .select(col("__bid").as("__mid")).distinct()
+    val (crossPairs, shB, keysB) = incrementCrossPairs(batch, idCol,
+      textCol, wh, layer, table, threshold, tracker, excludeEpoch)
+    val matched = crossPairs.select(col("__bid").as("__mid")).distinct()
     val (repPairs0, members, live) = minhashVerifiedParts(batch, idCol,
       textCol, shingleK, numHashes, bands, threshold, broadcastDocLimit,
       tracker)
@@ -616,7 +650,7 @@ object Dedup {
     val kept = repComp.join(matchedComps, Seq("__comp"), "left_anti")
       .groupBy(col("__comp").as("doc_id"))
       .agg(sum(col("__csize")).cast(LongType).as("cluster_size"))
-    kept.unionByName(singles)
+    (kept.unionByName(singles), shB, keysB)
   }
 
   /** The streaming near-dedup INGEST LOOP — the composition a 100 TB
@@ -673,8 +707,8 @@ object Dedup {
     val batch = b.select(col(idCol).cast(LongType).as(idCol),
       col(textCol)).persist()
     try {
-      val kept = nearDedupIncrementKeepTracked(batch, idCol, textCol,
-        wh, layer, table, threshold, broadcastDocLimit, tracker,
+      val (kept, shB, keysB) = nearDedupIncrementKeepParts(batch, idCol,
+        textCol, wh, layer, table, threshold, broadcastDocLimit, tracker,
         excludeEpoch = epoch)
       // EAGER checkpoint, not a lazy persist: the keep pipeline READS
       // the index this loop is about to APPEND to. The own-epoch
@@ -686,13 +720,28 @@ object Dedup {
       val keptDocs = batch
         .join(kept.withColumnRenamed("doc_id", idCol), idCol)
         .localCheckpoint(true)
-      // the epoch's pinned frames served their purpose once the
-      // survivors are materialized — release BEFORE the writes so a
-      // long-running stream holds at most one epoch's cache (r9 ADVICE:
-      // these leaked per-epoch into /tmp/blockmgr)
+      // the survivors' index rows are a ROW SUBSET of the probe's cached
+      // band keys / shingle rows (both per-doc under the index's frozen
+      // parameters) — filter by survivor id instead of re-shingling and
+      // re-minhashing the survivors (the r10 loop paid that second
+      // sketch pass every epoch). Writes happen before the tracker
+      // releases so the subset comes from the cached frames.
+      val (_, _, _, _, nSetBuckets) =
+        readIndexMeta(batch.sparkSession, wh, layer, table)
+      val keptIds = broadcast(keptDocs.select(col(idCol).as("doc_id")))
+      writeNearDedupIndexRows(
+        keysB.join(keptIds, Seq("doc_id"), "left_semi"),
+        shB.join(keptIds, Seq("doc_id"), "left_semi")
+          .groupBy("doc_id")
+          .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n"))
+          .withColumn("dbucket",
+            pmod(col("doc_id"), lit(nSetBuckets.toLong))),
+        wh, layer, table, epoch)
+      // the epoch's pinned frames served their purpose once the index
+      // rows are written — release so a long-running stream holds at
+      // most one epoch's cache (r9 ADVICE: these leaked per-epoch into
+      // /tmp/blockmgr)
       tracker.unpersistAll()
-      nearDedupIndexAppend(keptDocs, idCol, textCol, wh, layer, table,
-        epoch = epoch)
       wh.overwritePartitionsDynamic(
         keptDocs.withColumn("epoch", lit(epoch)),
         layer, s"${table}_kept", Seq("epoch"))
@@ -917,23 +966,35 @@ object Dedup {
     try {
       val (postB, setsB) = batchPostings(df, idCol, textCol, wh, layer,
         table, shingleK, maxFreq, nPostBuckets, tracker)
-      val post = postB.select("sh", "doc_id", "__pos", "__n", "sbucket")
-        .withColumn("epoch", lit(epoch))
-      val sets = setsB.withColumn("dbucket",
-          pmod(col("doc_id"), lit(nSetBuckets.toLong)))
-        .withColumn("epoch", lit(epoch))
-      if (epoch >= 0L) {
-        wh.overwritePartitionsDynamic(post, layer, s"${table}_post",
-          Seq("sbucket", "epoch"))
-        wh.overwritePartitionsDynamic(sets, layer, s"${table}_sets",
-          Seq("dbucket", "epoch"))
-      } else {
-        wh.appendPartitioned(post, layer, s"${table}_post",
-          Seq("sbucket", "epoch"))
-        wh.appendPartitioned(sets, layer, s"${table}_sets",
-          Seq("dbucket", "epoch"))
-      }
+      writeNgramIndexRows(
+        postB.select("sh", "doc_id", "__pos", "__n", "sbucket"),
+        setsB.withColumn("dbucket",
+          pmod(col("doc_id"), lit(nSetBuckets.toLong))),
+        wh, layer, table, epoch)
     } finally tracker.unpersistAll()
+  }
+
+  /** The index-write half of [[ngramIndexAppend]]: `post` carries
+    * `sbucket`, `sets` carries `dbucket`; epoch ≥ 0 → idempotent
+    * dynamic partition overwrite, −1 → plain append into the base
+    * epoch. Shared with the ingest loop, whose rows come from the keep
+    * probe's cached frames instead of a recomputation. */
+  private def writeNgramIndexRows(post: DataFrame, sets: DataFrame,
+      wh: graft.etl.Warehouse, layer: String, table: String,
+      epoch: Long): Unit = {
+    val p = post.withColumn("epoch", lit(epoch))
+    val s = sets.withColumn("epoch", lit(epoch))
+    if (epoch >= 0L) {
+      wh.overwritePartitionsDynamic(p, layer, s"${table}_post",
+        Seq("sbucket", "epoch"))
+      wh.overwritePartitionsDynamic(s, layer, s"${table}_sets",
+        Seq("dbucket", "epoch"))
+    } else {
+      wh.appendPartitioned(p, layer, s"${table}_post",
+        Seq("sbucket", "epoch"))
+      wh.appendPartitioned(s, layer, s"${table}_sets",
+        Seq("dbucket", "epoch"))
+    }
   }
 
   /** Compact a persisted posting index in place — the
@@ -1051,8 +1112,8 @@ object Dedup {
       broadcastDocLimit: Long = 200000L,
       maxComponentShingles: Long = 1000000L,
       broadcastShingleLimit: Long = 2000000L): DataFrame = {
-    val (cross, internal) = ngramIncrementParts(batch, idCol, textCol,
-      wh, layer, table, threshold, broadcastDocLimit,
+    val (cross, internal, _, _) = ngramIncrementParts(batch, idCol,
+      textCol, wh, layer, table, threshold, broadcastDocLimit,
       maxComponentShingles, broadcastShingleLimit)
     internal.unionByName(cross
       .select(least(col("__cid"), col("__bid")).as("id_a"),
@@ -1062,17 +1123,21 @@ object Dedup {
 
   /** The shared probe body: (cross: __cid, __bid, jaccard — directed
     * corpus→batch; internal: id_a, id_b, jaccard — batch-internal,
-    * id_a < id_b). `excludeEpoch` drops that epoch's own index rows
-    * from the `_post` and `_sets` scans — how a REPLAYED streaming
-    * epoch recomputes against exactly the pre-epoch corpus instead of
-    * matching its first attempt's survivors (same contract as
-    * [[incrementCrossPairs]]). */
+    * id_a < id_b; plus the batch's persisted positioned postings and
+    * set arrays, both per-doc under the FROZEN statistics, so the
+    * ingest loop can derive its survivors' index rows as a row subset
+    * — [[ngramIngestBatch]]). `excludeEpoch` drops that epoch's own
+    * index rows from the `_post` and `_sets` scans — how a REPLAYED
+    * streaming epoch recomputes against exactly the pre-epoch corpus
+    * instead of matching its first attempt's survivors (same contract
+    * as [[incrementCrossPairs]]). */
   private def ngramIncrementParts(batch: DataFrame, idCol: String,
       textCol: String, wh: graft.etl.Warehouse, layer: String,
       table: String, threshold: Double, broadcastDocLimit: Long,
       maxComponentShingles: Long, broadcastShingleLimit: Long,
       tracker: PersistTracker = PersistTracker.noop,
-      excludeEpoch: Long = Long.MinValue): (DataFrame, DataFrame) = {
+      excludeEpoch: Long = Long.MinValue)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val spark = batch.sparkSession
     import spark.implicits._
     val (shingleK, maxFreq, nPostBuckets, nSetBuckets) =
@@ -1140,7 +1205,7 @@ object Dedup {
       else
         verifyJaccardByComponent(selfCands, setsB, threshold,
           maxComponentShingles, useComponents = false)
-    (cross, internal)
+    (cross, internal, postB, setsB)
   }
 
   /** Incremental exact-dedup KEEP — the ingest policy over the posting
@@ -1170,9 +1235,24 @@ object Dedup {
       layer: String, table: String, threshold: Double,
       broadcastDocLimit: Long, maxComponentShingles: Long,
       broadcastShingleLimit: Long, tracker: PersistTracker,
-      excludeEpoch: Long = Long.MinValue): DataFrame = {
-    val (cross, internal) = ngramIncrementParts(batch, idCol, textCol,
-      wh, layer, table, threshold, broadcastDocLimit,
+      excludeEpoch: Long = Long.MinValue): DataFrame =
+    ngramJaccardIncrementKeepParts(batch, idCol, textCol, wh, layer,
+      table, threshold, broadcastDocLimit, maxComponentShingles,
+      broadcastShingleLimit, tracker, excludeEpoch)._1
+
+  /** [[ngramJaccardIncrementKeepTracked]] also returning the batch's
+    * persisted postings/sets so the ingest loop can derive the
+    * survivors' index rows as a row subset instead of re-shingling
+    * them. */
+  private def ngramJaccardIncrementKeepParts(batch: DataFrame,
+      idCol: String, textCol: String, wh: graft.etl.Warehouse,
+      layer: String, table: String, threshold: Double,
+      broadcastDocLimit: Long, maxComponentShingles: Long,
+      broadcastShingleLimit: Long, tracker: PersistTracker,
+      excludeEpoch: Long = Long.MinValue)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (cross, internal, postB, setsB) = ngramIncrementParts(batch,
+      idCol, textCol, wh, layer, table, threshold, broadcastDocLimit,
       maxComponentShingles, broadcastShingleLimit, tracker, excludeEpoch)
     val matched = cross.select(col("__bid").as(idCol)).distinct()
     // checkpoint-before-iteration, as every keep operator: the verify
@@ -1188,9 +1268,10 @@ object Dedup {
       .select(col(idCol), coalesce(col("comp"), col(idCol)).as("__comp"))
     val matchedComps = withComp.join(matched, Seq(idCol), "left_semi")
       .select("__comp").distinct()
-    withComp.join(matchedComps, Seq("__comp"), "left_anti")
+    val kept = withComp.join(matchedComps, Seq("__comp"), "left_anti")
       .groupBy(col("__comp").as("doc_id"))
       .agg(count(lit(1)).cast(LongType).as("cluster_size"))
+    (kept, postB, setsB)
   }
 
   /** The streaming ingest LOOP for the POSTING index — the exact-family
@@ -1295,8 +1376,8 @@ object Dedup {
           }
         }
       }
-      val kept = ngramJaccardIncrementKeepTracked(batch, idCol, textCol,
-        wh, layer, table, threshold, broadcastDocLimit,
+      val (kept, postB, setsB) = ngramJaccardIncrementKeepParts(batch,
+        idCol, textCol, wh, layer, table, threshold, broadcastDocLimit,
         maxComponentShingles, broadcastShingleLimit, tracker,
         excludeEpoch = epoch)
       // eager checkpoint BEFORE the first index mutation — the same
@@ -1304,9 +1385,22 @@ object Dedup {
       val keptDocs = batch
         .join(kept.withColumnRenamed("doc_id", idCol), idCol)
         .localCheckpoint(true)
+      // the survivors' index rows are a ROW SUBSET of the probe's
+      // cached postings/sets (per-doc under the frozen statistics) —
+      // filter by survivor id instead of re-shingling and re-positioning
+      // the survivors; writes run before the tracker releases so the
+      // subset comes from the cached frames
+      val (_, _, _, nSetBuckets) =
+        readNgramIndexMeta(spark, wh, layer, table)
+      val keptIds = broadcast(keptDocs.select(col(idCol).as("doc_id")))
+      writeNgramIndexRows(
+        postB.join(keptIds, Seq("doc_id"), "left_semi")
+          .select("sh", "doc_id", "__pos", "__n", "sbucket"),
+        setsB.join(keptIds, Seq("doc_id"), "left_semi")
+          .withColumn("dbucket",
+            pmod(col("doc_id"), lit(nSetBuckets.toLong))),
+        wh, layer, table, epoch)
       tracker.unpersistAll()
-      ngramIndexAppend(keptDocs, idCol, textCol, wh, layer, table,
-        epoch = epoch)
       wh.overwritePartitionsDynamic(
         keptDocs.withColumn("epoch", lit(epoch)),
         layer, s"${table}_kept", Seq("epoch"))
