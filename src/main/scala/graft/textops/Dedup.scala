@@ -657,7 +657,9 @@ object Dedup {
     * pipeline actually runs continuously: each micro-batch near-dedups
     * against the persisted index ([[nearDedupIncrementKeep]], corpus
     * wins), its surviving docs append their band keys + shingle sets to
-    * the index ([[nearDedupIndexAppend]]) and land in `<table>_kept` —
+    * the index (the epoch-keyed write half of [[nearDedupIndexAppend]],
+    * over the keep probe's cached per-doc rows — survivors are a row
+    * subset, never re-sketched) and land in `<table>_kept` —
     * so batch N+1 dedups against everything batch N kept, without any
     * corpus-side recomputation, ever. `foreachBatch` is the right
     * altitude: the per-batch work IS the batch operator, and the sink
@@ -1279,8 +1281,10 @@ object Dedup {
     * asymmetry between the two index families: each micro-batch
     * exact-dedups against the persisted posting index
     * ([[ngramJaccardIncrementKeep]], corpus wins), its survivors append
-    * their postings and sets epoch-keyed ([[ngramIndexAppend]]) and land
-    * in `<table>_kept` — so batch N+1 dedups against everything batch N
+    * their postings and sets epoch-keyed (the write half of
+    * [[ngramIndexAppend]], over the keep probe's cached per-doc rows —
+    * survivors are a row subset, never re-shingled) and land in
+    * `<table>_kept` — so batch N+1 dedups against everything batch N
     * kept, with zero recall loss (the exact family's reason to exist)
     * and without corpus-side recomputation.
     *
