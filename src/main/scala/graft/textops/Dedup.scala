@@ -356,17 +356,36 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keys = bandedKeys(minhashFromShingles(sh, numHashes), numHashes,
       bands, keepSig = false)
-    wh.overwritePartitioned(keys.withColumn("pb", pbKey(nBuckets))
-        .withColumn("epoch", lit(-1L)),
+    wh.overwritePartitioned(
+      clusterFor(keys.withColumn("pb", pbKey(nBuckets))
+          .withColumn("epoch", lit(-1L)),
+        "pb", "band", "band_hash"),
       layer, s"${table}_bands", Seq("pb", "epoch"))
     wh.overwritePartitioned(
-      sh.groupBy("doc_id")
-        .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n"))
-        .withColumn("dbucket", pmod(col("doc_id"), lit(nSetBuckets.toLong)))
-        .withColumn("epoch", lit(-1L)),
+      clusterFor(sh.groupBy("doc_id")
+          .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n"))
+          .withColumn("dbucket", pmod(col("doc_id"), lit(nSetBuckets.toLong)))
+          .withColumn("epoch", lit(-1L)),
+        "dbucket", "doc_id"),
       layer, s"${table}_sets", Seq("dbucket", "epoch"))
     sh.unpersist()
   }
+
+  /** Cluster index rows for their partitioned write: repartition on the
+    * bucket column (each bucket lands whole in one task → ONE file per
+    * (bucket, epoch) instead of one per writing task per bucket — an
+    * unclustered 128-task build sprayed up to tasks×buckets tiny files)
+    * and sort rows within it by the probe's join key, so parquet
+    * run-length-encodes the key runs and its row-group min/max stats
+    * skip within a bucket slice. Parallelism is bounded by the bucket
+    * count — the existing scale knob (raise nBuckets/nPostBuckets with
+    * corpus size, exactly as the partition-pruning story already
+    * requires). The same clustering [[graft.etl.Warehouse.compactClustered]]
+    * applies to fact tables, here at index-build altitude. */
+  private def clusterFor(df: DataFrame, bucketCol: String,
+      sortCols: String*): DataFrame =
+    df.repartition(col(bucketCol))
+      .sortWithinPartitions((bucketCol +: sortCols).map(col): _*)
 
   /** Append new docs to a persisted index without touching existing
     * rows: band keys and shingle sets land in their `pb`/`dbucket`
@@ -407,8 +426,10 @@ object Dedup {
   private def writeNearDedupIndexRows(keys: DataFrame, sets: DataFrame,
       wh: graft.etl.Warehouse, layer: String, table: String,
       epoch: Long): Unit = {
-    val k = keys.withColumn("epoch", lit(epoch))
-    val s = sets.withColumn("epoch", lit(epoch))
+    val k = clusterFor(keys.withColumn("epoch", lit(epoch)),
+      "pb", "band", "band_hash")
+    val s = clusterFor(sets.withColumn("epoch", lit(epoch)),
+      "dbucket", "doc_id")
     if (epoch >= 0L) {
       wh.overwritePartitionsDynamic(k, layer, s"${table}_bands",
         Seq("pb", "epoch"))
@@ -441,16 +462,16 @@ object Dedup {
   def nearDedupIndexCompact(spark: org.apache.spark.sql.SparkSession,
       wh: graft.etl.Warehouse, layer: String, table: String,
       foldEpochsBelow: Long = Long.MinValue): Unit = {
-    def rewrite(t: String, partCol: String): Unit =
+    def rewrite(t: String, partCol: String, sortCols: String*): Unit =
       wh.rebuildPartitioned(
-        wh.read(spark, layer, t)
+        clusterFor(wh.read(spark, layer, t)
           .withColumn("epoch",
             when(col("epoch") < lit(foldEpochsBelow), lit(-1L))
-              .otherwise(col("epoch").cast(LongType)))
-          .repartition(col(partCol)),
+              .otherwise(col("epoch").cast(LongType))),
+          partCol, sortCols: _*),
         layer, t, Seq(partCol, "epoch"))
-    rewrite(s"${table}_bands", "pb")
-    rewrite(s"${table}_sets", "dbucket")
+    rewrite(s"${table}_bands", "pb", "band", "band_hash")
+    rewrite(s"${table}_sets", "dbucket", "doc_id")
   }
 
   private def pbKey(nBuckets: Int): Column =
@@ -835,8 +856,9 @@ object Dedup {
     val freqTab = sh.groupBy("sh").agg(count(lit(1)).as("freq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     wh.overwritePartitioned(
-      freqTab.withColumn("sbucket",
-        pmod(col("sh"), lit(nPostBuckets.toLong)).cast("int")),
+      clusterFor(freqTab.withColumn("sbucket",
+          pmod(col("sh"), lit(nPostBuckets.toLong)).cast("int")),
+        "sbucket", "sh"),
       layer, s"${table}_freq", Seq("sbucket"))
     val capped = sh.join(freqTab, "sh")
       .filter(col("freq") <= maxShingleFreq)
@@ -850,15 +872,17 @@ object Dedup {
       .select("sh", "doc_id", "__pos", "__n")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     wh.overwritePartitioned(
-      posted.withColumn("sbucket",
-        pmod(col("sh"), lit(nPostBuckets.toLong)).cast("int"))
-        .withColumn("epoch", lit(-1L)),
+      clusterFor(posted.withColumn("sbucket",
+            pmod(col("sh"), lit(nPostBuckets.toLong)).cast("int"))
+          .withColumn("epoch", lit(-1L)),
+        "sbucket", "sh", "doc_id"),
       layer, s"${table}_post", Seq("sbucket", "epoch"))
     wh.overwritePartitioned(
-      posted.groupBy("doc_id")
-        .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n"))
-        .withColumn("dbucket", pmod(col("doc_id"), lit(nSetBuckets.toLong)))
-        .withColumn("epoch", lit(-1L)),
+      clusterFor(posted.groupBy("doc_id")
+          .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n"))
+          .withColumn("dbucket", pmod(col("doc_id"), lit(nSetBuckets.toLong)))
+          .withColumn("epoch", lit(-1L)),
+        "dbucket", "doc_id"),
       layer, s"${table}_sets", Seq("dbucket", "epoch"))
     posted.unpersist(); freqTab.unpersist(); sh.unpersist()
   }
@@ -984,8 +1008,10 @@ object Dedup {
   private def writeNgramIndexRows(post: DataFrame, sets: DataFrame,
       wh: graft.etl.Warehouse, layer: String, table: String,
       epoch: Long): Unit = {
-    val p = post.withColumn("epoch", lit(epoch))
-    val s = sets.withColumn("epoch", lit(epoch))
+    val p = clusterFor(post.withColumn("epoch", lit(epoch)),
+      "sbucket", "sh", "doc_id")
+    val s = clusterFor(sets.withColumn("epoch", lit(epoch)),
+      "dbucket", "doc_id")
     if (epoch >= 0L) {
       wh.overwritePartitionsDynamic(p, layer, s"${table}_post",
         Seq("sbucket", "epoch"))
@@ -1013,16 +1039,16 @@ object Dedup {
   def ngramIndexCompact(spark: org.apache.spark.sql.SparkSession,
       wh: graft.etl.Warehouse, layer: String, table: String,
       foldEpochsBelow: Long = Long.MinValue): Unit = {
-    def rewrite(t: String, partCol: String): Unit =
+    def rewrite(t: String, partCol: String, sortCols: String*): Unit =
       wh.rebuildPartitioned(
-        wh.read(spark, layer, t)
+        clusterFor(wh.read(spark, layer, t)
           .withColumn("epoch",
             when(col("epoch") < lit(foldEpochsBelow), lit(-1L))
-              .otherwise(col("epoch").cast(LongType)))
-          .repartition(col(partCol)),
+              .otherwise(col("epoch").cast(LongType))),
+          partCol, sortCols: _*),
         layer, t, Seq(partCol, "epoch"))
-    rewrite(s"${table}_post", "sbucket")
-    rewrite(s"${table}_sets", "dbucket")
+    rewrite(s"${table}_post", "sbucket", "sh", "doc_id")
+    rewrite(s"${table}_sets", "dbucket", "doc_id")
   }
 
   /** STALENESS SIGNAL for the frozen statistics — the posting-index
