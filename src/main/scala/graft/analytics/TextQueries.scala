@@ -900,8 +900,9 @@ object TextQueries {
       coalesce(sum(length(col("text")).cast("long")), lit(0L))).head()
     // `ver` = index FORMAT version: bumping it forces a rebuild of any
     // standing index written under an older layout (v2 added the
-    // `epoch` sub-partition for exactly-once streaming appends)
-    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 32, 8, 16, 16, 2))
+    // `epoch` sub-partition; v3 the clustered one-file-per-bucket
+    // sorted layout)
+    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 32, 8, 16, 16, 3))
       .toDF("n", "id_sum", "len_sum", "k", "nh", "b", "nb", "nsb", "ver")
     val fresh = wh.exists("gold", "nd_fp") &&
       (try {
@@ -1003,9 +1004,10 @@ object TextQueries {
     val d = docs(s, dir)
     val r = d.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)),
       coalesce(sum(length(col("text")).cast("long")), lit(0L))).head()
-    // ver=2: the r11 layout added the `epoch` sub-partition to
-    // _post/_sets (exactly-once streaming appends) — r10 indexes rebuild
-    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 1000, 16, 16, 2))
+    // ver=3: r11 added the `epoch` sub-partition to _post/_sets
+    // (exactly-once streaming appends) and then the clustered
+    // one-file-per-bucket sorted layout — older indexes rebuild
+    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 1000, 16, 16, 3))
       .toDF("n", "id_sum", "len_sum", "k", "cap", "npb", "nsb", "ver")
     val fresh = wh.exists("gold", "ng_fp") &&
       (try {
@@ -1198,7 +1200,7 @@ object TextQueries {
     // idempotent regardless
     val r = initial.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)),
       coalesce(sum(length(col("text")).cast("long")), lit(0L))).head()
-    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 32, 8, 16, 16, 1))
+    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 32, 8, 16, 16, 2))
       .toDF("n", "id_sum", "len_sum", "k", "nh", "b", "nb", "nsb", "ver")
     val fresh = wh.exists("gold", "cur_fp") &&
       (try {
@@ -1306,7 +1308,7 @@ object TextQueries {
       s"${sys.props("java.io.tmpdir")}/graft_curexwh$key")
     val r = initial.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)),
       coalesce(sum(length(col("text")).cast("long")), lit(0L))).head()
-    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 1000000, 16, 16, 1))
+    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 1000000, 16, 16, 2))
       .toDF("n", "id_sum", "len_sum", "k", "cap", "npb", "nsb", "ver")
     val fresh = wh.exists("gold", "curex_fp") &&
       (try {
@@ -1374,7 +1376,7 @@ object TextQueries {
       s"${sys.props("java.io.tmpdir")}/graft_divwh$key")
     val r = corpus.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)),
       coalesce(sum(length(col("text")).cast("long")), lit(0L))).head()
-    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 1000000, 16, 16, 1))
+    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 1000000, 16, 16, 2))
       .toDF("n", "id_sum", "len_sum", "k", "cap", "npb", "nsb", "ver")
     val fresh = wh.exists("gold", "div_fp") &&
       (try {
