@@ -20,10 +20,19 @@ final case class Warehouse(root: String) {
 
   def path(layer: String, table: String): String = s"$root/$layer/$table"
 
-  def read(spark: SparkSession, layer: String, table: String): DataFrame = {
-    recoverIfCrashed(layer, table)
-    spark.read.parquet(path(layer, table))
-  }
+  /** Read a table. Holds the table's rename lock across PLAN
+    * construction (listing + schema inference), so planning can never
+    * observe [[swapIn]]'s mid-rename window; recovery of a genuinely
+    * crashed swap happens under the same lock. Execution of the
+    * returned frame is outside the lock — a concurrent swap completing
+    * before the action can still fail it LOUDLY (never partially), the
+    * plain-parquet snapshot limitation a manifest table format lifts. */
+  def read(spark: SparkSession, layer: String, table: String): DataFrame =
+    Warehouse.locked(path(layer, table)) {
+      recoverLocked(Paths.get(path(layer, table)),
+        Paths.get(path(layer, table + "._old")))
+      spark.read.parquet(path(layer, table))
+    }
 
   def exists(layer: String, table: String): Boolean =
     Files.exists(Paths.get(path(layer, table)))
@@ -115,32 +124,125 @@ final case class Warehouse(root: String) {
     * every read and on swap entry) restores `._old` to the live path
     * whenever the live table is missing, so a restart after a mid-swap
     * crash reads the pre-swap content instead of failing (r10 ADVICE).
-    * `._old` is only deleted after tmp→live succeeded. */
+    * `._old` is only deleted after tmp→live succeeded.
+    *
+    * Swap and recovery SERIALIZE per table path ([[Warehouse.locked]]):
+    * without it, a read landing inside the rename window would restore
+    * `._old` onto the live path and make this swap's second move throw,
+    * stranding `._tmp` (r11 ADVICE) — reachable in production, since
+    * the ingest loop compacts the same index concurrent probes read.
+    * The lock covers every reader/writer in this JVM (the driver is
+    * where all table-level renames happen); a cross-PROCESS reader in
+    * the same window is additionally tolerated by the retry below. */
   private def swapIn(layer: String, table: String,
-                     tmp: java.nio.file.Path): Unit = {
-    val target = Paths.get(path(layer, table))
-    val old = Paths.get(path(layer, table + "._old"))
-    recoverIfCrashed(layer, table)
-    // any ._old still present is stale (its swap completed: the live
-    // table exists) — reclaim before taking its name
-    if (Files.exists(old)) deleteRecursively(old)
-    if (Files.exists(target))
-      Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    if (Files.exists(old)) deleteRecursively(old)
-  }
+                     tmp: java.nio.file.Path): Unit =
+    Warehouse.locked(path(layer, table)) {
+      val target = Paths.get(path(layer, table))
+      val old = Paths.get(path(layer, table + "._old"))
+      recoverLocked(target, old)
+      // any ._old still present is stale (its swap completed: the live
+      // table exists) — reclaim before taking its name
+      if (Files.exists(old)) deleteRecursively(old)
+      if (Files.exists(target))
+        Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
+      try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileSystemException if Files.exists(target) =>
+          // a cross-process reader restored ._old onto the live path
+          // between our two renames: take the restored copy aside again
+          // (._old is free — the reader consumed it) and retry once
+          if (Files.exists(old)) deleteRecursively(old)
+          Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
+          Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      }
+      if (Files.exists(old)) deleteRecursively(old)
+    }
 
   /** Crash recovery for [[swapIn]]'s single-rename window: a live table
     * that vanished while its `._old` copy survives means a swap died
     * between the two renames — restore the old copy. One existence
     * check per read; at cluster scale the same contract holds with
-    * object-store list/rename. */
-  private def recoverIfCrashed(layer: String, table: String): Unit = {
-    val target = Paths.get(path(layer, table))
-    val old = Paths.get(path(layer, table + "._old"))
+    * object-store list/rename. Takes the same per-table lock as
+    * [[swapIn]], so a read can never observe (or interfere with) the
+    * mid-swap window of a swap in this JVM; two concurrent recoverers
+    * of a genuine crash are serialized the same way. */
+  private def recoverIfCrashed(layer: String, table: String): Unit =
+    Warehouse.locked(path(layer, table)) {
+      recoverLocked(Paths.get(path(layer, table)),
+        Paths.get(path(layer, table + "._old")))
+    }
+
+  /** The recovery body — caller must hold the table lock. Tolerant to a
+    * cross-process racer completing the swap (or the recovery) first:
+    * if the restore rename fails but the live table now exists, the
+    * table IS recovered — treat it as such instead of propagating. */
+  private def recoverLocked(target: java.nio.file.Path,
+                            old: java.nio.file.Path): Unit =
     if (!Files.exists(target) && Files.exists(old))
-      Files.move(old, target, StandardCopyOption.ATOMIC_MOVE)
+      try Files.move(old, target, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case e: java.nio.file.FileSystemException =>
+          if (!Files.exists(target)) throw e
+      }
+
+  // ------------------------------------------- multi-table atomic swaps
+  //
+  // A derived-index REBUILD often spans several tables that must change
+  // together (the posting index's _meta/_freq/_post/_sets). Each table's
+  // swap is atomic, but four sequential overwrites are not: a crash
+  // between them leaves a new dictionary over old postings — a silently
+  // mixed index (r11 ADVICE). The protocol here makes the group
+  // resumable: stage every table to `._tmp`, drop a PENDING marker,
+  // swap each staged table in, delete the marker. A crash at any point
+  // replays safely — [[resumePending]] (run by readers before trusting
+  // the group) finishes any staged-but-unswapped tables, so the visible
+  // state is always either all-old (marker + all tmps intact) or
+  // all-new (marker gone, or every tmp already consumed).
+
+  private def markerPath(layer: String, marker: String) =
+    Paths.get(path(layer, marker + "._pending"))
+
+  /** Stage a table's new content to `<table>._tmp` WITHOUT swapping it
+    * live — the first half of [[rebuildPartitioned]], for multi-table
+    * groups that must promote together ([[promoteStaged]]). */
+  def stagePartitioned(df: DataFrame, layer: String, table: String,
+                       partCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partCols: _*)
+      .parquet(path(layer, table + "._tmp"))
+
+  /** Unpartitioned [[stagePartitioned]]. */
+  def stage(df: DataFrame, layer: String, table: String): Unit =
+    df.write.mode("overwrite").parquet(path(layer, table + "._tmp"))
+
+  /** Swap a previously [[stage]]d table live (no-op if its `._tmp` was
+    * already consumed — what makes a replayed group promotion safe). */
+  def promoteStaged(layer: String, table: String): Unit = {
+    val tmp = Paths.get(path(layer, table + "._tmp"))
+    if (Files.exists(tmp)) swapIn(layer, table, tmp)
   }
+
+  /** Promote a STAGED GROUP atomically-by-protocol: marker down, each
+    * staged table swapped in (each swap itself atomic), marker up. The
+    * `marker` names the group (conventionally the index's base table);
+    * tables promote in the given order. */
+  def promoteStagedGroup(layer: String, marker: String,
+                         tables: Seq[String]): Unit = {
+    val m = markerPath(layer, marker)
+    Files.createDirectories(m.getParent)
+    if (!Files.exists(m)) Files.createFile(m)
+    tables.foreach(promoteStaged(layer, _))
+    Files.deleteIfExists(m)
+  }
+
+  /** Finish a group promotion that crashed mid-way: if the marker is
+    * present, swap in whatever `._tmp` stages remain and clear it.
+    * Idempotent and safe against a completed group (every tmp consumed
+    * → every promote is a no-op). Callers that read multi-table groups
+    * invoke this first, so they can never observe a mixed group. */
+  def resumePending(layer: String, marker: String,
+                    tables: Seq[String]): Unit =
+    if (Files.exists(markerPath(layer, marker)))
+      promoteStagedGroup(layer, marker, tables)
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
@@ -148,4 +250,17 @@ final case class Warehouse(root: String) {
       Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
+}
+
+object Warehouse {
+  /** Per-table-path rename locks: table-level swap/recovery renames are
+    * driver-side metadata operations, so a JVM-wide monitor per path is
+    * the whole story on local[*] — and the cheap part of the contract
+    * an object-store deployment would replace with conditional renames.
+    * Keyed by the path string (Warehouse is a value class over `root`,
+    * so two instances on one root share locks). */
+  private val renameLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[etl] def locked[A](key: String)(body: => A): A =
+    renameLocks.computeIfAbsent(key, _ => new Object).synchronized(body)
 }

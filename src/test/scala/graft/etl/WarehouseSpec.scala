@@ -49,4 +49,82 @@ class WarehouseSpec extends AnyFunSuite {
     assert(wh.read(spark, "gold", "t").count() === 1L)
     assert(!Files.exists(Paths.get(wh.path("gold", "t._old"))))
   }
+
+  test("concurrent reads during swaps: no failure, no stranded ._tmp (r11 ADVICE race)") {
+    // the production shape: the ingest loop compacts (rebuild = swap)
+    // the same table concurrent probes read. Un-serialized, a read
+    // landing inside the rename window restores ._old onto the live
+    // path and the swap's second rename throws, stranding ._tmp.
+    val wh = freshWh()
+    wh.overwrite(Seq.tabulate(64)(i => (i.toLong, s"v$i")).toDF("k", "v"),
+      "gold", "race")
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val readerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    def transientSwapRead(t: Throwable): Boolean = {
+      // the one failure plain parquet cannot exclude: a reader that
+      // PLANNED before the swap executes against files the swap
+      // reclaimed. It fails LOUDLY (never a partial result — a missing
+      // file kills the job) and a retry sees a whole generation; only
+      // a table format with snapshot manifests removes it entirely.
+      val m = Option(t.getMessage).getOrElse("")
+      m.contains("FAILED_READ_FILE") || m.contains("PATH_NOT_FOUND")
+    }
+    val readers = (1 to 4).map { _ =>
+      new Thread(() => {
+        while (!stop.get()) {
+          try {
+            val n = wh.read(spark, "gold", "race").count()
+            // successful reads are never mixed-generation: the listing
+            // is one atomic-rename snapshot, so it's all-old or all-new
+            assert(n === 64L)
+          } catch {
+            case t: Throwable if transientSwapRead(t) => () // retry loop
+            case t: Throwable => readerErr.set(t); stop.set(true)
+          }
+        }
+      })
+    }
+    readers.foreach(_.start())
+    try {
+      (1 to 8).foreach { _ =>
+        wh.rebuild(wh.read(spark, "gold", "race"), "gold", "race")
+      }
+    } finally { stop.set(true); readers.foreach(_.join(30000)) }
+    assert(readerErr.get() === null,
+      s"reader failed during swap: ${readerErr.get()}")
+    assert(!Files.exists(Paths.get(wh.path("gold", "race._tmp"))))
+    assert(!Files.exists(Paths.get(wh.path("gold", "race._old"))))
+    assert(wh.read(spark, "gold", "race").count() === 64L)
+  }
+
+  test("staged group: crash between swaps resumes to the all-new state") {
+    // two tables that must change together; the group promotion dies
+    // after swapping only the first — a reader-side resume must finish
+    // the second before anything trusts the pair
+    val wh = freshWh()
+    wh.overwrite(Seq((1L, "old")).toDF("k", "v"), "gold", "ga")
+    wh.overwrite(Seq((1L, "old")).toDF("k", "v"), "gold", "gb")
+    wh.stage(Seq((1L, "new")).toDF("k", "v"), "gold", "ga")
+    wh.stage(Seq((1L, "new")).toDF("k", "v"), "gold", "gb")
+    // simulate the crash: marker down, first table swapped, second not
+    val marker = Paths.get(wh.path("gold", "g._pending"))
+    Files.createFile(marker)
+    wh.promoteStaged("gold", "ga")
+    assert(wh.read(spark, "gold", "ga").as[(Long, String)].head()._2 === "new")
+    assert(wh.read(spark, "gold", "gb").as[(Long, String)].head()._2 === "old")
+    // resume finishes the group and clears the marker; a second resume
+    // (or one after a clean completion) is a no-op
+    wh.resumePending("gold", "g", Seq("ga", "gb"))
+    assert(wh.read(spark, "gold", "gb").as[(Long, String)].head()._2 === "new")
+    assert(!Files.exists(marker))
+    wh.resumePending("gold", "g", Seq("ga", "gb"))
+    assert(wh.read(spark, "gold", "ga").as[(Long, String)].head()._2 === "new")
+    // clean full-protocol run end to end
+    wh.stage(Seq((2L, "v3")).toDF("k", "v"), "gold", "ga")
+    wh.stage(Seq((2L, "v3")).toDF("k", "v"), "gold", "gb")
+    wh.promoteStagedGroup("gold", "g", Seq("ga", "gb"))
+    assert(wh.read(spark, "gold", "ga").as[(Long, String)].head()._1 === 2L)
+    assert(wh.read(spark, "gold", "gb").as[(Long, String)].head()._1 === 2L)
+    assert(!Files.exists(marker))
+  }
 }
