@@ -1200,7 +1200,10 @@ object TextQueries {
     // idempotent regardless
     val r = initial.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)),
       coalesce(sum(length(col("text")).cast("long")), lit(0L))).head()
-    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 32, 8, 16, 16, 2))
+    // ver=3: the `_kept`/`_funnel` sinks grew the fold-able `pepoch`
+    // partition key (epoch became a data column) — older sink layouts
+    // re-bootstrap
+    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 32, 8, 16, 16, 3))
       .toDF("n", "id_sum", "len_sum", "k", "nh", "b", "nb", "nsb", "ver")
     val fresh = wh.exists("gold", "cur_fp") &&
       (try {
@@ -1308,7 +1311,8 @@ object TextQueries {
       s"${sys.props("java.io.tmpdir")}/graft_curexwh$key")
     val r = initial.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)),
       coalesce(sum(length(col("text")).cast("long")), lit(0L))).head()
-    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 1000000, 16, 16, 2))
+    // ver=3: pepoch sink layout, as on the MinHash-family twin above
+    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 1000000, 16, 16, 3))
       .toDF("n", "id_sum", "len_sum", "k", "cap", "npb", "nsb", "ver")
     val fresh = wh.exists("gold", "curex_fp") &&
       (try {

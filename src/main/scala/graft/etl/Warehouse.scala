@@ -215,24 +215,31 @@ final case class Warehouse(root: String) {
     df.write.mode("overwrite").parquet(path(layer, table + "._tmp"))
 
   /** Swap a previously [[stage]]d table live (no-op if its `._tmp` was
-    * already consumed — what makes a replayed group promotion safe). */
-  def promoteStaged(layer: String, table: String): Unit = {
-    val tmp = Paths.get(path(layer, table + "._tmp"))
-    if (Files.exists(tmp)) swapIn(layer, table, tmp)
-  }
+    * already consumed — what makes a replayed group promotion safe).
+    * The exists-check and the swap share the table lock (reentrant), so
+    * two concurrent promoters can't both consume one tmp. */
+  def promoteStaged(layer: String, table: String): Unit =
+    Warehouse.locked(path(layer, table)) {
+      val tmp = Paths.get(path(layer, table + "._tmp"))
+      if (Files.exists(tmp)) swapIn(layer, table, tmp)
+    }
 
   /** Promote a STAGED GROUP atomically-by-protocol: marker down, each
     * staged table swapped in (each swap itself atomic), marker up. The
     * `marker` names the group (conventionally the index's base table);
-    * tables promote in the given order. */
+    * tables promote in the given order. Group promotions/resumes
+    * serialize on the marker path (group lock taken before any table
+    * lock — the one ordering everywhere, so no deadlock with plain
+    * readers, which take only table locks). */
   def promoteStagedGroup(layer: String, marker: String,
-                         tables: Seq[String]): Unit = {
-    val m = markerPath(layer, marker)
-    Files.createDirectories(m.getParent)
-    if (!Files.exists(m)) Files.createFile(m)
-    tables.foreach(promoteStaged(layer, _))
-    Files.deleteIfExists(m)
-  }
+                         tables: Seq[String]): Unit =
+    Warehouse.locked(markerPath(layer, marker).toString) {
+      val m = markerPath(layer, marker)
+      Files.createDirectories(m.getParent)
+      if (!Files.exists(m)) Files.createFile(m)
+      tables.foreach(promoteStaged(layer, _))
+      Files.deleteIfExists(m)
+    }
 
   /** Finish a group promotion that crashed mid-way: if the marker is
     * present, swap in whatever `._tmp` stages remain and clear it.
@@ -241,8 +248,10 @@ final case class Warehouse(root: String) {
     * invoke this first, so they can never observe a mixed group. */
   def resumePending(layer: String, marker: String,
                     tables: Seq[String]): Unit =
-    if (Files.exists(markerPath(layer, marker)))
-      promoteStagedGroup(layer, marker, tables)
+    Warehouse.locked(markerPath(layer, marker).toString) {
+      if (Files.exists(markerPath(layer, marker)))
+        promoteStagedGroup(layer, marker, tables)
+    }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._

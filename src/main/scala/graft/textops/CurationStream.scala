@@ -101,10 +101,25 @@ object CurationStream {
             compactEvery = compactEvery,
             rebuildCheckEvery = rebuildCheckEvery)
       }
+      // epoch rides as data (the funnel's key); pepoch is the
+      // partition/replay unit the cadence fold below collapses
       wh.overwritePartitionsDynamic(
-        Seq((nIn, nLang, nQual, nKept, epoch))
-          .toDF("n_in", "n_lang", "n_quality", "n_kept", "epoch"),
-        layer, s"${table}_funnel", Seq("epoch"))
+        Seq((nIn, nLang, nQual, nKept, epoch, epoch))
+          .toDF("n_in", "n_lang", "n_quality", "n_kept", "epoch", "pepoch"),
+        layer, s"${table}_funnel", Seq("pepoch"))
+      // the funnel folds on the same cadence as the index and the
+      // `_kept` sink (the inner ingest batch compacts both): committed
+      // epochs collapse into the base partition so a year of 5-minute
+      // epochs leaves a bounded directory count, with the per-epoch
+      // rows (epoch data column) intact
+      if (compactEvery > 0 && epoch > 0 && epoch % compactEvery == 0)
+        wh.rebuildPartitioned(
+          wh.read(spark, layer, s"${table}_funnel")
+            .withColumn("pepoch",
+              when(col("pepoch") < lit(epoch), lit(-1L))
+                .otherwise(col("pepoch").cast(
+                  org.apache.spark.sql.types.LongType))),
+          layer, s"${table}_funnel", Seq("pepoch"))
     } finally {
       if (gated != null) gated.unpersist()
       if (qual != null) qual.unpersist()
@@ -166,13 +181,18 @@ object CurationStream {
           Dedup.ngramIndexPersist(keptDocs, idCol, textCol, wh, layer,
             table, shingleK, maxShingleFreq, nBuckets, nSetBuckets)
       }
-      wh.overwritePartitionsDynamic(
-        keptDocs.withColumn("epoch", lit(-1L)),
-        layer, s"${table}_kept", Seq("epoch"))
-      wh.overwritePartitionsDynamic(
-        Seq((nIn, nLang, nQual, keptDocs.count(), -1L))
-          .toDF("n_in", "n_lang", "n_quality", "n_kept", "epoch"),
-        layer, s"${table}_funnel", Seq("epoch"))
+      // STATIC partitioned overwrites: the bootstrap is the from-scratch
+      // build, so it truncates any previous sink state (including a
+      // pre-`pepoch` layout — re-bootstraps migrate cleanly) instead of
+      // dynamic-merging into it
+      wh.overwritePartitioned(
+        keptDocs.withColumn("epoch", lit(-1L))
+          .withColumn("pepoch", lit(-1L)),
+        layer, s"${table}_kept", Seq("pepoch"))
+      wh.overwritePartitioned(
+        Seq((nIn, nLang, nQual, keptDocs.count(), -1L, -1L))
+          .toDF("n_in", "n_lang", "n_quality", "n_kept", "epoch", "pepoch"),
+        layer, s"${table}_funnel", Seq("pepoch"))
     } finally {
       if (gated != null) gated.unpersist()
       if (qual != null) qual.unpersist()

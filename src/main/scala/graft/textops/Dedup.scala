@@ -349,19 +349,22 @@ object Dedup {
       nBuckets: Int = 64, nSetBuckets: Int = 64): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
-    wh.overwrite(Seq((shingleK, numHashes, bands, nBuckets, nSetBuckets))
+    // staged-group build, same marker protocol (and same r11-ADVICE
+    // rationale) as [[ngramIndexPersist]]: a rebuild over a live index
+    // must never leave _meta/_bands/_sets mixed across a crash
+    wh.stage(Seq((shingleK, numHashes, bands, nBuckets, nSetBuckets))
       .toDF("shingle_k", "num_hashes", "bands", "n_buckets", "n_set_buckets"),
       layer, s"${table}_meta")
     val sh = shingledHashed(df, idCol, textCol, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keys = bandedKeys(minhashFromShingles(sh, numHashes), numHashes,
       bands, keepSig = false)
-    wh.overwritePartitioned(
+    wh.stagePartitioned(
       clusterFor(keys.withColumn("pb", pbKey(nBuckets))
           .withColumn("epoch", lit(-1L)),
         "pb", "band", "band_hash"),
       layer, s"${table}_bands", Seq("pb", "epoch"))
-    wh.overwritePartitioned(
+    wh.stagePartitioned(
       clusterFor(sh.groupBy("doc_id")
           .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n"))
           .withColumn("dbucket", pmod(col("doc_id"), lit(nSetBuckets.toLong)))
@@ -369,7 +372,12 @@ object Dedup {
         "dbucket", "doc_id"),
       layer, s"${table}_sets", Seq("dbucket", "epoch"))
     sh.unpersist()
+    wh.promoteStagedGroup(layer, table, nearDedupIndexTables(table))
   }
+
+  /** The MinHash index's table group, in promote order. */
+  private def nearDedupIndexTables(table: String): Seq[String] =
+    Seq(s"${table}_meta", s"${table}_bands", s"${table}_sets")
 
   /** Cluster index rows for their partitioned write: repartition on the
     * bucket column (each bucket lands whole in one task → ONE file per
@@ -472,7 +480,32 @@ object Dedup {
         layer, t, Seq(partCol, "epoch"))
     rewrite(s"${table}_bands", "pb", "band", "band_hash")
     rewrite(s"${table}_sets", "dbucket", "doc_id")
+    foldKeptSink(spark, wh, layer, table, foldEpochsBelow)
   }
+
+  /** Fold the `<table>_kept` SINK's committed epoch partitions into the
+    * base partition — the piece the r11 verdict flagged as missing: the
+    * indexes compacted on cadence but the sink accumulated one
+    * `pepoch=N` directory per micro-batch forever (~100k directories
+    * after a year of 5-minute epochs, read by every rebuild and every
+    * downstream consumer). `epoch` stays a DATA column (which batch
+    * kept a doc is an observable); only the `pepoch` PARTITION key — the
+    * replay-overwrite unit — folds to −1. Folding an epoch forfeits its
+    * replay idempotence, so callers pass their CURRENT epoch: under
+    * Structured Streaming only the last uncommitted batch can replay,
+    * and `pepoch = current` is never folded by `foldEpochsBelow =
+    * current`. The statistics-rebuild read filters `epoch =!= current`,
+    * which folded rows (data column intact) still satisfy. */
+  private def foldKeptSink(spark: org.apache.spark.sql.SparkSession,
+      wh: graft.etl.Warehouse, layer: String, table: String,
+      foldEpochsBelow: Long): Unit =
+    if (wh.exists(layer, s"${table}_kept"))
+      wh.rebuildPartitioned(
+        wh.read(spark, layer, s"${table}_kept")
+          .withColumn("pepoch",
+            when(col("pepoch") < lit(foldEpochsBelow), lit(-1L))
+              .otherwise(col("pepoch").cast(LongType))),
+        layer, s"${table}_kept", Seq("pepoch"))
 
   private def pbKey(nBuckets: Int): Column =
     (col("band") * nBuckets + pmod(col("band_hash"), lit(nBuckets.toLong)))
@@ -481,6 +514,9 @@ object Dedup {
   private def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
       wh: graft.etl.Warehouse, layer: String,
       table: String): (Int, Int, Int, Int, Int) = {
+    // resume a crashed group promotion before trusting the tables —
+    // the same reader-side discipline as [[readNgramIndexMeta]]
+    wh.resumePending(layer, table, nearDedupIndexTables(table))
     val m = wh.read(spark, layer, s"${table}_meta")
       .select("shingle_k", "num_hashes", "bands", "n_buckets",
         "n_set_buckets").head()
@@ -751,7 +787,14 @@ object Dedup {
       // releases so the subset comes from the cached frames.
       val (_, _, _, _, nSetBuckets) =
         readIndexMeta(batch.sparkSession, wh, layer, table)
-      val keptIds = broadcast(keptDocs.select(col(idCol).as("doc_id")))
+      // survivors broadcast into the row-subset semi-joins only when
+      // batch-sized (the cached count is cheap on a checkpointed frame);
+      // a giant backfill epoch keeps the shuffle join like every other
+      // gated broadcast in this file (r11 ADVICE: this one was
+      // unconditional)
+      val keptIds0 = keptDocs.select(col(idCol).as("doc_id"))
+      val keptIds =
+        if (keptDocs.count() <= 2000000L) broadcast(keptIds0) else keptIds0
       writeNearDedupIndexRows(
         keysB.join(keptIds, Seq("doc_id"), "left_semi"),
         shB.join(keptIds, Seq("doc_id"), "left_semi")
@@ -765,9 +808,12 @@ object Dedup {
       // most one epoch's cache (r9 ADVICE: these leaked per-epoch into
       // /tmp/blockmgr)
       tracker.unpersistAll()
+      // epoch rides as DATA (which batch kept a doc); pepoch is the
+      // PARTITION/replay key compaction later folds ([[foldKeptSink]])
       wh.overwritePartitionsDynamic(
-        keptDocs.withColumn("epoch", lit(epoch)),
-        layer, s"${table}_kept", Seq("epoch"))
+        keptDocs.withColumn("epoch", lit(epoch))
+          .withColumn("pepoch", lit(epoch)),
+        layer, s"${table}_kept", Seq("pepoch"))
       if (compactEvery > 0 && epoch > 0 && epoch % compactEvery == 0)
         nearDedupIndexCompact(batch.sparkSession, wh, layer, table,
           foldEpochsBelow = epoch)
@@ -845,7 +891,15 @@ object Dedup {
       nPostBuckets: Int = 64, nSetBuckets: Int = 64): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
-    wh.overwrite(Seq((shingleK, maxShingleFreq, nPostBuckets, nSetBuckets))
+    // the four tables STAGE to ._tmp and promote as one marker-gated
+    // group: a (re)build over a live index was four sequential
+    // non-atomic overwrites — a crash between the _freq and _post
+    // writes left a new dictionary over old-ordered postings, and the
+    // replayed staleness check would read the NEW _freq, measure low,
+    // and skip the rebuild: a silently mixed index (r11 ADVICE).
+    // Readers resume a crashed promotion before trusting the group
+    // ([[readNgramIndexMeta]] → Warehouse.resumePending).
+    wh.stage(Seq((shingleK, maxShingleFreq, nPostBuckets, nSetBuckets))
       .toDF("shingle_k", "max_freq", "n_post_buckets", "n_set_buckets"),
       layer, s"${table}_meta")
     val sh = shingledHashed(df, idCol, textCol, shingleK)
@@ -855,7 +909,7 @@ object Dedup {
     // without the rep collapse — identical values, append-friendly rows
     val freqTab = sh.groupBy("sh").agg(count(lit(1)).as("freq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    wh.overwritePartitioned(
+    wh.stagePartitioned(
       clusterFor(freqTab.withColumn("sbucket",
           pmod(col("sh"), lit(nPostBuckets.toLong)).cast("int")),
         "sbucket", "sh"),
@@ -871,13 +925,13 @@ object Dedup {
         Window.unboundedPreceding, Window.unboundedFollowing)))
       .select("sh", "doc_id", "__pos", "__n")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    wh.overwritePartitioned(
+    wh.stagePartitioned(
       clusterFor(posted.withColumn("sbucket",
             pmod(col("sh"), lit(nPostBuckets.toLong)).cast("int"))
           .withColumn("epoch", lit(-1L)),
         "sbucket", "sh", "doc_id"),
       layer, s"${table}_post", Seq("sbucket", "epoch"))
-    wh.overwritePartitioned(
+    wh.stagePartitioned(
       clusterFor(posted.groupBy("doc_id")
           .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n"))
           .withColumn("dbucket", pmod(col("doc_id"), lit(nSetBuckets.toLong)))
@@ -885,11 +939,24 @@ object Dedup {
         "dbucket", "doc_id"),
       layer, s"${table}_sets", Seq("dbucket", "epoch"))
     posted.unpersist(); freqTab.unpersist(); sh.unpersist()
+    wh.promoteStagedGroup(layer, table, ngramIndexTables(table))
   }
+
+  /** The posting index's table group, in promote order (meta last-read
+    * first-promoted is NOT required — the marker makes order
+    * irrelevant to readers; this fixed order just keeps replays
+    * deterministic). */
+  private def ngramIndexTables(table: String): Seq[String] =
+    Seq(s"${table}_meta", s"${table}_freq", s"${table}_post",
+      s"${table}_sets")
 
   private def readNgramIndexMeta(spark: org.apache.spark.sql.SparkSession,
       wh: graft.etl.Warehouse, layer: String,
       table: String): (Int, Int, Int, Int) = {
+    // every probe/append/staleness path reads meta first, so this is
+    // THE resume point: a rebuild that crashed between table swaps
+    // finishes promoting here, before anything trusts the group
+    wh.resumePending(layer, table, ngramIndexTables(table))
     val m = wh.read(spark, layer, s"${table}_meta")
       .select("shingle_k", "max_freq", "n_post_buckets", "n_set_buckets")
       .head()
@@ -1049,6 +1116,7 @@ object Dedup {
         layer, t, Seq(partCol, "epoch"))
     rewrite(s"${table}_post", "sbucket", "sh", "doc_id")
     rewrite(s"${table}_sets", "dbucket", "doc_id")
+    foldKeptSink(spark, wh, layer, table, foldEpochsBelow)
   }
 
   /** STALENESS SIGNAL for the frozen statistics — the posting-index
@@ -1422,7 +1490,10 @@ object Dedup {
       // subset comes from the cached frames
       val (_, _, _, nSetBuckets) =
         readNgramIndexMeta(spark, wh, layer, table)
-      val keptIds = broadcast(keptDocs.select(col(idCol).as("doc_id")))
+      // count-gated broadcast, as on the MinHash twin (r11 ADVICE)
+      val keptIds0 = keptDocs.select(col(idCol).as("doc_id"))
+      val keptIds =
+        if (keptDocs.count() <= 2000000L) broadcast(keptIds0) else keptIds0
       writeNgramIndexRows(
         postB.join(keptIds, Seq("doc_id"), "left_semi")
           .select("sh", "doc_id", "__pos", "__n", "sbucket"),
@@ -1431,9 +1502,11 @@ object Dedup {
             pmod(col("doc_id"), lit(nSetBuckets.toLong))),
         wh, layer, table, epoch)
       tracker.unpersistAll()
+      // epoch = data, pepoch = fold-able partition key ([[foldKeptSink]])
       wh.overwritePartitionsDynamic(
-        keptDocs.withColumn("epoch", lit(epoch)),
-        layer, s"${table}_kept", Seq("epoch"))
+        keptDocs.withColumn("epoch", lit(epoch))
+          .withColumn("pepoch", lit(epoch)),
+        layer, s"${table}_kept", Seq("pepoch"))
       if (compactEvery > 0 && epoch > 0 && epoch % compactEvery == 0)
         ngramIndexCompact(spark, wh, layer, table, foldEpochsBelow = epoch)
       keptDocs.count()

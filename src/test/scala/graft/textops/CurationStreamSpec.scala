@@ -182,6 +182,49 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(kept1 === Set(102L))
   }
 
+  test("funnel folding: directories bounded across 10 epochs, rows and epochs intact") {
+    // the `_funnel` side of the r11 sink-fold gap: one pepoch directory
+    // per epoch forever, read by every funnel consumer. On the compact
+    // cadence the committed partitions collapse into the base while the
+    // `epoch` data column keeps the per-epoch observables readable.
+    val wh = freshWh("funnelfold")
+    CurationStream.curationBootstrap(initialRows.toDF("doc_id", "text"),
+      "doc_id", "text", wh, "gold", "cur", threshold = 0.5, bands = 8,
+      nBuckets = 8, nSetBuckets = 4)
+    def dirs(t: String): Set[String] = {
+      val d = new java.io.File(wh.path("gold", t))
+      if (!d.exists) Set.empty
+      else d.listFiles().filter(f => f.isDirectory &&
+        f.getName.startsWith("pepoch=")).map(_.getName).toSet
+    }
+    def run(e: Int): Unit = CurationStream.curationIngestBatch(
+      Seq((400L + e,
+        s"the funnel fold micro batch number $e is about its own new subject"))
+        .toDF("doc_id", "text"),
+      e.toLong, "doc_id", "text", wh, "gold", "cur", threshold = 0.5,
+      compactEvery = 3)
+    val counts = (0 to 9).map { e => run(e); (dirs("cur_funnel").size,
+      dirs("cur_kept").size) }
+    assert(counts.map(_._1).max <= 5, s"funnel dirs per epoch: $counts")
+    assert(counts.map(_._2).max <= 5, s"kept dirs per epoch: $counts")
+    assert(dirs("cur_funnel") === Set("pepoch=-1", "pepoch=9"))
+    // replay across the fold boundary: epoch 9 (which folded) re-runs;
+    // funnel and sink unchanged
+    def snapshot() = (
+      wh.read(spark, "gold", "cur_funnel")
+        .select("epoch", "n_in", "n_kept").as[(Long, Long, Long)]
+        .collect().toSet,
+      wh.read(spark, "gold", "cur_kept").select("doc_id", "epoch")
+        .as[(Long, Long)].collect().toSet)
+    val s1 = snapshot()
+    run(9)
+    assert(snapshot() === s1)
+    // every epoch's funnel row survives the folds, keyed by its epoch
+    val epochs = wh.read(spark, "gold", "cur_funnel")
+      .select(col("epoch").cast("long")).as[Long].collect().sorted.toSeq
+    assert(epochs === (-1L to 9L).toSeq)
+  }
+
   test("streaming query end-to-end (file source, 1 file per trigger)") {
     val wh = freshWh("stream")
     CurationStream.curationBootstrap(initialRows.toDF("doc_id", "text"),

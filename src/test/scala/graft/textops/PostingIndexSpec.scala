@@ -316,6 +316,53 @@ class PostingIndexSpec extends AnyFunSuite {
     assert(viaLoop === viaFull && viaLoop.nonEmpty)
   }
 
+  test("kept-sink folding: directories bounded across 12 epochs, replay-safe across a fold") {
+    // the r11 verdict's structural gap: indexes compacted on cadence
+    // but `_kept` accumulated one partition directory per micro-batch
+    // forever. Folding collapses committed pepoch partitions into the
+    // base while `epoch` (a data column) keeps recording which batch
+    // kept each doc.
+    val wh = freshWh("keptfold")
+    build(wh)
+    def keptDirs: Set[String] = {
+      val d = new java.io.File(wh.path("gold", "ng_kept"))
+      if (!d.exists) Set.empty
+      else d.listFiles().filter(f => f.isDirectory &&
+        f.getName.startsWith("pepoch=")).map(_.getName).toSet
+    }
+    def mkB(e: Int) = Seq((900L + e,
+      s"kept fold document number $e with wholly distinct content tokens"))
+      .toDF("doc_id", "text")
+    def run(e: Int) = Dedup.ngramIngestBatch(mkB(e), epoch = e.toLong,
+      "doc_id", "text", wh, "gold", "ng", threshold = 0.5,
+      compactEvery = 3)
+    val dirCounts = (0 to 9).map { e => run(e); keptDirs.size }
+    // fold cadence 3 → at most the base dir + compactEvery-1 committed
+    // epochs + the current one are ever on disk
+    assert(dirCounts.max <= 5, s"kept dir counts: $dirCounts")
+    // replay ACROSS the fold boundary: epoch 9 folded pepochs < 9; a
+    // crash before its checkpoint commit replays the whole epoch —
+    // sink, index, and fold must all be unchanged by the second run
+    val snap9 = ingestState(wh)
+    val dirs9 = keptDirs
+    run(9)
+    assert(ingestState(wh) === snap9)
+    assert(keptDirs === dirs9)
+    (10 to 11).foreach(run)
+    assert(keptDirs === Set("pepoch=-1", "pepoch=9", "pepoch=10", "pepoch=11"))
+    // folding lost NO observability: every epoch's kept doc still
+    // carries its epoch in the data column
+    val byEpoch = spark.read.parquet(wh.path("gold", "ng_kept"))
+      .select(col("doc_id"), col("epoch").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(byEpoch === (0 to 11).map(e => (900L + e, e.toLong)).toSet)
+    // and the statistics-rebuild source (epoch =!= current) still sees
+    // every committed survivor: 12 kept docs, none from a future epoch
+    val src = spark.read.parquet(wh.path("gold", "ng_kept"))
+      .filter(col("epoch") =!= lit(12L)).count()
+    assert(src === 12L)
+  }
+
   test("rebuildCheckEvery: a drifting-vocabulary stream trips a mid-stream re-freeze") {
     val wh = freshWh("drift")
     build(wh)
@@ -371,6 +418,77 @@ class PostingIndexSpec extends AnyFunSuite {
       ("id_a", "id_b", "jaccard"))
     assert(viaLoop === viaCtl)
     assert(viaCtl.exists { case (a, b, _) => a == 600L && b == 610L })
+  }
+
+  test("kill between rebuild table swaps: reader resume yields the all-new index") {
+    // the r11-ADVICE crash window: the (re)build used to overwrite
+    // _meta/_freq/_post/_sets as four sequential non-atomic writes — a
+    // crash between _freq and _post left a new dictionary over
+    // old-ordered postings, and the replayed staleness check read the
+    // NEW _freq, measured low, and skipped the rebuild. Now the four
+    // stage to ._tmp and promote behind a pending marker; readers
+    // finish a crashed promotion before trusting the group.
+    val wh = freshWh("killswap")
+    build(wh) // the OLD index (over `corpus`)
+    // the new index content = a rebuild over corpus ∪ batch, staged by
+    // hand from a clean scratch build (what ngramIndexPersist stages)
+    val whNew = freshWh("killswapnew")
+    Dedup.ngramIndexPersist(corpus.unionByName(batch), "doc_id", "text",
+      whNew, "gold", "ng", shingleK = 3, maxShingleFreq = 1000,
+      nPostBuckets = 8, nSetBuckets = 4)
+    val tables = Seq("ng_meta", "ng_freq", "ng_post", "ng_sets")
+    tables.foreach { t =>
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(whNew.path("gold", t)),
+        java.nio.file.Paths.get(wh.path("gold", t + "._tmp")),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    // simulate the crash mid-promotion: marker down, only the first two
+    // tables swapped — the EXACT mixed state the defect produced
+    // (new dictionary `_freq`, old postings `_post`)
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(wh.path("gold", "ng._pending")))
+    wh.promoteStaged("gold", "ng_meta")
+    wh.promoteStaged("gold", "ng_freq")
+    // replay: the staleness check (any probe would do — all read meta
+    // first) resumes the promotion before measuring
+    val probe = Seq((700L, corpusRows.head._2)).toDF("doc_id", "text")
+    val stale = Dedup.ngramIndexStaleness(probe, "doc_id", "text",
+      wh, "gold", "ng").head()
+    assert(stale.getDouble(2) === 0.0)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(wh.path("gold", "ng._pending"))))
+    tables.foreach { t =>
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(wh.path("gold", t + "._tmp"))),
+        s"stranded tmp for $t")
+    }
+    // the resumed index is EXACTLY a clean rebuild over corpus ∪ batch:
+    // logically identical tables vs a third from-scratch control build
+    val whCtl = freshWh("killswapctl")
+    Dedup.ngramIndexPersist(corpus.unionByName(batch), "doc_id", "text",
+      whCtl, "gold", "ng", shingleK = 3, maxShingleFreq = 1000,
+      nPostBuckets = 8, nSetBuckets = 4)
+    def snap(w: graft.etl.Warehouse) = (
+      spark.read.parquet(w.path("gold", "ng_meta")).collect().toSeq,
+      spark.read.parquet(w.path("gold", "ng_freq"))
+        .select("sh", "freq").as[(Long, Long)].collect().toSeq.sorted,
+      spark.read.parquet(w.path("gold", "ng_post"))
+        .select(col("doc_id"), col("sh"), col("__pos"), col("__n"))
+        .as[(Long, Long, Int, Long)].collect().toSeq.sorted,
+      spark.read.parquet(w.path("gold", "ng_sets"))
+        .select(col("doc_id"), sort_array(col("set")), col("n"))
+        .as[(Long, Seq[Long], Long)].collect().toSeq.sortBy(_._1))
+    assert(snap(wh) === snap(whCtl))
+    // and a probe over the resumed index behaves like the control's
+    val b2 = Seq((800L, batchRows.find(_._1 == 102L).get._2))
+      .toDF("doc_id", "text")
+    val viaResumed = pairSet(Dedup.ngramJaccardIncrementPairs(b2, "doc_id",
+      "text", wh, "gold", "ng", threshold = 0.5), ("id_a", "id_b", "jaccard"))
+    val viaCtl = pairSet(Dedup.ngramJaccardIncrementPairs(b2, "doc_id",
+      "text", whCtl, "gold", "ng", threshold = 0.5),
+      ("id_a", "id_b", "jaccard"))
+    assert(viaResumed === viaCtl && viaResumed.nonEmpty)
   }
 
   test("build-time cap drops boilerplate from corpus AND batch sets") {
