@@ -678,6 +678,112 @@ object ScaleProbe {
       spark.conf.set("spark.sql.shuffle.partitions", "64")
     }}
 
+    // LONG-HORIZON ingest: 20 epochs × 50k docs through each family's
+    // raw ingest stream with the full maintenance lifecycle active —
+    // compactEvery = 5 (index + _kept fold on cadence) and, exact
+    // family, rebuildCheckEvery = 5 (one deliberate drift epoch trips a
+    // visible mid-stream statistics re-freeze). Pass bars: per-epoch
+    // wall time FLAT outside the maintenance epochs (daily cost must
+    // not grow with kept history), index AND sink file/dir counts
+    // BOUNDED across the run (the r11 sink-fold ask's evidence), and
+    // exactly one _freq dictionary jump at the drift epoch.
+    // Epoch construction: every sf0.1 doc × 10 replica ids, text = the
+    // doc's first 60% of words + epoch-keyed hashed filler — within an
+    // epoch the 10 replicas are exact dups (collapse exercises), across
+    // epochs and against the bootstrap J ≈ 0.6/1.4 < 0.5 (all kept —
+    // the conservative, fastest-growing-index case) and unseen shingle
+    // mass ≈ 0.4 < 0.5 (no spurious rebuild). Epoch 10's text is fully
+    // hashed (unseen ≈ 1.0) — the drift that must trip the check.
+    Seq(("longminhash", "nd"), ("longexact", "ng")).foreach {
+      case (fam, idx) => if (families("longingest") || families(fam)) {
+      val tag = if (idx == "ng") "LONGEXACT" else "LONGMINHASH"
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+      val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .select("doc_id", "text")
+      def epochDocs(k: Int, drift: Boolean) = base
+        .withColumn("rep", explode(sequence(lit(0L), lit(9L))))
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("keepw",
+          if (drift) lit(0) else (size(col("ws")) * lit(0.6)).cast("int"))
+        .withColumn("nf", size(col("ws")) - col("keepw"))
+        .withColumn("filler", array_join(transform(
+          sequence(lit(1), greatest(col("nf"), lit(1))),
+          i => concat(lit("zz"),
+            pmod(abs(xxhash64(col("doc_id"), lit(k), i)), lit(50000L)))), " "))
+        .select(
+          (lit(1000000L * (k + 1)) + col("doc_id") * 10 + col("rep"))
+            .as("doc_id"),
+          concat(array_join(slice(col("ws"), lit(1), greatest(col("keepw"),
+            lit(1))), " "), lit(" "), col("filler")).as("text"))
+      val wh = graft.etl.Warehouse(java.nio.file.Files
+        .createTempDirectory(s"graft_probe_$fam").toString)
+      val bootstrap = base
+        .withColumn("rep", explode(sequence(lit(0L), lit(9L))))
+        .select((col("doc_id") * 10 + col("rep")).as("doc_id"), col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"$tag bootstrap docs: ${bootstrap.count()}")
+      time(s"${fam}_index_build") {
+        if (idx == "ng") {
+          Dedup.ngramIndexPersist(bootstrap, "doc_id", "text", wh, "gold",
+            idx, shingleK = 3, maxShingleFreq = 1000)
+          spark.read.parquet(wh.path("gold", s"${idx}_post")).count()
+        } else {
+          Dedup.nearDedupIndexPersist(bootstrap, "doc_id", "text", wh,
+            "gold", idx, shingleK = 3, numHashes = 32, bands = 8)
+          spark.read.parquet(wh.path("gold", s"${idx}_bands")).count()
+        }
+      }
+      def fsStats(t: String): (Int, Int) = {
+        def walk(f: java.io.File): (Int, Int) =
+          if (!f.exists) (0, 0)
+          else if (f.isDirectory) {
+            val kids = f.listFiles().map(walk)
+            (kids.map(_._1).sum, kids.map(_._2).sum + 1)
+          } else if (f.getName.endsWith(".parquet")) (1, 0) else (0, 0)
+        walk(new java.io.File(wh.path("gold", t)))
+      }
+      val tables =
+        if (idx == "ng") Seq(s"${idx}_post", s"${idx}_sets", s"${idx}_kept")
+        else Seq(s"${idx}_bands", s"${idx}_sets", s"${idx}_kept")
+      val stageDir = java.nio.file.Files
+        .createTempDirectory(s"graft_probe_${fam}_stage").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft_probe_${fam}_ckpt").toString
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      val src = spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(stageDir)
+      val q =
+        if (idx == "ng")
+          Dedup.ngramIngestStream(src, "doc_id", "text", wh, "gold", idx,
+            threshold = 0.5, ckpt, compactEvery = 5,
+            rebuildCheckEvery = 5, unseenThreshold = 0.5,
+            baseCorpus = Some(bootstrap))
+        else
+          Dedup.nearDedupIngestStream(src, "doc_id", "text", wh, "gold",
+            idx, threshold = 0.5, ckpt, compactEvery = 5)
+      (0 until 20).foreach { k =>
+        epochDocs(k, drift = idx == "ng" && k == 10)
+          .coalesce(1).write.mode("append").parquet(stageDir)
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val st = tables.map(t => t -> fsStats(t))
+        val freqN =
+          if (idx == "ng")
+            s" freq=${spark.read.parquet(wh.path("gold", s"${idx}_freq")).count()}"
+          else ""
+        println(f"$tag epoch $k%2d ${dt}%7.2f s  " +
+          st.map { case (t, (nf, nd)) =>
+            s"${t.stripPrefix(s"${idx}_")}=[$nf f/$nd d]"
+          }.mkString(" ") + freqN)
+      }
+      q.stop()
+      val keptN = spark.read.parquet(wh.path("gold", s"${idx}_kept")).count()
+      println(s"$tag kept total: $keptN")
+      bootstrap.unpersist()
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+    }}
+
     // End-to-end curation pipeline at 100×: 500k docs (every sf0.1 doc
     // exactly replicated 100× — the crawl's dominant redundancy shape)
     // through lang gate (heuristic langId, not the label) → quality

@@ -1004,10 +1004,11 @@ object TextQueries {
     val d = docs(s, dir)
     val r = d.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)),
       coalesce(sum(length(col("text")).cast("long")), lit(0L))).head()
-    // ver=3: r11 added the `epoch` sub-partition to _post/_sets
-    // (exactly-once streaming appends) and then the clustered
-    // one-file-per-bucket sorted layout — older indexes rebuild
-    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 1000, 16, 16, 3))
+    // ver=4: matches the on-disk format (v2 epoch sub-partitions, v3
+    // clustered sorted layout, v4 Int-narrowed columns + layout flags
+    // in _meta) — older standing indexes rebuild instead of tripping
+    // the format_version check
+    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 1000, 16, 16, 4))
       .toDF("n", "id_sum", "len_sum", "k", "cap", "npb", "nsb", "ver")
     val fresh = wh.exists("gold", "ng_fp") &&
       (try {
@@ -1024,6 +1025,43 @@ object TextQueries {
 
   private val dNgramIncrement: QFn = (s, dir) => {
     val wh = incNgramIndexWh(s, dir)
+    Dedup.ngramJaccardIncrementPairs(incBatch(s, dir), "doc_id", "text",
+      wh, "gold", "ng", threshold = 0.5).orderBy("id_a", "id_b")
+  }
+
+  // d8c-floor — the same increment probe against the JACCARD-ONLY
+  // index layout (ngramIndexPersist containment=false, tMinJaccard at
+  // the probe threshold): `_post` stores each doc's prefix rows at the
+  // 0.5 floor — the footprint cut — and the probe at t >= the floor
+  // must be byte-identical to the full layout's. Oracled by the SAME
+  // SQL as d_ngram_increment: the recall contract as a driver-checked
+  // hash match, not just a spec assertion.
+  private def incNgramFloorWh(s: SparkSession, dir: String): graft.etl.Warehouse = {
+    import s.implicits._
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val wh = graft.etl.Warehouse(
+      s"${sys.props("java.io.tmpdir")}/graft_ngfloor$key")
+    val d = docs(s, dir)
+    val r = d.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)),
+      coalesce(sum(length(col("text")).cast("long")), lit(0L))).head()
+    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 1000, 16, 16, 4))
+      .toDF("n", "id_sum", "len_sum", "k", "cap", "npb", "nsb", "ver")
+    val fresh = wh.exists("gold", "ngf_fp") &&
+      (try {
+        wh.read(s, "gold", "ngf_fp").collect().toSeq == fp.collect().toSeq
+      } catch { case _: Throwable => false })
+    if (!fresh) {
+      Dedup.ngramIndexPersist(d, "doc_id", "text", wh, "gold", "ng",
+        shingleK = 3, maxShingleFreq = 1000,
+        nPostBuckets = 16, nSetBuckets = 16,
+        containment = false, tMinJaccard = 0.5)
+      wh.overwrite(fp, "gold", "ngf_fp")
+    }
+    wh
+  }
+
+  private val dNgramIncrementFloor: QFn = (s, dir) => {
+    val wh = incNgramFloorWh(s, dir)
     Dedup.ngramJaccardIncrementPairs(incBatch(s, dir), "doc_id", "text",
       wh, "gold", "ng", threshold = 0.5).orderBy("id_a", "id_b")
   }
@@ -1311,8 +1349,9 @@ object TextQueries {
       s"${sys.props("java.io.tmpdir")}/graft_curexwh$key")
     val r = initial.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)),
       coalesce(sum(length(col("text")).cast("long")), lit(0L))).head()
-    // ver=3: pepoch sink layout, as on the MinHash-family twin above
-    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 1000000, 16, 16, 3))
+    // ver=4: pepoch sink layout + the v4 posting-index format (the
+    // exact-family bootstrap now builds the Jaccard-only floor layout)
+    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 1000000, 16, 16, 4))
       .toDF("n", "id_sum", "len_sum", "k", "cap", "npb", "nsb", "ver")
     val fresh = wh.exists("gold", "curex_fp") &&
       (try {
@@ -1380,7 +1419,9 @@ object TextQueries {
       s"${sys.props("java.io.tmpdir")}/graft_divwh$key")
     val r = corpus.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)),
       coalesce(sum(length(col("text")).cast("long")), lit(0L))).head()
-    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 1000000, 16, 16, 2))
+    // ver=3: the v4 posting-index on-disk format (Int-narrowed columns
+    // + layout flags) — older standing artifacts rebuild
+    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 1000000, 16, 16, 3))
       .toDF("n", "id_sum", "len_sum", "k", "cap", "npb", "nsb", "ver")
     val fresh = wh.exists("gold", "div_fp") &&
       (try {
@@ -2323,6 +2364,7 @@ object TextQueries {
     "d_near_dedup_increment" -> dNearIncrement,
     "d_near_dedup_increment_keep" -> dNearIncrementKeep,
     "d_ngram_increment" -> dNgramIncrement,
+    "d_ngram_increment_floor" -> dNgramIncrementFloor,
     "d_containment_increment" -> dContainIncrement,
     "d_ngram_staleness" -> dNgramStaleness,
     "d_ngram_increment_keep" -> dNgramIncrementKeep,
@@ -2379,6 +2421,7 @@ object TextQueries {
     "d_near_dedup_increment" -> dNearIncrementSql,
     "d_near_dedup_increment_keep" -> dNearIncrementKeepSql,
     "d_ngram_increment" -> dNgramIncrementSql,
+    "d_ngram_increment_floor" -> dNgramIncrementSql,
     "d_containment_increment" -> dContainIncrementSql,
     "d_ngram_staleness" -> dNgramStalenessSql,
     "d_ngram_increment_keep" -> dNgramIncrementKeepSql,

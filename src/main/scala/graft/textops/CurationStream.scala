@@ -178,8 +178,18 @@ object CurationStream {
           Dedup.nearDedupIndexPersist(keptDocs, idCol, textCol, wh, layer,
             table, shingleK, numHashes, bands, nBuckets, nSetBuckets)
         case ExactNgramFamily =>
+          // the curation loop is this index's ONLY consumer and probes
+          // Jaccard at exactly `threshold`, so the bootstrap opts into
+          // the Jaccard-only layout: `_post` stores each doc's prefix
+          // rows at the threshold floor — the measured ~(1 − t) cut of
+          // the index's dominant table — and the in-loop statistics
+          // re-freeze preserves the floor. Containment probes against
+          // a curation index are rejected explicitly (they need the
+          // full-postings layout a standalone ngramIndexPersist keeps
+          // by default).
           Dedup.ngramIndexPersist(keptDocs, idCol, textCol, wh, layer,
-            table, shingleK, maxShingleFreq, nBuckets, nSetBuckets)
+            table, shingleK, maxShingleFreq, nBuckets, nSetBuckets,
+            containment = false, tMinJaccard = threshold)
       }
       // STATIC partitioned overwrites: the bootstrap is the from-scratch
       // build, so it truncates any previous sink state (including a

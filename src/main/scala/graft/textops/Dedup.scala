@@ -882,15 +882,36 @@ object Dedup {
     * that double-counted on retry). `_freq` has no epoch: appends never
     * touch the frozen dictionary, only a rebuild rewrites it.
     *
-    * At 100 TB the postings/freq tables are the skinny (16–32 B/row)
-    * derivative of the text — a probe scans bucket-pruned slices of
-    * them instead of re-shingling the corpus text. */
+    * At 100 TB the postings/freq tables are the skinny derivative of
+    * the text — a probe scans bucket-pruned slices of them instead of
+    * re-shingling the corpus text. Stored rows are WIDTH-NARROWED
+    * (format v4): `freq`/`__pos`/`__n`/`n` are IntegerType — per-doc
+    * capped shingle counts and positions are bounded far inside Int,
+    * and a document frequency above Int.MaxValue is clamped (such a
+    * shingle is boilerplate-capped out at any real `maxShingleFreq`,
+    * so neither the cap test nor the surviving rare-first order can
+    * observe the clamp). The r11 probe measured the index at 15.9× the
+    * compressed corpus; narrowing cuts the fixed-width columns in half.
+    *
+    * `containment = false` additionally opts into the JACCARD-ONLY
+    * layout: `_post` stores only each doc's PREFIX rows at the
+    * `tMinJaccard` floor (the rows any Jaccard probe at threshold ≥
+    * the floor can ever read — recall is untouched for those probes,
+    * spec-pinned), cutting `_post` by roughly the mean (1 − tMin)
+    * fraction. The trade: containment probes (which need full
+    * destination postings) and Jaccard probes BELOW the floor are
+    * rejected with an explicit error instead of silently under-
+    * recalling. Layout flags persist in `_meta` and every probe
+    * validates against them. */
   def ngramIndexPersist(df: DataFrame, idCol: String, textCol: String,
       wh: graft.etl.Warehouse, layer: String, table: String,
       shingleK: Int = 3, maxShingleFreq: Int = 1000,
-      nPostBuckets: Int = 64, nSetBuckets: Int = 64): Unit = {
+      nPostBuckets: Int = 64, nSetBuckets: Int = 64,
+      containment: Boolean = true, tMinJaccard: Double = 0.0): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
+    require(containment || tMinJaccard > 0.0,
+      "a Jaccard-only index needs a positive tMinJaccard floor")
     // the four tables STAGE to ._tmp and promote as one marker-gated
     // group: a (re)build over a live index was four sequential
     // non-atomic overwrites — a crash between the _freq and _post
@@ -899,8 +920,10 @@ object Dedup {
     // and skip the rebuild: a silently mixed index (r11 ADVICE).
     // Readers resume a crashed promotion before trusting the group
     // ([[readNgramIndexMeta]] → Warehouse.resumePending).
-    wh.stage(Seq((shingleK, maxShingleFreq, nPostBuckets, nSetBuckets))
-      .toDF("shingle_k", "max_freq", "n_post_buckets", "n_set_buckets"),
+    wh.stage(Seq((shingleK, maxShingleFreq, nPostBuckets, nSetBuckets,
+        NgramIndexFormatVersion, containment, tMinJaccard))
+      .toDF("shingle_k", "max_freq", "n_post_buckets", "n_set_buckets",
+        "format_version", "containment", "t_min"),
       layer, s"${table}_meta")
     val sh = shingledHashed(df, idCol, textCol, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -910,8 +933,11 @@ object Dedup {
     val freqTab = sh.groupBy("sh").agg(count(lit(1)).as("freq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     wh.stagePartitioned(
-      clusterFor(freqTab.withColumn("sbucket",
-          pmod(col("sh"), lit(nPostBuckets.toLong)).cast("int")),
+      clusterFor(freqTab
+          .withColumn("freq",
+            least(col("freq"), lit(Int.MaxValue.toLong)).cast("int"))
+          .withColumn("sbucket",
+            pmod(col("sh"), lit(nPostBuckets.toLong)).cast("int")),
         "sbucket", "sh"),
       layer, s"${table}_freq", Seq("sbucket"))
     val capped = sh.join(freqTab, "sh")
@@ -922,18 +948,21 @@ object Dedup {
     val posted = capped
       .withColumn("__pos", row_number().over(rareFirst))
       .withColumn("__n", count(lit(1)).over(rareFirst.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)))
+        Window.unboundedPreceding, Window.unboundedFollowing)).cast("int"))
       .select("sh", "doc_id", "__pos", "__n")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val storedPost =
+      if (containment) posted else prefixRows(posted, tMinJaccard)
     wh.stagePartitioned(
-      clusterFor(posted.withColumn("sbucket",
+      clusterFor(storedPost.withColumn("sbucket",
             pmod(col("sh"), lit(nPostBuckets.toLong)).cast("int"))
           .withColumn("epoch", lit(-1L)),
         "sbucket", "sh", "doc_id"),
       layer, s"${table}_post", Seq("sbucket", "epoch"))
     wh.stagePartitioned(
       clusterFor(posted.groupBy("doc_id")
-          .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n"))
+          .agg(collect_list(col("sh")).as("set"),
+            count(lit(1)).cast("int").as("n"))
           .withColumn("dbucket", pmod(col("doc_id"), lit(nSetBuckets.toLong)))
           .withColumn("epoch", lit(-1L)),
         "dbucket", "doc_id"),
@@ -941,6 +970,15 @@ object Dedup {
     posted.unpersist(); freqTab.unpersist(); sh.unpersist()
     wh.promoteStagedGroup(layer, table, ngramIndexTables(table))
   }
+
+  /** Posting-index on-disk format: v2 added the `epoch` sub-partition,
+    * v3 the clustered one-file-per-bucket sorted layout, v4 the
+    * Int-narrowed `freq`/`__pos`/`__n`/`n` columns plus the layout
+    * flags (`containment`/`t_min`) in `_meta`. [[readNgramIndexMeta]]
+    * rejects other versions with an explicit rebuild-required error —
+    * a pre-v4 standing index used to surface as a bare
+    * AnalysisException from a missing column (r11 ADVICE). */
+  private[textops] val NgramIndexFormatVersion = 4
 
   /** The posting index's table group, in promote order (meta last-read
     * first-promoted is NOT required — the marker makes order
@@ -950,17 +988,32 @@ object Dedup {
     Seq(s"${table}_meta", s"${table}_freq", s"${table}_post",
       s"${table}_sets")
 
+  /** The posting index's frozen build parameters + layout flags, read
+    * back by every probe so index and probe can never skew. */
+  private[textops] final case class NgramMeta(shingleK: Int, maxFreq: Int,
+      nPostBuckets: Int, nSetBuckets: Int, containment: Boolean,
+      tMin: Double)
+
   private def readNgramIndexMeta(spark: org.apache.spark.sql.SparkSession,
-      wh: graft.etl.Warehouse, layer: String,
-      table: String): (Int, Int, Int, Int) = {
+      wh: graft.etl.Warehouse, layer: String, table: String): NgramMeta = {
     // every probe/append/staleness path reads meta first, so this is
     // THE resume point: a rebuild that crashed between table swaps
     // finishes promoting here, before anything trusts the group
     wh.resumePending(layer, table, ngramIndexTables(table))
-    val m = wh.read(spark, layer, s"${table}_meta")
-      .select("shingle_k", "max_freq", "n_post_buckets", "n_set_buckets")
-      .head()
-    (m.getInt(0), m.getInt(1), m.getInt(2), m.getInt(3))
+    val df = wh.read(spark, layer, s"${table}_meta")
+    val ver =
+      if (df.columns.contains("format_version"))
+        df.select("format_version").head().getInt(0)
+      else 1 // pre-versioned layouts carry no marker at all
+    if (ver != NgramIndexFormatVersion)
+      throw new IllegalStateException(
+        s"posting index $layer/$table has on-disk format v$ver; this " +
+        s"build reads v$NgramIndexFormatVersion — rebuild the index " +
+        "with Dedup.ngramIndexPersist over the durable corpus")
+    val m = df.select("shingle_k", "max_freq", "n_post_buckets",
+      "n_set_buckets", "containment", "t_min").head()
+    NgramMeta(m.getInt(0), m.getInt(1), m.getInt(2), m.getInt(3),
+      m.getBoolean(4), m.getDouble(5))
   }
 
   /** The shared probe-side pipeline: the batch's capped, positioned
@@ -973,52 +1026,86 @@ object Dedup {
     * across the corpus↔batch join exactly as within the batch. */
   private def batchPostings(batch: DataFrame, idCol: String,
       textCol: String, wh: graft.etl.Warehouse, layer: String,
-      table: String, shingleK: Int, maxShingleFreq: Int, nPostBuckets: Int,
-      tracker: PersistTracker,
+      table: String, meta: NgramMeta, tracker: PersistTracker,
       broadcastShingleLimit: Long = 2000000L): (DataFrame, DataFrame) = {
     val spark = batch.sparkSession
-    import spark.implicits._
     val shB = tracker.add(
-      shingledHashed(batch, idCol, textCol, shingleK)
+      shingledHashed(batch, idCol, textCol, meta.shingleK)
         .withColumn("sbucket",
-          pmod(col("sh"), lit(nPostBuckets.toLong)).cast("int"))
+          pmod(col("sh"), lit(meta.nPostBuckets.toLong)).cast("int"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // bounded collect: ≤ nPostBuckets values by construction. A diverse
-    // batch touches every bucket (the freq join is then a full skinny
-    // dictionary scan — still bytes-proportional to the DICTIONARY, not
-    // the corpus text); a homogeneous batch prunes hard.
-    val sbs = shB.select("sbucket").distinct().as[Int].collect().sorted
-    val freq = wh.read(spark, layer, s"${table}_freq")
-      .filter(col("sbucket").isin(sbs.map(Int.box): _*))
-      .select("sh", "freq")
     // The dictionary join is the small-batch floor: a shuffle join
     // exchanges the (pruned) dictionary even when the batch has a few
     // thousand shingles. Below the limit, keep the dictionary scan
     // MAP-SIDE: a broadcast left-semi prunes it to exactly the batch's
     // shingles (no exchange of dictionary rows), and the now-tiny
-    // survivor set broadcasts back into the left join. Above the limit
-    // the plain shuffle join is the right shape (both sides large).
+    // survivor set broadcasts back into the left join — and the scan
+    // itself shrinks to the batch's per-bucket key RANGES
+    // ([[bucketRangeFilter]]): index files are sorted by `sh` within
+    // each bucket, so parquet row-group stats skip the dictionary
+    // pages outside them (the measured 28 MB small-batch floor).
+    // Above the limit the plain shuffle join over isin-pruned buckets
+    // is the right shape (both sides large).
     val nShB = shB.count()
     val cappedB0 =
       if (nShB <= broadcastShingleLimit) {
+        val freq = wh.read(spark, layer, s"${table}_freq")
+          .filter(bucketRangeFilter(shB, "sbucket", "sh"))
+          .select("sh", "freq")
         val freqB = freq.join(broadcast(shB.select("sh").distinct()),
           Seq("sh"), "left_semi")
         shB.join(broadcast(freqB), Seq("sh"), "left")
-      } else shB.join(freq, Seq("sh"), "left")
+      } else {
+        val freq = wh.read(spark, layer, s"${table}_freq")
+          .filter(bucketIsinFilter(shB, "sbucket"))
+          .select("sh", "freq")
+        shB.join(freq, Seq("sh"), "left")
+      }
     val cappedB = cappedB0
-      .withColumn("freq", coalesce(col("freq"), lit(0L)))
-      .filter(col("freq") <= maxShingleFreq)
+      .withColumn("freq", coalesce(col("freq"), lit(0)))
+      .filter(col("freq") <= meta.maxFreq)
     val rareFirst = Window.partitionBy("doc_id").orderBy("freq", "sh")
     val postB = tracker.add(cappedB
       .withColumn("__pos", row_number().over(rareFirst))
       .withColumn("__n", count(lit(1)).over(rareFirst.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)))
+        Window.unboundedPreceding, Window.unboundedFollowing)).cast("int"))
       .select("doc_id", "sh", "__pos", "__n", "sbucket")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val setsB = tracker.add(postB.groupBy("doc_id")
-      .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n"))
+      .agg(collect_list(col("sh")).as("set"),
+        count(lit(1)).cast("int").as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     (postB, setsB)
+  }
+
+  /** Per-bucket probe-key range predicate: (bucket, min key, max key)
+    * of the batch's rows — a bounded collect, ≤ nPostBuckets rows by
+    * construction — becomes one OR-of-conjunctions filter. The bucket
+    * equalities prune PARTITIONS (each disjunct's partition conjunct
+    * survives Catalyst's extraction); the BETWEEN terms reach parquet
+    * as pushed filters, and because index files are sorted by the key
+    * within each bucket partition, row-group min/max stats skip
+    * everything outside the batch's ranges — data skipping with no
+    * table format. An empty batch prunes the whole scan. */
+  private def bucketRangeFilter(df: DataFrame, bucketCol: String,
+      keyCol: String): Column = {
+    val ranges = df.groupBy(bucketCol)
+      .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    ranges.map { case (b, lo, hi) =>
+      col(bucketCol) === lit(b) && col(keyCol).between(lit(lo), lit(hi))
+    }.reduceOption(_ || _).getOrElse(lit(false))
+  }
+
+  /** Plain bucket membership predicate (bounded collect ≤ bucket
+    * count) — the big-batch form, where per-bucket ranges approach the
+    * full key domain and buy nothing. */
+  private def bucketIsinFilter(df: DataFrame, bucketCol: String): Column = {
+    val bs = df.select(bucketCol).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (bs.isEmpty) lit(false)
+    else col(bucketCol).isin(bs.map(Int.box): _*)
   }
 
   /** Prefix row-filter at probe threshold `t` over positioned postings
@@ -1053,17 +1140,16 @@ object Dedup {
   def ngramIndexAppend(df: DataFrame, idCol: String, textCol: String,
       wh: graft.etl.Warehouse, layer: String, table: String,
       epoch: Long = -1L): Unit = {
-    val (shingleK, maxFreq, nPostBuckets, nSetBuckets) =
-      readNgramIndexMeta(df.sparkSession, wh, layer, table)
+    val meta = readNgramIndexMeta(df.sparkSession, wh, layer, table)
     val tracker = PersistTracker.live()
     try {
       val (postB, setsB) = batchPostings(df, idCol, textCol, wh, layer,
-        table, shingleK, maxFreq, nPostBuckets, tracker)
+        table, meta, tracker)
       writeNgramIndexRows(
         postB.select("sh", "doc_id", "__pos", "__n", "sbucket"),
         setsB.withColumn("dbucket",
-          pmod(col("doc_id"), lit(nSetBuckets.toLong))),
-        wh, layer, table, epoch)
+          pmod(col("doc_id"), lit(meta.nSetBuckets.toLong))),
+        wh, layer, table, epoch, meta)
     } finally tracker.unpersistAll()
   }
 
@@ -1071,10 +1157,13 @@ object Dedup {
     * `sbucket`, `sets` carries `dbucket`; epoch ≥ 0 → idempotent
     * dynamic partition overwrite, −1 → plain append into the base
     * epoch. Shared with the ingest loop, whose rows come from the keep
-    * probe's cached frames instead of a recomputation. */
-  private def writeNgramIndexRows(post: DataFrame, sets: DataFrame,
+    * probe's cached frames instead of a recomputation. A Jaccard-only
+    * index stores only the `t_min`-prefix posting rows, exactly as the
+    * base build does. */
+  private def writeNgramIndexRows(post0: DataFrame, sets: DataFrame,
       wh: graft.etl.Warehouse, layer: String, table: String,
-      epoch: Long): Unit = {
+      epoch: Long, meta: NgramMeta): Unit = {
+    val post = if (meta.containment) post0 else prefixRows(post0, meta.tMin)
     val p = clusterFor(post.withColumn("epoch", lit(epoch)),
       "sbucket", "sh", "doc_id")
     val s = clusterFor(sets.withColumn("epoch", lit(epoch)),
@@ -1136,31 +1225,37 @@ object Dedup {
       table: String,
       broadcastShingleLimit: Long = 2000000L): DataFrame = {
     val spark = batch.sparkSession
-    import spark.implicits._
-    val (shingleK, maxFreq, nPostBuckets, _) =
-      readNgramIndexMeta(spark, wh, layer, table)
-    val shB = shingledHashed(batch, idCol, textCol, shingleK)
+    val meta = readNgramIndexMeta(spark, wh, layer, table)
+    val shB = shingledHashed(batch, idCol, textCol, meta.shingleK)
       .withColumn("sbucket",
-        pmod(col("sh"), lit(nPostBuckets.toLong)).cast("int"))
+        pmod(col("sh"), lit(meta.nPostBuckets.toLong)).cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val sbs = shB.select("sbucket").distinct().as[Int].collect().sorted
-      val freq = wh.read(spark, layer, s"${table}_freq")
-        .filter(col("sbucket").isin(sbs.map(Int.box): _*))
-        .select("sh", "freq")
+      // same small-batch scan shape as a probe: per-bucket key ranges
+      // (row-group skipping) below the limit, isin bucket pruning above
       val joined =
         if (shB.count() <= broadcastShingleLimit) {
+          val freq = wh.read(spark, layer, s"${table}_freq")
+            .filter(bucketRangeFilter(shB, "sbucket", "sh"))
+            .select("sh", "freq")
           val freqB = freq.join(broadcast(shB.select("sh").distinct()),
             Seq("sh"), "left_semi")
           shB.join(broadcast(freqB), Seq("sh"), "left")
-        } else shB.join(freq, Seq("sh"), "left")
+        } else {
+          val freq = wh.read(spark, layer, s"${table}_freq")
+            .filter(bucketIsinFilter(shB, "sbucket"))
+            .select("sh", "freq")
+          shB.join(freq, Seq("sh"), "left")
+        }
       joined.agg(
         count(lit(1)).as("n_postings"),
         sum(when(col("freq").isNull, 1L).otherwise(0L)).as("n_unseen"),
         (sum(when(col("freq").isNull, 1L).otherwise(0L)).cast("double")
           / count(lit(1)).cast("double")).as("unseen_frac"),
-        sum(when(col("freq") > maxFreq, 1L).otherwise(0L)).as("n_capped"),
-        (sum(when(col("freq") > maxFreq, 1L).otherwise(0L)).cast("double")
+        sum(when(col("freq") > meta.maxFreq, 1L).otherwise(0L))
+          .as("n_capped"),
+        (sum(when(col("freq") > meta.maxFreq, 1L).otherwise(0L))
+          .cast("double")
           / count(lit(1)).cast("double")).as("capped_frac"))
     } finally shB.unpersist()
   }
@@ -1181,10 +1276,12 @@ object Dedup {
       .head()
     val frac = if (row.isNullAt(2)) 0.0 else row.getDouble(2)
     if (frac > unseenThreshold) {
-      val (shingleK, maxFreq, nPostBuckets, nSetBuckets) =
-        readNgramIndexMeta(batch.sparkSession, wh, layer, table)
+      val m = readNgramIndexMeta(batch.sparkSession, wh, layer, table)
+      // the rebuild preserves the layout flags: a Jaccard-only index
+      // re-freezes as Jaccard-only at the same floor
       ngramIndexPersist(corpus.unionByName(batch), idCol, textCol,
-        wh, layer, table, shingleK, maxFreq, nPostBuckets, nSetBuckets)
+        wh, layer, table, m.shingleK, m.maxFreq, m.nPostBuckets,
+        m.nSetBuckets, m.containment, m.tMin)
       true
     } else {
       ngramIndexAppend(batch, idCol, textCol, wh, layer, table)
@@ -1236,20 +1333,28 @@ object Dedup {
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val (shingleK, maxFreq, nPostBuckets, nSetBuckets) =
-      readNgramIndexMeta(spark, wh, layer, table)
+    val meta = readNgramIndexMeta(spark, wh, layer, table)
+    require(meta.containment || threshold >= meta.tMin - 1e-12,
+      s"Jaccard probe at threshold $threshold against a Jaccard-only " +
+      s"index with prefix floor t_min=${meta.tMin}: stored postings " +
+      "cannot guarantee recall below the floor — rebuild the index " +
+      "with a lower tMinJaccard (or containment = true)")
+    val nSetBuckets = meta.nSetBuckets
     val (postB, setsB) = batchPostings(batch, idCol, textCol, wh, layer,
-      table, shingleK, maxFreq, nPostBuckets, tracker,
-      broadcastShingleLimit)
+      table, meta, tracker, broadcastShingleLimit)
     val prefB = tracker.add(prefixRows(postB, threshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // bounded collect: ≤ nPostBuckets prefix buckets → `_post` scan
-    // prunes to exactly the partitions the batch's prefixes hash into
-    val psbs = prefB.select("sbucket").distinct().as[Int].collect().sorted
+    // the `_post` scan prunes to exactly the partitions the batch's
+    // prefixes hash into — and, below the broadcast limit, to the
+    // batch's per-bucket key RANGES (row-group skipping over the
+    // sh-sorted bucket files, as on the dictionary scan)
+    val small = prefB.count() <= broadcastShingleLimit
+    val postPrune =
+      if (small) bucketRangeFilter(prefB, "sbucket", "sh")
+      else bucketIsinFilter(prefB, "sbucket")
     val postC = prefixRows(
       wh.read(spark, layer, s"${table}_post")
-        .filter(col("sbucket").isin(psbs.map(Int.box): _*) &&
-          col("epoch") =!= lit(excludeEpoch)),
+        .filter(postPrune && col("epoch") =!= lit(excludeEpoch)),
       threshold)
     def alpha = ceil((col("x.__n") + col("y.__n"))
       * lit(threshold / (1 + threshold)) - lit(1e-9))
@@ -1259,9 +1364,7 @@ object Dedup {
     // `_post` scan streams map-side instead of shuffling millions of
     // corpus posting rows against a few thousand batch rows — the other
     // half of the small-batch floor (with the dictionary semi-join)
-    val prefBr =
-      if (prefB.count() <= broadcastShingleLimit) broadcast(prefB)
-      else prefB
+    val prefBr = if (small) broadcast(prefB) else prefB
     val crossCands = tracker.add(postC.as("x").join(prefBr.as("y"), Seq("sh"))
       .filter(col("x.doc_id") =!= col("y.doc_id") && posOk)
       .select(col("x.doc_id").as("__cid"), col("y.doc_id").as("__bid"))
@@ -1467,10 +1570,14 @@ object Dedup {
             .toSeq ++ keptPrev.toSeq)
             .reduceOption(_ unionByName _)
           src.foreach { corpus =>
-            val (shingleK, maxFreq, nPostBuckets, nSetBuckets) =
-              readNgramIndexMeta(spark, wh, layer, table)
+            val m = readNgramIndexMeta(spark, wh, layer, table)
+            // the re-freeze preserves the layout flags (a Jaccard-only
+            // index stays Jaccard-only at its floor) and lands as one
+            // marker-gated staged-group swap — atomic under a crash at
+            // any point between table promotions (r11 ADVICE)
             ngramIndexPersist(corpus, idCol, textCol, wh, layer, table,
-              shingleK, maxFreq, nPostBuckets, nSetBuckets)
+              m.shingleK, m.maxFreq, m.nPostBuckets, m.nSetBuckets,
+              m.containment, m.tMin)
           }
         }
       }
@@ -1488,8 +1595,7 @@ object Dedup {
       // filter by survivor id instead of re-shingling and re-positioning
       // the survivors; writes run before the tracker releases so the
       // subset comes from the cached frames
-      val (_, _, _, nSetBuckets) =
-        readNgramIndexMeta(spark, wh, layer, table)
+      val meta = readNgramIndexMeta(spark, wh, layer, table)
       // count-gated broadcast, as on the MinHash twin (r11 ADVICE)
       val keptIds0 = keptDocs.select(col(idCol).as("doc_id"))
       val keptIds =
@@ -1499,8 +1605,8 @@ object Dedup {
           .select("sh", "doc_id", "__pos", "__n", "sbucket"),
         setsB.join(keptIds, Seq("doc_id"), "left_semi")
           .withColumn("dbucket",
-            pmod(col("doc_id"), lit(nSetBuckets.toLong))),
-        wh, layer, table, epoch)
+            pmod(col("doc_id"), lit(meta.nSetBuckets.toLong))),
+        wh, layer, table, epoch, meta)
       tracker.unpersistAll()
       // epoch = data, pepoch = fold-able partition key ([[foldKeptSink]])
       wh.overwritePartitionsDynamic(
@@ -1532,23 +1638,29 @@ object Dedup {
       excludeEpoch: Long = Long.MinValue): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val (shingleK, maxFreq, nPostBuckets, nSetBuckets) =
-      readNgramIndexMeta(spark, wh, layer, table)
+    val meta = readNgramIndexMeta(spark, wh, layer, table)
+    require(meta.containment,
+      s"containment probe against a Jaccard-only index (prefix floor " +
+      s"t_min=${meta.tMin}): destination-side postings were not stored " +
+      "— rebuild the index with containment = true")
+    val nSetBuckets = meta.nSetBuckets
     val (postB, setsB) = batchPostings(batch, idCol, textCol, wh, layer,
-      table, shingleK, maxFreq, nPostBuckets, PersistTracker.noop,
-      broadcastShingleLimit)
+      table, meta, PersistTracker.noop, broadcastShingleLimit)
     // a small batch broadcasts into every corpus-posting join (see
     // [[ngramJaccardIncrementPairs]]) — postB is persisted, so the
     // count is one cached-scan job
     val bSmall = postB.count() <= broadcastShingleLimit
     def maybeB(df: DataFrame): DataFrame = if (bSmall) broadcast(df) else df
     val prefB = prefixRows(postB, threshold)
-    // the batch's FULL buckets bound every corpus-side scan: a corpus
-    // posting can only candidate-match through a shingle the batch has
-    val sbs = postB.select("sbucket").distinct().as[Int].collect().sorted
+    // the batch's FULL buckets bound every corpus-side scan (a corpus
+    // posting can only candidate-match through a shingle the batch
+    // has); small batches add per-bucket key ranges — row-group
+    // skipping over the sh-sorted bucket files
+    val postPrune =
+      if (bSmall) bucketRangeFilter(postB, "sbucket", "sh")
+      else bucketIsinFilter(postB, "sbucket")
     val postC = wh.read(spark, layer, s"${table}_post")
-      .filter(col("sbucket").isin(sbs.map(Int.box): _*) &&
-        col("epoch") =!= lit(excludeEpoch))
+      .filter(postPrune && col("epoch") =!= lit(excludeEpoch))
     val prefC = prefixRows(postC, threshold)
     // directed positional bound, exactly [[containmentPairs]]': overlap
     // from a shared shingle at (pos_s, pos_d) is ≤ min(n_s−pos_s,

@@ -83,7 +83,7 @@ class PostingIndexSpec extends AnyFunSuite {
     assert(inc.forall { case (s, d, _) => s >= 100L || d >= 100L })
   }
 
-  test("probe scans are partition-pruned on sbucket and dbucket") {
+  test("probe scans are partition-pruned on sbucket/dbucket with pushed sh ranges") {
     val wh = freshWh("prune")
     build(wh)
     val probe = Dedup.ngramJaccardIncrementPairs(batch, "doc_id", "text",
@@ -93,6 +93,13 @@ class PostingIndexSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters"))
     assert(plan.contains("sbucket"))
     assert(plan.contains("dbucket"))
+    // the small-batch branch pushes per-bucket `sh` RANGE predicates to
+    // the parquet scans: bucket files are sorted by sh, so row-group
+    // min/max stats skip dictionary/posting pages outside the batch's
+    // ranges (the 28 MB small-batch floor fix)
+    assert(plan.contains("PushedFilters"))
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(sh".r
+      .findFirstIn(plan).isDefined, "no pushed sh range on any scan")
   }
 
   test("statistics are FROZEN at build: union-crossing cap keeps pairs") {
@@ -196,10 +203,10 @@ class PostingIndexSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     val post = spark.read.parquet(wh.path("gold", "ng_post"))
       .select(col("doc_id"), col("sh"), col("__pos"), col("__n"))
-      .as[(Long, Long, Int, Long)].collect().toSeq.sorted
+      .as[(Long, Long, Int, Int)].collect().toSeq.sorted
     val sets = spark.read.parquet(wh.path("gold", "ng_sets"))
       .select(col("doc_id"), sort_array(col("set")), col("n"))
-      .as[(Long, Seq[Long], Long)].collect().toSeq.sortBy(_._1)
+      .as[(Long, Seq[Long], Int)].collect().toSeq.sortBy(_._1)
     (kept, post, sets)
   }
 
@@ -472,13 +479,13 @@ class PostingIndexSpec extends AnyFunSuite {
     def snap(w: graft.etl.Warehouse) = (
       spark.read.parquet(w.path("gold", "ng_meta")).collect().toSeq,
       spark.read.parquet(w.path("gold", "ng_freq"))
-        .select("sh", "freq").as[(Long, Long)].collect().toSeq.sorted,
+        .select("sh", "freq").as[(Long, Int)].collect().toSeq.sorted,
       spark.read.parquet(w.path("gold", "ng_post"))
         .select(col("doc_id"), col("sh"), col("__pos"), col("__n"))
-        .as[(Long, Long, Int, Long)].collect().toSeq.sorted,
+        .as[(Long, Long, Int, Int)].collect().toSeq.sorted,
       spark.read.parquet(w.path("gold", "ng_sets"))
         .select(col("doc_id"), sort_array(col("set")), col("n"))
-        .as[(Long, Seq[Long], Long)].collect().toSeq.sortBy(_._1))
+        .as[(Long, Seq[Long], Int)].collect().toSeq.sortBy(_._1))
     assert(snap(wh) === snap(whCtl))
     // and a probe over the resumed index behaves like the control's
     val b2 = Seq((800L, batchRows.find(_._1 == 102L).get._2))
@@ -489,6 +496,69 @@ class PostingIndexSpec extends AnyFunSuite {
       "text", whCtl, "gold", "ng", threshold = 0.5),
       ("id_a", "id_b", "jaccard"))
     assert(viaResumed === viaCtl && viaResumed.nonEmpty)
+  }
+
+  test("jaccard-only floor layout: probes at t >= floor identical, below-floor and containment rejected") {
+    // containment = false stores only each doc's prefix rows at the
+    // tMinJaccard floor — the on-disk footprint cut. The recall
+    // contract: any Jaccard probe at threshold >= the floor reads only
+    // rows the floor layout kept, so results are IDENTICAL to the full
+    // layout; probes the layout cannot serve are rejected loudly.
+    val whFloor = freshWh("floor")
+    Dedup.ngramIndexPersist(corpus, "doc_id", "text", whFloor, "gold",
+      "ng", shingleK = 3, maxShingleFreq = 1000, nPostBuckets = 8,
+      nSetBuckets = 4, containment = false, tMinJaccard = 0.5)
+    val whFull = freshWh("floorfull")
+    build(whFull)
+    // the floor stored strictly fewer posting rows
+    val nFloor = spark.read.parquet(whFloor.path("gold", "ng_post")).count()
+    val nFull = spark.read.parquet(whFull.path("gold", "ng_post")).count()
+    assert(nFloor < nFull, s"floor=$nFloor full=$nFull")
+    // at the floor threshold: pairs identical to the full layout
+    def probe(w: graft.etl.Warehouse, t: Double) =
+      pairSet(Dedup.ngramJaccardIncrementPairs(batch, "doc_id", "text",
+        w, "gold", "ng", threshold = t), ("id_a", "id_b", "jaccard"))
+    assert(probe(whFloor, 0.5) === probe(whFull, 0.5))
+    // above the floor too (prefix(0.7) ⊆ prefix(0.5))
+    assert(probe(whFloor, 0.7) === probe(whFull, 0.7))
+    // appends honor the floor: appended rows are prefix rows only, and
+    // post-append probes still match the full layout's
+    Dedup.ngramIndexAppend(batch, "doc_id", "text", whFloor, "gold", "ng")
+    Dedup.ngramIndexAppend(batch, "doc_id", "text", whFull, "gold", "ng")
+    val b2 = Seq((300L, batchRows.find(_._1 == 102L).get._2))
+      .toDF("doc_id", "text")
+    def probe2(w: graft.etl.Warehouse) =
+      pairSet(Dedup.ngramJaccardIncrementPairs(b2, "doc_id", "text",
+        w, "gold", "ng", threshold = 0.5), ("id_a", "id_b", "jaccard"))
+    assert(probe2(whFloor) === probe2(whFull) && probe2(whFloor).nonEmpty)
+    // below the floor: stored postings can't guarantee recall — reject
+    val below = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardIncrementPairs(batch, "doc_id", "text",
+        whFloor, "gold", "ng", threshold = 0.3).collect()
+    }
+    assert(below.getMessage.contains("t_min"))
+    // containment needs full destination postings — reject
+    val cont = intercept[IllegalArgumentException] {
+      Dedup.containmentIncrementPairs(batch, "doc_id", "text",
+        whFloor, "gold", "ng", threshold = 0.8).collect()
+    }
+    assert(cont.getMessage.contains("Jaccard-only"))
+  }
+
+  test("format_version: a pre-v4 index fails with an explicit rebuild-required error") {
+    val wh = freshWh("oldfmt")
+    build(wh)
+    // regress the meta to the pre-versioned shape (no format_version
+    // column) — what any standing index built before v4 looks like
+    val legacy = Seq((3, 1000, 8, 4))
+      .toDF("shingle_k", "max_freq", "n_post_buckets", "n_set_buckets")
+    legacy.write.mode("overwrite").parquet(wh.path("gold", "ng_meta"))
+    val e = intercept[IllegalStateException] {
+      Dedup.ngramJaccardIncrementPairs(batch, "doc_id", "text",
+        wh, "gold", "ng", threshold = 0.5).collect()
+    }
+    assert(e.getMessage.contains("rebuild") &&
+      e.getMessage.contains("format"))
   }
 
   test("build-time cap drops boilerplate from corpus AND batch sets") {
