@@ -27,12 +27,15 @@ object ProbeLate {
     def writeOne(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
       val tmp = root.resolve(name + "_stage")
       df.coalesce(1).write.parquet(tmp.toString)
-      val it = java.nio.file.Files.list(tmp).iterator()
-      while (it.hasNext) {
-        val p = it.next()
-        if (p.getFileName.toString.endsWith(".parquet"))
-          java.nio.file.Files.move(p, root.resolve(name))
-      }
+      val s = java.nio.file.Files.list(tmp)
+      try {
+        val it = s.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet"))
+            java.nio.file.Files.move(p, root.resolve(name))
+        }
+      } finally s.close()
       java.nio.file.Files.setLastModifiedTime(root.resolve(name),
         java.nio.file.attribute.FileTime.fromMillis(mtime))
     }

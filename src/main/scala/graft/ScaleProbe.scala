@@ -264,9 +264,10 @@ object ScaleProbe {
       }
       def dirMb(p: String): String = {
         val root = java.nio.file.Paths.get(p)
-        val s = java.nio.file.Files.walk(root).filter(
-          java.nio.file.Files.isRegularFile(_))
+        val w = java.nio.file.Files.walk(root)
+        val s = try w.filter(java.nio.file.Files.isRegularFile(_))
           .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally w.close()
         mb(s)
       }
       spark.conf.set("spark.sql.shuffle.partitions", "64")
@@ -363,9 +364,10 @@ object ScaleProbe {
       }
       def dirMb(p: String): String = {
         val root = java.nio.file.Paths.get(p)
-        val s = java.nio.file.Files.walk(root).filter(
-          java.nio.file.Files.isRegularFile(_))
+        val w = java.nio.file.Files.walk(root)
+        val s = try w.filter(java.nio.file.Files.isRegularFile(_))
           .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally w.close()
         mb(s)
       }
       spark.conf.set("spark.sql.shuffle.partitions", "64")
@@ -431,6 +433,30 @@ object ScaleProbe {
         Dedup.ngramJaccardPairs(corpus.unionByName(batch), "doc_id",
           "text", shingleK = 3, threshold = 0.5).count()
       }
+      // The v4 Jaccard-only layout at the same probe threshold: _post
+      // keeps only each doc's prefix rows at the t=0.5 floor. Sizes and
+      // probe bytes printed side by side with the full layout above —
+      // the footprint-cut evidence for the r11/r12 carried ask.
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+      bytesOf("ngf_floor_index_build") {
+        Dedup.ngramIndexPersist(corpus, "doc_id", "text",
+          wh, "gold", "ngf", shingleK = 3, maxShingleFreq = 1000,
+          containment = false, tMinJaccard = 0.5)
+        spark.read.parquet(wh.path("gold", "ngf_post")).count()
+      }
+      println(s"  floor:  freq ${dirMb(wh.path("gold", "ngf_freq"))}  " +
+        s"post ${dirMb(wh.path("gold", "ngf_post"))}  " +
+        s"sets ${dirMb(wh.path("gold", "ngf_sets"))}")
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      bytesOf("ngf_increment_pairs_1pct") {
+        Dedup.ngramJaccardIncrementPairs(batch, "doc_id", "text",
+          wh, "gold", "ngf", threshold = 0.5).count()
+      }
+      bytesOf("ngf_increment_pairs_01pct") {
+        Dedup.ngramJaccardIncrementPairs(batchS, "doc_id", "text",
+          wh, "gold", "ngf", threshold = 0.5).count()
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
       batch.unpersist(); batchS.unpersist()
     }
 
@@ -694,9 +720,18 @@ object ScaleProbe {
     // the conservative, fastest-growing-index case) and unseen shingle
     // mass ≈ 0.4 < 0.5 (no spurious rebuild). Epoch 10's text is fully
     // hashed (unseen ≈ 1.0) — the drift that must trip the check.
-    Seq(("longminhash", "nd"), ("longexact", "ng")).foreach {
-      case (fam, idx) => if (families("longingest") || families(fam)) {
-      val tag = if (idx == "ng") "LONGEXACT" else "LONGMINHASH"
+    // The third lane is the CONTROL for the adversarial lanes' growth:
+    // same 20×50k all-kept ingest, but every epoch fully hashed — kept
+    // history grows identically while cross-epoch J ≈ 0, so band
+    // collisions (and the _sets verification fetch they gate) stay at
+    // the batch's own floor. Flat wall here + growth in the adversarial
+    // lane pins the growth to candidate density (a data property any
+    // LSH+verify system pays per candidate), not to kept history.
+    Seq(("longminhash", "nd", false), ("longexact", "ng", false),
+        ("longminhashdiv", "nd", true)).foreach {
+      case (fam, idx, driftAll) =>
+        if (families("longingest") || families(fam)) {
+      val tag = fam.toUpperCase
       spark.conf.set("spark.sql.shuffle.partitions", "64")
       val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
         .select("doc_id", "text")
@@ -762,7 +797,7 @@ object ScaleProbe {
           Dedup.nearDedupIngestStream(src, "doc_id", "text", wh, "gold",
             idx, threshold = 0.5, ckpt, compactEvery = 5)
       (0 until 20).foreach { k =>
-        epochDocs(k, drift = idx == "ng" && k == 10)
+        epochDocs(k, drift = driftAll || (idx == "ng" && k == 10))
           .coalesce(1).write.mode("append").parquet(stageDir)
         val t0 = System.nanoTime()
         q.processAllAvailable()

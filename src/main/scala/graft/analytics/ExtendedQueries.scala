@@ -2088,13 +2088,16 @@ object ExtendedQueries {
     def commit(df: DataFrame, name: String): String = {
       val p = root.resolve(name)
       df.write.parquet(p.toString)
-      val files = java.nio.file.Files.list(p).iterator()
+      val s = java.nio.file.Files.list(p)
       val sb = new StringBuilder
-      while (files.hasNext) {
-        val f = files.next()
-        if (f.getFileName.toString.endsWith(".parquet"))
-          sb.append(f.toAbsolutePath.toString).append('\n')
-      }
+      try {
+        val files = s.iterator()
+        while (files.hasNext) {
+          val f = files.next()
+          if (f.getFileName.toString.endsWith(".parquet"))
+            sb.append(f.toAbsolutePath.toString).append('\n')
+        }
+      } finally s.close()
       val mf = root.resolve(s"manifest_$name.txt")
       java.nio.file.Files.writeString(mf, sb.toString)
       mf.toString

@@ -272,15 +272,16 @@ object StreamingQueries {
                  mtime: Long): Unit = {
       val tmp = root.resolve(name + "_stage")
       df.coalesce(1).write.parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).iterator()
+      val s = java.nio.file.Files.list(tmp)
+      val part = s.iterator()
       val target = root.resolve(name)
       var moved = false
-      while (part.hasNext && !moved) {
+      try while (part.hasNext && !moved) {
         val p = part.next()
         if (p.getFileName.toString.endsWith(".parquet")) {
           java.nio.file.Files.move(p, target); moved = true
         }
-      }
+      } finally s.close()
       java.nio.file.Files.setLastModifiedTime(target,
         java.nio.file.attribute.FileTime.fromMillis(mtime))
     }
@@ -485,14 +486,15 @@ object StreamingQueries {
       def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
         val tmp = root.resolve(name + "_stage")
         df.coalesce(1).write.parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp).iterator()
+        val s = java.nio.file.Files.list(tmp)
+        val part = s.iterator()
         var moved = false
-        while (part.hasNext && !moved) {
+        try while (part.hasNext && !moved) {
           val p = part.next()
           if (p.getFileName.toString.endsWith(".parquet")) {
             java.nio.file.Files.move(p, root.resolve(name)); moved = true
           }
-        }
+        } finally s.close()
         java.nio.file.Files.setLastModifiedTime(root.resolve(name),
           java.nio.file.attribute.FileTime.fromMillis(mtime))
       }

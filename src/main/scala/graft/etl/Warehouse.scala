@@ -255,8 +255,16 @@ final case class Warehouse(root: String) {
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) {
+      // Files.list holds an open directory fd until CLOSED — the lazy
+      // stream must not ride on GC. Unclosed, a compaction deleting a
+      // thousands-of-partition-dirs `._old` tree leaks one fd per dir
+      // and dies with "Too many open files" (caught live by the r13
+      // 20-epoch ingest probe at its third compaction).
+      val s = Files.list(p)
+      val kids = try s.iterator().asScala.toList finally s.close()
+      kids.foreach(deleteRecursively)
+    }
     Files.deleteIfExists(p)
   }
 }

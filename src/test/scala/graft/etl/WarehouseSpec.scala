@@ -127,4 +127,35 @@ class WarehouseSpec extends AnyFunSuite {
     assert(wh.read(spark, "gold", "gb").as[(Long, String)].head()._1 === 2L)
     assert(!Files.exists(marker))
   }
+
+  test("repeated swaps of a many-partition table do not leak directory fds") {
+    // deleteRecursively used Files.list WITHOUT closing the stream: one
+    // directory fd leaked per subdirectory of every deleted `._old`
+    // tree. On a partitioned index (hundreds of partition dirs) a few
+    // compactions blow the process fd limit — the r13 20-epoch ingest
+    // probe died with "Too many open files" at its third fold. The fd
+    // count is read from /proc/self/fd (Linux is this build's target).
+    def fds(): Int = {
+      val s = Files.list(Paths.get("/proc/self/fd"))
+      try s.count().toInt finally s.close()
+    }
+    val wh = freshWh()
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(0, 400, 1, 4)
+      .select(col("id"), (col("id") % 200).as("p"))
+    wh.overwritePartitioned(df, "gold", "fdleak", Seq("p"))
+    wh.rebuildPartitioned(wh.read(spark, "gold", "fdleak"),
+      "gold", "fdleak", Seq("p")) // settle lazily-opened JVM/Spark fds
+    val fd0 = fds()
+    (1 to 3).foreach { _ =>
+      wh.rebuildPartitioned(wh.read(spark, "gold", "fdleak"),
+        "gold", "fdleak", Seq("p"))
+    }
+    // pre-fix this leaked ≥ 200 fds per swap (one per partition dir of
+    // the deleted ._old); post-fix the count stays put modulo the
+    // session's own churn
+    assert(fds() - fd0 < 150,
+      s"open fds grew from $fd0 to ${fds()} across 3 partitioned swaps")
+    assert(wh.read(spark, "gold", "fdleak").count() === 400L)
+  }
 }
