@@ -66,9 +66,9 @@ object Bench {
     // two endpoint samples are not enough — the identical suite
     // normalized to 385.0 (r11) vs 440.9 (r12) on a zero-line diff
     // because a noisy endpoint window skewed the whole factor. The
-    // factor is now the MEDIAN over all windows (robust to transient
-    // contention in either direction), and every window lands in the
-    // sidecar so a drifting series is diagnosable after the fact.
+    // factor now takes the per-workload MIN over all windows (see the
+    // aggregation note below), and every window lands in the sidecar
+    // so a drifting series is diagnosable after the fact.
     val calibWindows =
       scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     def calibrate(): Unit = calibWindows += ((calibJvm(), calibSpark()))
@@ -95,12 +95,12 @@ object Bench {
     val pass2 = timedPass().toMap
     calibrate()
     // Normalization: times scale by (reference calib / measured calib),
-    // geometric mean of the JVM and Spark probes, MEDIAN across all
-    // interleaved windows (see calibrate() above). The reference
-    // constants are the r7 calibration mins — so "normalized_total"
-    // answers "what would this run have cost on the r7 judging
-    // machine", separating machine drift from plan changes in one
-    // number.
+    // geometric mean of the JVM and Spark probes, per-workload MIN
+    // across all interleaved windows (see calibrate() above). The
+    // reference constants are the r7 calibration mins — so
+    // "normalized_total" answers "what would this run have cost on the
+    // r7 judging machine", separating machine drift from plan changes
+    // in one number.
     // The reference constants are COMMITTED (calibration_ref.json) so a
     // change to the calibration workloads can't silently desynchronize
     // them (r8 ADVICE): anyone editing calibJvm/calibSpark must
@@ -129,18 +129,20 @@ object Bench {
         "normalized_total may be stale (raw total is unaffected)")
       (0.460, 0.455)
     }
-    // per-window factor, then the median across all windows (before,
-    // interleaved every ~50 entries × 2 passes, after): one contended
-    // window moves one sample, not the round's normalized total
+    // Per-workload MIN across all windows (before, interleaved every
+    // ~50 entries × 2 passes, after) — the same estimator as the
+    // committed r7 reference mins, so the factor stays like-for-like
+    // across rounds; more windows just make the min converge to the
+    // machine's true capability. (A median here was measured and
+    // rejected: it tracks transient load rather than capability, and
+    // mismatches the min-based reference constants — back-to-back runs
+    // agreed 3.0% under the median vs 0.1% under min-over-18.)
     val windowFactors = calibWindows.toSeq.map { case (j, s) =>
       math.sqrt((calibRefJvm / j) * (calibRefSpark / s))
     }
-    val calibFactor = {
-      val sorted = windowFactors.sorted
-      val n = sorted.size
-      if (n % 2 == 1) sorted(n / 2)
-      else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
-    }
+    val calibFactor = math.sqrt(
+      (calibRefJvm / calibWindows.map(_._1).min) *
+      (calibRefSpark / calibWindows.map(_._2).min))
     val windowsJson = calibWindows.toSeq.zip(windowFactors).map {
       case ((j, s), f) =>
         f"""{"jvm":$j%.3f,"spark":$s%.3f,"factor":$f%.4f}"""
@@ -148,9 +150,9 @@ object Bench {
     // stdout stays inside the driver's bounded capture window: compact
     // calib summary there, the full per-window series in the sidecar
     val calibCompact =
-      f"""{"ref_jvm":$calibRefJvm%.3f,"ref_spark":$calibRefSpark%.3f,"n_windows":${calibWindows.size},"factor":$calibFactor%.4f,"agg":"median"}"""
+      f"""{"ref_jvm":$calibRefJvm%.3f,"ref_spark":$calibRefSpark%.3f,"n_windows":${calibWindows.size},"factor":$calibFactor%.4f,"agg":"min_over_windows"}"""
     val calibJson =
-      f"""{"ref_jvm":$calibRefJvm%.3f,"ref_spark":$calibRefSpark%.3f,"n_windows":${calibWindows.size},"factor":$calibFactor%.4f,"agg":"median","windows":$windowsJson}"""
+      f"""{"ref_jvm":$calibRefJvm%.3f,"ref_spark":$calibRefSpark%.3f,"n_windows":${calibWindows.size},"factor":$calibFactor%.4f,"agg":"min_over_windows","windows":$windowsJson}"""
     val results = names.map { case (n, _) => n -> math.min(pass1(n), pass2(n)) }
     val total = results.map(_._2).sum
     val normTotal = total * calibFactor

@@ -102,7 +102,10 @@ object CurationStream {
             rebuildCheckEvery = rebuildCheckEvery)
       }
       // epoch rides as data (the funnel's key); pepoch is the
-      // partition/replay unit the cadence fold below collapses
+      // partition/replay unit the cadence fold below collapses. A
+      // pre-pepoch funnel (stream resumed across the layout change)
+      // migrates first — one readdir when already migrated
+      Dedup.migratePepochLayout(spark, wh, layer, s"${table}_funnel")
       wh.overwritePartitionsDynamic(
         Seq((nIn, nLang, nQual, nKept, epoch, epoch))
           .toDF("n_in", "n_lang", "n_quality", "n_kept", "epoch", "pepoch"),
@@ -111,15 +114,11 @@ object CurationStream {
       // `_kept` sink (the inner ingest batch compacts both): committed
       // epochs collapse into the base partition so a year of 5-minute
       // epochs leaves a bounded directory count, with the per-epoch
-      // rows (epoch data column) intact
+      // rows (epoch data column) intact — the one shared fold
+      // implementation ([[Dedup.foldSinkPartitions]])
       if (compactEvery > 0 && epoch > 0 && epoch % compactEvery == 0)
-        wh.rebuildPartitioned(
-          wh.read(spark, layer, s"${table}_funnel")
-            .withColumn("pepoch",
-              when(col("pepoch") < lit(epoch), lit(-1L))
-                .otherwise(col("pepoch").cast(
-                  org.apache.spark.sql.types.LongType))),
-          layer, s"${table}_funnel", Seq("pepoch"))
+        Dedup.foldSinkPartitions(spark, wh, layer, s"${table}_funnel",
+          foldEpochsBelow = epoch)
     } finally {
       if (gated != null) gated.unpersist()
       if (qual != null) qual.unpersist()

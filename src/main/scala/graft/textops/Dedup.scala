@@ -34,6 +34,13 @@ import org.apache.spark.sql.types.LongType
 object Dedup {
   import TextFunctions._
 
+  /** Broadcast gate for the survivor-id semi-join in both ingest loops'
+    * index appends. Deliberately NOT `broadcastDocLimit` (which gates
+    * doc-row broadcasts, default 200k): survivor ids are single longs
+    * (~8 B/row, so 2M ≈ 16 MB broadcast) where doc rows carry text.
+    * One named constant, shared by the MinHash and posting-index twins. */
+  private val KeptIdsBroadcastLimit = 2000000L
+
   /** Collects the MEMORY_AND_DISK frames a pipeline pins so batch-scoped
     * callers — the streaming ingest loop, which would otherwise leak one
     * cache set per epoch into CacheManager and grow /tmp/blockmgr without
@@ -470,6 +477,13 @@ object Dedup {
   def nearDedupIndexCompact(spark: org.apache.spark.sql.SparkSession,
       wh: graft.etl.Warehouse, layer: String, table: String,
       foldEpochsBelow: Long = Long.MinValue): Unit = {
+    // finish any crashed group promotion FIRST: compaction writes into
+    // the same `._tmp` namespace the staged protocol uses, so without
+    // the resume a one-shot maintenance call after a mid-promotion
+    // crash would clobber the staged tables and the later
+    // marker-triggered resume would promote a half-group — exactly the
+    // mixed index the protocol exists to prevent
+    wh.resumePending(layer, table, nearDedupIndexTables(table))
     def rewrite(t: String, partCol: String, sortCols: String*): Unit =
       wh.rebuildPartitioned(
         clusterFor(wh.read(spark, layer, t)
@@ -499,13 +513,70 @@ object Dedup {
   private def foldKeptSink(spark: org.apache.spark.sql.SparkSession,
       wh: graft.etl.Warehouse, layer: String, table: String,
       foldEpochsBelow: Long): Unit =
-    if (wh.exists(layer, s"${table}_kept"))
+    foldSinkPartitions(spark, wh, layer, s"${table}_kept", foldEpochsBelow)
+
+  /** The fold itself, shared with the curation funnel (one copy of the
+    * rewrite, not three). Skips the sink-sized read-and-rewrite when
+    * nothing can fold: the one-shot compaction default (Long.MinValue)
+    * folds no epoch by definition, and an already-folded sink has no
+    * `pepoch >= 0` partition below the bound (cheap driver-side dir
+    * listing, [[hasFoldablePartitions]]). */
+  private[textops] def foldSinkPartitions(
+      spark: org.apache.spark.sql.SparkSession,
+      wh: graft.etl.Warehouse, layer: String, sink: String,
+      foldEpochsBelow: Long): Unit =
+    if (wh.exists(layer, sink)) {
+      migratePepochLayout(spark, wh, layer, sink)
+      if (hasFoldablePartitions(wh.path(layer, sink), foldEpochsBelow))
+        wh.rebuildPartitioned(
+          wh.read(spark, layer, sink)
+            .withColumn("pepoch",
+              when(col("pepoch") < lit(foldEpochsBelow), lit(-1L))
+                .otherwise(col("pepoch").cast(LongType))),
+          layer, sink, Seq("pepoch"))
+    }
+
+  /** Any committed `pepoch=N` (N ≥ 0) partition strictly below the fold
+    * bound? Driver-side listing — one readdir, no Spark job. */
+  private[textops] def hasFoldablePartitions(tablePath: String,
+      foldEpochsBelow: Long): Boolean = {
+    val dirs = new java.io.File(tablePath).listFiles()
+    dirs != null && dirs.exists { f =>
+      val n = f.getName
+      n.startsWith("pepoch=") &&
+        (try {
+          val v = n.stripPrefix("pepoch=").toLong
+          v >= 0 && v < foldEpochsBelow
+        } catch { case _: NumberFormatException => false })
+    }
+  }
+
+  /** One-time layout migration for a standing `_kept`/`_funnel` sink
+    * built before the `pepoch` fold key existed (partitioned by `epoch`
+    * itself): re-key the PARTITION layout as `pepoch := epoch`, keeping
+    * `epoch` as a data column. Replay idempotence is preserved exactly —
+    * a replayed epoch's dynamic overwrite of `pepoch=N` replaces the
+    * migrated `pepoch=N` partition, same as it replaced `epoch=N`
+    * before. Runs before every sink write/fold (a single readdir when
+    * already migrated); the TextQueries driver warehouses never hit it
+    * (their fingerprints bumped), but raw-API streams resuming a
+    * pre-upgrade checkpoint would otherwise wedge the sink with
+    * conflicting partition columns on the first post-upgrade write. */
+  private[textops] def migratePepochLayout(
+      spark: org.apache.spark.sql.SparkSession,
+      wh: graft.etl.Warehouse, layer: String, sink: String): Unit = {
+    val dirs = new java.io.File(wh.path(layer, sink)).listFiles()
+    if (dirs != null && dirs.exists(_.getName.startsWith("epoch=")) &&
+        !dirs.exists(_.getName.startsWith("pepoch=")))
+      // partition-inferred `epoch` comes back IntegerType for small
+      // values — cast to the LongType the post-migration rows use, or
+      // mixed files diverge on the data column's type
       wh.rebuildPartitioned(
-        wh.read(spark, layer, s"${table}_kept")
-          .withColumn("pepoch",
-            when(col("pepoch") < lit(foldEpochsBelow), lit(-1L))
-              .otherwise(col("pepoch").cast(LongType))),
-        layer, s"${table}_kept", Seq("pepoch"))
+        wh.read(spark, layer, sink)
+          .withColumn("epoch", col("epoch").cast(LongType))
+          .withColumn("pepoch", col("epoch")),
+        layer, sink, Seq("pepoch"))
+  }
 
   private def pbKey(nBuckets: Int): Column =
     (col("band") * nBuckets + pmod(col("band_hash"), lit(nBuckets.toLong)))
@@ -794,7 +865,7 @@ object Dedup {
       // unconditional)
       val keptIds0 = keptDocs.select(col(idCol).as("doc_id"))
       val keptIds =
-        if (keptDocs.count() <= 2000000L) broadcast(keptIds0) else keptIds0
+        if (keptDocs.count() <= KeptIdsBroadcastLimit) broadcast(keptIds0) else keptIds0
       writeNearDedupIndexRows(
         keysB.join(keptIds, Seq("doc_id"), "left_semi"),
         shB.join(keptIds, Seq("doc_id"), "left_semi")
@@ -810,6 +881,7 @@ object Dedup {
       tracker.unpersistAll()
       // epoch rides as DATA (which batch kept a doc); pepoch is the
       // PARTITION/replay key compaction later folds ([[foldKeptSink]])
+      migratePepochLayout(batch.sparkSession, wh, layer, s"${table}_kept")
       wh.overwritePartitionsDynamic(
         keptDocs.withColumn("epoch", lit(epoch))
           .withColumn("pepoch", lit(epoch)),
@@ -989,7 +1061,20 @@ object Dedup {
       s"${table}_sets")
 
   /** The posting index's frozen build parameters + layout flags, read
-    * back by every probe so index and probe can never skew. */
+    * back by every probe so index and probe can never skew.
+    *
+    * Consistency scope: the meta collect and the subsequent table scans
+    * are individually serialized against swaps, but not jointly — a
+    * rebuild that CHANGES build parameters landing between a probe's
+    * meta read and its table reads would shingle the batch under the
+    * old parameters against the new tables. That window is accepted
+    * and documented rather than locked: all index maintenance runs on
+    * the single ingest driver (re-parameterization is an operator
+    * action, not a concurrent code path), and holding a group lock
+    * across probe PLAN construction would serialize every probe behind
+    * every compaction. Same-parameter rebuilds (compaction, the
+    * statistics re-freeze) are unaffected — any mix of old/new
+    * generation scans is row-identical by construction. */
   private[textops] final case class NgramMeta(shingleK: Int, maxFreq: Int,
       nPostBuckets: Int, nSetBuckets: Int, containment: Boolean,
       tMin: Double)
@@ -1046,22 +1131,8 @@ object Dedup {
     // pages outside them (the measured 28 MB small-batch floor).
     // Above the limit the plain shuffle join over isin-pruned buckets
     // is the right shape (both sides large).
-    val nShB = shB.count()
-    val cappedB0 =
-      if (nShB <= broadcastShingleLimit) {
-        val freq = wh.read(spark, layer, s"${table}_freq")
-          .filter(bucketRangeFilter(shB, "sbucket", "sh"))
-          .select("sh", "freq")
-        val freqB = freq.join(broadcast(shB.select("sh").distinct()),
-          Seq("sh"), "left_semi")
-        shB.join(broadcast(freqB), Seq("sh"), "left")
-      } else {
-        val freq = wh.read(spark, layer, s"${table}_freq")
-          .filter(bucketIsinFilter(shB, "sbucket"))
-          .select("sh", "freq")
-        shB.join(freq, Seq("sh"), "left")
-      }
-    val cappedB = cappedB0
+    val cappedB = frozenFreqJoin(shB, wh, layer, table,
+        broadcastShingleLimit)
       .withColumn("freq", coalesce(col("freq"), lit(0)))
       .filter(col("freq") <= meta.maxFreq)
     val rareFirst = Window.partitionBy("doc_id").orderBy("freq", "sh")
@@ -1087,6 +1158,34 @@ object Dedup {
     * within each bucket partition, row-group min/max stats skip
     * everything outside the batch's ranges — data skipping with no
     * table format. An empty batch prunes the whole scan. */
+  /** Batch shingles ⟕ frozen `_freq` dictionary — the ONE scan shape
+    * shared by the probe's posting construction and the staleness
+    * signal (they must measure through the same join or the signal
+    * diverges from what probes actually pay). Below the broadcast
+    * limit the dictionary scan stays map-side: per-bucket key ranges
+    * ([[bucketRangeFilter]] — row-group skipping over sh-sorted bucket
+    * files), a broadcast left-semi pruning to exactly the batch's
+    * shingles, and the now-tiny survivor set broadcast back. Above it,
+    * isin bucket pruning + shuffle join (both sides large). */
+  private def frozenFreqJoin(shB: DataFrame, wh: graft.etl.Warehouse,
+      layer: String, table: String,
+      broadcastShingleLimit: Long): DataFrame = {
+    val spark = shB.sparkSession
+    if (shB.count() <= broadcastShingleLimit) {
+      val freq = wh.read(spark, layer, s"${table}_freq")
+        .filter(bucketRangeFilter(shB, "sbucket", "sh"))
+        .select("sh", "freq")
+      val freqB = freq.join(broadcast(shB.select("sh").distinct()),
+        Seq("sh"), "left_semi")
+      shB.join(broadcast(freqB), Seq("sh"), "left")
+    } else {
+      val freq = wh.read(spark, layer, s"${table}_freq")
+        .filter(bucketIsinFilter(shB, "sbucket"))
+        .select("sh", "freq")
+      shB.join(freq, Seq("sh"), "left")
+    }
+  }
+
   private def bucketRangeFilter(df: DataFrame, bucketCol: String,
       keyCol: String): Column = {
     val ranges = df.groupBy(bucketCol)
@@ -1195,6 +1294,9 @@ object Dedup {
   def ngramIndexCompact(spark: org.apache.spark.sql.SparkSession,
       wh: graft.etl.Warehouse, layer: String, table: String,
       foldEpochsBelow: Long = Long.MinValue): Unit = {
+    // resume a crashed group promotion before writing into the shared
+    // `._tmp` namespace — see [[nearDedupIndexCompact]]
+    wh.resumePending(layer, table, ngramIndexTables(table))
     def rewrite(t: String, partCol: String, sortCols: String*): Unit =
       wh.rebuildPartitioned(
         clusterFor(wh.read(spark, layer, t)
@@ -1231,22 +1333,11 @@ object Dedup {
         pmod(col("sh"), lit(meta.nPostBuckets.toLong)).cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // same small-batch scan shape as a probe: per-bucket key ranges
-      // (row-group skipping) below the limit, isin bucket pruning above
-      val joined =
-        if (shB.count() <= broadcastShingleLimit) {
-          val freq = wh.read(spark, layer, s"${table}_freq")
-            .filter(bucketRangeFilter(shB, "sbucket", "sh"))
-            .select("sh", "freq")
-          val freqB = freq.join(broadcast(shB.select("sh").distinct()),
-            Seq("sh"), "left_semi")
-          shB.join(broadcast(freqB), Seq("sh"), "left")
-        } else {
-          val freq = wh.read(spark, layer, s"${table}_freq")
-            .filter(bucketIsinFilter(shB, "sbucket"))
-            .select("sh", "freq")
-          shB.join(freq, Seq("sh"), "left")
-        }
+      // same scan shape as a probe, by construction: the one shared
+      // [[frozenFreqJoin]] — the staleness signal must measure through
+      // exactly the dictionary join the probe runs
+      val joined = frozenFreqJoin(shB, wh, layer, table,
+        broadcastShingleLimit)
       joined.agg(
         count(lit(1)).as("n_postings"),
         sum(when(col("freq").isNull, 1L).otherwise(0L)).as("n_unseen"),
@@ -1599,7 +1690,7 @@ object Dedup {
       // count-gated broadcast, as on the MinHash twin (r11 ADVICE)
       val keptIds0 = keptDocs.select(col(idCol).as("doc_id"))
       val keptIds =
-        if (keptDocs.count() <= 2000000L) broadcast(keptIds0) else keptIds0
+        if (keptDocs.count() <= KeptIdsBroadcastLimit) broadcast(keptIds0) else keptIds0
       writeNgramIndexRows(
         postB.join(keptIds, Seq("doc_id"), "left_semi")
           .select("sh", "doc_id", "__pos", "__n", "sbucket"),
@@ -1609,6 +1700,7 @@ object Dedup {
         wh, layer, table, epoch, meta)
       tracker.unpersistAll()
       // epoch = data, pepoch = fold-able partition key ([[foldKeptSink]])
+      migratePepochLayout(spark, wh, layer, s"${table}_kept")
       wh.overwritePartitionsDynamic(
         keptDocs.withColumn("epoch", lit(epoch))
           .withColumn("pepoch", lit(epoch)),

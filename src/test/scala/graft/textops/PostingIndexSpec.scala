@@ -573,4 +573,99 @@ class PostingIndexSpec extends AnyFunSuite {
     assert(!inc.exists { case (a, b, _) => b == 100L || a == 100L })
     assert(inc.exists { case (a, b, j) => a == 4L && b == 101L && j >= 0.5 })
   }
+
+  test("compaction after a crashed group promotion resumes it, not clobbers the staged tables") {
+    // A one-shot maintenance call writes into the same `._tmp`
+    // namespace the staged-group protocol uses. Without resuming the
+    // pending group first, compaction after a mid-promotion crash
+    // overwrote the staged tables and the later marker-triggered
+    // resume promoted a half-group — a silently mixed index.
+    val wh = freshWh("cresume")
+    build(wh) // the OLD index
+    val whNew = freshWh("cresumenew")
+    Dedup.ngramIndexPersist(corpus.unionByName(batch), "doc_id", "text",
+      whNew, "gold", "ng", shingleK = 3, maxShingleFreq = 1000,
+      nPostBuckets = 8, nSetBuckets = 4)
+    val tables = Seq("ng_meta", "ng_freq", "ng_post", "ng_sets")
+    tables.foreach { t =>
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(whNew.path("gold", t)),
+        java.nio.file.Paths.get(wh.path("gold", t + "._tmp")),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(wh.path("gold", "ng._pending")))
+    wh.promoteStaged("gold", "ng_meta")
+    wh.promoteStaged("gold", "ng_freq")
+    // the crash replay path is a DIRECT compaction call, not a probe
+    Dedup.ngramIndexCompact(spark, wh, "gold", "ng")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(wh.path("gold", "ng._pending"))))
+    tables.foreach { t =>
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(wh.path("gold", t + "._tmp"))),
+        s"stranded tmp for $t")
+    }
+    // logically identical to a clean from-scratch rebuild over the union
+    val whCtl = freshWh("cresumectl")
+    Dedup.ngramIndexPersist(corpus.unionByName(batch), "doc_id", "text",
+      whCtl, "gold", "ng", shingleK = 3, maxShingleFreq = 1000,
+      nPostBuckets = 8, nSetBuckets = 4)
+    def snap(w: graft.etl.Warehouse) = (
+      spark.read.parquet(w.path("gold", "ng_freq"))
+        .select("sh", "freq").as[(Long, Int)].collect().toSeq.sorted,
+      spark.read.parquet(w.path("gold", "ng_post"))
+        .select(col("doc_id"), col("sh"), col("__pos"), col("__n"))
+        .as[(Long, Long, Int, Int)].collect().toSeq.sorted,
+      spark.read.parquet(w.path("gold", "ng_sets"))
+        .select(col("doc_id"), sort_array(col("set")), col("n"))
+        .as[(Long, Seq[Long], Int)].collect().toSeq.sortBy(_._1))
+    assert(snap(wh) === snap(whCtl))
+  }
+
+  test("pepoch layout migration: a pre-fold epoch-partitioned sink re-keys without wedging") {
+    // Sinks built before the pepoch fold key were partitioned by
+    // `epoch` itself. A stream resuming across the layout change would
+    // write pepoch=N dirs next to epoch=N dirs and wedge every later
+    // read with conflicting partition columns; the migration re-keys
+    // the PARTITION layout as pepoch := epoch before the first
+    // post-upgrade write or fold touches the sink.
+    val wh = freshWh("mig")
+    Seq((1L, 0L), (2L, 0L), (3L, 1L)).toDF("doc_id", "epoch")
+      .write.partitionBy("epoch").parquet(wh.path("gold", "ng_kept"))
+    Dedup.foldSinkPartitions(spark, wh, "gold", "ng_kept",
+      foldEpochsBelow = 1L)
+    val dirs = new java.io.File(wh.path("gold", "ng_kept")).listFiles()
+      .map(_.getName).filter(_.contains("=")).toSet
+    assert(dirs === Set("pepoch=-1", "pepoch=1"),
+      s"epoch 0 folds, epoch 1 (>= bound) survives as its own partition: $dirs")
+    // epoch stays a DATA column with its pre-migration values
+    val rows = spark.read.parquet(wh.path("gold", "ng_kept"))
+      .select("doc_id", "epoch").as[(Long, Long)].collect().toSet
+    assert(rows === Set((1L, 0L), (2L, 0L), (3L, 1L)))
+    // replay idempotence survives the migration: a replayed epoch's
+    // dynamic overwrite REPLACES its migrated pepoch partition
+    wh.overwritePartitionsDynamic(
+      Seq((30L, 1L, 1L)).toDF("doc_id", "epoch", "pepoch"),
+      "gold", "ng_kept", Seq("pepoch"))
+    val ids = spark.read.parquet(wh.path("gold", "ng_kept"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(1L, 2L, 30L))
+  }
+
+  test("one-shot compaction (no fold bound) leaves the kept sink untouched") {
+    // foldKeptSink used to read-and-rewrite the entire kept sink even
+    // on the Long.MinValue default, where no epoch can fold — a
+    // corpus-sized no-op added to every plain index compaction.
+    val wh = freshWh("nofold")
+    build(wh)
+    Seq((1L, 0L, 0L)).toDF("doc_id", "epoch", "pepoch")
+      .write.partitionBy("pepoch").parquet(wh.path("gold", "ng_kept"))
+    val before = new java.io.File(wh.path("gold", "ng_kept"))
+      .listFiles().map(f => f.getName -> f.lastModified()).toMap
+    Dedup.ngramIndexCompact(spark, wh, "gold", "ng")
+    val after = new java.io.File(wh.path("gold", "ng_kept"))
+      .listFiles().map(f => f.getName -> f.lastModified()).toMap
+    assert(after === before, "kept sink rewritten by a fold-less compaction")
+  }
 }
