@@ -278,6 +278,6 @@ object Warehouse {
     * so two instances on one root share locks). */
   private val renameLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private[etl] def locked[A](key: String)(body: => A): A =
+  private[graft] def locked[A](key: String)(body: => A): A =
     renameLocks.computeIfAbsent(key, _ => new Object).synchronized(body)
 }

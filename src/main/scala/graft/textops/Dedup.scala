@@ -537,10 +537,16 @@ object Dedup {
     }
 
   /** Any committed `pepoch=N` (N ≥ 0) partition strictly below the fold
-    * bound? Driver-side listing — one readdir, no Spark job. */
+    * bound? Driver-side listing — one readdir, no Spark job. Listed
+    * under the table's rename lock: during a concurrent swap's rename
+    * window the raw readdir can return null (table briefly absent) or
+    * a partial view, silently deferring the fold to the next cadence
+    * (r13 ADVICE). */
   private[textops] def hasFoldablePartitions(tablePath: String,
       foldEpochsBelow: Long): Boolean = {
-    val dirs = new java.io.File(tablePath).listFiles()
+    val dirs = graft.etl.Warehouse.locked(tablePath) {
+      new java.io.File(tablePath).listFiles()
+    }
     dirs != null && dirs.exists { f =>
       val n = f.getName
       n.startsWith("pepoch=") &&
@@ -565,9 +571,27 @@ object Dedup {
   private[textops] def migratePepochLayout(
       spark: org.apache.spark.sql.SparkSession,
       wh: graft.etl.Warehouse, layer: String, sink: String): Unit = {
-    val dirs = new java.io.File(wh.path(layer, sink)).listFiles()
-    if (dirs != null && dirs.exists(_.getName.startsWith("epoch=")) &&
-        !dirs.exists(_.getName.startsWith("pepoch=")))
+    // listed under the table's rename lock, like [[hasFoldablePartitions]]
+    val dirs = graft.etl.Warehouse.locked(wh.path(layer, sink)) {
+      new java.io.File(wh.path(layer, sink)).listFiles()
+    }
+    val hasEpoch = dirs != null && dirs.exists(_.getName.startsWith("epoch="))
+    val hasPepoch = dirs != null && dirs.exists(_.getName.startsWith("pepoch="))
+    // a MIXED sink (both layouts) means a stream wrote post-upgrade
+    // batches through a pre-fix binary that skipped this migration;
+    // every read of such a sink wedges on conflicting partition columns
+    // with no hint of the cause (r13 ADVICE) — name the state and the
+    // remediation instead of no-opping into that wedge
+    if (hasEpoch && hasPepoch)
+      throw new IllegalStateException(
+        s"sink ${wh.path(layer, sink)} holds BOTH epoch= and pepoch= " +
+        "partition directories — a pre-pepoch binary appended to an " +
+        "already-migrated sink (or vice versa). Remediate once by " +
+        "moving each epoch=N directory's rows into pepoch=N (keeping " +
+        "epoch as a data column), e.g. read each epoch=N dir " +
+        "separately, add the pepoch column, and append with dynamic " +
+        "partition overwrite; then delete the epoch=N dirs.")
+    if (hasEpoch && !hasPepoch)
       // partition-inferred `epoch` comes back IntegerType for small
       // values — cast to the LongType the post-migration rows use, or
       // mixed files diverge on the data column's type
@@ -1149,15 +1173,6 @@ object Dedup {
     (postB, setsB)
   }
 
-  /** Per-bucket probe-key range predicate: (bucket, min key, max key)
-    * of the batch's rows — a bounded collect, ≤ nPostBuckets rows by
-    * construction — becomes one OR-of-conjunctions filter. The bucket
-    * equalities prune PARTITIONS (each disjunct's partition conjunct
-    * survives Catalyst's extraction); the BETWEEN terms reach parquet
-    * as pushed filters, and because index files are sorted by the key
-    * within each bucket partition, row-group min/max stats skip
-    * everything outside the batch's ranges — data skipping with no
-    * table format. An empty batch prunes the whole scan. */
   /** Batch shingles ⟕ frozen `_freq` dictionary — the ONE scan shape
     * shared by the probe's posting construction and the staleness
     * signal (they must measure through the same join or the signal
@@ -1186,6 +1201,15 @@ object Dedup {
     }
   }
 
+  /** Per-bucket probe-key range predicate: (bucket, min key, max key)
+    * of the batch's rows — a bounded collect, ≤ nPostBuckets rows by
+    * construction — becomes one OR-of-conjunctions filter. The bucket
+    * equalities prune PARTITIONS (each disjunct's partition conjunct
+    * survives Catalyst's extraction); the BETWEEN terms reach parquet
+    * as pushed filters, and because index files are sorted by the key
+    * within each bucket partition, row-group min/max stats skip
+    * everything outside the batch's ranges — data skipping with no
+    * table format. An empty batch prunes the whole scan. */
   private def bucketRangeFilter(df: DataFrame, bucketCol: String,
       keyCol: String): Column = {
     val ranges = df.groupBy(bucketCol)
