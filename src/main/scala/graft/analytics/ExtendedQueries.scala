@@ -1795,20 +1795,16 @@ object ExtendedQueries {
   // sketch path breaks the hash, not just a spec.
   // ------------------------------------------------------------------
   private val dDedupRecall: QFn = (s, dir) => {
-    // same functions + parameters as the two composed entries, but over
-    // ONE persisted docs frame so the corpus scans (and their codegen)
-    // are shared between the sketch and the exact pipeline
+    // same functions + parameters as the two composed entries, but
+    // through Dedup.dedupRecallCounts, which feeds BOTH pipelines from
+    // one persisted exact-collapse + shingle stage (the r13 plan
+    // audit: this entry used to re-shingle the same docs twice)
     val docsDf = t(s, dir, "documents").select(col("doc_id"), col("text"))
       .persist()
-    val mh = graft.textops.Dedup.minhashLshVerified(docsDf, "doc_id", "text",
-        shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5)
-      .select(col("id_a"), col("id_b"))
-    val exact = graft.textops.Dedup.ngramJaccardPairs(docsDf, "doc_id",
-        "text", shingleK = 3, threshold = 0.5, maxShingleFreq = 1000)
-      .select(col("id_a"), col("id_b")).persist()
-    val nExact = exact.count()
-    val nCommon = mh.join(exact, Seq("id_a", "id_b")).count()
-    docsDf.unpersist(); exact.unpersist()
+    val (nExact, nCommon) = graft.textops.Dedup.dedupRecallCounts(docsDf,
+      "doc_id", "text", shingleK = 3, numHashes = 32, bands = 8,
+      threshold = 0.5, maxShingleFreq = 1000)
+    docsDf.unpersist()
     import s.implicits._
     Seq((nExact, nCommon,
       BigDecimal(nCommon.toDouble / math.max(nExact, 1L).toDouble)

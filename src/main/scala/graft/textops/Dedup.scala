@@ -235,6 +235,18 @@ object Dedup {
     val (reps, members) = collapseExact(df, idCol, textCol, tracker)
     val sh = tracker.add(shingledHashed(reps, idCol, textCol, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    minhashVerifiedFromShingles(sh, members, numHashes, bands, threshold,
+      broadcastDocLimit, tracker)
+  }
+
+  /** [[minhashVerifiedParts]] from a precomputed (persisted) shingle
+    * frame — lets a caller that also runs the exact pipeline share ONE
+    * exact-collapse + shingle stage across both ([[dedupRecallCounts]]).
+    * `sh` must be [[shingledHashed]] over the collapse's reps. */
+  private def minhashVerifiedFromShingles(sh: DataFrame, members: DataFrame,
+      numHashes: Int, bands: Int, threshold: Double,
+      broadcastDocLimit: Long, tracker: PersistTracker)
+      : (DataFrame, DataFrame, DataFrame) = {
     // signature-free bucket join: duplicate pair rows (same pair, many
     // shared bands) flow into verification as-is and dedupe on the
     // survivor side — cheaper than a distinct over signature arrays.
@@ -2158,6 +2170,48 @@ object Dedup {
     keepFromParts(repPairs, members, live)
   }
 
+  /** Dedup-quality cross-validation over ONE shared scan: the verified
+    * MinHash+LSH pair set against the exact prefix-filter Jaccard join
+    * at the same threshold, both pipelines fed by a single
+    * exact-collapse + shingle stage (the r13 plan audit's finding: the
+    * composed `d_dedup_recall_eval` entry re-shingled the same docs
+    * twice — the second-most-expensive entry in the suite, ~30–40% of
+    * it the duplicated stage). Semantics are EXACTLY composing
+    * [[minhashLshVerified]] and [[ngramJaccardPairs]] with the same
+    * arguments — both pipelines' first two stages are identical by
+    * construction, so sharing them cannot change either pair set.
+    * Returns (nExact, nCommon): the exact pair count and the size of
+    * the intersection with the sketch pairs — recall = nCommon/nExact.
+    * Eager (it must manage the shared frame's persist lifecycle). */
+  def dedupRecallCounts(df: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = 3, numHashes: Int = 32,
+                        bands: Int = 16, threshold: Double = 0.5,
+                        maxShingleFreq: Int = 1000,
+                        broadcastDocLimit: Long = 200000L,
+                        maxComponentShingles: Long = 1000000L): (Long, Long) = {
+    val tracker = PersistTracker.live()
+    try {
+      val (reps, members) = collapseExact(df, idCol, textCol, tracker)
+      val sh = tracker.add(shingledHashed(reps, idCol, textCol, shingleK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val (mhRep, mhMem, mhLive) = minhashVerifiedFromShingles(sh, members,
+        numHashes, bands, threshold, broadcastDocLimit, tracker)
+      val mh = expandPairs(mhRep, mhMem, mhLive, "jaccard",
+        directed = false).select("id_a", "id_b")
+      val csize = reps.select(col(idCol).cast(LongType).as("doc_id"),
+        col("__csize"))
+      val (exRep, exMem, exLive) = ngramVerifiedFromShingles(
+        sh.join(csize, "doc_id"), members, threshold, maxShingleFreq,
+        broadcastDocLimit, maxComponentShingles)
+      val exact = tracker.add(expandPairs(exRep, exMem, exLive, "jaccard",
+          directed = false).select("id_a", "id_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val nExact = exact.count()
+      val nCommon = mh.join(exact, Seq("id_a", "id_b")).count()
+      (nExact, nCommon)
+    } finally tracker.unpersistAll()
+  }
+
   /** The rep-level core of [[ngramJaccardPairs]] — exact-dup collapse,
     * capped/positioned index, prefix+positional candidates, exact
     * verification — everything up to (but not including) the member
@@ -2179,6 +2233,16 @@ object Dedup {
     // sh has exactly one consumer (capped) — persisting it would only
     // force an extra materialization; capped is the reused index.
     val sh = shingledHashed(reps, idCol, textCol, shingleK).join(csize, "doc_id")
+    ngramVerifiedFromShingles(sh, members, threshold, maxShingleFreq,
+      broadcastDocLimit, maxComponentShingles)
+  }
+
+  /** [[ngramVerifiedParts]] from a precomputed shingle frame (already
+    * joined with each rep's `__csize`) — the exact-pipeline half of the
+    * shared-stage split; see [[minhashVerifiedFromShingles]]. */
+  private def ngramVerifiedFromShingles(sh: DataFrame, members: DataFrame,
+      threshold: Double, maxShingleFreq: Int, broadcastDocLimit: Long,
+      maxComponentShingles: Long): (DataFrame, DataFrame, DataFrame) = {
     // global frequency + cap as ONE window count over the sh partition:
     // a single exchange of the posting stream, where a groupBy+join pair
     // would shuffle the big side twice (once into the aggregate, once as
