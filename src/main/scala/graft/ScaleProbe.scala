@@ -460,6 +460,82 @@ object ScaleProbe {
       batch.unpersist(); batchS.unpersist()
     }
 
+    // `_sets` storage-option pricing (the r13 verdict's item 2): with
+    // `_post` floored, the exact-verification table dominates the
+    // posting index at 5.7× the compressed corpus — and its payload is
+    // arrays of xxhash64 values, i.e. uniform-random 64-bit longs that
+    // NO byte-level codec can compress much (the information-theoretic
+    // bound is ~64−log2(set size) bits/element). Candidates measured
+    // side by side on the same KB+-doc corpus as `ngbyteratio`:
+    //   a) arrays + zstd          — codec-only, exact-layout unchanged
+    //   b) sorted-delta arrays    — gaps of sorted uniform 64-bit
+    //      hashes carry ~(64−log2 n) significant bits; parquet stores
+    //      8 bytes either way, so the win is only what snappy/zstd
+    //      recover from the zeroed high bytes (~10–15% predicted)
+    //   c) texts                  — store (doc_id, text) instead of the
+    //      hashed arrays and RE-SHINGLE candidates at verify time under
+    //      the frozen dictionary: storage falls to ~1× compressed
+    //      corpus BY CONSTRUCTION (text compresses; hashes don't), at a
+    //      bounded re-shingle CPU cost over only the candidates'
+    //      pruned dbucket partitions.
+    if (families("setsprobe")) {
+      def dirMb(p: String): Double = {
+        val w = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        val s = try w.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally w.close()
+        s / 1048576.0
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+      val wh = graft.etl.Warehouse(java.nio.file.Files
+        .createTempDirectory("graft_probe_sets").toString)
+      // same unique-content ~3 KB docs as `ngbyteratio`
+      val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val kb = base.select(col("doc_id"), concat(col("text"), lit(" "),
+          expr("array_join(transform(sequence(0, 449), " +
+            "i -> concat('w', abs(xxhash64(doc_id, i)) % 30000)), ' ')"))
+          .as("text"))
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), lit(4L))).as("rep"))
+        .select((col("doc_id") * 5L + col("rep")).as("doc_id"),
+          concat(col("text"), lit(" v"), col("rep")).as("text"))
+      wh.overwrite(kb, "gold", "docs_kb")
+      val corpus = wh.read(spark, "gold", "docs_kb")
+      println(s"docsKb: ${corpus.count()}")
+      Dedup.ngramIndexPersist(corpus, "doc_id", "text", wh, "gold", "ng",
+        shingleK = 3, maxShingleFreq = 1000)
+      val root = wh.path("gold", "")
+      val sets = spark.read.parquet(wh.path("gold", "ng_sets"))
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_probe_sets_var").toString
+      def writeVar(name: String, df: org.apache.spark.sql.DataFrame,
+                   codec: String): Unit = {
+        df.write.mode("overwrite").partitionBy("dbucket", "epoch")
+          .option("compression", codec).parquet(s"$out/$name")
+        println(f"SETSVAR $name%-22s ${dirMb(s"$out/$name")}%9.1f MB")
+      }
+      println(f"SETSVAR corpus_parquet        ${dirMb(wh.path("gold", "docs_kb"))}%9.1f MB")
+      println(f"SETSVAR arrays_snappy_base    ${dirMb(wh.path("gold", "ng_sets"))}%9.1f MB")
+      writeVar("arrays_zstd", sets, "zstd")
+      // sorted-delta arrays: d[0]=s[0], d[i]=s[i]−s[i−1] — reversible
+      val delta = sets.withColumn("sset", sort_array(col("set")))
+        .withColumn("dset", zip_with(col("sset"),
+          concat(array(lit(0L)),
+            slice(col("sset"), lit(1), size(col("sset")) - 1)),
+          (a, b) => a - b))
+        .select("doc_id", "dset", "n", "dbucket", "epoch")
+      writeVar("delta_snappy", delta, "snappy")
+      writeVar("delta_zstd", delta, "zstd")
+      // texts: exactly the docs holding ≥1 capped shingle (the _sets
+      // row-membership), with the same partition keys
+      val texts = corpus
+        .join(sets.select("doc_id").distinct(), "doc_id")
+        .withColumn("dbucket", pmod(col("doc_id"), lit(64L)).cast("int"))
+        .withColumn("epoch", lit(-1L))
+      writeVar("texts_snappy", texts, "snappy")
+      writeVar("texts_zstd", texts, "zstd")
+    }
+
     // Incremental EXACT dedup probe (the prefix-filter family) — the
     // posting-index analog of "increment": the 250k-DISTINCT corpus
     // persists its capped/positioned posting index ONCE, then 1% and
@@ -796,7 +872,11 @@ object ScaleProbe {
         else
           Dedup.nearDedupIngestStream(src, "doc_id", "text", wh, "gold",
             idx, threshold = 0.5, ckpt, compactEvery = 5)
-      (0 until 20).foreach { k =>
+      // horizon knob (r13 verdict item 3): the adversarial lane's mild
+      // per-epoch drift needed a >= 50-epoch series to either plateau
+      // or be priced per candidate — LONGINGEST_EPOCHS=50 runs it
+      val nEpochs = sys.env.getOrElse("LONGINGEST_EPOCHS", "20").toInt
+      (0 until nEpochs).foreach { k =>
         epochDocs(k, drift = driftAll || (idx == "ng" && k == 10))
           .coalesce(1).write.mode("append").parquet(stageDir)
         val t0 = System.nanoTime()
@@ -807,10 +887,30 @@ object ScaleProbe {
           if (idx == "ng")
             s" freq=${spark.read.parquet(wh.path("gold", s"${idx}_freq")).count()}"
           else ""
+        // candidate-density series (minhash lanes): rep-level band-key
+        // collisions of THIS epoch's batch against the pre-epoch index
+        // — the quantity the LSH+verify engine pays per epoch. Measured
+        // OUTSIDE the timed window (the epoch's own wall seconds are
+        // printed first).
+        val candN =
+          if (idx == "nd") {
+            val reps = epochDocs(k, drift = driftAll)
+              .dropDuplicates("text")
+            val bk = Dedup.bandKeysFor(reps, "doc_id", "text",
+              shingleK = 3, numHashes = 32, bands = 8)
+            val n = bk.join(
+                spark.read.parquet(wh.path("gold", s"${idx}_bands"))
+                  .filter(col("doc_id") < lit(1000000L * (k + 1)))
+                  .select(col("band"), col("band_hash"),
+                    col("doc_id").as("cid")),
+                Seq("band", "band_hash"))
+              .select("doc_id", "cid").distinct().count()
+            s" cands=$n"
+          } else ""
         println(f"$tag epoch $k%2d ${dt}%7.2f s  " +
           st.map { case (t, (nf, nd)) =>
             s"${t.stripPrefix(s"${idx}_")}=[$nf f/$nd d]"
-          }.mkString(" ") + freqN)
+          }.mkString(" ") + freqN + candN)
       }
       q.stop()
       val keptN = spark.read.parquet(wh.path("gold", s"${idx}_kept")).count()

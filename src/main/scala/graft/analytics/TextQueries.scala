@@ -1004,11 +1004,11 @@ object TextQueries {
     val d = docs(s, dir)
     val r = d.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)),
       coalesce(sum(length(col("text")).cast("long")), lit(0L))).head()
-    // ver=4: matches the on-disk format (v2 epoch sub-partitions, v3
+    // ver=5: matches the on-disk format (v2 epoch sub-partitions, v3
     // clustered sorted layout, v4 Int-narrowed columns + layout flags
-    // in _meta) — older standing indexes rebuild instead of tripping
-    // the format_version check
-    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 1000, 16, 16, 4))
+    // in _meta, v5 the sets_layout flag) — older standing indexes
+    // rebuild instead of tripping the format_version check
+    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 1000, 16, 16, 5))
       .toDF("n", "id_sum", "len_sum", "k", "cap", "npb", "nsb", "ver")
     val fresh = wh.exists("gold", "ng_fp") &&
       (try {
@@ -1044,7 +1044,7 @@ object TextQueries {
     val d = docs(s, dir)
     val r = d.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)),
       coalesce(sum(length(col("text")).cast("long")), lit(0L))).head()
-    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 1000, 16, 16, 4))
+    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 1000, 16, 16, 5))
       .toDF("n", "id_sum", "len_sum", "k", "cap", "npb", "nsb", "ver")
     val fresh = wh.exists("gold", "ngf_fp") &&
       (try {
@@ -1062,6 +1062,43 @@ object TextQueries {
 
   private val dNgramIncrementFloor: QFn = (s, dir) => {
     val wh = incNgramFloorWh(s, dir)
+    Dedup.ngramJaccardIncrementPairs(incBatch(s, dir), "doc_id", "text",
+      wh, "gold", "ng", threshold = 0.5).orderBy("id_a", "id_b")
+  }
+
+  // d8c-texts — the same increment probe against the TEXTS `_sets`
+  // layout (ngramIndexPersist setsAsTexts=true): `_sets` stores
+  // (doc_id, text) zstd instead of the incompressible hashed arrays —
+  // the r14 footprint cut (97.0 → 32.3 MB on the probe corpus, the
+  // index's dominant table) — and the probe re-shingles its candidates'
+  // pruned partitions under the frozen dictionary. Oracled by the SAME
+  // SQL as d_ngram_increment: the recompute-equals-stored contract as
+  // a driver-checked hash match, not just a spec assertion.
+  private def incNgramTextsWh(s: SparkSession, dir: String): graft.etl.Warehouse = {
+    import s.implicits._
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val wh = graft.etl.Warehouse(
+      s"${sys.props("java.io.tmpdir")}/graft_ngtexts$key")
+    val d = docs(s, dir)
+    val r = d.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)),
+      coalesce(sum(length(col("text")).cast("long")), lit(0L))).head()
+    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 1000, 16, 16, 5))
+      .toDF("n", "id_sum", "len_sum", "k", "cap", "npb", "nsb", "ver")
+    val fresh = wh.exists("gold", "ngt_fp") &&
+      (try {
+        wh.read(s, "gold", "ngt_fp").collect().toSeq == fp.collect().toSeq
+      } catch { case _: Throwable => false })
+    if (!fresh) {
+      Dedup.ngramIndexPersist(d, "doc_id", "text", wh, "gold", "ng",
+        shingleK = 3, maxShingleFreq = 1000,
+        nPostBuckets = 16, nSetBuckets = 16, setsAsTexts = true)
+      wh.overwrite(fp, "gold", "ngt_fp")
+    }
+    wh
+  }
+
+  private val dNgramIncrementTexts: QFn = (s, dir) => {
+    val wh = incNgramTextsWh(s, dir)
     Dedup.ngramJaccardIncrementPairs(incBatch(s, dir), "doc_id", "text",
       wh, "gold", "ng", threshold = 0.5).orderBy("id_a", "id_b")
   }
@@ -1349,9 +1386,9 @@ object TextQueries {
       s"${sys.props("java.io.tmpdir")}/graft_curexwh$key")
     val r = initial.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)),
       coalesce(sum(length(col("text")).cast("long")), lit(0L))).head()
-    // ver=4: pepoch sink layout + the v4 posting-index format (the
-    // exact-family bootstrap now builds the Jaccard-only floor layout)
-    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 1000000, 16, 16, 4))
+    // ver=5: pepoch sink layout + the v5 posting-index format (the
+    // exact-family bootstrap builds the Jaccard-only floor layout)
+    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 1000000, 16, 16, 5))
       .toDF("n", "id_sum", "len_sum", "k", "cap", "npb", "nsb", "ver")
     val fresh = wh.exists("gold", "curex_fp") &&
       (try {
@@ -2365,6 +2402,7 @@ object TextQueries {
     "d_near_dedup_increment_keep" -> dNearIncrementKeep,
     "d_ngram_increment" -> dNgramIncrement,
     "d_ngram_increment_floor" -> dNgramIncrementFloor,
+    "d_ngram_increment_texts" -> dNgramIncrementTexts,
     "d_containment_increment" -> dContainIncrement,
     "d_ngram_staleness" -> dNgramStaleness,
     "d_ngram_increment_keep" -> dNgramIncrementKeep,
@@ -2422,6 +2460,7 @@ object TextQueries {
     "d_near_dedup_increment_keep" -> dNearIncrementKeepSql,
     "d_ngram_increment" -> dNgramIncrementSql,
     "d_ngram_increment_floor" -> dNgramIncrementSql,
+    "d_ngram_increment_texts" -> dNgramIncrementSql,
     "d_containment_increment" -> dContainIncrementSql,
     "d_ngram_staleness" -> dNgramStalenessSql,
     "d_ngram_increment_keep" -> dNgramIncrementKeepSql,

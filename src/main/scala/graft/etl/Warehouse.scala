@@ -56,8 +56,9 @@ final case class Warehouse(root: String) {
     * without touching existing files (the index-maintenance primitive:
     * ingest survivors join a persisted index in place). */
   def appendPartitioned(df: DataFrame, layer: String, table: String,
-                        partCols: Seq[String]): Unit =
-    df.write.mode("append").partitionBy(partCols: _*)
+                        partCols: Seq[String],
+                        options: Map[String, String] = Map.empty): Unit =
+    df.write.mode("append").options(options).partitionBy(partCols: _*)
       .parquet(path(layer, table))
 
   /** Idempotent partitioned append via DYNAMIC partition overwrite: only
@@ -68,9 +69,11 @@ final case class Warehouse(root: String) {
     * as a warehouse primitive; the caller keys `partCols` by the replay
     * unit (e.g. an `epoch` column). */
   def overwritePartitionsDynamic(df: DataFrame, layer: String,
-                                 table: String, partCols: Seq[String]): Unit =
+                                 table: String, partCols: Seq[String],
+                                 options: Map[String, String] = Map.empty): Unit =
     df.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
+      .options(options)
       .partitionBy(partCols: _*)
       .parquet(path(layer, table))
 
@@ -110,9 +113,11 @@ final case class Warehouse(root: String) {
     * for partitioned-append tables (persisted indexes): rewrite into
     * the same `partitionBy` directories, then swap atomically. */
   def rebuildPartitioned(df: DataFrame, layer: String, table: String,
-                         partCols: Seq[String]): Unit = {
+                         partCols: Seq[String],
+                         options: Map[String, String] = Map.empty): Unit = {
     val tmp = Paths.get(path(layer, table + "._tmp"))
-    df.write.mode("overwrite").partitionBy(partCols: _*).parquet(tmp.toString)
+    df.write.mode("overwrite").options(options).partitionBy(partCols: _*)
+      .parquet(tmp.toString)
     swapIn(layer, table, tmp)
   }
 
@@ -206,8 +211,9 @@ final case class Warehouse(root: String) {
     * live — the first half of [[rebuildPartitioned]], for multi-table
     * groups that must promote together ([[promoteStaged]]). */
   def stagePartitioned(df: DataFrame, layer: String, table: String,
-                       partCols: Seq[String]): Unit =
-    df.write.mode("overwrite").partitionBy(partCols: _*)
+                       partCols: Seq[String],
+                       options: Map[String, String] = Map.empty): Unit =
+    df.write.mode("overwrite").options(options).partitionBy(partCols: _*)
       .parquet(path(layer, table + "._tmp"))
 
   /** Unpartitioned [[stagePartitioned]]. */

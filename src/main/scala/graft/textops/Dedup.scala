@@ -51,6 +51,18 @@ object Dedup {
   private[textops] final class PersistTracker(active: Boolean) {
     private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def add(df: DataFrame): DataFrame = { if (active) frames += df; df }
+    /** Persist-and-track when live; pass through UNPERSISTED under the
+      * noop tracker. For frames scanning WAREHOUSE paths this is the
+      * only safe shape: a cache entry nobody releases outlives the
+      * next compaction swap, and Spark's CacheManager matches file
+      * relations by root path — so a later, semantically fresh probe
+      * of the rewritten table aliases the stale entry and dies on the
+      * deleted files (caught by the r14 texts-layout spec). */
+    def persisted(df: DataFrame): DataFrame =
+      if (active) {
+        frames += df
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      } else df
     def unpersistAll(): Unit = { frames.foreach(_.unpersist()); frames.clear() }
   }
   private[textops] object PersistTracker {
@@ -393,6 +405,18 @@ object Dedup {
     sh.unpersist()
     wh.promoteStagedGroup(layer, table, nearDedupIndexTables(table))
   }
+
+  /** Probe/diagnostic accessor: a frame's LSH band keys
+    * (doc_id, band, band_hash) under the given parameters — the
+    * long-horizon ScaleProbe lane joins these against the standing
+    * `_bands` table to MEASURE per-epoch candidate density (the r13
+    * verdict's open question: is the adversarial lane's per-epoch
+    * drift a per-candidate data cost or a kept-history tax). */
+  private[graft] def bandKeysFor(df: DataFrame, idCol: String,
+      textCol: String, shingleK: Int, numHashes: Int,
+      bands: Int): DataFrame =
+    bandedKeys(minhashSignatures(df, idCol, textCol, shingleK, numHashes),
+      numHashes, bands, keepSig = false)
 
   /** The MinHash index's table group, in promote order. */
   private def nearDedupIndexTables(table: String): Seq[String] =
@@ -1010,16 +1034,27 @@ object Dedup {
     * destination postings) and Jaccard probes BELOW the floor are
     * rejected with an explicit error instead of silently under-
     * recalling. Layout flags persist in `_meta` and every probe
-    * validates against them. */
+    * validates against them.
+    *
+    * `setsAsTexts = true` opts into the TEXTS `_sets` layout
+    * ([[SetsLayoutTexts]]): `_sets` stores (doc_id, text) zstd-
+    * compressed instead of the incompressible hashed arrays, and every
+    * probe re-derives its candidates' (set, n) from the pruned text
+    * partitions under the frozen dictionary ([[readCorpusSets]]) —
+    * identical values by construction (same shingle + frozen-freq-cap
+    * arithmetic as this build), measured 97.0 → 32.3 MB on the r14
+    * probe corpus (the index's dominant table, 5.7× → 1.9× corpus). */
   def ngramIndexPersist(df: DataFrame, idCol: String, textCol: String,
       wh: graft.etl.Warehouse, layer: String, table: String,
       shingleK: Int = 3, maxShingleFreq: Int = 1000,
       nPostBuckets: Int = 64, nSetBuckets: Int = 64,
-      containment: Boolean = true, tMinJaccard: Double = 0.0): Unit = {
+      containment: Boolean = true, tMinJaccard: Double = 0.0,
+      setsAsTexts: Boolean = false): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
     require(containment || tMinJaccard > 0.0,
       "a Jaccard-only index needs a positive tMinJaccard floor")
+    val setsLayout = if (setsAsTexts) SetsLayoutTexts else SetsLayoutArrays
     // the four tables STAGE to ._tmp and promote as one marker-gated
     // group: a (re)build over a live index was four sequential
     // non-atomic overwrites — a crash between the _freq and _post
@@ -1029,9 +1064,9 @@ object Dedup {
     // Readers resume a crashed promotion before trusting the group
     // ([[readNgramIndexMeta]] → Warehouse.resumePending).
     wh.stage(Seq((shingleK, maxShingleFreq, nPostBuckets, nSetBuckets,
-        NgramIndexFormatVersion, containment, tMinJaccard))
+        NgramIndexFormatVersion, containment, tMinJaccard, setsLayout))
       .toDF("shingle_k", "max_freq", "n_post_buckets", "n_set_buckets",
-        "format_version", "containment", "t_min"),
+        "format_version", "containment", "t_min", "sets_layout"),
       layer, s"${table}_meta")
     val sh = shingledHashed(df, idCol, textCol, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1067,14 +1102,26 @@ object Dedup {
           .withColumn("epoch", lit(-1L)),
         "sbucket", "sh", "doc_id"),
       layer, s"${table}_post", Seq("sbucket", "epoch"))
-    wh.stagePartitioned(
-      clusterFor(posted.groupBy("doc_id")
+    // `_sets` row membership is IDENTICAL across layouts: exactly the
+    // docs with ≥1 capped shingle (the texts semi-join below) — so a
+    // probe's verification join sees the same doc set either way
+    val setsRows =
+      if (setsAsTexts)
+        df.select(col(idCol).cast(LongType).as("doc_id"),
+            col(textCol).as("text"))
+          .join(posted.select("doc_id").distinct(), Seq("doc_id"),
+            "left_semi")
+      else
+        posted.groupBy("doc_id")
           .agg(collect_list(col("sh")).as("set"),
             count(lit(1)).cast("int").as("n"))
+    wh.stagePartitioned(
+      clusterFor(setsRows
           .withColumn("dbucket", pmod(col("doc_id"), lit(nSetBuckets.toLong)))
           .withColumn("epoch", lit(-1L)),
         "dbucket", "doc_id"),
-      layer, s"${table}_sets", Seq("dbucket", "epoch"))
+      layer, s"${table}_sets", Seq("dbucket", "epoch"),
+      if (setsAsTexts) SetsTextsWriteOptions else Map.empty)
     posted.unpersist(); freqTab.unpersist(); sh.unpersist()
     wh.promoteStagedGroup(layer, table, ngramIndexTables(table))
   }
@@ -1082,11 +1129,31 @@ object Dedup {
   /** Posting-index on-disk format: v2 added the `epoch` sub-partition,
     * v3 the clustered one-file-per-bucket sorted layout, v4 the
     * Int-narrowed `freq`/`__pos`/`__n`/`n` columns plus the layout
-    * flags (`containment`/`t_min`) in `_meta`. [[readNgramIndexMeta]]
-    * rejects other versions with an explicit rebuild-required error —
-    * a pre-v4 standing index used to surface as a bare
-    * AnalysisException from a missing column (r11 ADVICE). */
-  private[textops] val NgramIndexFormatVersion = 4
+    * flags (`containment`/`t_min`) in `_meta`, v5 the `sets_layout`
+    * flag (`arrays` | `texts`). [[readNgramIndexMeta]] rejects other
+    * versions with an explicit rebuild-required error — a pre-v4
+    * standing index used to surface as a bare AnalysisException from a
+    * missing column (r11 ADVICE). */
+  private[textops] val NgramIndexFormatVersion = 5
+
+  /** `_sets` stores (doc_id, set, n) hashed-shingle ARRAYS — xxhash64
+    * values, i.e. uniform-random longs that no codec compresses (the
+    * r14 probe: zstd 97.0 → 97.0 MB, sorted-delta 92.3 MB). */
+  private[textops] val SetsLayoutArrays = "arrays"
+
+  /** `_sets` stores (doc_id, text) instead and probes RE-SHINGLE their
+    * candidates' pruned partitions under the frozen dictionary
+    * ([[readCorpusSets]]) — text compresses where hashes cannot (r14
+    * probe: 97.0 → 32.3 MB zstd, the index's dominant table cut 3×),
+    * at a bounded re-shingle CPU cost per probe. Row membership, the
+    * dbucket/epoch partition keys, and the recomputed (set, n) values
+    * are identical to the arrays layout by construction. */
+  private[textops] val SetsLayoutTexts = "texts"
+
+  /** zstd for the texts `_sets` writes: measured 53.5 (snappy) vs
+    * 32.3 MB (zstd) on the probe corpus — the only index table where
+    * codec choice moves the footprint, because only it stores text. */
+  private val SetsTextsWriteOptions = Map("compression" -> "zstd")
 
   /** The posting index's table group, in promote order (meta last-read
     * first-promoted is NOT required — the marker makes order
@@ -1113,7 +1180,7 @@ object Dedup {
     * generation scans is row-identical by construction. */
   private[textops] final case class NgramMeta(shingleK: Int, maxFreq: Int,
       nPostBuckets: Int, nSetBuckets: Int, containment: Boolean,
-      tMin: Double)
+      tMin: Double, setsLayout: String)
 
   private def readNgramIndexMeta(spark: org.apache.spark.sql.SparkSession,
       wh: graft.etl.Warehouse, layer: String, table: String): NgramMeta = {
@@ -1132,9 +1199,9 @@ object Dedup {
         s"build reads v$NgramIndexFormatVersion — rebuild the index " +
         "with Dedup.ngramIndexPersist over the durable corpus")
     val m = df.select("shingle_k", "max_freq", "n_post_buckets",
-      "n_set_buckets", "containment", "t_min").head()
+      "n_set_buckets", "containment", "t_min", "sets_layout").head()
     NgramMeta(m.getInt(0), m.getInt(1), m.getInt(2), m.getInt(3),
-      m.getBoolean(4), m.getDouble(5))
+      m.getBoolean(4), m.getDouble(5), m.getString(6))
   }
 
   /** The shared probe-side pipeline: the batch's capped, positioned
@@ -1145,6 +1212,41 @@ object Dedup {
     * shingles: rarest, always kept), so the batch and the index share
     * ONE total order (freq, sh) and the prefix/positional theorems hold
     * across the corpus↔batch join exactly as within the batch. */
+  /** The corpus-side verification sets (doc_id, set, n), pruned by
+    * `rowFilter` (candidate dbucket membership + replayed-epoch
+    * exclusion). Arrays layout: the stored arrays, selected. Texts
+    * layout: the candidates' pruned TEXT partitions re-shingled under
+    * the frozen dictionary with EXACTLY the ingest-side arithmetic
+    * ([[batchPostings]]' left-join + coalesce-0 + cap over the same
+    * [[frozenFreqJoin]] scan shape), so the recomputed (set, n) equal
+    * what the arrays layout stored, for base and appended epochs alike
+    * (base-build shingles are all in the frozen dictionary, so its
+    * inner join ≡ this left join there; appended docs were capped with
+    * coalesce-0 at ingest — the same expression). CPU is bounded by
+    * the candidates' buckets; the dictionary scan stays bucket-range-
+    * pruned and map-side below the broadcast limit. */
+  private def readCorpusSets(spark: org.apache.spark.sql.SparkSession,
+      wh: graft.etl.Warehouse, layer: String, table: String,
+      meta: NgramMeta, rowFilter: Column, broadcastShingleLimit: Long,
+      tracker: PersistTracker): DataFrame = {
+    val raw = wh.read(spark, layer, s"${table}_sets").filter(rowFilter)
+    if (meta.setsLayout == SetsLayoutTexts) {
+      // persisted ONLY under a live tracker ([[PersistTracker.persisted]]):
+      // this frame scans a warehouse table, and a leaked cache entry
+      // would alias post-compaction reads of the rewritten path
+      val shC = tracker.persisted(
+        shingledHashed(raw, "doc_id", "text", meta.shingleK)
+          .withColumn("sbucket",
+            pmod(col("sh"), lit(meta.nPostBuckets.toLong)).cast("int")))
+      frozenFreqJoin(shC, wh, layer, table, broadcastShingleLimit)
+        .withColumn("freq", coalesce(col("freq"), lit(0)))
+        .filter(col("freq") <= meta.maxFreq)
+        .groupBy("doc_id")
+        .agg(collect_list(col("sh")).as("set"),
+          count(lit(1)).cast("int").as("n"))
+    } else raw.select("doc_id", "set", "n")
+  }
+
   private def batchPostings(batch: DataFrame, idCol: String,
       textCol: String, wh: graft.etl.Warehouse, layer: String,
       table: String, meta: NgramMeta, tracker: PersistTracker,
@@ -1284,6 +1386,11 @@ object Dedup {
         postB.select("sh", "doc_id", "__pos", "__n", "sbucket"),
         setsB.withColumn("dbucket",
           pmod(col("doc_id"), lit(meta.nSetBuckets.toLong))),
+        df.select(col(idCol).cast(LongType).as("doc_id"),
+            col(textCol).as("text"))
+          .join(setsB.select("doc_id"), Seq("doc_id"), "left_semi")
+          .withColumn("dbucket",
+            pmod(col("doc_id"), lit(meta.nSetBuckets.toLong))),
         wh, layer, table, epoch, meta)
     } finally tracker.unpersistAll()
   }
@@ -1294,25 +1401,32 @@ object Dedup {
     * epoch. Shared with the ingest loop, whose rows come from the keep
     * probe's cached frames instead of a recomputation. A Jaccard-only
     * index stores only the `t_min`-prefix posting rows, exactly as the
-    * base build does. */
+    * base build does; a texts-layout index stores `docsTexts`
+    * ((doc_id, text, dbucket) — by-name, only evaluated then) in
+    * `_sets` instead of the arrays, zstd-compressed as at build. */
   private def writeNgramIndexRows(post0: DataFrame, sets: DataFrame,
+      docsTexts: => DataFrame,
       wh: graft.etl.Warehouse, layer: String, table: String,
       epoch: Long, meta: NgramMeta): Unit = {
     val post = if (meta.containment) post0 else prefixRows(post0, meta.tMin)
     val p = clusterFor(post.withColumn("epoch", lit(epoch)),
       "sbucket", "sh", "doc_id")
-    val s = clusterFor(sets.withColumn("epoch", lit(epoch)),
+    val texts = meta.setsLayout == SetsLayoutTexts
+    val setsRows = if (texts) docsTexts else sets
+    val sOpts = if (texts) SetsTextsWriteOptions
+                else Map.empty[String, String]
+    val s = clusterFor(setsRows.withColumn("epoch", lit(epoch)),
       "dbucket", "doc_id")
     if (epoch >= 0L) {
       wh.overwritePartitionsDynamic(p, layer, s"${table}_post",
         Seq("sbucket", "epoch"))
       wh.overwritePartitionsDynamic(s, layer, s"${table}_sets",
-        Seq("dbucket", "epoch"))
+        Seq("dbucket", "epoch"), sOpts)
     } else {
       wh.appendPartitioned(p, layer, s"${table}_post",
         Seq("sbucket", "epoch"))
       wh.appendPartitioned(s, layer, s"${table}_sets",
-        Seq("dbucket", "epoch"))
+        Seq("dbucket", "epoch"), sOpts)
     }
   }
 
@@ -1330,19 +1444,26 @@ object Dedup {
   def ngramIndexCompact(spark: org.apache.spark.sql.SparkSession,
       wh: graft.etl.Warehouse, layer: String, table: String,
       foldEpochsBelow: Long = Long.MinValue): Unit = {
-    // resume a crashed group promotion before writing into the shared
-    // `._tmp` namespace — see [[nearDedupIndexCompact]]
-    wh.resumePending(layer, table, ngramIndexTables(table))
-    def rewrite(t: String, partCol: String, sortCols: String*): Unit =
+    // the meta read resumes a crashed group promotion before this
+    // writes into the shared `._tmp` namespace — see
+    // [[nearDedupIndexCompact]]; it also tells us whether `_sets`
+    // holds texts (whose rewrite must keep the zstd codec — a snappy
+    // compaction would silently grow the table 1.7×)
+    val meta = readNgramIndexMeta(spark, wh, layer, table)
+    def rewrite(t: String, partCol: String,
+                options: Map[String, String], sortCols: String*): Unit =
       wh.rebuildPartitioned(
         clusterFor(wh.read(spark, layer, t)
           .withColumn("epoch",
             when(col("epoch") < lit(foldEpochsBelow), lit(-1L))
               .otherwise(col("epoch").cast(LongType))),
           partCol, sortCols: _*),
-        layer, t, Seq(partCol, "epoch"))
-    rewrite(s"${table}_post", "sbucket", "sh", "doc_id")
-    rewrite(s"${table}_sets", "dbucket", "doc_id")
+        layer, t, Seq(partCol, "epoch"), options)
+    rewrite(s"${table}_post", "sbucket", Map.empty, "sh", "doc_id")
+    rewrite(s"${table}_sets", "dbucket",
+      if (meta.setsLayout == SetsLayoutTexts) SetsTextsWriteOptions
+      else Map.empty,
+      "doc_id")
     foldKeptSink(spark, wh, layer, table, foldEpochsBelow)
   }
 
@@ -1502,9 +1623,10 @@ object Dedup {
     val dbs = crossCands
       .select(pmod(col("__cid"), lit(nSetBuckets.toLong)).cast("int").as("db"))
       .distinct().as[Int].collect().sorted
-    val setsC = wh.read(spark, layer, s"${table}_sets")
-      .filter(col("dbucket").isin(dbs.map(Int.box): _*) &&
-        col("epoch") =!= lit(excludeEpoch))
+    val setsC = readCorpusSets(spark, wh, layer, table, meta,
+      col("dbucket").isin(dbs.map(Int.box): _*) &&
+        col("epoch") =!= lit(excludeEpoch),
+      broadcastShingleLimit, tracker)
     // candidate pairs broadcast into the corpus-sets join when small:
     // the alternative shuffles the fat set ARRAYS — the most expensive
     // bytes in the index — to co-locate with a few thousand pair rows
@@ -1733,6 +1855,11 @@ object Dedup {
         setsB.join(keptIds, Seq("doc_id"), "left_semi")
           .withColumn("dbucket",
             pmod(col("doc_id"), lit(meta.nSetBuckets.toLong))),
+        keptDocs.select(col(idCol).cast(LongType).as("doc_id"),
+            col(textCol).as("text"))
+          .join(setsB.select("doc_id"), Seq("doc_id"), "left_semi")
+          .withColumn("dbucket",
+            pmod(col("doc_id"), lit(meta.nSetBuckets.toLong))),
         wh, layer, table, epoch, meta)
       tracker.unpersistAll()
       // epoch = data, pepoch = fold-able partition key ([[foldKeptSink]])
@@ -1810,10 +1937,10 @@ object Dedup {
       .unionByName(all.select(
         pmod(col("id_dst"), lit(nSetBuckets.toLong)).cast("int").as("d")))
       .distinct().as[Int].collect().sorted
-    val setsC = wh.read(spark, layer, s"${table}_sets")
-      .filter(col("dbucket").isin(dbs.map(Int.box): _*) &&
-        col("epoch") =!= lit(excludeEpoch))
-      .select("doc_id", "set", "n")
+    val setsC = readCorpusSets(spark, wh, layer, table, meta,
+      col("dbucket").isin(dbs.map(Int.box): _*) &&
+        col("epoch") =!= lit(excludeEpoch),
+      broadcastShingleLimit, PersistTracker.noop)
     // either endpoint may be corpus or batch: resolve each side against
     // the union of the pruned corpus sets and the batch sets
     val sets = setsC.unionByName(setsB)

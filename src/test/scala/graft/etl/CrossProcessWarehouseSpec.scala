@@ -1,0 +1,99 @@
+package graft.etl
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** The TWO-JVM warehouse story (r13 verdict, "what's wrong" #3): the
+  * per-table rename locks serialize swap/recovery/read-planning inside
+  * one driver JVM, and [[Warehouse.swapIn]] additionally tolerates a
+  * cross-PROCESS reader restoring `._old` inside its rename window via
+  * a one-shot retry — but until this spec nothing exercised a real
+  * second process (e.g. a Verify run concurrent with an ingest driver
+  * on the same root). Here a child JVM ([[WarehouseReaderProcess]])
+  * reads the table in a tight loop while this JVM swaps it
+  * continuously. Contract pinned:
+  *   - every child read that SUCCEEDS is internally consistent (one
+  *     table version, never a mix of two versions' files — the child
+  *     exits 2 on a mixed read);
+  *   - loud per-read failures are allowed (the documented
+  *     plain-parquet snapshot limitation: a swap completing between a
+  *     read's plan and its action fails it loudly, never partially);
+  *   - the writer's swaps all complete despite the cross-process
+  *     races — no stranded `._tmp`/`._old`, final table readable and
+  *     consistent.
+  */
+class CrossProcessWarehouseSpec extends AnyFunSuite {
+  lazy val spark = TestSessions.spark
+  import spark.implicits._
+
+  // version v = exactly v rows, every row carrying v — a reader that
+  // mixed two versions' files sees either a wrong count or two values
+  private def versionDf(v: Long) =
+    spark.range(v).select(lit(v).as("v"))
+
+  test("second-JVM reader across continuous swaps: consistent reads, no stranded swap state") {
+    val root = Files.createTempDirectory("graft_xproc").toString
+    val wh = Warehouse(root)
+    wh.overwrite(versionDf(5L), "gold", "t")
+
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val log = Files.createTempFile("graft_xproc", ".log").toFile
+    val childDir = Files.createTempDirectory("graft_xproc_wd").toFile
+    val cmd = (Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g", "-cp", cp,
+      "graft.etl.WarehouseReaderProcess", root, "gold", "t", "200"))
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.directory(childDir)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(log)
+    val p = pb.start()
+    try {
+      def logText() =
+        new String(Files.readAllBytes(log.toPath), "UTF-8")
+      // wait for the child's session (READY) before swapping, so the
+      // swap storm overlaps the READS, not the JVM boot
+      val readyBy = System.currentTimeMillis() + 180000
+      while (!logText().contains("READY") && p.isAlive &&
+             System.currentTimeMillis() < readyBy) Thread.sleep(200)
+      assert(logText().contains("READY"),
+        s"reader never became READY:\n${logText()}")
+      // swap continuously (each version atomic-by-rename) until the
+      // reader finishes its 200 reads
+      var v = 5L
+      while (p.isAlive && v < 5000L) {
+        v += 1
+        wh.rebuild(versionDf(v), "gold", "t")
+      }
+      assert(p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+        "reader did not finish")
+      assert(p.exitValue() == 0,
+        s"reader exit ${p.exitValue()} (2 = MIXED read observed, " +
+        s"3 = no read ever succeeded):\n${logText()}")
+      val m = "READER ok=(\\d+) loud=(\\d+)".r.findFirstMatchIn(logText())
+      assert(m.nonEmpty, s"no READER summary:\n${logText()}")
+      assert(m.get.group(1).toInt > 0, "no successful cross-process reads")
+      assert(v > 6L, "writer never swapped during the read window")
+      // the writer side survived every cross-process race: nothing
+      // stranded, final state readable and consistent
+      assert(!Files.exists(Paths.get(wh.path("gold", "t._tmp"))),
+        "stranded ._tmp after cross-process swap storm")
+      assert(!Files.exists(Paths.get(wh.path("gold", "t._old"))),
+        "stranded ._old after cross-process swap storm")
+      val rows = wh.read(spark, "gold", "t")
+        .select("v").as[Long].collect()
+      assert(rows.distinct.length == 1 && rows.length == rows.head.toInt)
+    } finally {
+      if (p.isAlive) p.destroyForcibly()
+    }
+  }
+}

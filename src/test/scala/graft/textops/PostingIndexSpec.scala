@@ -545,6 +545,82 @@ class PostingIndexSpec extends AnyFunSuite {
     assert(cont.getMessage.contains("Jaccard-only"))
   }
 
+  test("texts _sets layout: probes identical to arrays across build, append, compact") {
+    // setsAsTexts stores (doc_id, text) in `_sets` instead of the
+    // incompressible hashed arrays; probes re-derive candidate sets
+    // from the pruned text partitions under the frozen dictionary.
+    // The contract: every probe result is IDENTICAL to the arrays
+    // layout's, through the whole maintenance lifecycle.
+    val whT = freshWh("texts")
+    Dedup.ngramIndexPersist(corpus, "doc_id", "text", whT, "gold", "ng",
+      shingleK = 3, maxShingleFreq = 1000, nPostBuckets = 8,
+      nSetBuckets = 4, setsAsTexts = true)
+    val whA = freshWh("textsfull")
+    build(whA)
+    // the stored table holds text, not set arrays
+    val cols = spark.read.parquet(whT.path("gold", "ng_sets")).columns.toSet
+    assert(cols.contains("text") && !cols.contains("set"))
+    // row membership identical: exactly the docs with >=1 capped shingle
+    val idsT = spark.read.parquet(whT.path("gold", "ng_sets"))
+      .select("doc_id").as[Long].collect().toSet
+    val idsA = spark.read.parquet(whA.path("gold", "ng_sets"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(idsT === idsA)
+    def jac(w: graft.etl.Warehouse, b: org.apache.spark.sql.DataFrame) =
+      pairSet(Dedup.ngramJaccardIncrementPairs(b, "doc_id", "text",
+        w, "gold", "ng", threshold = 0.5), ("id_a", "id_b", "jaccard"))
+    def con(w: graft.etl.Warehouse, b: org.apache.spark.sql.DataFrame) =
+      pairSet(Dedup.containmentIncrementPairs(b, "doc_id", "text",
+        w, "gold", "ng", threshold = 0.8), ("id_src", "id_dst", "containment"))
+    assert(jac(whT, batch) === jac(whA, batch) && jac(whT, batch).nonEmpty)
+    assert(con(whT, batch) === con(whA, batch) && con(whT, batch).nonEmpty)
+    // epoch append writes texts rows; post-append probes still agree
+    Dedup.ngramIndexAppend(batch, "doc_id", "text", whT, "gold", "ng",
+      epoch = 1L)
+    Dedup.ngramIndexAppend(batch, "doc_id", "text", whA, "gold", "ng",
+      epoch = 1L)
+    val colsApp = spark.read.parquet(whT.path("gold", "ng_sets")).columns.toSet
+    assert(colsApp.contains("text") && !colsApp.contains("set"))
+    val b2 = Seq((300L, batchRows.find(_._1 == 102L).get._2),
+      (301L, corpusRows.find(_._1 == 2L).get._2))
+      .toDF("doc_id", "text")
+    assert(jac(whT, b2) === jac(whA, b2) && jac(whT, b2).nonEmpty)
+    // compaction (fold epochs into base) preserves layout and results
+    Dedup.ngramIndexCompact(spark, whT, "gold", "ng", foldEpochsBelow = 2L)
+    Dedup.ngramIndexCompact(spark, whA, "gold", "ng", foldEpochsBelow = 2L)
+    assert(jac(whT, b2) === jac(whA, b2))
+    assert(con(whT, b2) === con(whA, b2))
+    // and the compacted texts files stayed zstd (codec survives the
+    // rewrite — a snappy compaction would silently grow the table)
+    val aFile = {
+      val w = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(whT.path("gold", "ng_sets")))
+      try w.filter(_.toString.endsWith(".parquet")).findFirst().get()
+      finally w.close()
+    }
+    assert(aFile.toString.contains(".zstd.") ||
+      aFile.getFileName.toString.contains("zstd"))
+  }
+
+  test("texts _sets layout composes with the jaccard-only floor") {
+    val whTF = freshWh("textsfloor")
+    Dedup.ngramIndexPersist(corpus, "doc_id", "text", whTF, "gold", "ng",
+      shingleK = 3, maxShingleFreq = 1000, nPostBuckets = 8,
+      nSetBuckets = 4, containment = false, tMinJaccard = 0.5,
+      setsAsTexts = true)
+    val whFull = freshWh("textsfloorref")
+    build(whFull)
+    def jac(w: graft.etl.Warehouse, t: Double) =
+      pairSet(Dedup.ngramJaccardIncrementPairs(batch, "doc_id", "text",
+        w, "gold", "ng", threshold = t), ("id_a", "id_b", "jaccard"))
+    assert(jac(whTF, 0.5) === jac(whFull, 0.5) && jac(whTF, 0.5).nonEmpty)
+    // the floor's rejection paths still fire on the combined layout
+    assert(intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardIncrementPairs(batch, "doc_id", "text",
+        whTF, "gold", "ng", threshold = 0.3).collect()
+    }.getMessage.contains("t_min"))
+  }
+
   test("format_version: a pre-v4 index fails with an explicit rebuild-required error") {
     val wh = freshWh("oldfmt")
     build(wh)
