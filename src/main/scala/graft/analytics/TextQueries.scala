@@ -1456,9 +1456,11 @@ object TextQueries {
       s"${sys.props("java.io.tmpdir")}/graft_divwh$key")
     val r = corpus.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)),
       coalesce(sum(length(col("text")).cast("long")), lit(0L))).head()
-    // ver=3: the v4 posting-index on-disk format (Int-narrowed columns
-    // + layout flags) — older standing artifacts rebuild
-    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 1000000, 16, 16, 3))
+    // ver=4: the v5 posting-index on-disk format (sets_layout flag) —
+    // older standing artifacts rebuild instead of tripping the
+    // format_version check (an unbumped ver here failed this entry in
+    // the first r14 bench run)
+    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 1000000, 16, 16, 4))
       .toDF("n", "id_sum", "len_sum", "k", "cap", "npb", "nsb", "ver")
     val fresh = wh.exists("gold", "div_fp") &&
       (try {
