@@ -42,6 +42,21 @@ private[graft] object BenchCalib {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
+  /** The median calibration WINDOW, kept as a real paired measurement:
+    * windows ranked by combined time (jvm·spark — monotone in the
+    * pair's geomean), the middle one returned whole. Committing
+    * per-workload medians independently paired a jvm from one window
+    * with a spark from another — the same cross-window-pairing
+    * unsoundness the r14 estimator rework removed from `min`, still
+    * present in the reference constants' aggregation (r14 ADVICE); an
+    * even count takes the lower-middle window (still a real window,
+    * deterministic). */
+  def medianWindow(windows: Seq[(Double, Double)]): (Double, Double) = {
+    require(windows.nonEmpty, "medianWindow of empty sequence")
+    val s = windows.sortBy { case (j, sp) => j * sp }
+    s((s.size - 1) / 2)
+  }
+
   /** Nearest-in-time factor for an entry whose most recent calibration
     * window was `prevWindow`: geometric mean of that window's factor
     * and the next one's (the entry ran between them). The last entries
@@ -96,12 +111,11 @@ object CalibRef {
     val windows = (1 to 9).map { _ =>
       (BenchCalib.calibJvm(), BenchCalib.calibSpark(spark))
     }
-    val refJvm = BenchCalib.median(windows.map(_._1))
-    val refSpark = BenchCalib.median(windows.map(_._2))
+    val (refJvm, refSpark) = BenchCalib.medianWindow(windows)
     val windowsJson = windows.map { case (j, s) =>
       f"""{"jvm":$j%.3f,"spark":$s%.3f}""" }.mkString("[", ",", "]")
     val json =
-      f"""{"comment": "Reference machine calibration for Bench normalized_total: the reference machine's SUSTAINED (median-of-windows) calibJvm/calibSpark pair, measured by graft.CalibRef on a quiet window. Regenerate there whenever Bench's calibration workloads change.", "round": "${sys.env.getOrElse("SPARK_GRAFT_CALIB_ROUND", "r14")}", "agg": "median_of_windows", "ref_jvm": $refJvm%.3f, "ref_spark": $refSpark%.3f, "windows": $windowsJson}"""
+      f"""{"comment": "Reference machine calibration for Bench normalized_total: the reference machine's SUSTAINED calibJvm/calibSpark PAIR — the median window by combined time, committed whole so the reference is a real paired measurement (per-workload medians could pair a jvm from one window with a spark from another — r14 ADVICE). Measured by graft.CalibRef on a quiet window; regenerate there whenever Bench's calibration workloads change.", "round": "${sys.env.getOrElse("SPARK_GRAFT_CALIB_ROUND", "r14")}", "agg": "median_window_by_combined_time", "ref_jvm": $refJvm%.3f, "ref_spark": $refSpark%.3f, "windows": $windowsJson}"""
     println(json)
     Files.writeString(Paths.get(sys.env.getOrElse("SPARK_GRAFT_CALIB_REF",
       "calibration_ref.json")), json + "\n")

@@ -687,6 +687,71 @@ object ScaleProbe {
       spark.conf.set("spark.sql.shuffle.partitions", "64")
     }
 
+    // Compaction-policy probe (r14 verdict next-round #4): the fixed
+    // every-K-epochs fold rewrites the O(corpus) base on a schedule —
+    // total rewrite work quadratic in corpus size — while the
+    // ratio-triggered (geometric) policy folds only when committed
+    // delta bytes reach f x base bytes, bounding write amplification
+    // at (1+f)/f per ingested byte with folds geometrically rarer.
+    // This lane RUNS both policies over the same 30-epoch append
+    // stream and prints the measured series: per-fold cost, (base,
+    // delta) bytes at each decision, and each policy's cumulative
+    // rewritten bytes — the numbers behind SURVEY's amortization math.
+    if (families("foldpolicy")) {
+      val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"docsFold: ${base.count()}")
+      def freshIdx(tag: String): graft.etl.Warehouse = {
+        val wh = graft.etl.Warehouse(java.nio.file.Files
+          .createTempDirectory(s"graft_probe_fold$tag").toString)
+        Dedup.nearDedupIndexPersist(base, "doc_id", "text", wh, "gold",
+          "nd", shingleK = 3, numHashes = 32, bands = 8)
+        wh
+      }
+      def batchAt(e: Long) = base.filter(col("doc_id") % 20 === e % 20)
+        .select((col("doc_id") + 100000000L + e * 1000000L).as("doc_id"),
+          concat(col("text"), lit(" e"), lit(e)).as("text"))
+      def tableBytes(wh: graft.etl.Warehouse): Long =
+        Seq("nd_bands", "nd_sets").map { t =>
+          val (b, d) = Dedup.epochFootprint(wh.path("gold", t), -999L)
+          b + d
+        }.sum
+      for ((policy, every, ratio) <- Seq(("cadence5", 5, 0.0),
+                                          ("ratio25", 0, 0.25))) {
+        val wh = freshIdx(policy)
+        var rewritten = 0L
+        var ingested = 0L
+        val pre0 = tableBytes(wh)
+        (1L to 30L).foreach { e =>
+          val preAppend = tableBytes(wh)
+          Dedup.nearDedupIndexAppend(batchAt(e), "doc_id", "text",
+            wh, "gold", "nd", epoch = e)
+          ingested += tableBytes(wh) - preAppend
+          val t0 = System.nanoTime()
+          val folded =
+            if (every > 0 && e % every == 0) {
+              Dedup.nearDedupIndexCompact(spark, wh, "gold", "nd",
+                foldEpochsBelow = e); true
+            } else if (ratio > 0.0)
+              Dedup.nearDedupIndexCompactIfDue(spark, wh, "gold", "nd",
+                e, ratio)
+            else false
+          if (folded) {
+            val size = tableBytes(wh)
+            rewritten += size
+            println(f"FOLD $policy%-9s e=$e%-3d cost=${(System.nanoTime()-t0)/1e9}%6.2f s " +
+              f"size=${size / 1048576.0}%7.1f MB cumRewritten=${rewritten / 1048576.0}%8.1f MB " +
+              f"cumIngested=${ingested / 1048576.0}%7.1f MB")
+          }
+        }
+        println(f"FOLDTOTAL $policy%-9s base0=${pre0 / 1048576.0}%7.1f MB " +
+          f"ingested=${ingested / 1048576.0}%7.1f MB " +
+          f"rewritten=${rewritten / 1048576.0}%8.1f MB " +
+          f"amplification=${rewritten.toDouble / math.max(ingested, 1L)}%6.2f x-of-ingested")
+      }
+      base.unpersist()
+    }
+
     // The curation pipeline as a CONTINUOUS STREAM over the same 500k
     // input as curation100: bootstrap = reps 0-29 (150k docs) through
     // the batch build (gates → nearDedupKeep → index persist), then 7

@@ -881,45 +881,93 @@ object TextQueries {
           .otherwise(concat_ws(" ", reverse(split(col("text"), " "))))
           .as("text"))
 
-  /** Deterministic per-SF index path + overwrite — no per-run tmp-dir
-    * leak (the r8 ADVICE note on aIvfPqPersisted) — and BUILD-ONCE:
-    * the entire point of the incremental operator is that the corpus
-    * index is a standing artifact the daily batch probes, so the entry
-    * rebuilds it only when the corpus it was built from changed. The
-    * guard is a content fingerprint (row count + id/byte sums — one
-    * cheap corpus aggregate), persisted beside the index: a driver
-    * testdata regeneration or parameter change rebuilds, a second
-    * entry / bench pass reuses. */
-  private def incIndexWh(s: SparkSession, dir: String): graft.etl.Warehouse = {
+  /** The standing-artifact fingerprint frame: corpus content signature
+    * (row count + id/byte sums — one cheap corpus aggregate), the
+    * build parameters as one string, the index family's on-disk FORMAT
+    * VERSION, and an artifact version for entry-local layouts (sinks
+    * etc.) that can change without a format bump. */
+  private def standingFp(s: SparkSession, corpus: DataFrame,
+      params: String, fmt: Int, aver: Int): DataFrame = {
     import s.implicits._
+    val r = corpus.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)),
+      coalesce(sum(length(col("text")).cast("long")), lit(0L))).head()
+    Seq((r.getLong(0), r.getLong(1), r.getLong(2), params, fmt, aver))
+      .toDF("n", "id_sum", "len_sum", "params", "fmt", "aver")
+  }
+
+  /** BUILD-ONCE guard for standing artifacts (deterministic per-SF
+    * warehouse path — no per-run tmp-dir leak, r8 ADVICE): the entire
+    * point of the incremental operators is that the corpus index is a
+    * standing artifact the daily batch probes, so an entry rebuilds it
+    * only when the corpus it was built from — or the layout it must be
+    * read under — changed. `fmt` MUST be the index family's
+    * format-version constant (`Dedup.NgramIndexFormatVersion` /
+    * `Dedup.NearDedupIndexFormatVersion`), never a hand-maintained
+    * literal: a format bump then invalidates every standing index by
+    * construction. (The r14 bench failure was exactly a hand-bumped
+    * per-entry version that missed the v5 bump — this helper removes
+    * the class; StandingFingerprintSpec pins it.) */
+  private[graft] def buildOnce(s: SparkSession, wh: graft.etl.Warehouse,
+      fpTable: String, corpus: DataFrame, params: String, fmt: Int,
+      aver: Int = 0)(build: => Unit): Boolean = {
+    val fp = standingFp(s, corpus, params, fmt, aver)
+    val fresh = wh.exists("gold", fpTable) &&
+      (try {
+        wh.read(s, "gold", fpTable).collect().toSeq == fp.collect().toSeq
+      } catch { case _: Throwable => false })
+    if (!fresh) {
+      build
+      wh.overwrite(fp, "gold", fpTable)
+    }
+    !fresh
+  }
+
+  private def incIndexWh(s: SparkSession, dir: String): graft.etl.Warehouse = {
     val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val wh = graft.etl.Warehouse(
       s"${sys.props("java.io.tmpdir")}/graft_ndidx$key")
-    val d = docs(s, dir)
-    val r = d.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)),
-      coalesce(sum(length(col("text")).cast("long")), lit(0L))).head()
-    // `ver` = index FORMAT version: bumping it forces a rebuild of any
-    // standing index written under an older layout (v2 added the
-    // `epoch` sub-partition; v3 the clustered one-file-per-bucket
-    // sorted layout)
-    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 32, 8, 16, 16, 3))
-      .toDF("n", "id_sum", "len_sum", "k", "nh", "b", "nb", "nsb", "ver")
-    val fresh = wh.exists("gold", "nd_fp") &&
-      (try {
-        wh.read(s, "gold", "nd_fp").collect().toSeq ==
-          fp.collect().toSeq
-      } catch { case _: Throwable => false })
-    if (!fresh) {
-      Dedup.nearDedupIndexPersist(d, "doc_id", "text",
+    buildOnce(s, wh, "nd_fp", docs(s, dir), "k=3,nh=32,b=8,nb=16,nsb=16",
+      Dedup.NearDedupIndexFormatVersion) {
+      Dedup.nearDedupIndexPersist(docs(s, dir), "doc_id", "text",
         wh, "gold", "nd", shingleK = 3, numHashes = 32, bands = 8,
         nBuckets = 16, nSetBuckets = 16)
-      wh.overwrite(fp, "gold", "nd_fp")
     }
     wh
   }
 
   private val dNearIncrement: QFn = (s, dir) => {
     val wh = incIndexWh(s, dir)
+    Dedup.nearDedupIncrementPairs(incBatch(s, dir), "doc_id", "text",
+      wh, "gold", "nd", threshold = 0.5).orderBy("id_a", "id_b")
+  }
+
+  // d8-texts — the same increment probe against the TEXTS `_sets`
+  // layout of the MINHASH index (nearDedupIndexPersist
+  // setsAsTexts=true, format v2): `_sets` stores (doc_id, text) zstd
+  // instead of the incompressible hashed-shingle arrays — the same
+  // footprint cut the posting index shipped in r14, now on the family
+  // whose `_sets` owned the remaining 100 TB footprint story — and the
+  // probe re-shingles its candidates' pruned partitions (no frozen
+  // dictionary here: minhash sets are uncapped, so the recompute is
+  // shingle → collect, identical values by construction). Oracled by
+  // the SAME SQL as d_near_dedup_increment: recompute-equals-stored as
+  // a driver-checked hash match, not just a spec assertion.
+  private def incIndexTextsWh(s: SparkSession, dir: String): graft.etl.Warehouse = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val wh = graft.etl.Warehouse(
+      s"${sys.props("java.io.tmpdir")}/graft_ndtexts$key")
+    buildOnce(s, wh, "ndt_fp", docs(s, dir),
+      "k=3,nh=32,b=8,nb=16,nsb=16,sets=texts",
+      Dedup.NearDedupIndexFormatVersion) {
+      Dedup.nearDedupIndexPersist(docs(s, dir), "doc_id", "text",
+        wh, "gold", "nd", shingleK = 3, numHashes = 32, bands = 8,
+        nBuckets = 16, nSetBuckets = 16, setsAsTexts = true)
+    }
+    wh
+  }
+
+  private val dNearIncrementTexts: QFn = (s, dir) => {
+    val wh = incIndexTextsWh(s, dir)
     Dedup.nearDedupIncrementPairs(incBatch(s, dir), "doc_id", "text",
       wh, "gold", "nd", threshold = 0.5).orderBy("id_a", "id_b")
   }
@@ -997,28 +1045,14 @@ object TextQueries {
   // corpus frequencies to corpus and batch sets alike (an unseen batch
   // shingle has frequency 0 — kept).
   private def incNgramIndexWh(s: SparkSession, dir: String): graft.etl.Warehouse = {
-    import s.implicits._
     val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val wh = graft.etl.Warehouse(
       s"${sys.props("java.io.tmpdir")}/graft_ngidx$key")
-    val d = docs(s, dir)
-    val r = d.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)),
-      coalesce(sum(length(col("text")).cast("long")), lit(0L))).head()
-    // ver=5: matches the on-disk format (v2 epoch sub-partitions, v3
-    // clustered sorted layout, v4 Int-narrowed columns + layout flags
-    // in _meta, v5 the sets_layout flag) — older standing indexes
-    // rebuild instead of tripping the format_version check
-    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 1000, 16, 16, 5))
-      .toDF("n", "id_sum", "len_sum", "k", "cap", "npb", "nsb", "ver")
-    val fresh = wh.exists("gold", "ng_fp") &&
-      (try {
-        wh.read(s, "gold", "ng_fp").collect().toSeq == fp.collect().toSeq
-      } catch { case _: Throwable => false })
-    if (!fresh) {
-      Dedup.ngramIndexPersist(d, "doc_id", "text", wh, "gold", "ng",
-        shingleK = 3, maxShingleFreq = 1000,
+    buildOnce(s, wh, "ng_fp", docs(s, dir), "k=3,cap=1000,npb=16,nsb=16",
+      Dedup.NgramIndexFormatVersion) {
+      Dedup.ngramIndexPersist(docs(s, dir), "doc_id", "text", wh, "gold",
+        "ng", shingleK = 3, maxShingleFreq = 1000,
         nPostBuckets = 16, nSetBuckets = 16)
-      wh.overwrite(fp, "gold", "ng_fp")
     }
     wh
   }
@@ -1037,25 +1071,16 @@ object TextQueries {
   // SQL as d_ngram_increment: the recall contract as a driver-checked
   // hash match, not just a spec assertion.
   private def incNgramFloorWh(s: SparkSession, dir: String): graft.etl.Warehouse = {
-    import s.implicits._
     val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val wh = graft.etl.Warehouse(
       s"${sys.props("java.io.tmpdir")}/graft_ngfloor$key")
-    val d = docs(s, dir)
-    val r = d.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)),
-      coalesce(sum(length(col("text")).cast("long")), lit(0L))).head()
-    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 1000, 16, 16, 5))
-      .toDF("n", "id_sum", "len_sum", "k", "cap", "npb", "nsb", "ver")
-    val fresh = wh.exists("gold", "ngf_fp") &&
-      (try {
-        wh.read(s, "gold", "ngf_fp").collect().toSeq == fp.collect().toSeq
-      } catch { case _: Throwable => false })
-    if (!fresh) {
-      Dedup.ngramIndexPersist(d, "doc_id", "text", wh, "gold", "ng",
-        shingleK = 3, maxShingleFreq = 1000,
+    buildOnce(s, wh, "ngf_fp", docs(s, dir),
+      "k=3,cap=1000,npb=16,nsb=16,containment=false,tmin=0.5",
+      Dedup.NgramIndexFormatVersion) {
+      Dedup.ngramIndexPersist(docs(s, dir), "doc_id", "text", wh, "gold",
+        "ng", shingleK = 3, maxShingleFreq = 1000,
         nPostBuckets = 16, nSetBuckets = 16,
         containment = false, tMinJaccard = 0.5)
-      wh.overwrite(fp, "gold", "ngf_fp")
     }
     wh
   }
@@ -1075,24 +1100,15 @@ object TextQueries {
   // SQL as d_ngram_increment: the recompute-equals-stored contract as
   // a driver-checked hash match, not just a spec assertion.
   private def incNgramTextsWh(s: SparkSession, dir: String): graft.etl.Warehouse = {
-    import s.implicits._
     val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val wh = graft.etl.Warehouse(
       s"${sys.props("java.io.tmpdir")}/graft_ngtexts$key")
-    val d = docs(s, dir)
-    val r = d.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)),
-      coalesce(sum(length(col("text")).cast("long")), lit(0L))).head()
-    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 1000, 16, 16, 5))
-      .toDF("n", "id_sum", "len_sum", "k", "cap", "npb", "nsb", "ver")
-    val fresh = wh.exists("gold", "ngt_fp") &&
-      (try {
-        wh.read(s, "gold", "ngt_fp").collect().toSeq == fp.collect().toSeq
-      } catch { case _: Throwable => false })
-    if (!fresh) {
-      Dedup.ngramIndexPersist(d, "doc_id", "text", wh, "gold", "ng",
-        shingleK = 3, maxShingleFreq = 1000,
+    buildOnce(s, wh, "ngt_fp", docs(s, dir),
+      "k=3,cap=1000,npb=16,nsb=16,sets=texts",
+      Dedup.NgramIndexFormatVersion) {
+      Dedup.ngramIndexPersist(docs(s, dir), "doc_id", "text", wh, "gold",
+        "ng", shingleK = 3, maxShingleFreq = 1000,
         nPostBuckets = 16, nSetBuckets = 16, setsAsTexts = true)
-      wh.overwrite(fp, "gold", "ngt_fp")
     }
     wh
   }
@@ -1272,23 +1288,14 @@ object TextQueries {
     // discipline): the standing curated corpus + its index are the
     // operator's amortized state — only the EPOCH ingest is the work
     // under test, and its epoch-keyed dynamic overwrites make re-runs
-    // idempotent regardless
-    val r = initial.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)),
-      coalesce(sum(length(col("text")).cast("long")), lit(0L))).head()
-    // ver=3: the `_kept`/`_funnel` sinks grew the fold-able `pepoch`
-    // partition key (epoch became a data column) — older sink layouts
-    // re-bootstrap
-    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 32, 8, 16, 16, 3))
-      .toDF("n", "id_sum", "len_sum", "k", "nh", "b", "nb", "nsb", "ver")
-    val fresh = wh.exists("gold", "cur_fp") &&
-      (try {
-        wh.read(s, "gold", "cur_fp").collect().toSeq == fp.collect().toSeq
-      } catch { case _: Throwable => false })
-    if (!fresh) {
+    // idempotent regardless. aver=1: the `_kept`/`_funnel` sinks' fold-
+    // able `pepoch` partition layout (an entry-local artifact — the
+    // index format itself rides on the family constant)
+    buildOnce(s, wh, "cur_fp", initial, "k=3,nh=32,b=8,nb=16,nsb=16",
+      Dedup.NearDedupIndexFormatVersion, aver = 1) {
       graft.textops.CurationStream.curationBootstrap(initial, "doc_id",
         "text", wh, "gold", "cur", threshold = 0.5, bands = 8,
         nBuckets = 16, nSetBuckets = 16)
-      wh.overwrite(fp, "gold", "cur_fp")
     }
     graft.textops.CurationStream.curationIngestBatch(incBatch(s, dir),
       0L, "doc_id", "text", wh, "gold", "cur", threshold = 0.5)
@@ -1384,23 +1391,15 @@ object TextQueries {
     val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val wh = graft.etl.Warehouse(
       s"${sys.props("java.io.tmpdir")}/graft_curexwh$key")
-    val r = initial.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)),
-      coalesce(sum(length(col("text")).cast("long")), lit(0L))).head()
-    // ver=5: pepoch sink layout + the v5 posting-index format (the
-    // exact-family bootstrap builds the Jaccard-only floor layout)
-    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 1000000, 16, 16, 5))
-      .toDF("n", "id_sum", "len_sum", "k", "cap", "npb", "nsb", "ver")
-    val fresh = wh.exists("gold", "curex_fp") &&
-      (try {
-        wh.read(s, "gold", "curex_fp").collect().toSeq == fp.collect().toSeq
-      } catch { case _: Throwable => false })
-    if (!fresh) {
+    // aver=1: the pepoch sink layout (the Jaccard-only floor index the
+    // exact-family bootstrap builds rides on the posting-index constant)
+    buildOnce(s, wh, "curex_fp", initial, "k=3,cap=1000000,npb=16,nsb=16",
+      Dedup.NgramIndexFormatVersion, aver = 1) {
       graft.textops.CurationStream.curationBootstrap(initial, "doc_id",
         "text", wh, "gold", "cur", threshold = 0.5,
         nBuckets = 16, nSetBuckets = 16,
         family = graft.textops.CurationStream.ExactNgramFamily,
         maxShingleFreq = 1000000)
-      wh.overwrite(fp, "gold", "curex_fp")
     }
     graft.textops.CurationStream.curationIngestBatch(incBatch(s, dir),
       0L, "doc_id", "text", wh, "gold", "cur", threshold = 0.5,
@@ -1454,19 +1453,11 @@ object TextQueries {
     val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val wh = graft.etl.Warehouse(
       s"${sys.props("java.io.tmpdir")}/graft_divwh$key")
-    val r = corpus.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)),
-      coalesce(sum(length(col("text")).cast("long")), lit(0L))).head()
-    // ver=4: the v5 posting-index on-disk format (sets_layout flag) —
-    // older standing artifacts rebuild instead of tripping the
-    // format_version check (an unbumped ver here failed this entry in
-    // the first r14 bench run)
-    val fp = Seq((r.getLong(0), r.getLong(1), r.getLong(2), 3, 1000000, 16, 16, 4))
-      .toDF("n", "id_sum", "len_sum", "k", "cap", "npb", "nsb", "ver")
-    val fresh = wh.exists("gold", "div_fp") &&
-      (try {
-        wh.read(s, "gold", "div_fp").collect().toSeq == fp.collect().toSeq
-      } catch { case _: Throwable => false })
-    if (!fresh) {
+    // the fmt rides on the posting-index constant — the hand-bumped
+    // `ver` here missed the v5 bump and failed this entry in the first
+    // r14 bench run; the class is now structurally closed (buildOnce)
+    buildOnce(s, wh, "div_fp", corpus, "k=3,cap=1000000,npb=16,nsb=16",
+      Dedup.NgramIndexFormatVersion) {
       // standing artifacts, all pure functions of the fingerprinted
       // corpus: the bootstrap kept set, the posting index over its
       // survivors, and the full-rebuild baseline the stream reconciles
@@ -1484,7 +1475,6 @@ object TextQueries {
             shingleK = 3, threshold = 0.5, maxShingleFreq = 1000000)
           .select("doc_id"),
         "gold", "div_rebuild")
-      wh.overwrite(fp, "gold", "div_fp")
     }
     val streamZ = Dedup.ngramJaccardIncrementKeep(zs, "doc_id", "text",
       wh, "gold", "div", threshold = 0.5).select("doc_id")
@@ -2401,6 +2391,7 @@ object TextQueries {
     "d_embedding_dup" -> dEmbDup,
     "d_containment" -> dContainment,
     "d_near_dedup_increment" -> dNearIncrement,
+    "d_near_dedup_increment_texts" -> dNearIncrementTexts,
     "d_near_dedup_increment_keep" -> dNearIncrementKeep,
     "d_ngram_increment" -> dNgramIncrement,
     "d_ngram_increment_floor" -> dNgramIncrementFloor,
@@ -2459,6 +2450,7 @@ object TextQueries {
     "d_embedding_dup" -> dEmbDupSql,
     "d_containment" -> dContainmentSql,
     "d_near_dedup_increment" -> dNearIncrementSql,
+    "d_near_dedup_increment_texts" -> dNearIncrementSql,
     "d_near_dedup_increment_keep" -> dNearIncrementKeepSql,
     "d_ngram_increment" -> dNgramIncrementSql,
     "d_ngram_increment_floor" -> dNgramIncrementSql,

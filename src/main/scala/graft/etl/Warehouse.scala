@@ -231,12 +231,22 @@ final case class Warehouse(root: String) {
     }
 
   /** Promote a STAGED GROUP atomically-by-protocol: marker down, each
-    * staged table swapped in (each swap itself atomic), marker up. The
-    * `marker` names the group (conventionally the index's base table);
-    * tables promote in the given order. Group promotions/resumes
-    * serialize on the marker path (group lock taken before any table
-    * lock — the one ordering everywhere, so no deadlock with plain
-    * readers, which take only table locks). */
+    * staged table swapped in (each swap itself atomic), group-version
+    * stamp bumped, marker up. The `marker` names the group
+    * (conventionally the index's base table); tables promote in the
+    * given order. Group promotions/resumes serialize on the marker
+    * path (group lock taken before any table lock — the one ordering
+    * everywhere, so no deadlock with plain readers, which take only
+    * table locks).
+    *
+    * The version stamp ([[groupVersion]]) is bumped INSIDE the marker
+    * window — strictly after every table swap, strictly before the
+    * marker clears — so a cross-process reader spanning any part of a
+    * promotion observes the marker at one of its endpoints OR a stamp
+    * change ([[readGroupConsistent]]); a crash before the bump leaves
+    * the marker, which the resume path clears after re-bumping. A
+    * resume may double-bump a completed promotion: the stamp is an
+    * opaque change detector, not a generation count. */
   def promoteStagedGroup(layer: String, marker: String,
                          tables: Seq[String]): Unit =
     Warehouse.locked(markerPath(layer, marker).toString) {
@@ -244,8 +254,58 @@ final case class Warehouse(root: String) {
       Files.createDirectories(m.getParent)
       if (!Files.exists(m)) Files.createFile(m)
       tables.foreach(promoteStaged(layer, _))
+      bumpGroupVersion(layer, marker)
       Files.deleteIfExists(m)
     }
+
+  private def gverPath(layer: String, marker: String) =
+    Paths.get(path(layer, marker + "._gver"))
+
+  /** The group's promotion stamp: 0 before any stamped promotion.
+    * Reads race the stamp's atomic-rename replace safely (old or new,
+    * never torn). */
+  def groupVersion(layer: String, marker: String): Long = {
+    val p = gverPath(layer, marker)
+    try {
+      if (Files.exists(p)) new String(Files.readAllBytes(p), "UTF-8").trim.toLong
+      else 0L
+    } catch {
+      // a reader racing the replace rename on a filesystem without
+      // atomic visibility, or a torn manual edit: treat as "changed"
+      case _: Throwable => -1L
+    }
+  }
+
+  private def bumpGroupVersion(layer: String, marker: String): Unit = {
+    val p = gverPath(layer, marker)
+    val tmp = Paths.get(p.toString + "._tmp")
+    Files.writeString(tmp, (groupVersion(layer, marker).max(0L) + 1L).toString)
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Optimistic CROSS-PROCESS group read — the read-side half of the
+    * staged-group protocol: a pure reader in another process (a Verify
+    * or bench run against a live ingest driver's warehouse) must never
+    * trust a multi-table read that overlapped a group promotion, and —
+    * unlike [[resumePending]], which is the WRITER process's crash
+    * recovery — must never write into a warehouse it doesn't own.
+    * `read` runs (and must fully materialize its result) only when the
+    * group is quiescent at entry; the result is kept only if the
+    * marker is still absent and the promotion stamp unchanged at exit.
+    * Returns None when a promotion raced the read — the caller retries,
+    * exactly like the documented loud single-table snapshot failure. */
+  def readGroupConsistent[A](layer: String, marker: String)(read: => A): Option[A] = {
+    if (Files.exists(markerPath(layer, marker))) None
+    else {
+      val g1 = groupVersion(layer, marker)
+      val a = read
+      val g2 = groupVersion(layer, marker)
+      if (g1 >= 0L && g1 == g2 && !Files.exists(markerPath(layer, marker)))
+        Some(a)
+      else None
+    }
+  }
 
   /** Finish a group promotion that crashed mid-way: if the marker is
     * present, swap in whatever `._tmp` stages remain and clear it.

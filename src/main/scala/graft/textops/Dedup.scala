@@ -63,6 +63,20 @@ object Dedup {
         frames += df
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       } else df
+    /** Snapshot a multi-consumer probe frame that scans warehouse
+      * paths. Live tracker → tracked persist, released per epoch (the
+      * ingest loops). Noop tracker (one-shot probes) → EAGER
+      * `localCheckpoint`: an RDD block snapshot with NO CacheManager
+      * entry, so nothing aliases a post-compaction read of the
+      * rewritten root path ([[persisted]]'s hazard), yet downstream
+      * consumers stop re-evaluating the scan — the r14 texts-layout
+      * probe re-ran its pruned-texts shingle scan three times (count +
+      * range-collect + per-join pipeline) through the unpersisted noop
+      * path. Blocks are freed by the ContextCleaner once the probe's
+      * frames are unreachable. */
+    def snapshotted(df: DataFrame): DataFrame =
+      if (active) persisted(df)
+      else df.localCheckpoint(true)
     def unpersistAll(): Unit = { frames.foreach(_.unpersist()); frames.clear() }
   }
   private[textops] object PersistTracker {
@@ -104,25 +118,32 @@ object Dedup {
     * distinct shuffle carries (long, long) rows. Docs shorter than k
     * words yield no shingles. */
   private def shingled(df: DataFrame, idCol: String, textCol: String,
-                       shingleK: Int, hash: Seq[Column] => Column): DataFrame = {
+                       shingleK: Int, hash: Seq[Column] => Column,
+                       carry: Seq[String] = Nil): DataFrame = {
     require(shingleK >= 2, s"shingleK must be >= 2, got $shingleK")
     val words = split(normText(col(textCol)), " ")
-    df.select(col(idCol).cast(LongType).as("doc_id"), words.as("__w"))
-      .select(col("doc_id"), col("__w"),
-        posexplode(col("__w")).as(Seq("__p", "__x")))
+    val carried = carry.map(col)
+    df.select(col(idCol).cast(LongType).as("doc_id") +: carried :+
+        words.as("__w"): _*)
+      .select(col("doc_id") +: carried ++: Seq(col("__w"),
+        posexplode(col("__w")).as(Seq("__p", "__x"))): _*)
       .filter(col("__p") <= size(col("__w")) - shingleK)
-      .select(col("doc_id"),
+      .select(col("doc_id") +: carried :+
         hash(col("__x") +: (2 to shingleK).map(j =>
-          element_at(col("__w"), col("__p") + j))).as("sh"))
+          element_at(col("__w"), col("__p") + j))).as("sh"): _*)
       .distinct()
   }
 
   /** xxhash64 shingle stage — fastest form (hashes the k word columns
     * directly, no intermediate concat string); used by the minhash /
-    * jaccard family, which re-hashes the longs per seed downstream. */
+    * jaccard family, which re-hashes the longs per seed downstream.
+    * `carry` passes extra source columns through unchanged (the texts
+    * `_sets` readers carry `epoch` so recomputed sets stay one row per
+    * stored (doc_id, epoch), mirroring the arrays rows). */
   private[graft] def shingledHashed(df: DataFrame, idCol: String,
-                                      textCol: String, shingleK: Int): DataFrame =
-    shingled(df, idCol, textCol, shingleK, ws => xxhash64(ws: _*))
+                                      textCol: String, shingleK: Int,
+                                      carry: Seq[String] = Nil): DataFrame =
+    shingled(df, idCol, textCol, shingleK, ws => xxhash64(ws: _*), carry)
 
   /** md5-derived shingle stage — same schema, but fingerprint bits are
     * reproducible in DuckDB ([[md5Hash64]]); the simhash family uses this
@@ -377,14 +398,18 @@ object Dedup {
   def nearDedupIndexPersist(df: DataFrame, idCol: String, textCol: String,
       wh: graft.etl.Warehouse, layer: String, table: String,
       shingleK: Int = 3, numHashes: Int = 32, bands: Int = 16,
-      nBuckets: Int = 64, nSetBuckets: Int = 64): Unit = {
+      nBuckets: Int = 64, nSetBuckets: Int = 64,
+      setsAsTexts: Boolean = false): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
+    val setsLayout = if (setsAsTexts) SetsLayoutTexts else SetsLayoutArrays
     // staged-group build, same marker protocol (and same r11-ADVICE
     // rationale) as [[ngramIndexPersist]]: a rebuild over a live index
     // must never leave _meta/_bands/_sets mixed across a crash
-    wh.stage(Seq((shingleK, numHashes, bands, nBuckets, nSetBuckets))
-      .toDF("shingle_k", "num_hashes", "bands", "n_buckets", "n_set_buckets"),
+    wh.stage(Seq((shingleK, numHashes, bands, nBuckets, nSetBuckets,
+        NearDedupIndexFormatVersion, setsLayout))
+      .toDF("shingle_k", "num_hashes", "bands", "n_buckets",
+        "n_set_buckets", "format_version", "sets_layout"),
       layer, s"${table}_meta")
     val sh = shingledHashed(df, idCol, textCol, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -395,13 +420,25 @@ object Dedup {
           .withColumn("epoch", lit(-1L)),
         "pb", "band", "band_hash"),
       layer, s"${table}_bands", Seq("pb", "epoch"))
-    wh.stagePartitioned(
-      clusterFor(sh.groupBy("doc_id")
+    // `_sets` row membership is IDENTICAL across layouts: exactly the
+    // docs with ≥1 shingle (the texts semi-join below), so a probe's
+    // verification join sees the same doc set either way — the same
+    // contract as the posting-index twin ([[ngramIndexPersist]])
+    val setsRows =
+      if (setsAsTexts)
+        df.select(col(idCol).cast(LongType).as("doc_id"),
+            col(textCol).as("text"))
+          .join(sh.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      else
+        sh.groupBy("doc_id")
           .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n"))
+    wh.stagePartitioned(
+      clusterFor(setsRows
           .withColumn("dbucket", pmod(col("doc_id"), lit(nSetBuckets.toLong)))
           .withColumn("epoch", lit(-1L)),
         "dbucket", "doc_id"),
-      layer, s"${table}_sets", Seq("dbucket", "epoch"))
+      layer, s"${table}_sets", Seq("dbucket", "epoch"),
+      if (setsAsTexts) SetsTextsWriteOptions else Map.empty)
     sh.unpersist()
     wh.promoteStagedGroup(layer, table, nearDedupIndexTables(table))
   }
@@ -455,17 +492,23 @@ object Dedup {
   def nearDedupIndexAppend(df: DataFrame, idCol: String, textCol: String,
       wh: graft.etl.Warehouse, layer: String, table: String,
       epoch: Long = -1L): Unit = {
-    val (shingleK, numHashes, bands, nBuckets, nSetBuckets) =
-      readIndexMeta(df.sparkSession, wh, layer, table)
-    val sh = shingledHashed(df, idCol, textCol, shingleK)
+    val meta = readIndexMeta(df.sparkSession, wh, layer, table)
+    val sh = shingledHashed(df, idCol, textCol, meta.shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val keys = bandedKeys(minhashFromShingles(sh, numHashes), numHashes,
-      bands, keepSig = false)
-      .withColumn("pb", pbKey(nBuckets))
+    val keys = bandedKeys(minhashFromShingles(sh, meta.numHashes),
+      meta.numHashes, meta.bands, keepSig = false)
+      .withColumn("pb", pbKey(meta.nBuckets))
     val sets = sh.groupBy("doc_id")
       .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n"))
-      .withColumn("dbucket", pmod(col("doc_id"), lit(nSetBuckets.toLong)))
-    writeNearDedupIndexRows(keys, sets, wh, layer, table, epoch)
+      .withColumn("dbucket",
+        pmod(col("doc_id"), lit(meta.nSetBuckets.toLong)))
+    writeNearDedupIndexRows(keys, sets,
+      df.select(col(idCol).cast(LongType).as("doc_id"),
+          col(textCol).as("text"))
+        .join(sh.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+        .withColumn("dbucket",
+          pmod(col("doc_id"), lit(meta.nSetBuckets.toLong))),
+      wh, layer, table, epoch, meta)
     sh.unpersist()
   }
 
@@ -473,23 +516,31 @@ object Dedup {
     * `pb`, `sets` carries `dbucket`; epoch ≥ 0 → idempotent dynamic
     * partition overwrite, −1 → plain append into the base epoch. Shared
     * with the ingest loop, whose rows come from the keep probe's cached
-    * frames instead of a recomputation. */
+    * frames instead of a recomputation. A texts-layout index stores
+    * `docsTexts` ((doc_id, text, dbucket) — by-name, only evaluated
+    * then) in `_sets` instead of the arrays, zstd-compressed as at
+    * build — the [[writeNgramIndexRows]] contract. */
   private def writeNearDedupIndexRows(keys: DataFrame, sets: DataFrame,
+      docsTexts: => DataFrame,
       wh: graft.etl.Warehouse, layer: String, table: String,
-      epoch: Long): Unit = {
+      epoch: Long, meta: MinhashMeta): Unit = {
     val k = clusterFor(keys.withColumn("epoch", lit(epoch)),
       "pb", "band", "band_hash")
-    val s = clusterFor(sets.withColumn("epoch", lit(epoch)),
+    val texts = meta.setsLayout == SetsLayoutTexts
+    val setsRows = if (texts) docsTexts else sets
+    val sOpts = if (texts) SetsTextsWriteOptions
+                else Map.empty[String, String]
+    val s = clusterFor(setsRows.withColumn("epoch", lit(epoch)),
       "dbucket", "doc_id")
     if (epoch >= 0L) {
       wh.overwritePartitionsDynamic(k, layer, s"${table}_bands",
         Seq("pb", "epoch"))
       wh.overwritePartitionsDynamic(s, layer, s"${table}_sets",
-        Seq("dbucket", "epoch"))
+        Seq("dbucket", "epoch"), sOpts)
     } else {
       wh.appendPartitioned(k, layer, s"${table}_bands", Seq("pb", "epoch"))
       wh.appendPartitioned(s, layer, s"${table}_sets",
-        Seq("dbucket", "epoch"))
+        Seq("dbucket", "epoch"), sOpts)
     }
   }
 
@@ -513,23 +564,30 @@ object Dedup {
   def nearDedupIndexCompact(spark: org.apache.spark.sql.SparkSession,
       wh: graft.etl.Warehouse, layer: String, table: String,
       foldEpochsBelow: Long = Long.MinValue): Unit = {
-    // finish any crashed group promotion FIRST: compaction writes into
-    // the same `._tmp` namespace the staged protocol uses, so without
-    // the resume a one-shot maintenance call after a mid-promotion
-    // crash would clobber the staged tables and the later
-    // marker-triggered resume would promote a half-group — exactly the
-    // mixed index the protocol exists to prevent
-    wh.resumePending(layer, table, nearDedupIndexTables(table))
-    def rewrite(t: String, partCol: String, sortCols: String*): Unit =
+    // the meta read finishes any crashed group promotion FIRST:
+    // compaction writes into the same `._tmp` namespace the staged
+    // protocol uses, so without the resume a one-shot maintenance call
+    // after a mid-promotion crash would clobber the staged tables and
+    // the later marker-triggered resume would promote a half-group —
+    // exactly the mixed index the protocol exists to prevent. It also
+    // tells us whether `_sets` holds texts, whose rewrite must keep
+    // the zstd codec (a snappy compaction would silently grow the
+    // table ~1.7×) — as on the posting-index twin
+    val meta = readIndexMeta(spark, wh, layer, table)
+    def rewrite(t: String, partCol: String,
+                options: Map[String, String], sortCols: String*): Unit =
       wh.rebuildPartitioned(
         clusterFor(wh.read(spark, layer, t)
           .withColumn("epoch",
             when(col("epoch") < lit(foldEpochsBelow), lit(-1L))
               .otherwise(col("epoch").cast(LongType))),
           partCol, sortCols: _*),
-        layer, t, Seq(partCol, "epoch"))
-    rewrite(s"${table}_bands", "pb", "band", "band_hash")
-    rewrite(s"${table}_sets", "dbucket", "doc_id")
+        layer, t, Seq(partCol, "epoch"), options)
+    rewrite(s"${table}_bands", "pb", Map.empty, "band", "band_hash")
+    rewrite(s"${table}_sets", "dbucket",
+      if (meta.setsLayout == SetsLayoutTexts) SetsTextsWriteOptions
+      else Map.empty,
+      "doc_id")
     foldKeptSink(spark, wh, layer, table, foldEpochsBelow)
   }
 
@@ -571,6 +629,87 @@ object Dedup {
                 .otherwise(col("pepoch").cast(LongType))),
           layer, sink, Seq("pepoch"))
     }
+
+  /** Driver-side (base, delta) on-disk byte sizes of an
+    * epoch-sub-partitioned index table: base = the `epoch=-1`
+    * partitions, delta = committed `epoch=N ≥ 0` partitions other than
+    * `currentEpoch` (the in-flight epoch is never foldable). One file
+    * walk, no Spark job — O(files), i.e. exactly what compaction
+    * bounds. Walked under the table's rename lock so a concurrent
+    * swap's rename window can't yield a partial view
+    * ([[hasFoldablePartitions]]' r13 lesson). */
+  private[graft] def epochFootprint(tablePath: String,
+      currentEpoch: Long): (Long, Long) = {
+    def du(f: java.io.File): Long =
+      if (f.isDirectory) {
+        val fs = f.listFiles(); if (fs == null) 0L else fs.map(du).sum
+      } else f.length()
+    graft.etl.Warehouse.locked(tablePath) {
+      val buckets = new java.io.File(tablePath).listFiles()
+      if (buckets == null) (0L, 0L)
+      else {
+        var base = 0L; var delta = 0L
+        for (b <- buckets if b.isDirectory;
+             e <- Option(b.listFiles()).getOrElse(Array.empty)
+             if e.getName.startsWith("epoch=")) {
+          val ep = try e.getName.stripPrefix("epoch=").toLong
+                   catch { case _: NumberFormatException => Long.MinValue }
+          if (ep == -1L) base += du(e)
+          else if (ep >= 0L && ep != currentEpoch) delta += du(e)
+        }
+        (base, delta)
+      }
+    }
+  }
+
+  /** Ratio-triggered (GEOMETRIC) fold policy — the bounded form of the
+    * ingest loops' compaction, closing the last O(corpus) periodic cost
+    * in the loop: a fixed every-K-epochs cadence rewrites the whole
+    * corpus-proportional base on a schedule, so total rewrite work over
+    * n epochs is Σ(i·m)·(n/K) ≈ n²m/2K — QUADRATIC in corpus size. This
+    * policy folds only when the committed delta's bytes reach
+    * `minFoldRatio` (= f) of the base's, so each fold's O(base+delta)
+    * cost is amortized over the f·base bytes that triggered it: write
+    * amplification is (1+f)/f bytes rewritten per ingested byte
+    * (f=0.25 → 5×), CONSTANT as the corpus grows, with folds
+    * geometrically rarer (the LSM-tree/log-merge argument). The trade
+    * is directory count between folds (≈ f·base/epoch-bytes dirs,
+    * growing with the corpus): scan listing stays parallel and
+    * per-probe partition pruning touches only candidate buckets, so at
+    * the 100 TB horizon listing cost trails the rewrite cost it
+    * replaces by orders of magnitude — and a deployment that must
+    * hard-bound directories can keep the cadence knob alongside
+    * (`compactEvery`), accepting its quadratic rewrite. Returns whether
+    * a fold ran; probes are row-identical either way
+    * ([[nearDedupIndexCompact]]). */
+  def nearDedupIndexCompactIfDue(spark: org.apache.spark.sql.SparkSession,
+      wh: graft.etl.Warehouse, layer: String, table: String,
+      currentEpoch: Long, minFoldRatio: Double = 0.25): Boolean = {
+    val due = Seq(s"${table}_bands", s"${table}_sets").exists { t =>
+      val (base, delta) = epochFootprint(wh.path(layer, t), currentEpoch)
+      delta > 0L && delta.toDouble >= minFoldRatio * base.toDouble
+    }
+    if (due)
+      nearDedupIndexCompact(spark, wh, layer, table,
+        foldEpochsBelow = currentEpoch)
+    due
+  }
+
+  /** [[nearDedupIndexCompactIfDue]] for the posting-index family —
+    * same geometric policy over `_post`/`_sets` (`_freq` has no epochs:
+    * appends never touch the frozen dictionary). */
+  def ngramIndexCompactIfDue(spark: org.apache.spark.sql.SparkSession,
+      wh: graft.etl.Warehouse, layer: String, table: String,
+      currentEpoch: Long, minFoldRatio: Double = 0.25): Boolean = {
+    val due = Seq(s"${table}_post", s"${table}_sets").exists { t =>
+      val (base, delta) = epochFootprint(wh.path(layer, t), currentEpoch)
+      delta > 0L && delta.toDouble >= minFoldRatio * base.toDouble
+    }
+    if (due)
+      ngramIndexCompact(spark, wh, layer, table,
+        foldEpochsBelow = currentEpoch)
+    due
+  }
 
   /** Any committed `pepoch=N` (N ≥ 0) partition strictly below the fold
     * bound? Driver-side listing — one readdir, no Spark job. Listed
@@ -642,16 +781,64 @@ object Dedup {
     (col("band") * nBuckets + pmod(col("band_hash"), lit(nBuckets.toLong)))
       .cast("int")
 
+  /** MinHash band-index on-disk format: v2 added `format_version` and
+    * the `sets_layout` flag (`arrays` | `texts`) to `_meta` — the same
+    * texts `_sets` option the posting index shipped in its v5
+    * ([[SetsLayoutTexts]]; the minhash `_sets` is the same
+    * incompressible-hash-arrays table, and with the ngram index cut to
+    * 5.5× corpus it owned the 100 TB footprint story). Pre-v2 standing
+    * indexes are rejected with an explicit rebuild-required error, the
+    * posting-index discipline ([[readNgramIndexMeta]]). */
+  private[graft] val NearDedupIndexFormatVersion = 2
+
+  /** The MinHash index's frozen build parameters + layout flags, read
+    * back by every probe/append so index and probe can never skew.
+    * Same consistency scope note as [[NgramMeta]]. */
+  private[textops] final case class MinhashMeta(shingleK: Int,
+      numHashes: Int, bands: Int, nBuckets: Int, nSetBuckets: Int,
+      setsLayout: String)
+
   private def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
       wh: graft.etl.Warehouse, layer: String,
-      table: String): (Int, Int, Int, Int, Int) = {
+      table: String): MinhashMeta = {
     // resume a crashed group promotion before trusting the tables —
     // the same reader-side discipline as [[readNgramIndexMeta]]
     wh.resumePending(layer, table, nearDedupIndexTables(table))
-    val m = wh.read(spark, layer, s"${table}_meta")
-      .select("shingle_k", "num_hashes", "bands", "n_buckets",
-        "n_set_buckets").head()
-    (m.getInt(0), m.getInt(1), m.getInt(2), m.getInt(3), m.getInt(4))
+    val df = wh.read(spark, layer, s"${table}_meta")
+    val ver =
+      if (df.columns.contains("format_version"))
+        df.select("format_version").head().getInt(0)
+      else 1 // pre-versioned layouts carry no marker at all
+    if (ver != NearDedupIndexFormatVersion)
+      throw new IllegalStateException(
+        s"MinHash index $layer/$table has on-disk format v$ver; this " +
+        s"build reads v$NearDedupIndexFormatVersion — rebuild the " +
+        "index with Dedup.nearDedupIndexPersist over the durable corpus")
+    val m = df.select("shingle_k", "num_hashes", "bands", "n_buckets",
+      "n_set_buckets", "sets_layout").head()
+    MinhashMeta(m.getInt(0), m.getInt(1), m.getInt(2), m.getInt(3),
+      m.getInt(4), m.getString(5))
+  }
+
+  /** The corpus-side verification sets (doc_id, set, n) of the MinHash
+    * index, pruned by `rowFilter` — the [[readCorpusSets]] twin, minus
+    * the frozen dictionary (minhash sets are uncapped): texts layout
+    * re-shingles the candidates' pruned text partitions (per stored
+    * (doc_id, epoch) row, mirroring the arrays rows), snapshotted so
+    * multi-consumer probes evaluate the scan once. */
+  private def readMinhashCorpusSets(spark: org.apache.spark.sql.SparkSession,
+      wh: graft.etl.Warehouse, layer: String, table: String,
+      meta: MinhashMeta, rowFilter: Column,
+      tracker: PersistTracker): DataFrame = {
+    val raw = wh.read(spark, layer, s"${table}_sets").filter(rowFilter)
+    if (meta.setsLayout == SetsLayoutTexts)
+      tracker.snapshotted(
+        shingledHashed(raw, "doc_id", "text", meta.shingleK,
+            carry = Seq("epoch"))
+          .groupBy("doc_id", "epoch")
+          .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n"))
+          .select("doc_id", "set", "n"))
+    else raw.select("doc_id", "set", "n")
   }
 
   /** Batch→corpus verified pairs from a persisted index, batch-sized by
@@ -682,14 +869,15 @@ object Dedup {
       : (DataFrame, DataFrame, DataFrame) = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val (shingleK, numHashes, bands, nBuckets, nSetBuckets) =
-      readIndexMeta(spark, wh, layer, table)
-    val shB = tracker.add(shingledHashed(batch, idCol, textCol, shingleK)
+    val meta = readIndexMeta(spark, wh, layer, table)
+    val nSetBuckets = meta.nSetBuckets
+    val shB = tracker.add(
+      shingledHashed(batch, idCol, textCol, meta.shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val keysB = tracker.add(
-      bandedKeys(minhashFromShingles(shB, numHashes), numHashes,
-        bands, keepSig = false)
-      .withColumn("pb", pbKey(nBuckets))
+      bandedKeys(minhashFromShingles(shB, meta.numHashes), meta.numHashes,
+        meta.bands, keepSig = false)
+      .withColumn("pb", pbKey(meta.nBuckets))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // bounded collects: ≤ bands·nBuckets pb values / ≤ nSetBuckets
     // dbucket values by construction — never data-scaled
@@ -703,20 +891,25 @@ object Dedup {
     // backfill batches keep the shuffle join)
     val keysBr =
       if (keysB.count() <= 2000000L) broadcast(keysB) else keysB
-    val cross = idx
+    // snapshotted, never bare-persisted: this frame scans `_bands`, and
+    // a noop-tracker persist outlives compaction swaps — Spark's
+    // CacheManager aliases file relations by root path, so the next
+    // same-plan probe after a compaction re-executed a stale listing
+    // and died on the deleted files (the r14 texts-`_sets` defect
+    // class, caught again here by the minhash texts-layout spec)
+    val cross = tracker.snapshotted(idx
       .select(col("band"), col("band_hash"), col("doc_id").as("__cid"))
       .join(keysBr.select(col("band"), col("band_hash"),
         col("doc_id").as("__bid")), Seq("band", "band_hash"))
       .filter(col("__cid") =!= col("__bid"))
-      .select("__cid", "__bid").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    tracker.add(cross)
+      .select("__cid", "__bid").distinct())
     val dbs = cross
       .select(pmod(col("__cid"), lit(nSetBuckets.toLong)).cast("int").as("db"))
       .distinct().as[Int].collect().sorted
-    val corpusSets = wh.read(spark, layer, s"${table}_sets")
-      .filter(col("dbucket").isin(dbs.map(Int.box): _*) &&
-        col("epoch") =!= lit(excludeEpoch))
+    val corpusSets = readMinhashCorpusSets(spark, wh, layer, table, meta,
+      col("dbucket").isin(dbs.map(Int.box): _*) &&
+        col("epoch") =!= lit(excludeEpoch),
+      tracker)
     val batchSets = shB.groupBy("doc_id")
       .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n"))
     // candidate pairs broadcast into the corpus-sets join when small —
@@ -749,15 +942,14 @@ object Dedup {
   def nearDedupIncrementPairs(batch: DataFrame, idCol: String,
       textCol: String, wh: graft.etl.Warehouse, layer: String,
       table: String, threshold: Double): DataFrame = {
-    val (shingleK, numHashes, bands, _, _) =
-      readIndexMeta(batch.sparkSession, wh, layer, table)
+    val meta = readIndexMeta(batch.sparkSession, wh, layer, table)
     val cross = incrementCrossPairs(batch, idCol, textCol, wh, layer,
       table, threshold)._1
       .select(least(col("__cid"), col("__bid")).as("id_a"),
         greatest(col("__cid"), col("__bid")).as("id_b"), col("jaccard"))
       .distinct()
-    val internal = minhashLshVerified(batch, idCol, textCol, shingleK,
-      numHashes, bands, threshold)
+    val internal = minhashLshVerified(batch, idCol, textCol, meta.shingleK,
+      meta.numHashes, meta.bands, threshold)
     internal.unionByName(cross)
   }
 
@@ -807,14 +999,13 @@ object Dedup {
       broadcastDocLimit: Long, tracker: PersistTracker,
       excludeEpoch: Long = Long.MinValue)
       : (DataFrame, DataFrame, DataFrame) = {
-    val (shingleK, numHashes, bands, _, _) =
-      readIndexMeta(batch.sparkSession, wh, layer, table)
+    val meta = readIndexMeta(batch.sparkSession, wh, layer, table)
     val (crossPairs, shB, keysB) = incrementCrossPairs(batch, idCol,
       textCol, wh, layer, table, threshold, tracker, excludeEpoch)
     val matched = crossPairs.select(col("__bid").as("__mid")).distinct()
     val (repPairs0, members, live) = minhashVerifiedParts(batch, idCol,
-      textCol, shingleK, numHashes, bands, threshold, broadcastDocLimit,
-      tracker)
+      textCol, meta.shingleK, meta.numHashes, meta.bands, threshold,
+      broadcastDocLimit, tracker)
     // same checkpoint-before-iteration discipline as [[nearDedupKeep]]
     val repPairs = repPairs0.localCheckpoint(true,
       org.apache.spark.storage.StorageLevel.DISK_ONLY)
@@ -870,13 +1061,15 @@ object Dedup {
       textCol: String, wh: graft.etl.Warehouse, layer: String,
       table: String, threshold: Double, checkpointDir: String,
       broadcastDocLimit: Long = 200000L,
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+      compactEvery: Int = 0,
+      compactMinRatio: Double = 0.0): org.apache.spark.sql.streaming.StreamingQuery =
     batches.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        epoch: Long) =>
         nearDedupIngestBatch(b.toDF(), epoch, idCol, textCol, wh, layer,
-          table, threshold, broadcastDocLimit, compactEvery)
+          table, threshold, broadcastDocLimit, compactEvery,
+          compactMinRatio)
         ()
       }
       .start()
@@ -892,7 +1085,8 @@ object Dedup {
   private[textops] def nearDedupIngestBatch(b: DataFrame, epoch: Long,
       idCol: String, textCol: String, wh: graft.etl.Warehouse,
       layer: String, table: String, threshold: Double,
-      broadcastDocLimit: Long = 200000L, compactEvery: Int = 0): Long = {
+      broadcastDocLimit: Long = 200000L, compactEvery: Int = 0,
+      compactMinRatio: Double = 0.0): Long = {
     val tracker = PersistTracker.live()
     val batch = b.select(col(idCol).cast(LongType).as(idCol),
       col(textCol)).persist()
@@ -916,8 +1110,8 @@ object Dedup {
       // re-minhashing the survivors (the r10 loop paid that second
       // sketch pass every epoch). Writes happen before the tracker
       // releases so the subset comes from the cached frames.
-      val (_, _, _, _, nSetBuckets) =
-        readIndexMeta(batch.sparkSession, wh, layer, table)
+      val meta = readIndexMeta(batch.sparkSession, wh, layer, table)
+      val nSetBuckets = meta.nSetBuckets
       // survivors broadcast into the row-subset semi-joins only when
       // batch-sized (the cached count is cheap on a checkpointed frame);
       // a giant backfill epoch keeps the shuffle join like every other
@@ -933,7 +1127,12 @@ object Dedup {
           .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n"))
           .withColumn("dbucket",
             pmod(col("doc_id"), lit(nSetBuckets.toLong))),
-        wh, layer, table, epoch)
+        keptDocs.select(col(idCol).cast(LongType).as("doc_id"),
+            col(textCol).as("text"))
+          .join(shB.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+          .withColumn("dbucket",
+            pmod(col("doc_id"), lit(nSetBuckets.toLong))),
+        wh, layer, table, epoch, meta)
       // the epoch's pinned frames served their purpose once the index
       // rows are written — release so a long-running stream holds at
       // most one epoch's cache (r9 ADVICE: these leaked per-epoch into
@@ -949,6 +1148,11 @@ object Dedup {
       if (compactEvery > 0 && epoch > 0 && epoch % compactEvery == 0)
         nearDedupIndexCompact(batch.sparkSession, wh, layer, table,
           foldEpochsBelow = epoch)
+      else if (compactMinRatio > 0.0 && epoch > 0)
+        // the geometric alternative to the fixed cadence: fold only
+        // when the committed delta earns its O(base) rewrite
+        nearDedupIndexCompactIfDue(batch.sparkSession, wh, layer, table,
+          epoch, compactMinRatio)
       keptDocs.count()
     } finally {
       tracker.unpersistAll()
@@ -1134,7 +1338,7 @@ object Dedup {
     * versions with an explicit rebuild-required error — a pre-v4
     * standing index used to surface as a bare AnalysisException from a
     * missing column (r11 ADVICE). */
-  private[textops] val NgramIndexFormatVersion = 5
+  private[graft] val NgramIndexFormatVersion = 5
 
   /** `_sets` stores (doc_id, set, n) hashed-shingle ARRAYS — xxhash64
     * values, i.e. uniform-random longs that no codec compresses (the
@@ -1231,19 +1435,29 @@ object Dedup {
       tracker: PersistTracker): DataFrame = {
     val raw = wh.read(spark, layer, s"${table}_sets").filter(rowFilter)
     if (meta.setsLayout == SetsLayoutTexts) {
-      // persisted ONLY under a live tracker ([[PersistTracker.persisted]]):
-      // this frame scans a warehouse table, and a leaked cache entry
-      // would alias post-compaction reads of the rewritten path
-      val shC = tracker.persisted(
-        shingledHashed(raw, "doc_id", "text", meta.shingleK)
+      // snapshotted, never bare-persisted ([[PersistTracker.snapshotted]]):
+      // this frame scans a warehouse table (a leaked cache entry would
+      // alias post-compaction reads of the rewritten path), and the
+      // one-shot probes' noop tracker otherwise re-evaluates the
+      // re-shingle scan per consumer — the r14 texts-probe premium
+      // (count + range-collect + one pipeline per verify join)
+      val shC = tracker.snapshotted(
+        shingledHashed(raw, "doc_id", "text", meta.shingleK,
+            carry = Seq("epoch"))
           .withColumn("sbucket",
             pmod(col("sh"), lit(meta.nPostBuckets.toLong)).cast("int")))
-      frozenFreqJoin(shC, wh, layer, table, broadcastShingleLimit)
-        .withColumn("freq", coalesce(col("freq"), lit(0)))
-        .filter(col("freq") <= meta.maxFreq)
-        .groupBy("doc_id")
-        .agg(collect_list(col("sh")).as("set"),
-          count(lit(1)).cast("int").as("n"))
+      // grouped by (doc_id, epoch), NOT doc_id: the arrays layout
+      // stores one row per (doc_id, epoch), so a doc_id appended in two
+      // epochs must verify per-version here too, not as a merged union
+      // set (the layouts would otherwise diverge on that corpus)
+      tracker.snapshotted(
+        frozenFreqJoin(shC, wh, layer, table, broadcastShingleLimit)
+          .withColumn("freq", coalesce(col("freq"), lit(0)))
+          .filter(col("freq") <= meta.maxFreq)
+          .groupBy("doc_id", "epoch")
+          .agg(collect_list(col("sh")).as("set"),
+            count(lit(1)).cast("int").as("n"))
+          .select("doc_id", "set", "n"))
     } else raw.select("doc_id", "set", "n")
   }
 
@@ -1274,12 +1488,13 @@ object Dedup {
       .withColumn("freq", coalesce(col("freq"), lit(0)))
       .filter(col("freq") <= meta.maxFreq)
     val rareFirst = Window.partitionBy("doc_id").orderBy("freq", "sh")
-    val postB = tracker.add(cappedB
+    // snapshotted (scans `_freq` through the dictionary join, which a
+    // statistics rebuild rewrites) — see [[incrementCrossPairs]]' cross
+    val postB = tracker.snapshotted(cappedB
       .withColumn("__pos", row_number().over(rareFirst))
       .withColumn("__n", count(lit(1)).over(rareFirst.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)).cast("int"))
-      .select("doc_id", "sh", "__pos", "__n", "sbucket")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .select("doc_id", "sh", "__pos", "__n", "sbucket"))
     val setsB = tracker.add(postB.groupBy("doc_id")
       .agg(collect_list(col("sh")).as("set"),
         count(lit(1)).cast("int").as("n"))
@@ -1525,11 +1740,15 @@ object Dedup {
     val frac = if (row.isNullAt(2)) 0.0 else row.getDouble(2)
     if (frac > unseenThreshold) {
       val m = readNgramIndexMeta(batch.sparkSession, wh, layer, table)
-      // the rebuild preserves the layout flags: a Jaccard-only index
-      // re-freezes as Jaccard-only at the same floor
+      // the rebuild preserves ALL layout flags: a Jaccard-only index
+      // re-freezes as Jaccard-only at the same floor, and a texts-
+      // layout `_sets` re-freezes as texts (an omitted setsAsTexts here
+      // silently reverted the footprint win on first rebuild — r14
+      // ADVICE, spec-pinned in PostingIndexSpec)
       ngramIndexPersist(corpus.unionByName(batch), idCol, textCol,
         wh, layer, table, m.shingleK, m.maxFreq, m.nPostBuckets,
-        m.nSetBuckets, m.containment, m.tMin)
+        m.nSetBuckets, m.containment, m.tMin,
+        setsAsTexts = m.setsLayout == SetsLayoutTexts)
       true
     } else {
       ngramIndexAppend(batch, idCol, textCol, wh, layer, table)
@@ -1613,11 +1832,12 @@ object Dedup {
     // corpus posting rows against a few thousand batch rows — the other
     // half of the small-batch floor (with the dictionary semi-join)
     val prefBr = if (small) broadcast(prefB) else prefB
-    val crossCands = tracker.add(postC.as("x").join(prefBr.as("y"), Seq("sh"))
+    // snapshotted (scans `_post`) — see [[incrementCrossPairs]]' cross
+    val crossCands = tracker.snapshotted(
+      postC.as("x").join(prefBr.as("y"), Seq("sh"))
       .filter(col("x.doc_id") =!= col("y.doc_id") && posOk)
       .select(col("x.doc_id").as("__cid"), col("y.doc_id").as("__bid"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .distinct())
     // bounded collect: ≤ nSetBuckets → `_sets` scan prunes to the
     // candidates' buckets
     val dbs = crossCands
@@ -1765,7 +1985,8 @@ object Dedup {
       broadcastShingleLimit: Long = 2000000L,
       compactEvery: Int = 0, rebuildCheckEvery: Int = 0,
       unseenThreshold: Double = 0.5,
-      baseCorpus: Option[DataFrame] = None)
+      baseCorpus: Option[DataFrame] = None,
+      compactMinRatio: Double = 0.0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     batches.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -1774,7 +1995,7 @@ object Dedup {
         ngramIngestBatch(b.toDF(), epoch, idCol, textCol, wh, layer,
           table, threshold, broadcastDocLimit, maxComponentShingles,
           broadcastShingleLimit, compactEvery, rebuildCheckEvery,
-          unseenThreshold, baseCorpus)
+          unseenThreshold, baseCorpus, compactMinRatio)
         ()
       }
       .start()
@@ -1793,7 +2014,8 @@ object Dedup {
       broadcastShingleLimit: Long = 2000000L,
       compactEvery: Int = 0, rebuildCheckEvery: Int = 0,
       unseenThreshold: Double = 0.5,
-      baseCorpus: Option[DataFrame] = None): Long = {
+      baseCorpus: Option[DataFrame] = None,
+      compactMinRatio: Double = 0.0): Long = {
     val spark = b.sparkSession
     val tracker = PersistTracker.live()
     val batch = b.select(col(idCol).cast(LongType).as(idCol),
@@ -1820,13 +2042,15 @@ object Dedup {
             .reduceOption(_ unionByName _)
           src.foreach { corpus =>
             val m = readNgramIndexMeta(spark, wh, layer, table)
-            // the re-freeze preserves the layout flags (a Jaccard-only
-            // index stays Jaccard-only at its floor) and lands as one
+            // the re-freeze preserves ALL layout flags (a Jaccard-only
+            // index stays Jaccard-only at its floor; a texts-layout
+            // `_sets` stays texts — r14 ADVICE) and lands as one
             // marker-gated staged-group swap — atomic under a crash at
             // any point between table promotions (r11 ADVICE)
             ngramIndexPersist(corpus, idCol, textCol, wh, layer, table,
               m.shingleK, m.maxFreq, m.nPostBuckets, m.nSetBuckets,
-              m.containment, m.tMin)
+              m.containment, m.tMin,
+              setsAsTexts = m.setsLayout == SetsLayoutTexts)
           }
         }
       }
@@ -1870,6 +2094,9 @@ object Dedup {
         layer, s"${table}_kept", Seq("pepoch"))
       if (compactEvery > 0 && epoch > 0 && epoch % compactEvery == 0)
         ngramIndexCompact(spark, wh, layer, table, foldEpochsBelow = epoch)
+      else if (compactMinRatio > 0.0 && epoch > 0)
+        ngramIndexCompactIfDue(spark, wh, layer, table, epoch,
+          compactMinRatio)
       keptDocs.count()
     } finally {
       tracker.unpersistAll()
@@ -1927,11 +2154,16 @@ object Dedup {
       src.as("x").join(dst.as("y"), Seq("sh"))
         .filter(col("x.doc_id") =!= col("y.doc_id") && posOk)
         .select(col("x.doc_id").as("id_src"), col("y.doc_id").as("id_dst"))
-    val all = cands(maybeB(prefB), postC)          // batch → corpus
+    // eager localCheckpoint, not persist: this one-shot probe scans
+    // `_post`, and a cache entry nobody releases outlives compaction
+    // swaps (root-path aliasing — see [[incrementCrossPairs]]' cross);
+    // the snapshot also stops the three downstream consumers (the dbs
+    // collect + both set joins) re-evaluating the candidate join
+    val all = (cands(maybeB(prefB), postC)         // batch → corpus
       .unionByName(cands(prefC, maybeB(postB)))    // corpus → batch
       .unionByName(cands(prefB, postB))            // batch → batch
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .distinct())
+      .localCheckpoint(true)
     val dbs = all
       .select(pmod(col("id_src"), lit(nSetBuckets.toLong)).cast("int").as("d"))
       .unionByName(all.select(

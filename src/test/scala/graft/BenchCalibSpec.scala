@@ -70,4 +70,22 @@ class BenchCalibSpec extends AnyFunSuite {
     assert(insideBurst < 8.0)   // corrected toward reference condition
     assert(math.abs(outsideBurst - 10.0) < 1e-9) // untouched
   }
+
+  test("medianWindow commits a real paired measurement") {
+    // windows crafted so independent per-workload medians (0.5, 0.5)
+    // correspond to NO real window — the r14-ADVICE unsoundness; the
+    // median window by combined time is one of the measured pairs
+    val windows = Seq((0.5, 0.9), (0.4, 0.5), (0.6, 0.3))
+    val picked = BenchCalib.medianWindow(windows)
+    assert(windows.contains(picked))
+    // combined times: 0.45, 0.20, 0.18 → middle is (0.5, 0.9)...
+    // sorted by product: (0.6,0.3)=0.18 < (0.4,0.5)=0.20 < (0.5,0.9)
+    assert(picked === ((0.4, 0.5)))
+    val independent = (BenchCalib.median(windows.map(_._1)),
+      BenchCalib.median(windows.map(_._2)))
+    assert(!windows.contains(independent)) // the defect this replaces
+    // even count: lower-middle, still a real window
+    val even = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (4.0, 4.0))
+    assert(BenchCalib.medianWindow(even) === ((2.0, 2.0)))
+  }
 }

@@ -32,11 +32,10 @@ class CrossProcessWarehouseSpec extends AnyFunSuite {
   private def versionDf(v: Long) =
     spark.range(v).select(lit(v).as("v"))
 
-  test("second-JVM reader across continuous swaps: consistent reads, no stranded swap state") {
-    val root = Files.createTempDirectory("graft_xproc").toString
-    val wh = Warehouse(root)
-    wh.overwrite(versionDf(5L), "gold", "t")
-
+  /** Launch the second-JVM reader; returns (process, log-text reader). */
+  private def launchReader(root: String, tableSpec: String, iters: Int,
+                           groupMarker: Option[String] = None)
+      : (Process, () => String) = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
     val addOpens = Seq(
@@ -51,15 +50,21 @@ class CrossProcessWarehouseSpec extends AnyFunSuite {
     val log = Files.createTempFile("graft_xproc", ".log").toFile
     val childDir = Files.createTempDirectory("graft_xproc_wd").toFile
     val cmd = (Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g", "-cp", cp,
-      "graft.etl.WarehouseReaderProcess", root, "gold", "t", "200"))
+      "graft.etl.WarehouseReaderProcess", root, "gold", tableSpec,
+      iters.toString) ++ groupMarker.toSeq)
     val pb = new ProcessBuilder(cmd: _*)
     pb.directory(childDir)
     pb.redirectErrorStream(true)
     pb.redirectOutput(log)
-    val p = pb.start()
+    (pb.start(), () => new String(Files.readAllBytes(log.toPath), "UTF-8"))
+  }
+
+  test("second-JVM reader across continuous swaps: consistent reads, no stranded swap state") {
+    val root = Files.createTempDirectory("graft_xproc").toString
+    val wh = Warehouse(root)
+    wh.overwrite(versionDf(5L), "gold", "t")
+    val (p, logText) = launchReader(root, "t", 200)
     try {
-      def logText() =
-        new String(Files.readAllBytes(log.toPath), "UTF-8")
       // wait for the child's session (READY) before swapping, so the
       // swap storm overlaps the READS, not the JVM boot
       val readyBy = System.currentTimeMillis() + 180000
@@ -92,6 +97,88 @@ class CrossProcessWarehouseSpec extends AnyFunSuite {
       val rows = wh.read(spark, "gold", "t")
         .select("v").as[Long].collect()
       assert(rows.distinct.length == 1 && rows.length == rows.head.toInt)
+    } finally {
+      if (p.isAlive) p.destroyForcibly()
+    }
+  }
+
+  test("second-JVM reader across a live ingest's group promotions + epoch appends: no mixed-generation group reads") {
+    // The INGEST-side two-process story (r14 verdict, next-round #6):
+    // the r14 spec pinned single-table swapIn; here the writer drives
+    // the staged-GROUP protocol the index rebuilds use (marker-gated
+    // multi-table swap, generation stamped into every row) while ALSO
+    // appending epoch partitions continuously — the live ingest
+    // driver's full write mix — and the child reads the whole group
+    // (meta+bands+sets analog) under readGroupConsistent. Contract:
+    //   - every read the protocol ACCEPTS sees exactly one generation
+    //     across all three tables (child exits 2 otherwise);
+    //   - reads a promotion raced are discarded/loud, never trusted;
+    //   - the reader never RESUMES the writer's group promotions
+    //     (resumePending is the writer's own crash recovery; racing it
+    //     from a reader process would double-promote staged tmps);
+    //   - the writer survives: no stranded ._tmp/._old/._pending/gver
+    //     tmp, final group consistent.
+    val root = Files.createTempDirectory("graft_xprocg").toString
+    val wh = Warehouse(root)
+    val tables = Seq("gm", "gb", "gs")
+    def stageGen(g: Long): Unit = {
+      wh.stage(Seq(g).toDF("g"), "gold", "gm")
+      Seq("gb", "gs").foreach { t =>
+        wh.stagePartitioned(
+          spark.range(20).select(lit(g).as("g"), lit(-1L).as("epoch")),
+          "gold", t, Seq("epoch"))
+      }
+      wh.promoteStagedGroup("gold", "g", tables)
+    }
+    stageGen(1L)
+    val (p, logText) = launchReader(root, tables.mkString(","), 150,
+      groupMarker = Some("g"))
+    try {
+      val readyBy = System.currentTimeMillis() + 180000
+      while (!logText().contains("READY") && p.isAlive &&
+             System.currentTimeMillis() < readyBy) Thread.sleep(200)
+      assert(logText().contains("READY"),
+        s"reader never became READY:\n${logText()}")
+      // the live ingest mix: epoch appends carrying the CURRENT
+      // generation, a group re-promotion every third epoch
+      var g = 1L
+      var e = 0L
+      while (p.isAlive && e < 3000L) {
+        e += 1
+        Seq("gb", "gs").foreach { t =>
+          wh.appendPartitioned(
+            spark.range(5).select(lit(g).as("g"), lit(e).as("epoch")),
+            "gold", t, Seq("epoch"))
+        }
+        if (e % 3 == 0) { g += 1; stageGen(g) }
+      }
+      assert(p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+        "reader did not finish")
+      assert(p.exitValue() == 0,
+        s"reader exit ${p.exitValue()} (2 = MIXED group read observed, " +
+        s"3 = no read ever succeeded):\n${logText()}")
+      val m = "READER ok=(\\d+) loud=(\\d+)".r.findFirstMatchIn(logText())
+      assert(m.nonEmpty, s"no READER summary:\n${logText()}")
+      assert(m.get.group(1).toInt > 0,
+        "no successful cross-process group reads")
+      assert(g > 2L, "writer never re-promoted during the read window")
+      // writer-side hygiene across every cross-process race
+      for (t <- tables) {
+        assert(!Files.exists(Paths.get(wh.path("gold", s"$t._tmp"))),
+          s"stranded $t._tmp")
+        assert(!Files.exists(Paths.get(wh.path("gold", s"$t._old"))),
+          s"stranded $t._old")
+      }
+      assert(!Files.exists(Paths.get(wh.path("gold", "g._pending"))),
+        "stranded group marker")
+      assert(!Files.exists(Paths.get(wh.path("gold", "g._gver._tmp"))),
+        "stranded gver tmp")
+      // final group consistent from this JVM too
+      val gs = wh.readGroupConsistent("gold", "g") {
+        tables.flatMap(t => wh.read(spark, "gold", t)
+          .select("g").as[Long].collect())
+      }
+      assert(gs.nonEmpty && gs.get.distinct.length == 1)
     } finally {
       if (p.isAlive) p.destroyForcibly()
     }

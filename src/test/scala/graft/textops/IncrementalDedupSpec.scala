@@ -65,14 +65,18 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val wh = freshWh("prune")
     Dedup.nearDedupIndexPersist(corpus, "doc_id", "text", wh, "gold", "nd",
       shingleK = 3, numHashes = 32, bands = 8, nBuckets = 8, nSetBuckets = 4)
-    val probe = Dedup.nearDedupIncrementPairs(batch, "doc_id", "text",
-      wh, "gold", "nd", threshold = 0.5)
-    probe.collect()
-    val plan = probe.queryExecution.executedPlan.toString
+    // the probe's warehouse-scanning stages are snapshotted (eager
+    // localCheckpoint — the r15 aliasing fix), so the pruned scans run
+    // in the checkpoint jobs: capture every execution's plan
+    val plans = graft.PlanCapture.plansDuring(spark) {
+      Dedup.nearDedupIncrementPairs(batch, "doc_id", "text",
+        wh, "gold", "nd", threshold = 0.5).collect()
+    }
     // both index scans carry PartitionFilters on their bucket columns
-    assert(plan.contains("PartitionFilters"))
-    assert(plan.contains("pb"))
-    assert(plan.contains("dbucket"))
+    assert(graft.PlanCapture.prunedOn(plans, "pb"),
+      "no PartitionFilters on pb in any executed plan")
+    assert(graft.PlanCapture.prunedOn(plans, "dbucket"),
+      "no PartitionFilters on dbucket in any executed plan")
   }
 
   test("keep: corpus wins, batch clusters collapse, shingle-less survive") {
@@ -304,5 +308,139 @@ class IncrementalDedupSpec extends AnyFunSuite {
       "text", whFull, "gold", "nd", threshold = 0.5))
     assert(viaInc === viaFull)
     assert(viaInc.exists { case (a, b, _) => a == 102L && b == 200L })
+  }
+
+  test("texts _sets layout: probes identical to arrays across build, append, ingest, compact") {
+    // MinHash-index twin of the posting index's v5 texts layout
+    // (format v2): `_sets` stores (doc_id, text) zstd instead of the
+    // incompressible hashed-shingle arrays, and probes re-shingle
+    // their candidates' pruned partitions — every probe result must be
+    // IDENTICAL to the arrays layout's through the whole lifecycle.
+    def buildT(wh: graft.etl.Warehouse, texts: Boolean) =
+      Dedup.nearDedupIndexPersist(corpus, "doc_id", "text", wh, "gold",
+        "nd", shingleK = 3, numHashes = 32, bands = 8, nBuckets = 8,
+        nSetBuckets = 4, setsAsTexts = texts)
+    val whT = freshWh("ndtexts"); buildT(whT, texts = true)
+    val whA = freshWh("ndtextsref"); buildT(whA, texts = false)
+    // the stored table holds text, not set arrays — and the SAME docs
+    val colsT = spark.read.parquet(whT.path("gold", "nd_sets")).columns.toSet
+    assert(colsT.contains("text") && !colsT.contains("set"))
+    val idsT = spark.read.parquet(whT.path("gold", "nd_sets"))
+      .select("doc_id").as[Long].collect().toSet
+    val idsA = spark.read.parquet(whA.path("gold", "nd_sets"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(idsT === idsA)
+    def pairs(w: graft.etl.Warehouse, b: org.apache.spark.sql.DataFrame) =
+      pairSet(Dedup.nearDedupIncrementPairs(b, "doc_id", "text",
+        w, "gold", "nd", threshold = 0.5))
+    def keep(w: graft.etl.Warehouse, b: org.apache.spark.sql.DataFrame) =
+      Dedup.nearDedupIncrementKeep(b, "doc_id", "text", w, "gold", "nd",
+        threshold = 0.5).as[(Long, Long)].collect().toSet
+    assert(pairs(whT, batch) === pairs(whA, batch) &&
+      pairs(whT, batch).nonEmpty)
+    assert(keep(whT, batch) === keep(whA, batch))
+    // the full ingest epoch (keep → epoch-keyed index append → sink)
+    // writes texts rows for its survivors on the texts index
+    assert(Dedup.nearDedupIngestBatch(batch, epoch = 0L, "doc_id",
+        "text", whT, "gold", "nd", threshold = 0.5) ===
+      Dedup.nearDedupIngestBatch(batch, epoch = 0L, "doc_id", "text",
+        whA, "gold", "nd", threshold = 0.5))
+    val colsIng = spark.read.parquet(whT.path("gold", "nd_sets")).columns.toSet
+    assert(colsIng.contains("text") && !colsIng.contains("set"))
+    // a doc_id spanning TWO epochs with different text verifies per
+    // stored (doc_id, epoch) row in BOTH layouts (the texts reader
+    // groups by epoch too — merged union sets would diverge here)
+    def ep(id: Long, text: String) = Seq((id, text)).toDF("doc_id", "text")
+    for (w <- Seq(whT, whA)) {
+      Dedup.nearDedupIndexAppend(
+        ep(300L, "two epoch versions of one document first variant body text"),
+        "doc_id", "text", w, "gold", "nd", epoch = 1L)
+      Dedup.nearDedupIndexAppend(
+        ep(300L, "two epoch versions of one document second variant body text"),
+        "doc_id", "text", w, "gold", "nd", epoch = 2L)
+    }
+    val b2 = ep(400L,
+      "two epoch versions of one document first variant body text here")
+    assert(pairs(whT, b2) === pairs(whA, b2) && pairs(whT, b2).nonEmpty)
+    // compaction (fold epochs into base) preserves layout and results
+    Dedup.nearDedupIndexCompact(spark, whT, "gold", "nd", foldEpochsBelow = 2L)
+    Dedup.nearDedupIndexCompact(spark, whA, "gold", "nd", foldEpochsBelow = 2L)
+    assert(pairs(whT, b2) === pairs(whA, b2))
+    assert(pairs(whT, batch) === pairs(whA, batch))
+    // and the compacted texts files stayed zstd (codec survives the
+    // rewrite — a snappy compaction would silently grow the table)
+    val aFile = {
+      val w = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(whT.path("gold", "nd_sets")))
+      try w.filter(_.toString.endsWith(".parquet")).findFirst().get()
+      finally w.close()
+    }
+    assert(aFile.toString.contains("zstd"))
+  }
+
+  test("ratio-triggered compaction folds only when the delta earns its rewrite") {
+    // the geometric policy: a fixed cadence rewrites the O(corpus)
+    // base on a schedule (quadratic total rewrite work); the ratio
+    // trigger folds only when committed-delta bytes reach
+    // minFoldRatio × base bytes — constant write amplification
+    val wh = freshWh("ratio")
+    Dedup.nearDedupIndexPersist(corpus, "doc_id", "text", wh, "gold", "nd",
+      shingleK = 3, numHashes = 32, bands = 8, nBuckets = 8, nSetBuckets = 4)
+    def epochDirs: Set[String] = {
+      val root = new java.io.File(wh.path("gold", "nd_bands"))
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(_.isDirectory)
+        .flatMap(b => Option(b.listFiles()).getOrElse(Array.empty))
+        .map(_.getName).filter(_.startsWith("epoch="))
+        .filterNot(_ == "epoch=-1").toSet
+    }
+    // a tiny committed epoch: delta ≪ ratio × base → NOT due, no fold
+    Dedup.nearDedupIndexAppend(
+      Seq((900L, "one small appended document about nothing in particular"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", wh, "gold", "nd", epoch = 1L)
+    assert(!Dedup.nearDedupIndexCompactIfDue(spark, wh, "gold", "nd",
+      currentEpoch = 99L, minFoldRatio = 0.5))
+    assert(epochDirs.contains("epoch=1"))
+    val before = pairSet(Dedup.nearDedupIncrementPairs(batch, "doc_id",
+      "text", wh, "gold", "nd", threshold = 0.5))
+    // pile on corpus-sized committed epochs until delta ≥ ratio × base
+    // (doc-keyed vocabulary — these must never pair with the probe
+    // batch, so the before/after comparison isolates the fold)
+    (2L to 4L).foreach { e =>
+      Dedup.nearDedupIndexAppend(
+        corpus.select((col("doc_id") + lit(1000L * e)).as("doc_id"),
+          concat_ws(" ", (1 to 14).map(i =>
+            concat(lit(s"zfill${e}w$i"), col("doc_id"))): _*).as("text")),
+        "doc_id", "text", wh, "gold", "nd", epoch = e)
+    }
+    assert(Dedup.nearDedupIndexCompactIfDue(spark, wh, "gold", "nd",
+      currentEpoch = 99L, minFoldRatio = 0.5))
+    assert(epochDirs.isEmpty) // all committed epochs folded into base
+    // the fold changed nothing a probe can see (beyond the new docs,
+    // which both sides of this comparison include)
+    val after = pairSet(Dedup.nearDedupIncrementPairs(batch, "doc_id",
+      "text", wh, "gold", "nd", threshold = 0.5))
+    assert(after === before)
+    // and once folded, the same trigger is quiescent
+    assert(!Dedup.nearDedupIndexCompactIfDue(spark, wh, "gold", "nd",
+      currentEpoch = 99L, minFoldRatio = 0.5))
+  }
+
+  test("format_version: a pre-v2 minhash index fails with an explicit rebuild-required error") {
+    val wh = freshWh("ndoldfmt")
+    Dedup.nearDedupIndexPersist(corpus, "doc_id", "text", wh, "gold", "nd",
+      shingleK = 3, numHashes = 32, bands = 8, nBuckets = 8, nSetBuckets = 4)
+    // regress the meta to the pre-versioned shape (no format_version
+    // column) — what any standing index built before v2 looks like
+    val legacy = Seq((3, 32, 8, 8, 4))
+      .toDF("shingle_k", "num_hashes", "bands", "n_buckets", "n_set_buckets")
+    legacy.write.mode("overwrite").parquet(wh.path("gold", "nd_meta"))
+    val e = intercept[IllegalStateException] {
+      Dedup.nearDedupIncrementPairs(batch, "doc_id", "text",
+        wh, "gold", "nd", threshold = 0.5).collect()
+    }
+    assert(e.getMessage.contains("rebuild") &&
+      e.getMessage.contains("format"))
   }
 }

@@ -86,20 +86,24 @@ class PostingIndexSpec extends AnyFunSuite {
   test("probe scans are partition-pruned on sbucket/dbucket with pushed sh ranges") {
     val wh = freshWh("prune")
     build(wh)
-    val probe = Dedup.ngramJaccardIncrementPairs(batch, "doc_id", "text",
-      wh, "gold", "ng", threshold = 0.5)
-    probe.collect()
-    val plan = probe.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters"))
-    assert(plan.contains("sbucket"))
-    assert(plan.contains("dbucket"))
+    // the probe's warehouse-scanning stages are snapshotted (eager
+    // localCheckpoint — the r15 aliasing fix), so the pruned scans run
+    // in the checkpoint jobs: capture every execution's plan
+    val plans = graft.PlanCapture.plansDuring(spark) {
+      Dedup.ngramJaccardIncrementPairs(batch, "doc_id", "text",
+        wh, "gold", "ng", threshold = 0.5).collect()
+    }
+    assert(graft.PlanCapture.prunedOn(plans, "sbucket"),
+      "no PartitionFilters on sbucket in any executed plan")
+    assert(graft.PlanCapture.prunedOn(plans, "dbucket"),
+      "no PartitionFilters on dbucket in any executed plan")
     // the small-batch branch pushes per-bucket `sh` RANGE predicates to
     // the parquet scans: bucket files are sorted by sh, so row-group
     // min/max stats skip dictionary/posting pages outside the batch's
     // ranges (the 28 MB small-batch floor fix)
-    assert(plan.contains("PushedFilters"))
+    val all = plans.mkString("\n")
     assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(sh".r
-      .findFirstIn(plan).isDefined, "no pushed sh range on any scan")
+      .findFirstIn(all).isDefined, "no pushed sh range on any scan")
   }
 
   test("statistics are FROZEN at build: union-crossing cap keeps pairs") {
@@ -619,6 +623,88 @@ class PostingIndexSpec extends AnyFunSuite {
       Dedup.ngramJaccardIncrementPairs(batch, "doc_id", "text",
         whTF, "gold", "ng", threshold = 0.3).collect()
     }.getMessage.contains("t_min"))
+  }
+
+  test("texts _sets layout survives both staleness-rebuild paths") {
+    // Both rebuild paths — the one-shot policy (ngramRebuildIfStale)
+    // and the mid-stream re-freeze inside ngramIngestBatch — must
+    // re-persist with the INDEX'S OWN layout flags: an omitted
+    // setsAsTexts re-froze a texts index as arrays on the first
+    // rebuild, silently reverting the footprint win (r14 ADVICE).
+    def setsCols(wh: graft.etl.Warehouse) =
+      spark.read.parquet(wh.path("gold", "ng_sets")).columns.toSet
+    def assertTexts(wh: graft.etl.Warehouse, where: String) = {
+      val c = setsCols(wh)
+      assert(c.contains("text") && !c.contains("set"),
+        s"$where re-froze the texts layout as ${c.mkString(",")}")
+    }
+    // novel-content batch → unseen_frac ≈ 1 → rebuild fires
+    val novel = Seq(
+      (500L, "wholly novel vocabulary appears across this entire batch today"),
+      (501L, "nothing in the frozen dictionary resembles any of these words"))
+      .toDF("doc_id", "text")
+    // path 1: the one-shot policy
+    val wh1 = freshWh("textsreb1")
+    Dedup.ngramIndexPersist(corpus, "doc_id", "text", wh1, "gold", "ng",
+      shingleK = 3, maxShingleFreq = 1000, nPostBuckets = 8,
+      nSetBuckets = 4, setsAsTexts = true)
+    assert(Dedup.ngramRebuildIfStale(corpus, novel, "doc_id", "text",
+      wh1, "gold", "ng", unseenThreshold = 0.5))
+    assertTexts(wh1, "ngramRebuildIfStale")
+    // path 2: the mid-stream re-freeze (epoch > 0, cadence 1, low bar)
+    val wh2 = freshWh("textsreb2")
+    Dedup.ngramIndexPersist(corpus, "doc_id", "text", wh2, "gold", "ng",
+      shingleK = 3, maxShingleFreq = 1000, nPostBuckets = 8,
+      nSetBuckets = 4, setsAsTexts = true)
+    Dedup.ngramIngestBatch(novel, epoch = 1L, "doc_id", "text", wh2,
+      "gold", "ng", threshold = 0.5, rebuildCheckEvery = 1,
+      unseenThreshold = 0.1, baseCorpus = Some(corpus))
+    assertTexts(wh2, "ngramIngestBatch mid-stream rebuild")
+    // and the rebuilt index still probes identically to an arrays twin
+    val whA = freshWh("textsrebref")
+    build(whA)
+    Dedup.ngramRebuildIfStale(corpus, novel, "doc_id", "text",
+      whA, "gold", "ng", unseenThreshold = 0.5)
+    val jT = pairSet(Dedup.ngramJaccardIncrementPairs(batch, "doc_id",
+      "text", wh1, "gold", "ng", threshold = 0.5),
+      ("id_a", "id_b", "jaccard"))
+    val jA = pairSet(Dedup.ngramJaccardIncrementPairs(batch, "doc_id",
+      "text", whA, "gold", "ng", threshold = 0.5),
+      ("id_a", "id_b", "jaccard"))
+    assert(jT === jA && jT.nonEmpty)
+  }
+
+  test("texts _sets layout: a doc_id spanning two epochs verifies per stored row") {
+    // the arrays layout stores one `_sets` row per (doc_id, epoch); the
+    // texts reader must group its re-shingle by epoch too, or the two
+    // layouts diverge on a doc_id appended twice with different text
+    // (merged union set vs per-version sets — r14 ADVICE)
+    def ep(id: Long, text: String) = Seq((id, text)).toDF("doc_id", "text")
+    val whT = freshWh("textsepoch")
+    Dedup.ngramIndexPersist(corpus, "doc_id", "text", whT, "gold", "ng",
+      shingleK = 3, maxShingleFreq = 1000, nPostBuckets = 8,
+      nSetBuckets = 4, setsAsTexts = true)
+    val whA = freshWh("textsepochref")
+    build(whA)
+    for (w <- Seq(whT, whA)) {
+      Dedup.ngramIndexAppend(
+        ep(600L, "two epoch versions of one document first variant body text"),
+        "doc_id", "text", w, "gold", "ng", epoch = 1L)
+      Dedup.ngramIndexAppend(
+        ep(600L, "two epoch versions of one document second variant body text"),
+        "doc_id", "text", w, "gold", "ng", epoch = 2L)
+    }
+    val b = ep(700L,
+      "two epoch versions of one document first variant body text here")
+    def jac(w: graft.etl.Warehouse) =
+      pairSet(Dedup.ngramJaccardIncrementPairs(b, "doc_id", "text",
+        w, "gold", "ng", threshold = 0.5), ("id_a", "id_b", "jaccard"))
+    def con(w: graft.etl.Warehouse) =
+      pairSet(Dedup.containmentIncrementPairs(b, "doc_id", "text",
+        w, "gold", "ng", threshold = 0.8),
+        ("id_src", "id_dst", "containment"))
+    assert(jac(whT) === jac(whA) && jac(whT).nonEmpty)
+    assert(con(whT) === con(whA))
   }
 
   test("format_version: a pre-v4 index fails with an explicit rebuild-required error") {
