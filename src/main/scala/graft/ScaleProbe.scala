@@ -536,6 +536,45 @@ object ScaleProbe {
       writeVar("texts_zstd", texts, "zstd")
     }
 
+    // MinHash twin of `setsprobe` (r15 verdict #1's measured row): the
+    // band index's `_sets` holds the SAME incompressible xxhash64
+    // shingle arrays the posting index's did — measure the v2 texts
+    // layout's cut on the same unique-content ~3 KB corpus, plus the
+    // `_bands` table (identical across layouts) for the whole-index
+    // ratio.
+    if (families("ndsetsprobe")) {
+      def dirMb(p: String): Double = {
+        val w = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        val s = try w.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally w.close()
+        s / 1048576.0
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+      val wh = graft.etl.Warehouse(java.nio.file.Files
+        .createTempDirectory("graft_probe_ndsets").toString)
+      val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val kb = base.select(col("doc_id"), concat(col("text"), lit(" "),
+          expr("array_join(transform(sequence(0, 449), " +
+            "i -> concat('w', abs(xxhash64(doc_id, i)) % 30000)), ' ')"))
+          .as("text"))
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), lit(4L))).as("rep"))
+        .select((col("doc_id") * 5L + col("rep")).as("doc_id"),
+          concat(col("text"), lit(" v"), col("rep")).as("text"))
+      wh.overwrite(kb, "gold", "docs_kb")
+      val corpus = wh.read(spark, "gold", "docs_kb")
+      println(s"docsKb: ${corpus.count()}")
+      println(f"NDSETS corpus_parquet        ${dirMb(wh.path("gold", "docs_kb"))}%9.1f MB")
+      for ((tag, texts) <- Seq(("arrays", false), ("texts", true))) {
+        Dedup.nearDedupIndexPersist(corpus, "doc_id", "text", wh, "gold",
+          s"nd_$tag", shingleK = 3, numHashes = 32, bands = 8,
+          setsAsTexts = texts)
+        println(f"NDSETS ${s"${tag}_sets"}%-22s ${dirMb(wh.path("gold", s"nd_${tag}_sets"))}%9.1f MB")
+        println(f"NDSETS ${s"${tag}_bands"}%-22s ${dirMb(wh.path("gold", s"nd_${tag}_bands"))}%9.1f MB")
+      }
+    }
+
     // Incremental EXACT dedup probe (the prefix-filter family) — the
     // posting-index analog of "increment": the 250k-DISTINCT corpus
     // persists its capped/positioned posting index ONCE, then 1% and
@@ -698,17 +737,26 @@ object ScaleProbe {
     // delta) bytes at each decision, and each policy's cumulative
     // rewritten bytes — the numbers behind SURVEY's amortization math.
     if (families("foldpolicy")) {
+      // regime matters: the base must DWARF the per-epoch delta (the
+      // 100 TB shape — a daily batch is a fraction of a percent of the
+      // standing corpus), or per-file parquet overhead at toy scale
+      // makes every epoch trip the ratio. 50k-doc base, 250-doc epochs
+      // (0.5%/epoch).
       val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val big = (0 until 10).map(i =>
+          base.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+            concat(col("text"), lit(" r"), lit(i)).as("text")))
+        .reduce(_ unionByName _)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      println(s"docsFold: ${base.count()}")
+      println(s"docsFold: ${big.count()}")
       def freshIdx(tag: String): graft.etl.Warehouse = {
         val wh = graft.etl.Warehouse(java.nio.file.Files
           .createTempDirectory(s"graft_probe_fold$tag").toString)
-        Dedup.nearDedupIndexPersist(base, "doc_id", "text", wh, "gold",
+        Dedup.nearDedupIndexPersist(big, "doc_id", "text", wh, "gold",
           "nd", shingleK = 3, numHashes = 32, bands = 8)
         wh
       }
-      def batchAt(e: Long) = base.filter(col("doc_id") % 20 === e % 20)
+      def batchAt(e: Long) = big.filter(col("doc_id") % 200 === e % 200)
         .select((col("doc_id") + 100000000L + e * 1000000L).as("doc_id"),
           concat(col("text"), lit(" e"), lit(e)).as("text"))
       def tableBytes(wh: graft.etl.Warehouse): Long =
@@ -749,7 +797,7 @@ object ScaleProbe {
           f"rewritten=${rewritten / 1048576.0}%8.1f MB " +
           f"amplification=${rewritten.toDouble / math.max(ingested, 1L)}%6.2f x-of-ingested")
       }
-      base.unpersist()
+      big.unpersist()
     }
 
     // The curation pipeline as a CONTINUOUS STREAM over the same 500k

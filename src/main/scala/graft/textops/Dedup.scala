@@ -682,13 +682,26 @@ object Dedup {
     * (`compactEvery`), accepting its quadratic rewrite. Returns whether
     * a fold ran; probes are row-identical either way
     * ([[nearDedupIndexCompact]]). */
+  /** The group-wide (Σbase, Σdelta) the ratio trigger weighs: summed
+    * over the index's epoch-partitioned tables, so the byte-DOMINANT
+    * table drives the decision. (A per-table `exists` trigger fires on
+    * the skinny `_bands` table almost every epoch at realistic batch
+    * sizes — its per-epoch deltas are parquet-footer-dominated across
+    * nBuckets tiny files — and drags the fat `_sets` rewrite along,
+    * re-creating the quadratic cadence cost the policy exists to
+    * remove. Byte amplification is what folds cost; per-table file
+    * accumulation is the documented dir-count trade.) */
+  private def groupFootprint(wh: graft.etl.Warehouse, layer: String,
+      tables: Seq[String], currentEpoch: Long): (Long, Long) =
+    tables.map(t => epochFootprint(wh.path(layer, t), currentEpoch))
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+
   def nearDedupIndexCompactIfDue(spark: org.apache.spark.sql.SparkSession,
       wh: graft.etl.Warehouse, layer: String, table: String,
       currentEpoch: Long, minFoldRatio: Double = 0.25): Boolean = {
-    val due = Seq(s"${table}_bands", s"${table}_sets").exists { t =>
-      val (base, delta) = epochFootprint(wh.path(layer, t), currentEpoch)
-      delta > 0L && delta.toDouble >= minFoldRatio * base.toDouble
-    }
+    val (base, delta) = groupFootprint(wh, layer,
+      Seq(s"${table}_bands", s"${table}_sets"), currentEpoch)
+    val due = delta > 0L && delta.toDouble >= minFoldRatio * base.toDouble
     if (due)
       nearDedupIndexCompact(spark, wh, layer, table,
         foldEpochsBelow = currentEpoch)
@@ -701,10 +714,9 @@ object Dedup {
   def ngramIndexCompactIfDue(spark: org.apache.spark.sql.SparkSession,
       wh: graft.etl.Warehouse, layer: String, table: String,
       currentEpoch: Long, minFoldRatio: Double = 0.25): Boolean = {
-    val due = Seq(s"${table}_post", s"${table}_sets").exists { t =>
-      val (base, delta) = epochFootprint(wh.path(layer, t), currentEpoch)
-      delta > 0L && delta.toDouble >= minFoldRatio * base.toDouble
-    }
+    val (base, delta) = groupFootprint(wh, layer,
+      Seq(s"${table}_post", s"${table}_sets"), currentEpoch)
+    val due = delta > 0L && delta.toDouble >= minFoldRatio * base.toDouble
     if (due)
       ngramIndexCompact(spark, wh, layer, table,
         foldEpochsBelow = currentEpoch)
