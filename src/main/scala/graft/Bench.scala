@@ -179,7 +179,14 @@ object Bench {
     def calibrate(): Unit =
       calibWindows += ((BenchCalib.calibJvm(), BenchCalib.calibSpark(spark)))
     calibrate()
+    // dev: SPARK_GRAFT_BENCH_FILTER=q1,q2 restricts the run to the named
+    // entries for targeted same-window A/B comparisons (e.g. a layout
+    // twin vs its arrays entry); the driver never sets it, so the
+    // per-round sidecar always covers the full ledger
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => filter.forall(_.contains(n)) }
     // A failed query must NEVER hide inside the total as a fast "success":
     // record the failure, report n_failed, and exit nonzero at the end.
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]

@@ -1443,27 +1443,35 @@ object Dedup {
     * pruned and map-side below the broadcast limit. */
   private def readCorpusSets(spark: org.apache.spark.sql.SparkSession,
       wh: graft.etl.Warehouse, layer: String, table: String,
-      meta: NgramMeta, rowFilter: Column, broadcastShingleLimit: Long,
+      meta: NgramMeta, rowFilter: Column,
       tracker: PersistTracker): DataFrame = {
     val raw = wh.read(spark, layer, s"${table}_sets").filter(rowFilter)
     if (meta.setsLayout == SetsLayoutTexts) {
-      // snapshotted, never bare-persisted ([[PersistTracker.snapshotted]]):
-      // this frame scans a warehouse table (a leaked cache entry would
-      // alias post-compaction reads of the rewritten path), and the
-      // one-shot probes' noop tracker otherwise re-evaluates the
-      // re-shingle scan per consumer — the r14 texts-probe premium
-      // (count + range-collect + one pipeline per verify join)
-      val shC = tracker.snapshotted(
-        shingledHashed(raw, "doc_id", "text", meta.shingleK,
-            carry = Seq("epoch"))
-          .withColumn("sbucket",
-            pmod(col("sh"), lit(meta.nPostBuckets.toLong)).cast("int")))
+      val shC = shingledHashed(raw, "doc_id", "text", meta.shingleK,
+        carry = Seq("epoch"))
+      // ONE texts pass, ONE dictionary scan, ONE snapshot: the final
+      // recomputed sets are snapshotted ([[PersistTracker.snapshotted]]
+      // — a bare noop-tracker persist would alias post-compaction
+      // reads of the rewritten root path, and no snapshot re-runs the
+      // whole pipeline per verify join: containment consumes it twice).
+      // The dictionary join deliberately does NOT reuse the batch
+      // path's [[frozenFreqJoin]]: its broadcast gating + per-bucket
+      // range pruning each cost an extra evaluation of the shingle
+      // frame (count + range collect), and the corpus-side candidate
+      // slice — unlike a small batch — spans most shingle buckets, so
+      // the pruning buys little; checkpointing the shingle frame to
+      // avoid the re-evaluations materializes every (doc, shingle) row
+      // (measured SLOWER than the r14 triple-scan at sf0.1). `_freq`
+      // is the skinny derivative; one shuffle join against it per
+      // probe is the cheapest shape at every scale.
+      val freq = wh.read(spark, layer, s"${table}_freq")
+        .select("sh", "freq")
       // grouped by (doc_id, epoch), NOT doc_id: the arrays layout
       // stores one row per (doc_id, epoch), so a doc_id appended in two
       // epochs must verify per-version here too, not as a merged union
       // set (the layouts would otherwise diverge on that corpus)
       tracker.snapshotted(
-        frozenFreqJoin(shC, wh, layer, table, broadcastShingleLimit)
+        shC.join(freq, Seq("sh"), "left")
           .withColumn("freq", coalesce(col("freq"), lit(0)))
           .filter(col("freq") <= meta.maxFreq)
           .groupBy("doc_id", "epoch")
@@ -1858,7 +1866,7 @@ object Dedup {
     val setsC = readCorpusSets(spark, wh, layer, table, meta,
       col("dbucket").isin(dbs.map(Int.box): _*) &&
         col("epoch") =!= lit(excludeEpoch),
-      broadcastShingleLimit, tracker)
+      tracker)
     // candidate pairs broadcast into the corpus-sets join when small:
     // the alternative shuffles the fat set ARRAYS — the most expensive
     // bytes in the index — to co-locate with a few thousand pair rows
@@ -2184,7 +2192,7 @@ object Dedup {
     val setsC = readCorpusSets(spark, wh, layer, table, meta,
       col("dbucket").isin(dbs.map(Int.box): _*) &&
         col("epoch") =!= lit(excludeEpoch),
-      broadcastShingleLimit, PersistTracker.noop)
+      PersistTracker.noop)
     // either endpoint may be corpus or batch: resolve each side against
     // the union of the pruned corpus sets and the batch sets
     val sets = setsC.unionByName(setsB)
