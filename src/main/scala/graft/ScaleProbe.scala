@@ -916,9 +916,15 @@ object ScaleProbe {
     // the batch's own floor. Flat wall here + growth in the adversarial
     // lane pins the growth to candidate density (a data property any
     // LSH+verify system pays per candidate), not to kept history.
-    Seq(("longminhash", "nd", false), ("longexact", "ng", false),
-        ("longminhashdiv", "nd", true)).foreach {
-      case (fam, idx, driftAll) =>
+    // the fourth lane drives BOTH round-15 mechanisms together at the
+    // long horizon — texts _sets layout + ratio-triggered fold — so the
+    // flat-wall / bounded-dirs / bounded-bytes evidence covers the
+    // shipped 100 TB configuration, not just the r14 arrays+cadence one
+    Seq(("longminhash", "nd", false, false, 0.0),
+        ("longexact", "ng", false, false, 0.0),
+        ("longminhashdiv", "nd", true, false, 0.0),
+        ("longminhashratio", "nd", false, true, 0.25)).foreach {
+      case (fam, idx, driftAll, textsLayout, foldRatio) =>
         if (families("longingest") || families(fam)) {
       val tag = fam.toUpperCase
       spark.conf.set("spark.sql.shuffle.partitions", "64")
@@ -953,17 +959,22 @@ object ScaleProbe {
           spark.read.parquet(wh.path("gold", s"${idx}_post")).count()
         } else {
           Dedup.nearDedupIndexPersist(bootstrap, "doc_id", "text", wh,
-            "gold", idx, shingleK = 3, numHashes = 32, bands = 8)
+            "gold", idx, shingleK = 3, numHashes = 32, bands = 8,
+            setsAsTexts = textsLayout)
           spark.read.parquet(wh.path("gold", s"${idx}_bands")).count()
         }
       }
-      def fsStats(t: String): (Int, Int) = {
-        def walk(f: java.io.File): (Int, Int) =
-          if (!f.exists) (0, 0)
+      // (parquet files, dirs, parquet bytes): the ratio lane's pass bar
+      // is BYTES bounded between folds, not just file/dir counts
+      def fsStats(t: String): (Int, Int, Long) = {
+        def walk(f: java.io.File): (Int, Int, Long) =
+          if (!f.exists) (0, 0, 0L)
           else if (f.isDirectory) {
             val kids = f.listFiles().map(walk)
-            (kids.map(_._1).sum, kids.map(_._2).sum + 1)
-          } else if (f.getName.endsWith(".parquet")) (1, 0) else (0, 0)
+            (kids.map(_._1).sum, kids.map(_._2).sum + 1,
+              kids.map(_._3).sum)
+          } else if (f.getName.endsWith(".parquet")) (1, 0, f.length)
+          else (0, 0, 0L)
         walk(new java.io.File(wh.path("gold", t)))
       }
       val tables =
@@ -984,7 +995,9 @@ object ScaleProbe {
             baseCorpus = Some(bootstrap))
         else
           Dedup.nearDedupIngestStream(src, "doc_id", "text", wh, "gold",
-            idx, threshold = 0.5, ckpt, compactEvery = 5)
+            idx, threshold = 0.5, ckpt,
+            compactEvery = if (foldRatio > 0.0) 0 else 5,
+            compactMinRatio = foldRatio)
       // horizon knob (r13 verdict item 3): the adversarial lane's mild
       // per-epoch drift needed a >= 50-epoch series to either plateau
       // or be priced per candidate — LONGINGEST_EPOCHS=50 runs it
@@ -1021,8 +1034,8 @@ object ScaleProbe {
             s" cands=$n"
           } else ""
         println(f"$tag epoch $k%2d ${dt}%7.2f s  " +
-          st.map { case (t, (nf, nd)) =>
-            s"${t.stripPrefix(s"${idx}_")}=[$nf f/$nd d]"
+          st.map { case (t, (nf, nd, bytes)) =>
+            f"${t.stripPrefix(s"${idx}_")}=[$nf f/$nd d/${bytes / 1e6}%.1f MB]"
           }.mkString(" ") + freqN + candN)
       }
       q.stop()

@@ -62,7 +62,16 @@ object WarehouseReaderProcess {
                   println(s"MIXED gens=${d.mkString(",")}")
                   spark.stop()
                   sys.exit(2)
-                } else ok += 1
+                } else {
+                  ok += 1
+                  // progress line per accepted read: the spec's writer
+                  // gates its next group promotion on this count
+                  // advancing, so the reader is never starved of
+                  // quiescent windows on a loaded machine (a promotion
+                  // discards any read it overlaps — an unthrottled
+                  // promoter can race EVERY read when reads are slow)
+                  println(s"PROG ok=$ok loud=$loud")
+                }
             }
           case None =>
             val vs = wh.read(spark, layer, table)

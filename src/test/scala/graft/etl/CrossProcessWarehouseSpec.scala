@@ -140,9 +140,20 @@ class CrossProcessWarehouseSpec extends AnyFunSuite {
       assert(logText().contains("READY"),
         s"reader never became READY:\n${logText()}")
       // the live ingest mix: epoch appends carrying the CURRENT
-      // generation, a group re-promotion every third epoch
+      // generation, plus group re-promotions. Each promotion is gated
+      // on the reader having ACCEPTED at least one read since the last
+      // one (the child's PROG lines): a promotion discards any read it
+      // overlaps, so an unthrottled promoter on a loaded machine can
+      // race every read and starve the ok>0 liveness assertion — the
+      // gate guarantees quiescent windows without weakening the mixed-
+      // read detection (appends never pause, and every read that DOES
+      // overlap a promotion must still be discarded or consistent).
+      def childOk(): Int =
+        "PROG ok=(\\d+)".r.findAllMatchIn(logText())
+          .foldLeft(0)((_, m) => m.group(1).toInt)
       var g = 1L
       var e = 0L
+      var okAtPromo = 0
       while (p.isAlive && e < 3000L) {
         e += 1
         Seq("gb", "gs").foreach { t =>
@@ -150,7 +161,9 @@ class CrossProcessWarehouseSpec extends AnyFunSuite {
             spark.range(5).select(lit(g).as("g"), lit(e).as("epoch")),
             "gold", t, Seq("epoch"))
         }
-        if (e % 3 == 0) { g += 1; stageGen(g) }
+        if (e % 3 == 0 && childOk() > okAtPromo) {
+          g += 1; stageGen(g); okAtPromo = childOk()
+        }
       }
       assert(p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
         "reader did not finish")
