@@ -237,6 +237,11 @@ object ExtendedQueries {
   // ------------------------------------------------------------------
   private[analytics] def groupedCum(base: DataFrame, g: String, v: String,
                                     weight: Column): DataFrame = {
+    // grouped feeds both the prefix sum and the per-group offsets; the
+    // duplicated subtree is a map-side partial agg + small exchange,
+    // and pinning it (persist or checkpoint) measured SLOWER than the
+    // recompute at bench SF (r15 A/B: 1.3x on both callers) — left
+    // unpinned deliberately
     val grouped = base.groupBy(col(g), col(v))
       .agg(sum(weight).cast(DecimalType(38, 0)).as("c"))
     val cum = graft.operators.PrefixSum.withRunningSum(
@@ -352,6 +357,10 @@ object ExtendedQueries {
     // come straight off the grouped maps as Σ c·r2 — only the CROSS
     // moment needs the per-row (q,p) pairing, so exactly one shuffle
     // join over the fact rows survives.
+    // NOTE (r15 A/B): both rank maps are consumed twice, but pinning
+    // them (eager checkpoint OR lazy persist) measured 1.3x SLOWER than
+    // the duplicated groupBy at bench SF — the maps are cheap partial
+    // aggs and the pin blocks whole-stage pipelining. Left unpinned.
     val rq = rank2MapSmall(base, "f", "q").withColumnRenamed("r2", "rx")
     val rp = rank2Map(base, "f", "p").withColumnRenamed("r2", "ry")
     val margQ = rq.groupBy(col("f"))
@@ -1889,10 +1898,12 @@ object ExtendedQueries {
     val cum = graft.operators.PrefixSum.withRunningSum(deltas,
       Seq(col("t"), col("delta"), col("event_id")),
       col("delta").cast(DecimalType(20, 0)), "conc")
-    val peak = cum.agg(max(col("conc")).as("p"))
-    cum.join(broadcast(peak), col("conc") === col("p"))
-      .agg(max(col("conc")).cast("long").as("peak_concurrency"),
-           min(col("t")).as("first_peak_us"))
+    // ONE aggregation pass: (peak, first instant) is argmax-by-struct —
+    // max conc, then max(-t) = min t among the peak rows. The previous
+    // peak-agg + self-join evaluated the running-sum frame twice.
+    cum.agg(max(struct(col("conc").as("c"), (-col("t")).as("nt"))).as("m"))
+      .select(col("m.c").cast("long").as("peak_concurrency"),
+        (-col("m.nt")).as("first_peak_us"))
   }
   private val evMaxConcurrentSql =
     """WITH e AS (SELECT epoch_us(ts) AS us, event_id FROM events),
@@ -2145,11 +2156,15 @@ object ExtendedQueries {
         col("l_extendedprice").cast(DecimalType(18, 2)).as("r"))
     val monthly = li.groupBy(col("l_partkey"), col("mon"))
       .agg(sum(col("q")).as("mq"), sum(col("r")).as("mr"))
+    // one row per part — materialized because it feeds both the prefix
+    // sum and the grand total, each of which otherwise re-runs the
+    // lineitem ⋈ orders join + both groupBys
     val per = monthly.groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("n"),
            sum(col("mq")).cast(DecimalType(38, 0)).as("s1"),
            sum(col("mq") * col("mq")).cast(DecimalType(38, 0)).as("s2"),
            sum(col("mr")).as("rev"))
+      .localCheckpoint(true)
     val ranked = graft.operators.PrefixSum.withRunningSum(per,
       Seq(col("rev").desc, col("l_partkey")), col("rev"), "cumrev")
     val tot = per.agg(sum(col("rev")).as("tot"))

@@ -1135,15 +1135,22 @@ object Frontier4Queries {
   // coalesce against the broadcast per-class default.
   // ------------------------------------------------------------------
   private val tNbClassify: QFn = (s, dir) => {
+    // normalize+tokenize ONCE: docs feeds train (3 consumers) and test
+    // (2 consumers), and un-checkpointed every one re-ran the documents
+    // scan + normText + split (plan-verified: 30 parquet scans)
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         split(TF.normText(col("text")), " ").as("toks"),
         (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
           .cast("long") % 100).as("bucket"))
+      .localCheckpoint(true)
     val train = docs.filter(col("bucket") < 80)
     val test = docs.filter(col("bucket") >= 80)
+    // the exploded training tokens feed vocab, the per-class totals and
+    // the per-term counts — materialized so the explode runs once
     val tokTr = train.select(col("lang"), explode(col("toks")).as("term"))
       .filter(length(col("term")) > 0)
+      .localCheckpoint(true)
     val tokTe = test
       .select(col("doc_id"), explode(col("toks")).as("term"))
       .filter(length(col("term")) > 0)
@@ -1158,6 +1165,9 @@ object Frontier4Queries {
           .as("prior_r"),
         round(log(lit(1.0) / (col("tot") + col("v")).cast("double")), 6)
           .cast(DecimalType(18, 6)).as("def_r"))
+      // |classes| rows, broadcast three times below — the barrier stops
+      // each broadcast from re-running the whole model-count lineage
+      .localCheckpoint(true)
     val ll = tokTr.groupBy(col("lang").as("c"), col("term"))
       .agg(count(lit(1)).as("tc"))
       .join(broadcast(classes.select("c", "tot", "v")), "c")

@@ -127,6 +127,9 @@ object Frontier16Queries {
       .filter(col("nxt").isNotNull)
       .groupBy(col("event_type").as("a"), col("nxt").as("b"))
       .agg(count(lit(1)).as("nab"))
+    // trans is consumed twice (na + the p join) but pinning it measured
+    // 1.1x SLOWER at bench SF (r15 A/B) — the duplicated window pass is
+    // cheaper than the barrier job. Left unpinned deliberately.
     val na = trans.groupBy("a").agg(sum("nab").as("na"))
     val p = trans.join(na, "a")
       .select(col("a"), col("b"),

@@ -614,10 +614,15 @@ object Frontier49Queries {
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val a = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
     val b = op.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    // materialize the pair set ONCE: e0 feeds both the clustering and
+    // the per-component edge counts below, and without the barrier the
+    // edge-count job re-runs the full lineitem self-join + pair groupBy
+    // a second time (plan-verified: two parquet scans in the final job)
     val e0 = a.join(b, "l_orderkey").filter(col("pa") < col("pb"))
       .groupBy("pa", "pb").agg(count(lit(1)).as("n_both"))
       .filter(col("n_both") >= 2)
       .select("pa", "pb")
+      .localCheckpoint(true)
     val comp = graft.operators.ConnectedComponents
       .components(e0, "pa", "pb")
     val nodes = comp.groupBy(col("comp").as("component"))

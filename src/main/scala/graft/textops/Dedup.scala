@@ -2235,6 +2235,10 @@ object Dedup {
       .withColumn("__csize", count(lit(1)).over(w))
     val members = tracker.add(tagged.select(col("__rep"), col("__mid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // NOTE (r15 A/B): reps is consumed twice downstream, but pinning it
+    // measured 1.04-1.10x SLOWER across the d_* family at bench SF —
+    // the text column is fat and the duplicated window pass is cheaper
+    // than materializing it. Left unpinned deliberately.
     val reps = tagged.filter(col("__mid") === col("__rep"))
       .select(col("__mid").as(idCol), col(textCol), col("__csize"))
     (reps, members)
