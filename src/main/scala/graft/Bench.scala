@@ -151,6 +151,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // The generated-class cache defaults to 100 entries — a few
+      // queries' worth. A driver running hundreds of queries (or any
+      // iterative operator whose per-round plans are structurally
+      // identical) recompiles evicted classes all day: raising the
+      // cache measured 0.70-0.85x on the iterative dedup/graph entries
+      // (r15 A/B) with bounded memory (generated classes are ~KB-scale;
+      // static conf, so it must be set before the first session).
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
