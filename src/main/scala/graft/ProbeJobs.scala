@@ -22,10 +22,11 @@ object ProbeJobs {
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val sites = js.stageInfos.map(_.name.takeWhile(_ != '<'))
+          .filterNot(_.contains("CompletableFuture")).distinct
         val desc = Option(js.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description")))
-          .orElse(js.stageInfos.lastOption.map(_.name))
-          .getOrElse("?")
+          .getOrElse(if (sites.nonEmpty) sites.mkString(" | ") else "?")
         starts.put(js.jobId, (js.time, desc))
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {

@@ -41,6 +41,8 @@ object ConnectedComponents {
     // for pair streams from a dedup pipeline that re-runs the whole
     // sketch+verify cascade a second time (measured 2× the pipeline
     // cost at sf0.1 before this cut lineage)
+    edges.sparkSession.sparkContext
+      .setJobDescription("cc: min-label propagation")
     val fwd = edges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
     val und = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
@@ -134,17 +136,25 @@ object ConnectedComponents {
     // intra∪cross union) trip Catalyst's Union.rewriteConstraints with
     // a "key not found" on a contraction-internal attribute; an RDD
     // boundary makes the iterative plan self-contained
+    edges.sparkSession.sparkContext
+      .setJobDescription("cc: star contraction")
     val raw = edges.select(col(aCol).cast("long").as("u"),
         col(bCol).cast("long").as("v"))
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
     var cur = canon(raw)
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    // the canon() distinct makes each round's edge frame a SET, and its
+    // checkpointed count is known from the previous round's convergence
+    // check — carry it instead of re-counting (one fewer job per round)
+    var curCount = cur.count()
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
       val next = smallStar(largeStar(cur)).localCheckpoint(true, StorageLevel.DISK_ONLY)
-      converged = next.count() == cur.count() && next.exceptAll(cur).isEmpty
+      val nextCount = next.count()
+      converged = nextCount == curCount && next.exceptAll(cur).isEmpty
       cur = next
+      curCount = nextCount
       i += 1
     }
     require(converged,

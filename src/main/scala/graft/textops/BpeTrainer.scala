@@ -61,7 +61,12 @@ object BpeTrainer {
         rules += ((a, b))
         vocab = vocab
           .select(col("w"), mergePair(col("tk"), a, b).as("tk"), col("f"))
-          .localCheckpoint(true)
+        // cut lineage every few rounds, not every round: each merge is
+        // one cheap array projection, so a short pending chain costs
+        // nothing to re-plan, while a per-round EAGER checkpoint is a
+        // full extra job — at 48 rounds that halves the loop's job
+        // count (next round's argmax collect materializes the chain)
+        if ((r + 1) % 4 == 0) vocab = vocab.localCheckpoint(true)
         r += 1
       }
     }

@@ -74,6 +74,7 @@ object CurationStream {
     var gated: DataFrame = null
     var qual: DataFrame = null
     try {
+      spark.sparkContext.setJobDescription("curation: gates")
       val nIn = in.count()
       // the gates are single-scan codegen'd expressions (native langId /
       // qualityScore — the curation100-measured forms); one persisted
@@ -105,6 +106,7 @@ object CurationStream {
       // partition/replay unit the cadence fold below collapses. A
       // pre-pepoch funnel (stream resumed across the layout change)
       // migrates first — one readdir when already migrated
+      spark.sparkContext.setJobDescription("curation: funnel sink")
       Dedup.migratePepochLayout(spark, wh, layer, s"${table}_funnel")
       wh.overwritePartitionsDynamic(
         Seq((nIn, nLang, nQual, nKept, epoch, epoch))

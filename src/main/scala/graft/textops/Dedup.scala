@@ -84,6 +84,14 @@ object Dedup {
     def live() = new PersistTracker(true)
   }
 
+  /** Label the jobs an operator phase submits (guide §1.5): broadcast
+    * builds and checkpoint jobs inherit the submitting thread's
+    * description, so the UI / job traces attribute them to the phase
+    * instead of an anonymous future. Labels are overwritten by the next
+    * phase; entry points clear them when the operator returns. */
+  private def label(df: DataFrame, s: String): Unit =
+    df.sparkSession.sparkContext.setJobDescription(s)
+
   /** Exact dedup on the normalized-text fingerprint: one row per distinct
     * content, keeping the smallest id; `n_copies` counts collapsed rows. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -883,6 +891,7 @@ object Dedup {
     import spark.implicits._
     val meta = readIndexMeta(spark, wh, layer, table)
     val nSetBuckets = meta.nSetBuckets
+    label(batch, "nd-probe: batch sketch")
     val shB = tracker.add(
       shingledHashed(batch, idCol, textCol, meta.shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -909,12 +918,14 @@ object Dedup {
     // same-plan probe after a compaction re-executed a stale listing
     // and died on the deleted files (the r14 texts-`_sets` defect
     // class, caught again here by the minhash texts-layout spec)
+    label(batch, "nd-probe: pruned bands join")
     val cross = tracker.snapshotted(idx
       .select(col("band"), col("band_hash"), col("doc_id").as("__cid"))
       .join(keysBr.select(col("band"), col("band_hash"),
         col("doc_id").as("__bid")), Seq("band", "band_hash"))
       .filter(col("__cid") =!= col("__bid"))
       .select("__cid", "__bid").distinct())
+    label(batch, "nd-probe: corpus sets verify")
     val dbs = cross
       .select(pmod(col("__cid"), lit(nSetBuckets.toLong)).cast("int").as("db"))
       .distinct().as[Int].collect().sorted
@@ -1015,12 +1026,14 @@ object Dedup {
     val (crossPairs, shB, keysB) = incrementCrossPairs(batch, idCol,
       textCol, wh, layer, table, threshold, tracker, excludeEpoch)
     val matched = crossPairs.select(col("__bid").as("__mid")).distinct()
+    label(batch, "nd-keep: batch-internal verify")
     val (repPairs0, members, live) = minhashVerifiedParts(batch, idCol,
       textCol, meta.shingleK, meta.numHashes, meta.bands, threshold,
       broadcastDocLimit, tracker)
     // same checkpoint-before-iteration discipline as [[nearDedupKeep]]
     val repPairs = repPairs0.localCheckpoint(true,
       org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    label(batch, "nd-keep: cluster + policy")
     val liveReps = live.select(col("doc_id").as("__rep"))
     val singles = members.join(liveReps, Seq("__rep"), "left_anti")
       .select(col("__mid").as("doc_id"), lit(1L).as("cluster_size"))
@@ -1113,6 +1126,7 @@ object Dedup {
       // BEFORE the first index mutation — one evaluation, cut lineage,
       // and no dependence on scan-refresh timing (the r9 250k probe's
       // read-own-writes bug class stays structurally impossible).
+      label(batch, "nd-ingest: survivor rows + index append")
       val keptDocs = batch
         .join(kept.withColumnRenamed("doc_id", idCol), idCol)
         .localCheckpoint(true)
@@ -1827,6 +1841,7 @@ object Dedup {
       "cannot guarantee recall below the floor — rebuild the index " +
       "with a lower tMinJaccard (or containment = true)")
     val nSetBuckets = meta.nSetBuckets
+    label(batch, "ng-probe: batch postings")
     val (postB, setsB) = batchPostings(batch, idCol, textCol, wh, layer,
       table, meta, tracker, broadcastShingleLimit)
     val prefB = tracker.add(prefixRows(postB, threshold)
@@ -1853,6 +1868,7 @@ object Dedup {
     // half of the small-batch floor (with the dictionary semi-join)
     val prefBr = if (small) broadcast(prefB) else prefB
     // snapshotted (scans `_post`) — see [[incrementCrossPairs]]' cross
+    label(batch, "ng-probe: pruned postings join")
     val crossCands = tracker.snapshotted(
       postC.as("x").join(prefBr.as("y"), Seq("sh"))
       .filter(col("x.doc_id") =!= col("y.doc_id") && posOk)
@@ -1863,6 +1879,7 @@ object Dedup {
     val dbs = crossCands
       .select(pmod(col("__cid"), lit(nSetBuckets.toLong)).cast("int").as("db"))
       .distinct().as[Int].collect().sorted
+    label(batch, "ng-probe: corpus sets verify")
     val setsC = readCorpusSets(spark, wh, layer, table, meta,
       col("dbucket").isin(dbs.map(Int.box): _*) &&
         col("epoch") =!= lit(excludeEpoch),
@@ -2080,6 +2097,7 @@ object Dedup {
         excludeEpoch = epoch)
       // eager checkpoint BEFORE the first index mutation — the same
       // freeze-the-survivors discipline as [[nearDedupIngestBatch]]
+      label(batch, "ng-ingest: survivor rows + index append")
       val keptDocs = batch
         .join(kept.withColumnRenamed("doc_id", idCol), idCol)
         .localCheckpoint(true)
